@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed to completion with a `noop` sink (materializes
+every row, writes nothing), after a warm-up query to absorb JVM/codegen
+startup. Wall time per query, one run each (the driver records trends
+across rounds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from cc_pyspark_spark.plans import QUERIES
+from cc_pyspark_spark.session import build_session
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "text_word_count_tfdf",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "events_tumbling_hourly",
+    "events_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = build_session(
+        app_name="cc-pyspark-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # Warm-up: JVM JIT, codegen, parquet footer caches.
+    QUERIES["tpch_q6_forecast_revenue"].spark(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name].spark(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    result = {
+        "metric": "total_headline_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,54 @@
+"""Text analysis column functions — all JVM-side (no Python UDFs).
+
+Mapping of the reference's record-level Python (SURVEY.md §2.8) to
+built-in column expressions: F1 regex tokenize (word_count.py:25,36-37)
+becomes `regexp_extract_all + lower`; per-doc Counter pre-aggregation
+(word_count.py:36-39) falls out of Catalyst's partial+final hash agg.
+
+Everything here stays inside whole-stage codegen, which is the point:
+at 100 TB the tokenizer is the hot loop, and a row-at-a-time Python UDF
+would be the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Unicode-light tokenizer pattern, the `\w+`-lowercase analog of
+#: word_count.py:25 restricted to [a-z0-9] so both engines (Spark re /
+#: DuckDB RE2) agree byte-for-byte.
+TOKEN_PATTERN = "[a-z0-9]+"
+
+#: Small stopword list used by quality scoring / language heuristics.
+STOPWORDS = ("the", "and", "of", "to", "a", "in")
+
+
+def tokenize(col: str) -> Column:
+    """F1: lowercase word tokens as array<string> (word_count.py:25)."""
+    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)")
+
+
+def shingles(tokens_col: str, k: int = 3) -> Column:
+    """Word k-grams (as space-joined strings) from a token array column.
+
+    Built with `transform(sequence(...))` — pure Catalyst, no shuffle,
+    no Python. Used by MinHash/Jaccard dedup.
+    """
+    parts = ", ".join(f"{tokens_col}[i + {j}]" for j in range(k))
+    return F.expr(
+        f"transform(sequence(0, size({tokens_col}) - {k}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def stopword_count(tokens_col: str, words: tuple[str, ...] = STOPWORDS) -> Column:
+    """Count of stopword occurrences inside a token array."""
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({tokens_col}, t -> t IN ({lst})))")
+
+
+def marker_score(tokens_col: str, markers: tuple[str, ...]) -> Column:
+    """Occurrence count of a marker-word set (language-ID heuristic)."""
+    lst = ", ".join(f"'{w}'" for w in markers)
+    return F.expr(f"size(filter({tokens_col}, t -> t IN ({lst})))")

@@ -1,0 +1,240 @@
+"""Deduplication operators over `documents` (beyond-reference LLM-pipeline ops).
+
+Three tiers, each a named oracle-checked query:
+
+* exact           — hash-groupBy on normalized content. One shuffle on the
+                    hash key; at 100 TB this is the cheapest dedup and the
+                    hash key keeps the shuffle rows narrow.
+* n-gram Jaccard  — all-pairs similarity via an inverted shingle index
+                    (token-join). Exact but quadratic per shingle bucket;
+                    correctness baseline for MinHash.
+* MinHash + LSH   — shingle → 16 minhash permutations → 4 LSH bands →
+                    candidate pairs only where a band collides → verify
+                    with true Jaccard. This is the 100 TB scale path: the
+                    only wide shuffles are keyed by band value, and
+                    candidate verification touches a tiny pair set.
+
+Determinism: shingle IDs come from `row_number` over sorted distinct
+shingles (not a partition-dependent hash), so signatures are identical
+in Spark and the DuckDB oracle. At production scale the ID-assignment
+sort is replaced by xxhash64(shingle) — noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.catalog import Catalog
+from cc_pyspark_spark.functions.text import TOKEN_PATTERN, shingles, tokenize
+from cc_pyspark_spark.plans.registry import register
+
+#: (a_j, b_j) for h_j(x) = (a_j * x + b_j) mod P — fixed, engine-agnostic.
+MINHASH_PERMS = tuple((37 + 7 * j, 17 + 101 * j) for j in range(16))
+MINHASH_P = 1_000_003
+LSH_BANDS = 4  # 4 bands × 4 rows over the 16-perm signature
+JACCARD_THRESHOLD = 0.5
+
+_DUCK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+    description="Exact dedup: hash-groupBy on content, keep lowest doc_id "
+    "(single narrow shuffle; scales linearly)",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.documents.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select(F.md5(F.col("text").cast("binary")).alias("fp"), "keep_id", "n_copies")
+
+
+def _duck_jaccard_tail() -> str:
+    """Shared oracle tail: sizes + intersections → jaccard >= threshold."""
+    return f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS jac
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
+{_duck_jaccard_tail()}
+""",
+    description="Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.5 "
+    "(inverted-index join; exact baseline for MinHash)",
+    tags=("dedup", "bench"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    sh = (
+        t.documents.select("doc_id", tokenize("text").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s"))
+    )
+    return _jaccard_pairs(sh, sh.select("doc_id", "s"))
+
+
+def _jaccard_pairs(sh: DataFrame, pair_source: DataFrame) -> DataFrame:
+    """Exact jaccard over (doc_id, s) shingle rows; pairs from shingle join."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+    )
+
+
+def _duck_minhash_oracle() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * sid + {b}) % {MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    rows_per_band = len(MINHASH_PERMS) // LSH_BANDS
+    band_selects = []
+    for band in range(LSH_BANDS):
+        cols = ", ".join(
+            f"h{band * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, concat_ws(':', {cols}) AS key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
+ids AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS sid
+        FROM (SELECT DISTINCT s FROM sh)),
+ds AS (SELECT doc_id, sid FROM sh JOIN ids USING (s)),
+sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS jac
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_duck_minhash_oracle(),
+    description="MinHash(16 perms) + LSH(4 bands) candidate generation, "
+    "verified with true Jaccard — the 100 TB near-dup path: shuffles are "
+    "keyed by band value; verification only touches band-colliding pairs",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    sh = (
+        t.documents.select("doc_id", tokenize("text").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s"))
+    )
+    # Deterministic shingle IDs for oracle parity. At production scale
+    # replace with F.xxhash64("s") — no global sort, same LSH behavior.
+    ids = (
+        sh.select("s")
+        .distinct()
+        .withColumn("sid", F.row_number().over(W.orderBy("s")).cast("bigint"))
+    )
+    ds = sh.join(ids, "s").select("doc_id", "sid")
+    sig = ds.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("sid") + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    rows_per_band = len(MINHASH_PERMS) // LSH_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ":",
+                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("key"),
+        )
+        for band in range(LSH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (small pair set after LSH).
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("b_id")) & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+    )

@@ -1,0 +1,125 @@
+"""Time-window aggregations over the `events` table (batch mode).
+
+The reference is batch-only (SURVEY.md §2.9): these are the
+beyond-reference time-series operators, expressed with Spark's
+`window()` / `session_window()` in batch mode. The same expressions run
+under Structured Streaming with a watermark (see streaming/).
+
+Window starts are emitted as epoch seconds (BIGINT) so the hash compare
+is immune to cross-engine timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.catalog import Catalog
+from cc_pyspark_spark.plans.registry import register
+
+def _dsum_value() -> F.Column:
+    return (
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="Tumbling 1h window agg — window() in batch (epoch-aligned, "
+    "matches date_trunc)",
+    tags=("events", "window", "bench"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum_value())
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_10m_5m",
+    oracle="""
+WITH expanded AS (
+  SELECT CAST(floor(epoch(ts) / 300) * 300 - k.k * 300 AS BIGINT) AS window_start,
+         value
+  FROM events, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM expanded
+GROUP BY 1
+""",
+    description="Sliding window (10 min length, 5 min slide): each event in "
+    "exactly 2 overlapping windows",
+    tags=("events", "window"),
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"), _dsum_value())
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+""",
+    description="Session window (30 min gap) per user — session_window() in "
+    "batch; oracle is the gaps-and-islands formulation",
+    tags=("events", "window", "bench"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), _dsum_value())
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

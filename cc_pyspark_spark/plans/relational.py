@@ -1,0 +1,499 @@
+"""Relational operator inventory (SURVEY.md §2.2-2.7), one named query each.
+
+Each query exercises one operator family from the reference —
+projection/filter (P1-P7), joins (J1 + the standard types the reference
+gets free from Spark), aggregation (A1-A7), windows (W1-W2),
+sort/limit/top-k (O1-O5), set ops (U1) — over the driver star schema,
+paired with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.catalog import Catalog
+from cc_pyspark_spark.plans.registry import register
+
+
+# ---------------------------------------------------------------- scans
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 45
+""",
+    description="P1: column projection + pushed-down predicates (ReadSchema pruning)",
+    tags=("scan",),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "filter_in_like",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE p_type LIKE 'PROMO%' AND p_size IN (1, 5, 9, 13) AND p_brand <> 'Brand#13'
+""",
+    description="P7: LIKE / IN / <> predicate mix",
+    tags=("scan",),
+)
+def filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.part.filter(
+        F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 9, 13)
+        & (F.col("p_brand") != "Brand#13")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@register(
+    "project_computed",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       o_totalprice * 0.1 AS fee,
+       upper(o_orderpriority) AS prio
+FROM orders
+WHERE o_orderstatus = 'F'
+""",
+    description="P3: computed columns (date part, arithmetic, string fn)",
+    tags=("scan",),
+)
+def project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        (F.col("o_totalprice") * 0.1).alias("fee"),
+        F.upper("o_orderpriority").alias("prio"),
+    )
+
+
+@register(
+    "sql_passthrough",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    description="P7: full SQL passthrough via session.sql over temp views "
+    "(parity with sparkcc.py:502-506 execute_query)",
+    tags=("sql",),
+)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+
+@register(
+    "join_inner_dims",
+    oracle="""
+SELECT n_nationkey, n_name AS nation, r_name AS region
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+    description="J1: inner equi-join with rename projection (P2)",
+    tags=("join",),
+)
+def join_inner_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.nation.join(
+        F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(
+        "n_nationkey",
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+    )
+
+
+@register(
+    "join_left_outer_count",
+    oracle="""
+SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    description="Left outer join + count of non-null (zero-order customers kept)",
+    tags=("join",),
+)
+def join_left_outer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+    description="Left-semi join (EXISTS)",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+    description="Left-anti join (NOT EXISTS): customers with no big-ticket order",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ----------------------------------------------------------- aggregation
+
+
+@register(
+    "agg_count_by_key",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    description="A1: count-by-key (reduceByKey sum monoid → hash agg)",
+    tags=("agg",),
+)
+def agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "agg_distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    description="A5: distinct (hash agg, no value columns)",
+    tags=("agg",),
+)
+def agg_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+""",
+    description="COUNT(DISTINCT) — expand+two-phase agg (beyond-reference breadth)",
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.customer.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register(
+    "agg_collect_sorted_list",
+    oracle="""
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), ',') AS nations
+FROM nation GROUP BY n_regionkey
+""",
+    description="A4: list-append monoid → collect_list + sort_array "
+    "(determinism rule from FIXTURES.md; sitemaps hosts analog)",
+    tags=("agg",),
+)
+def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.nation.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT COALESCE(r_name, 'ALL') AS region,
+       COALESCE(n_name, 'ALL') AS nation,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal,
+       COUNT(*) AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    description="ROLLUP grouping sets (beyond-reference; SURVEY §2.4 'not present')",
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    joined = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_bal",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_pivot_status",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o
+FROM lineitem GROUP BY l_returnflag
+""",
+    description="Pivot (beyond-reference): groupBy().pivot().count()",
+    tags=("agg",),
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        )
+    )
+
+
+# --------------------------------------------------------------- windows
+
+
+@register(
+    "window_dense_ids",
+    oracle="""
+SELECT c_name AS name,
+       ROW_NUMBER() OVER (ORDER BY c_name) AS id
+FROM (SELECT DISTINCT c_name FROM customer)
+""",
+    description="W1/W2: dense sequential ID assignment by sorted name "
+    "(vertex-ID parity with hostlinks_to_graph.py:96-111, done with "
+    "row_number instead of monotonically_increasing_id)",
+    tags=("window",),
+)
+def window_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    names = t.customer.select(F.col("c_name").alias("name")).distinct()
+    # Single global window = single-partition sort, acceptable only for
+    # final small outputs (same trade-off the reference makes with
+    # coalesce(1); at scale use zipWithIndex-style per-partition offsets).
+    return names.withColumn(
+        "id", F.row_number().over(W.orderBy("name")).cast("bigint")
+    )
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+    description="Top-N per group via ranked window (beyond-reference)",
+    tags=("window",),
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS run_sum
+FROM events
+""",
+    description="Running sum per key (frame spec; exact decimal accumulation)",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("run_sum"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+SELECT event_id, user_id, value - prev AS delta FROM (
+  SELECT event_id, user_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events) WHERE prev IS NOT NULL
+""",
+    description="LAG window (inter-event delta per user)",
+    tags=("window",),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t.events.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("event_id", "user_id", (F.col("value") - F.col("prev")).alias("delta"))
+    )
+
+
+# --------------------------------------------------------- sort / limit
+
+
+@register(
+    "topk_global",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 15
+""",
+    description="O4: global top-k (Catalyst TakeOrderedAndProject, no full sort)",
+    tags=("topk",),
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+    description="U1: union + distinct (vertex name-pool analog, "
+    "hostlinks_to_graph.py:82-83)",
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(t.supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey < 5
+INTERSECT
+SELECT c_mktsegment FROM customer WHERE c_nationkey >= 20
+""",
+    description="INTERSECT (beyond-reference; SURVEY §2.7 'not present')",
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    lo = t.customer.filter(F.col("c_nationkey") < 5).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    hi = t.customer.filter(F.col("c_nationkey") >= 20).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    return lo.intersect(hi)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT p_brand FROM part WHERE p_size <= 2
+EXCEPT
+SELECT p_brand FROM part WHERE p_size >= 49
+""",
+    description="EXCEPT (brands with tiny parts but no near-max-size parts)",
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    small = t.part.filter(F.col("p_size") <= 2).select("p_brand").distinct()
+    big = t.part.filter(F.col("p_size") >= 49).select("p_brand").distinct()
+    return small.subtract(big)

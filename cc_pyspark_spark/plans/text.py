@@ -1,0 +1,263 @@
+"""Text-analysis queries over `documents` (word_count parity + LLM-pipeline ops).
+
+`text_word_count_tfdf` is the DataFrame re-expression of the
+reference's word_count job (word_count.py:16-39): the per-document
+`collections.Counter` pre-aggregation + `(tf, df)` tuple monoid becomes
+explode → two-level hash aggregation, with Catalyst's partial
+aggregation playing the role of the map-side combine.
+
+The rest are beyond-reference text operators for training-data
+pipelines: token stats, quality scoring, language-ID heuristic, content
+fingerprinting. All pure column expressions (whole-stage codegen), no
+Python UDFs — that is the 100 TB design constraint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.catalog import Catalog
+from cc_pyspark_spark.functions.text import TOKEN_PATTERN, tokenize
+from cc_pyspark_spark.plans.registry import register
+
+#: Deterministic language-marker sets (heuristic n-gram-style language
+#: ID over the fixture vocabulary). Priority order breaks score ties.
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "scan", "join")),
+    ("es", ("order", "table")),
+    ("de", ("window", "hash")),
+    ("fr", ("merge", "sort")),
+    ("zh", ("stream", "batch")),
+)
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in")
+
+_DUCK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+
+def _lang_case(score_col: dict[str, str]) -> str:
+    """Chained CASE picking the highest-scoring language; earlier
+    branches win ties, giving a total deterministic order. The same SQL
+    text runs in Spark (F.expr) and DuckDB."""
+    langs = [lang for lang, _ in LANG_MARKERS]
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{score_col[lang]} >= {score_col[other]}" for other in langs[i + 1 :]
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+
+
+@register(
+    "text_word_count_tfdf",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents
+), per_doc AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+)
+SELECT word, CAST(SUM(cnt) AS BIGINT) AS tf, COUNT(*) AS df
+FROM per_doc GROUP BY word
+""",
+    description="A2/A3/F1: term frequency + document frequency in one pass "
+    "(word_count.py tf/df monoid as two-level hash agg)",
+    tags=("text", "agg", "bench"),
+)
+def text_word_count_tfdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(tokenize("text")).alias("word")
+    )
+    per_doc = toks.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    return per_doc.groupBy("word").agg(
+        F.sum("cnt").cast("bigint").alias("tf"), F.count("*").alias("df")
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS n_uniq,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    description="Token counting (whitespace/regex tokenizer) per document",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tokenize("text"))).cast("bigint").alias("n_uniq"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+_STOP_LIST_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS)
+_STOP_LIST_DUCK = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {_DUCK_TOKS} AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT)
+           AS n_word_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       n_chars,
+       len(list_filter(toks, t -> list_contains([{_STOP_LIST_DUCK}], t))) * 1.0
+         / len(toks) AS stop_ratio,
+       n_word_chars * 1.0 / n_chars AS word_char_ratio,
+       CAST(CASE WHEN len(toks) >= 5 AND len(toks) <= 10000
+                  AND len(list_filter(toks, t -> list_contains([{_STOP_LIST_DUCK}], t))) * 1.0
+                      / len(toks) <= 0.5
+            THEN 1 ELSE 0 END AS BIGINT) AS quality_ok
+FROM base
+""",
+    description="Quality scoring: length / stopword-ratio / word-char-ratio "
+    "heuristics per document (training-data filtering)",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        tokenize("text").alias("toks"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.expr("regexp_replace(lower(text), '[^a-z0-9]', '')"))
+        .cast("bigint")
+        .alias("n_word_chars"),
+    )
+    stop_cnt = F.expr(
+        f"size(filter(toks, t -> array_contains(array({_STOP_LIST_SPARK}), t)))"
+    )
+    n_tokens = F.size("toks").cast("bigint")
+    stop_ratio = stop_cnt * F.lit(1.0) / n_tokens
+    return base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        "n_chars",
+        stop_ratio.alias("stop_ratio"),
+        (F.col("n_word_chars") * 1.0 / F.col("n_chars")).alias("word_char_ratio"),
+        F.when(
+            (n_tokens >= 5) & (n_tokens <= 10000) & (stop_ratio <= 0.5), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("quality_ok"),
+    )
+
+
+def _duck_lang_oracle() -> str:
+    score_exprs = {
+        lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(w) for w in words)}], t)))"
+        for lang, words in LANG_MARKERS
+    }
+    scored = ", ".join(f"{e} AS s_{lang}" for lang, e in score_exprs.items())
+    case = _lang_case({lang: f"s_{lang}" for lang, _ in LANG_MARKERS})
+    greatest = ", ".join(f"s_{lang}" for lang, _ in LANG_MARKERS)
+    return f"""
+WITH base AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, {scored} FROM base)
+SELECT doc_id, {case} AS lang_pred,
+       CAST(greatest({greatest}) AS BIGINT) AS lang_score
+FROM scored
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle=_duck_lang_oracle(),
+    description="Language-ID heuristic: marker-word scoring with "
+    "deterministic tie-break (n-gram language detection analog)",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    base = t.documents.select("doc_id", tokenize("text").alias("toks"))
+    scored = base
+    for lang, words in LANG_MARKERS:
+        lst = ", ".join(f"'{w}'" for w in words)
+        scored = scored.withColumn(
+            f"s_{lang}",
+            F.expr(f"size(filter(toks, t -> array_contains(array({lst}), t)))"),
+        )
+    case = _lang_case({lang: f"s_{lang}" for lang, _ in LANG_MARKERS})
+    greatest = ", ".join(f"s_{lang}" for lang, _ in LANG_MARKERS)
+    return scored.select(
+        "doc_id",
+        F.expr(case).alias("lang_pred"),
+        F.expr(f"greatest({greatest})").cast("bigint").alias("lang_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string({_DUCK_TOKS}, ' ')) AS fp_md5,
+       sha256(array_to_string({_DUCK_TOKS}, ' ')) AS fp_sha256
+FROM documents
+""",
+    description="F15 analog + dedup key: content fingerprint of the "
+    "token-normalized document (md5/sha256, F.md5/F.sha2 JVM-side)",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    norm = F.array_join(tokenize("text"), " ")
+    return t.documents.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fp_md5"),
+        F.sha2(norm.cast("binary"), 256).alias("fp_sha256"),
+    )
+
+
+@register(
+    "url_host_reverse",
+    oracle="""
+WITH h AS (
+  SELECT c_custkey,
+         'www.' || lower(replace(c_name, '#', '-')) || '.example.com' AS host
+  FROM customer
+)
+SELECT c_custkey, host,
+       array_to_string(list_reverse(string_split(host, '.')), '.') AS rev_host,
+       array_to_string(list_reverse(string_split(
+           regexp_replace(host, '^www\\.', ''), '.')), '.') AS surt_host
+FROM h
+""",
+    description="F8/F7: host reversal + www-strip SURT key "
+    "(hostlinks_to_graph.py:42-46, wat_extract_links.py:344-407) as pure "
+    "column expressions over synthesized hostnames",
+    tags=("text", "url"),
+)
+def url_host_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    h = t.customer.select(
+        "c_custkey",
+        F.concat(
+            F.lit("www."),
+            F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("-"))),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    rev = F.concat_ws(".", F.reverse(F.split(F.col("host"), "[.]")))
+    surt = F.concat_ws(
+        ".",
+        F.reverse(F.split(F.regexp_replace(F.col("host"), r"^www\.", ""), "[.]")),
+    )
+    return h.select(
+        "c_custkey", "host", rev.alias("rev_host"), surt.alias("surt_host")
+    )
