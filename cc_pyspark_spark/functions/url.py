@@ -1,0 +1,101 @@
+"""URL/host functions (SURVEY.md §2.8 F5-F10).
+
+`F.parse_url` covers host extraction (F5) JVM-side. SURT host keys
+(F7, wat_extract_links.py:344-407) and URL resolution (F6, urljoin)
+have no Spark builtin — they run as Arrow-batched pandas UDFs, the
+sanctioned slow path. The SURT logic is a fresh implementation of the
+documented behavior: http(s) fast-path, IP exclusion, www-strip,
+per-label IDNA, length checks, label reversal.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin as _urljoin
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HOST_FAST = re.compile(r"^https?://([a-zA-Z0-9_.-]{2,253})(?::\d+)?(?:[/?#]|$)")
+_IP_LIKE = re.compile(r"^\d{1,3}(?:\.\d{1,3}){3}$")
+
+#: Representative TLD whitelist for validation (F10). The reference
+#: embeds the full IANA list (iana_tld.py); deployments pass their own
+#: complete set — validation is `isin`/broadcast-join either way.
+DEFAULT_TLDS = frozenset(
+    "com org net edu gov mil int io de uk fr es it nl pl ru jp cn au ca br "
+    "ch se no fi dk cz at be hu pt gr ie info biz xyz dev app".split()
+)
+
+
+def surt_host(url: str | None) -> str | None:
+    """Reversed-label host key: `http://www.Example.com/x` → `com.example`."""
+    if not url:
+        return None
+    m = _HOST_FAST.match(url)
+    if m:
+        host = m.group(1)
+    else:
+        try:
+            host = urlparse(url).hostname
+        except ValueError:
+            return None
+        if not host:
+            return None
+    host = host.strip(".").lower()
+    if not host or _IP_LIKE.match(host):
+        return None
+    if host.startswith("www.") and host.count(".") > 1:
+        host = host[4:]
+    labels = host.split(".")
+    out = []
+    for label in labels:
+        if not label or len(label) > 63:
+            return None
+        if not label.isascii():
+            try:
+                label = label.encode("idna").decode("ascii")
+            except UnicodeError:
+                return None
+        out.append(label)
+    if len(".".join(out)) > 253:
+        return None
+    return ".".join(reversed(out))
+
+
+def _surt_series(urls: pd.Series) -> pd.Series:
+    return urls.map(surt_host)
+
+
+def _urljoin_series(base: pd.Series, link: pd.Series) -> pd.Series:
+    def join(b, l):
+        if l is None:
+            return None
+        try:
+            return _urljoin(b or "", l)
+        except ValueError:
+            return None
+
+    return pd.Series([join(b, l) for b, l in zip(base, link)])
+
+
+surt_host_udf = F.pandas_udf(_surt_series, T.StringType())
+urljoin_udf = F.pandas_udf(_urljoin_series, T.StringType())
+
+
+def host_of(col: str) -> F.Column:
+    """F5: lower-cased hostname of a URL column (JVM-side parse_url)."""
+    return F.lower(F.parse_url(F.col(col), F.lit("HOST")))
+
+
+def reverse_host(col: str) -> F.Column:
+    """F8: `example.com` → `com.example` (pure column expression)."""
+    return F.concat_ws(".", F.reverse(F.split(F.col(col), "[.]")))
+
+
+def tld_is_valid(col: str, tlds: frozenset[str] = DEFAULT_TLDS) -> F.Column:
+    """F10: first label of a rev-host is a known TLD (isin — Catalyst
+    folds this to a hash-set probe; for huge lists use a broadcast join)."""
+    return F.split(F.col(col), "[.]").getItem(0).isin(list(tlds))

@@ -1,0 +1,261 @@
+"""Minimal WARC/1.0 reader+writer (pure Python, public ISO 28500 format).
+
+The execution environment has neither `warcio` nor `fastwarc`, so the
+engine ships its own small parser. It covers what the reference's
+record model needs (SURVEY.md §1.1): WARC/WAT/WET containers, the five
+record types, gzip *member-per-record* files (the Common Crawl layout —
+non-splittable, so parallelism is per-file; sparkcc.py:53,213), and
+byte-range record access by (offset, length) (sparkcc.py:291-305).
+
+This module is deliberately independent of Spark: it runs inside
+Arrow-batched `mapInPandas` workers (sources/warc.py) and in tests.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from dataclasses import dataclass, field
+
+CRLF = b"\r\n"
+
+
+@dataclass
+class WarcRecord:
+    """One parsed WARC record + its location in the container file."""
+
+    headers: dict[str, str]  # WARC header name (canonical case) → value
+    payload: bytes  # record block after optional HTTP-header split
+    offset: int = 0  # byte offset of the record (compressed file: member start)
+    length: int = 0  # stored length (compressed file: member length)
+    http_status: int | None = None
+    http_headers: list[tuple[str, str]] = field(default_factory=list)
+
+    @property
+    def rec_type(self) -> str:
+        return self.headers.get("WARC-Type", "")
+
+    @property
+    def content_type(self) -> str:
+        return self.headers.get("Content-Type", "")
+
+    @property
+    def target_uri(self) -> str | None:
+        return self.headers.get("WARC-Target-URI")
+
+
+def _parse_header_block(block: bytes) -> tuple[str, dict[str, str]]:
+    """Parse `WARC/1.x` + header lines → (version, headers)."""
+    lines = block.split(CRLF)
+    version = lines[0].decode("utf-8", "replace")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if not line:
+            continue
+        name, _, value = line.partition(b":")
+        headers[name.decode("utf-8", "replace").strip()] = value.decode(
+            "utf-8", "replace"
+        ).strip()
+    return version, headers
+
+
+def parse_http_response(body: bytes) -> tuple[int | None, list[tuple[str, str]], bytes]:
+    """Split an `application/http` block into (status, headers, payload).
+
+    Header names are lower-cased; multi-valued headers are preserved as
+    repeated (name, value) pairs (server_count.py:52-67 semantics).
+    """
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, [], body
+    head, payload = body[:sep], body[sep + 4 :]
+    lines = head.split(CRLF)
+    status = None
+    first = lines[0].decode("latin-1", "replace")
+    if first.startswith("HTTP/"):
+        parts = first.split(None, 2)
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    headers = []
+    for line in lines[1:]:
+        name, sep2, value = line.partition(b":")
+        if sep2:
+            headers.append(
+                (
+                    name.decode("latin-1", "replace").strip().lower(),
+                    value.decode("latin-1", "replace").strip(),
+                )
+            )
+    return status, headers, payload
+
+
+def _read_record(buf: bytes, pos: int) -> tuple[WarcRecord | None, int]:
+    """Parse one record from `buf` at `pos` → (record, next_pos)."""
+    end = buf.find(b"\r\n\r\n", pos)
+    if end < 0 or not buf[pos:].startswith(b"WARC/"):
+        return None, len(buf)
+    _, headers = _parse_header_block(buf[pos:end])
+    length = int(headers.get("Content-Length", "0"))
+    body_start = end + 4
+    body = buf[body_start : body_start + length]
+    next_pos = body_start + length
+    # Skip the two record-separator CRLFs.
+    while buf[next_pos : next_pos + 2] == CRLF:
+        next_pos += 2
+    return WarcRecord(headers=headers, payload=body), next_pos
+
+
+def _iter_gzip_members(raw: bytes):
+    """Yield (offset, member_length, decompressed) per gzip member."""
+    pos = 0
+    while pos < len(raw):
+        d = zlib.decompressobj(wbits=31)
+        data = d.decompress(raw[pos:])
+        consumed = len(raw) - pos - len(d.unused_data)
+        yield pos, consumed, data
+        pos += consumed
+
+
+def iter_warc_records(
+    stream: io.BufferedIOBase | bytes,
+    parse_http: bool = True,
+    record_types: set[str] | None = None,
+):
+    """Iterate records from a WARC file (plain or per-record gzip).
+
+    `record_types` is the parse-time filter (FastWARC `record_filter`
+    parity, sparkcc_fastwarc.py:14) — filtered records are skipped
+    before any HTTP parsing, which is the pushdown the reference gets
+    from FastWARC's C parser.
+    """
+    raw = stream if isinstance(stream, bytes) else stream.read()
+    if raw[:2] == b"\x1f\x8b":
+        chunks = _iter_gzip_members(raw)
+    else:
+        chunks = None
+
+    def _finish(rec: WarcRecord):
+        if record_types and rec.rec_type not in record_types:
+            return None
+        if (
+            parse_http
+            and rec.rec_type in ("response", "request")
+            and "application/http" in rec.content_type
+        ):
+            status, hdrs, payload = parse_http_response(rec.payload)
+            rec.http_status = status
+            rec.http_headers = hdrs
+            rec.payload = payload
+        return rec
+
+    if chunks is not None:
+        for offset, length, data in chunks:
+            rec, _ = _read_record(data, 0)
+            if rec is None:
+                continue
+            rec.offset, rec.length = offset, length
+            rec = _finish(rec)
+            if rec is not None:
+                yield rec
+    else:
+        pos = 0
+        while pos < len(raw):
+            start = pos
+            rec, pos = _read_record(raw, pos)
+            if rec is None:
+                break
+            rec.offset, rec.length = start, pos - start
+            rec = _finish(rec)
+            if rec is not None:
+                yield rec
+
+
+def read_record_at(
+    path: str, offset: int, length: int, parse_http: bool = True
+) -> WarcRecord | None:
+    """Byte-range record access (sparkcc.py:291-305 ranged-GET analog).
+
+    For gzip files (offset, length) address one gzip member; for plain
+    files they address the record bytes directly. Against object
+    storage this becomes a Range GET with identical semantics.
+    """
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    for rec in iter_warc_records(raw, parse_http=parse_http):
+        rec.offset = offset
+        rec.length = length
+        return rec
+    return None
+
+
+# ------------------------------------------------------------------ writer
+
+
+class WarcWriter:
+    """Writes WARC/1.0 records (optionally one gzip member each) and
+    records (offset, length) coordinates — the fixture-side twin of the
+    reader, also usable for WET side-output (wet_extractor.py:142-183).
+    """
+
+    def __init__(self, out: io.BufferedIOBase, gzip_members: bool = False):
+        self.out = out
+        self.gzip_members = gzip_members
+        self.coordinates: list[tuple[int, int]] = []
+        self._pos = 0
+
+    def write_record(
+        self,
+        rec_type: str,
+        payload: bytes,
+        target_uri: str | None = None,
+        content_type: str = "application/octet-stream",
+        warc_date: str = "2017-03-20T10:00:00Z",
+        ip_address: str | None = None,
+        identified_payload_type: str | None = None,
+        record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+        extra_headers: dict[str, str] | None = None,
+    ) -> tuple[int, int]:
+        headers = [
+            ("WARC-Type", rec_type),
+            ("WARC-Date", warc_date),
+            ("WARC-Record-ID", record_id),
+            ("Content-Length", str(len(payload))),
+            ("Content-Type", content_type),
+        ]
+        if target_uri:
+            headers.append(("WARC-Target-URI", target_uri))
+        if ip_address:
+            headers.append(("WARC-IP-Address", ip_address))
+        if identified_payload_type:
+            headers.append(("WARC-Identified-Payload-Type", identified_payload_type))
+        for k, v in (extra_headers or {}).items():
+            headers.append((k, v))
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}".encode() + CRLF for k, v in headers
+        )
+        record = head + CRLF + payload + CRLF + CRLF
+        if self.gzip_members:
+            co = zlib.compressobj(9, zlib.DEFLATED, 31)
+            record = co.compress(record) + co.flush()
+        offset, length = self._pos, len(record)
+        self.out.write(record)
+        self._pos += length
+        self.coordinates.append((offset, length))
+        return offset, length
+
+
+def http_response_block(
+    payload: bytes,
+    status: int = 200,
+    headers: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Assemble an `application/http; msgtype=response` record block."""
+    reason = {200: "OK", 301: "Moved Permanently", 302: "Found", 404: "Not Found"}.get(
+        status, "OK"
+    )
+    lines = [f"HTTP/1.1 {status} {reason}".encode()]
+    for k, v in headers or []:
+        lines.append(f"{k}: {v}".encode())
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    return CRLF.join(lines) + b"\r\n\r\n" + payload
