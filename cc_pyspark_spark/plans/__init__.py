@@ -9,6 +9,7 @@ from cc_pyspark_spark.plans.registry import QUERIES, Query, register  # noqa: F4
 from cc_pyspark_spark.plans import (  # noqa: F401,E402
     dedup,
     events,
+    multimodal,
     relational,
     similarity,
     text,

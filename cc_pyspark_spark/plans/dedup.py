@@ -238,3 +238,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", jac.alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
     )
+
+
+# ------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+SIMHASH_MULT = 2_654_435_761  # Knuth multiplicative hash
+SIMHASH_MOD = 4_294_967_296
+
+
+def _duck_simhash_oracle() -> str:
+    contribs = ", ".join(
+        f"CAST(SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)"
+        f" AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS w FROM t),
+ids AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS tid
+        FROM (SELECT DISTINCT w FROM tok)),
+hashed AS (
+  SELECT doc_id, (CAST(tid AS BIGINT) * {SIMHASH_MULT}) % {SIMHASH_MOD} AS h
+  FROM tok JOIN ids USING (w)
+), sums AS (SELECT doc_id, {contribs} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM sums
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_duck_simhash_oracle(),
+    description="SimHash signature (32-bit sign-sum over hashed distinct "
+    "tokens) per document — near-dup banding key; one narrow groupBy, "
+    "no pairwise work (the cheapest scalable near-dup signal)",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("w")
+    )
+    # Deterministic token IDs (oracle parity); xxhash64 at production scale.
+    ids = (
+        tok.select("w")
+        .distinct()
+        .withColumn("tid", F.row_number().over(W.orderBy("w")).cast("bigint"))
+    )
+    hashed = tok.join(ids, "w").select(
+        "doc_id",
+        ((F.col("tid") * SIMHASH_MULT) % SIMHASH_MOD).alias("h"),
+    )
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h") / (1 << b)).cast("bigint") % 2 == 1, 1).otherwise(
+                    -1
+                )
+            )
+            .cast("bigint")
+            .alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))

@@ -11,7 +11,7 @@ is immune to cross-engine timestamp rendering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cc_pyspark_spark.catalog import Catalog
@@ -122,4 +122,44 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         MAX(CASE WHEN event_type = 'click' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           IS NOT NULL AS has_prior,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id, click_id
+FROM ordered
+WHERE event_type = 'purchase' AND click_id IS NOT NULL
+""",
+    description="As-of join (custom operator as composition, SURVEY §2.3 "
+    "'not present'): each purchase matched to the user's most recent prior "
+    "click via an IGNORE NULLS window — no pairwise join, one shuffle by user",
+    tags=("events", "join"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        t.events.withColumn("click_id", click_id)
+        .filter((F.col("event_type") == "purchase") & F.col("click_id").isNotNull())
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "click_id")
     )

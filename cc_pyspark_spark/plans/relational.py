@@ -497,3 +497,51 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = t.part.filter(F.col("p_size") <= 2).select("p_brand").distinct()
     big = t.part.filter(F.col("p_size") >= 49).select("p_brand").distinct()
     return small.subtract(big)
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    description="CUBE grouping sets (beyond-reference; SURVEY §2.4 'not present')",
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines by design → rows-only check
+    description="approx_count_distinct (HyperLogLog++) per order priority — "
+    "the sketch path for 100 TB COUNT(DISTINCT); no oracle because sketch "
+    "estimates are engine-specific",
+    tags=("agg", "sketch"),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.count("*").alias("n"),
+    )

@@ -85,3 +85,115 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id", "cos", "rnk")
     )
+
+
+# --------------------------------------------------- IVF-bucketed ANN
+
+N_CENTROIDS = 8  # vec_id in [490, 498) serve as fixed "centroids"
+IVF_TOP_K = 3
+
+
+def _duck_ivf_oracle() -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt({dot.format(a='v', b='v')}) AS nrm
+  FROM e
+), cent AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+  WHERE vec_id >= 490 AND vec_id < {490 + N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT n.vec_id, cent.c_id,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY {dot.format(a='n.v', b='cent.cv')} / (n.nrm * cent.cnrm) DESC,
+                      cent.c_id) AS rk
+    FROM n, cent) WHERE rk = 1
+), qbest AS (
+  SELECT vec_id AS q_id, c_id FROM assign WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         {dot.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cos
+  FROM qbest
+  JOIN n q ON q.vec_id = qbest.q_id
+  JOIN assign a ON a.c_id = qbest.c_id AND a.vec_id <> qbest.q_id
+  JOIN n c ON c.vec_id = a.vec_id
+), r AS (
+  SELECT q_id, n_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+  FROM scored
+)
+SELECT q_id, n_id, cos, rnk FROM r WHERE rnk <= {IVF_TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=_duck_ivf_oracle(),
+    description="IVF-bucketed ANN: assign corpus vectors to nearest of "
+    f"{N_CENTROIDS} fixed centroids, probe only the query's bucket — the "
+    "scale path (per-bucket partitioning caps the candidate set; at 100 TB "
+    "buckets are partition keys and only centroids are broadcast)",
+    tags=("similarity",),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    dot_self = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    emb = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+
+    cent = emb.filter(
+        (F.col("vec_id") >= 490) & (F.col("vec_id") < 490 + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot_c = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("c_id")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("sim", F.expr(dot_c) / (F.col("nrm") * F.col("cnrm")))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "c_id")
+    )
+    qbest = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("c_id").alias("qc")
+    )
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    ).join(qbest, "q_id")
+    bucket = assign.join(
+        emb, "vec_id"
+    ).select(
+        F.col("c_id").alias("qc"),
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cnrm2"),
+    )
+    dot_q = "aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    scored = (
+        bucket.join(F.broadcast(q), "qc")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", F.expr(dot_q) / (F.col("qnrm") * F.col("cnrm2")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("q_id", "n_id", "cos", "rnk")
+    )

@@ -261,3 +261,37 @@ def url_host_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "c_custkey", "host", rev.alias("rev_host"), surt.alias("surt_host")
     )
+
+
+ROLL_P = 1_000_000_007
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+         t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(t) + 1),
+                               i -> ascii(substr(t, i, 1)))),
+              (a, c) -> (a * 131 + c) % {ROLL_P}))),
+         (acc, h) -> (acc * 31 + h) % {ROLL_P}) AS fp
+FROM t
+""",
+    description="Rolling polynomial fingerprint (char-level fold per token, "
+    "token-level fold per doc) — order-sensitive content hash computed "
+    "entirely in Catalyst higher-order functions",
+    tags=("text", "dedup"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    fp = (
+        "aggregate(toks, 0L, (acc, t) -> (acc * 31 + "
+        "aggregate(sequence(1, length(t)), 0L, "
+        f"(a, i) -> (a * 131 + ascii(substr(t, i, 1))) % {ROLL_P})"
+        f") % {ROLL_P})"
+    )
+    return t.documents.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).select("doc_id", F.expr(fp).alias("fp"))
