@@ -24,9 +24,14 @@ TOKEN_PATTERN = "[a-z0-9]+"
 STOPWORDS = ("the", "and", "of", "to", "a", "in")
 
 
-def tokenize(col: str) -> Column:
-    """F1: lowercase word tokens as array<string> (word_count.py:25)."""
-    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)")
+def tokenize(col: str | Column) -> Column:
+    """F1: lowercase word tokens as array<string> (word_count.py:25).
+
+    Accepts a column name / SQL expression string, or a Column.
+    """
+    if isinstance(col, str):
+        return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}', 0)")
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), F.lit(0))
 
 
 def shingles(tokens_col: str, k: int = 3) -> Column:

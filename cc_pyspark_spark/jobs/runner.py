@@ -1,0 +1,97 @@
+"""CLI job runner — the reference's `python job.py <input> <output>`
+surface (sparkcc.py:64-120 argparse contract) over the DataFrame jobs.
+
+    python -m cc_pyspark_spark.jobs.runner server_count \
+        manifest.txt out_dir --output_format parquet \
+        --output_compression zstd --num_input_partitions 64
+
+`output` is a path (directory sink) or, with --save_as_table, a Spark
+SQL warehouse table name (reference saveAsTable behavior,
+sparkcc.py:219-225). Writes coalesce to --num_output_partitions and
+sort within partitions when the job declares a clustering key
+(output clustering for compression, wat_extract_links.py:314-320).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame
+
+from cc_pyspark_spark.jobs.pipelines import (
+    html_tag_count,
+    server_count,
+    server_ip_address,
+    sitemaps_from_robotstxt,
+    wat_extract_host_links,
+    word_count,
+)
+from cc_pyspark_spark.session import build_session
+from cc_pyspark_spark.sources.warc import warc_records
+
+JOBS = {
+    "server_count": (server_count, None),
+    "html_tag_count": (html_tag_count, None),
+    "word_count": (word_count, None),
+    "server_ip_address": (server_ip_address, None),
+    "sitemaps_from_robotstxt": (sitemaps_from_robotstxt, None),
+    "wat_extract_host_links": (wat_extract_host_links, ["s", "t"]),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cc-pyspark-spark")
+    p.add_argument("job", choices=sorted(JOBS))
+    p.add_argument("input", help="manifest of WARC/WAT/WET file URIs")
+    p.add_argument("output", help="output path (or table name with --save_as_table)")
+    p.add_argument("--num_input_partitions", type=int, default=400)
+    p.add_argument("--num_output_partitions", type=int, default=10)
+    p.add_argument("--input_base_url", default=None)
+    p.add_argument(
+        "--output_format", default="parquet", choices=["parquet", "orc", "json", "csv"]
+    )
+    p.add_argument("--output_compression", default="gzip")
+    p.add_argument(
+        "--output_option", action="append", default=[], metavar="KEY=VALUE"
+    )
+    p.add_argument("--save_as_table", action="store_true")
+    p.add_argument("--log_level", default="WARN")
+    p.add_argument("--spark_master", default=None)
+    return p
+
+
+def write_output(df: DataFrame, args: argparse.Namespace, sort_cols) -> None:
+    out = df.coalesce(args.num_output_partitions)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.format(args.output_format).option(
+        "compression", args.output_compression
+    )
+    for kv in args.output_option:
+        k, _, v = kv.partition("=")
+        writer = writer.option(k, v)
+    if args.save_as_table:
+        writer.saveAsTable(args.output)
+    else:
+        writer.mode("overwrite").save(args.output)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = build_session(app_name=f"cc-pyspark-spark:{args.job}", master=args.spark_master)
+    spark.sparkContext.setLogLevel(args.log_level)
+    job_fn, sort_cols = JOBS[args.job]
+    records = warc_records(
+        spark,
+        args.input,
+        input_base_url=args.input_base_url,
+        num_input_partitions=args.num_input_partitions,
+    )
+    df = job_fn(records)
+    write_output(df, args, sort_cols)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""cc-index path (index SQL → ranged fetch → word count) + CLI runner."""
+
+from __future__ import annotations
+
+import pytest
+
+from cc_pyspark_spark.jobs.cc_index import (
+    cc_index_word_count,
+    execute_query,
+    fetch_records_for_query,
+    load_ccindex,
+)
+from cc_pyspark_spark.jobs.runner import main as runner_main
+from cc_pyspark_spark.sources.fixtures import generate_warc_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("ccindex-corpus")
+    return generate_warc_corpus(str(out))
+
+
+def test_index_query_and_fetch(spark, corpus):
+    load_ccindex(spark, corpus["ccindex_parquet"])
+    sqldf = execute_query(
+        spark,
+        "SELECT url, warc_filename, warc_record_offset, warc_record_length "
+        "FROM ccindex WHERE url LIKE '%.com/%'",
+    )
+    n = sqldf.count()
+    assert 0 < n < len(corpus["coordinates"])
+    fetched = fetch_records_for_query(spark, sqldf, num_input_partitions=2)
+    assert fetched.count() == n
+    assert fetched.filter("record_type = 'response'").count() == n
+
+
+def test_cc_index_word_count(spark, corpus):
+    out = cc_index_word_count(
+        spark,
+        corpus["ccindex_parquet"],
+        "SELECT url, warc_filename, warc_record_offset, warc_record_length "
+        "FROM ccindex",
+        num_input_partitions=2,
+    )
+    rows = {r["word"]: (r["tf"], r["df"]) for r in out.collect()}
+    # every fixture HTML page has exactly one <title>t</title> → text "t x..."
+    assert rows, "no words extracted"
+    assert all(tf >= df > 0 for tf, df in rows.values())
+    # tag names must NOT appear (html_to_text strips markup)
+    assert "html" not in rows and "href" not in rows
+
+
+def test_cli_runner_end_to_end(spark, corpus, tmp_path):
+    out_dir = str(tmp_path / "server_count_out")
+    rc = runner_main(
+        [
+            "server_count",
+            corpus["manifest"],
+            out_dir,
+            "--num_input_partitions",
+            "2",
+            "--num_output_partitions",
+            "1",
+            "--output_format",
+            "parquet",
+            "--output_compression",
+            "snappy",
+        ]
+    )
+    assert rc == 0
+    result = spark.read.parquet(out_dir)
+    got = {r["key"]: r["val"] for r in result.collect()}
+    assert got and sum(got.values()) > 0
+    assert "(no server in HTTP header)" in got or "Apache" in got

@@ -1,0 +1,66 @@
+"""Physical-plan guardrails: the optimizations the engine is designed
+around must actually appear in the plan (explain-formatted), otherwise
+a refactor silently turns a scan-prune into a full read or a broadcast
+join into a 100 TB shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cc_pyspark_spark.plans.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].spark(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # quantity predicate must be pushed, not post-filtered only
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    # only the 5 referenced columns, not all 16 of lineitem
+    assert "l_comment" not in read_schema
+    assert read_schema.count(":") <= 7
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_final_hash(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = QUERIES["tpch_q1_pricing_summary"].spark(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # '*' operators / '[codegen id : N]' mark whole-stage-codegen spans
+    assert "[codegen id :" in plan
+
+
+def test_cosine_broadcast_no_shuffle_before_topk(spark):
+    plan = plan_of(spark, "sim_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

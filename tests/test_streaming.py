@@ -1,0 +1,109 @@
+"""Streaming window aggs must agree with their batch twins.
+
+Append-mode streaming aggregations only emit windows whose end is
+behind the final watermark (max event time − delay); windows still in
+state at availableNow termination are correctly *not* emitted. Tests
+assert (a) everything emitted matches the batch result exactly and
+(b) only watermark-tail windows are missing.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.plans.registry import QUERIES
+from cc_pyspark_spark.streaming.windows import (
+    run_available_now,
+    running_user_totals,
+    session_counts,
+    stream_events,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events-stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def max_ts_epoch(spark, events_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(events_dir).selectExpr(
+        "max(ts DIV 1000000000) AS s"  # ts stored as nanos-long in the file
+    )
+    return df.collect()[0]["s"]
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir, max_ts_epoch):
+    stream = tumbling_counts(
+        stream_events(spark, events_dir), watermark="1 second"
+    )
+    q = run_available_now(stream, "tumbling_test", "append")
+    _drain(q)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in QUERIES["events_tumbling_hourly"].spark(spark, SF_DIR).collect()
+    }
+    assert got, "no windows emitted"
+    # everything emitted is exactly the batch value
+    for k, v in got.items():
+        assert want[k] == v
+    # only watermark-tail windows (end beyond max_ts - 1s) may be missing
+    for (ws, _etype), _v in want.items():
+        if (ws, _etype) not in got:
+            assert ws + 3600 > max_ts_epoch - 1
+
+
+def test_streaming_sessions_match_batch(spark, events_dir):
+    stream = session_counts(
+        stream_events(spark, events_dir), watermark="1 second"
+    )
+    q = run_available_now(stream, "session_test", "append")
+    _drain(q)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in QUERIES["events_session_window"].spark(spark, SF_DIR).collect()
+    }
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert want[k] == v
+    # at most one open (unemitted) session per user
+    missing = [k for k in want if k not in got]
+    users = {u for u, _ in missing}
+    assert len(missing) == len(users)
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = running_user_totals(stream_events(spark, events_dir))
+    q = run_available_now(stream, "running_test", "update")
+    _drain(q)
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM running_test").collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(events_dir)
+    want = {
+        r["user_id"]: r["count"]
+        for r in events.groupBy("user_id").count().collect()
+    }
+    assert final == want
