@@ -545,3 +545,177 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_custs"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT COALESCE(c.k, s.k) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer
+      WHERE c_acctbal > 9000 GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier
+                 GROUP BY 1) s
+ON c.k = s.k
+""",
+    description="Full outer join with null-side coalescing (beyond-reference)",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    c = (
+        t.customer.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = t.supplier.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ok
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    description="Ranking function suite: rank/dense_rank/ntile/first_value "
+    "over one window spec (beyond-reference §2.5 breadth)",
+    tags=("window",),
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t.orders.filter(F.col("o_custkey") < 50).select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+SELECT p_partkey,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       substr(p_name, 1, 8) AS name_prefix,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       replace(lower(p_name), ' ', '_') AS slug,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       regexp_replace(p_type, '[AEIOU]', '*', 'g') AS devoweled
+FROM part WHERE p_partkey < 200
+""",
+    description="F4/F14 string library: concat_ws, substr, lpad, replace, "
+    "length, regexp_replace — all JVM-side",
+    tags=("scalar",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.part.filter(F.col("p_partkey") < 200).select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.lower("p_name"), F.lit(" "), F.lit("_")).alias("slug"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.regexp_replace("p_type", "[AEIOU]", "*").alias("devoweled"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+       CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+         AS month_start,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+FROM orders WHERE o_orderkey < 500
+""",
+    description="Date/time library: extract parts, date_trunc, interval "
+    "arithmetic (epoch-normalized output for cross-engine hashing)",
+    tags=("scalar",),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+""",
+    description="Correlated scalar subquery (decorrelated by Catalyst into "
+    "an aggregate + join) via SQL passthrough",
+    tags=("sql", "join"),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    description="Exact interpolated percentiles + min/max per group "
+    "(percentile_approx is the sketch variant at scale)",
+    tags=("agg",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )

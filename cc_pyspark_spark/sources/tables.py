@@ -1,0 +1,87 @@
+"""Generic tabular scans/sinks (SURVEY.md §2.1 S6-S10, K1-K3).
+
+These are one-liners in Spark by design — listed here so the operator
+inventory has a single home and jobs don't hand-roll reader options.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_csv(
+    spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True
+) -> DataFrame:
+    """S6: CSV coordinate tables (sparkcc.py:591-593)."""
+    return (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("inferSchema", str(infer_schema).lower())
+        .load(path)
+    )
+
+
+def load_tsv_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """S9: tab-separated (s, t) link pairs (linkmap2parquet.py:15-26) —
+    spark.read.csv(sep=TAB) instead of textFile+split."""
+    return (
+        spark.read.format("csv")
+        .option("sep", "\t")
+        .schema("s string, t string")
+        .load(path)
+    )
+
+
+def load_generic(
+    spark: SparkSession, path: str, fmt: str = "parquet", **options: str
+) -> DataFrame:
+    """S7/S8: --input_table_format/--input_table_option passthrough
+    (sparkcc.py:594-598)."""
+    reader = spark.read.format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path_or_table: str,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+    num_partitions: int | None = None,
+    save_as_table: bool = False,
+    **options: str,
+) -> None:
+    """K1: managed-table/path sink with compression (sparkcc.py:219-225;
+    orc 'gzip'→'zlib' fixup sparkcc.py:132-134)."""
+    if fmt == "orc" and compression == "gzip":
+        compression = "zlib"
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = out.write.format(fmt).option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if save_as_table:
+        writer.saveAsTable(path_or_table)
+    else:
+        writer.mode("overwrite").save(path_or_table)
+
+
+def checkpoint_table(
+    df: DataFrame, spark: SparkSession, path: str
+) -> DataFrame:
+    """K3: restartable intermediate output (wat_extract_links.py:298-312):
+    materialize to parquet, read back — truncates lineage so a restart
+    resumes from disk instead of recomputing the extraction stage."""
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def write_text_gz(df: DataFrame, path: str, sep: str = "\t") -> None:
+    """K2: gzip text sink for graph vertices/edges
+    (hostlinks_to_graph.py:115-118,162-165)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    cols = [F.col(c).cast("string") for c in df.columns]
+    df.select(F.concat_ws(sep, *cols).alias("value")).write.mode(
+        "overwrite"
+    ).option("compression", "gzip").text(path)

@@ -113,6 +113,24 @@ def _record_rows(
         }
 
 
+class WarcMetrics:
+    """A8 accumulator parity (sparkcc.py:152-160): driver-visible
+    counters updated from the Python parse workers."""
+
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        self.records_processed = sc.accumulator(0)
+        self.files_processed = sc.accumulator(0)
+        self.files_failed = sc.accumulator(0)
+
+    def log(self) -> dict[str, int]:
+        return {
+            "records_processed": self.records_processed.value,
+            "files_processed": self.files_processed.value,
+            "files_failed": self.files_failed.value,
+        }
+
+
 def warc_records(
     spark: SparkSession,
     manifest: str | list[str],
@@ -121,6 +139,7 @@ def warc_records(
     with_payload: bool = True,
     input_base_url: str | None = None,
     num_input_partitions: int = 32,
+    metrics: WarcMetrics | None = None,
 ) -> DataFrame:
     """Manifest (path to a text file of URIs, or an in-memory list) →
     records DataFrame with `WARC_RECORD_SCHEMA`.
@@ -144,10 +163,16 @@ def warc_records(
             for path in pdf["path"]:
                 uri = _resolve(path, input_base_url)
                 try:
+                    n_before = len(rows)
                     rows.extend(
                         _record_rows(path, uri, record_types, parse_http, with_payload)
                     )
+                    if metrics:
+                        metrics.files_processed += 1
+                        metrics.records_processed += len(rows) - n_before
                 except OSError:
+                    if metrics:
+                        metrics.files_failed += 1
                     continue  # skip-and-count semantics; file-level failure
             yield pd.DataFrame(rows, columns=_SCHEMA_COLS)
 

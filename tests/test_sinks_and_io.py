@@ -1,0 +1,117 @@
+"""WET side-output, md5sum, text sinks, generic table IO, accumulators."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+
+import pytest
+
+from cc_pyspark_spark.jobs.md5sum import md5sum
+from cc_pyspark_spark.operators.graph import host_links_to_graph
+from cc_pyspark_spark.operators.wet import extract_wet_files
+from cc_pyspark_spark.sources.fixtures import generate_warc_corpus
+from cc_pyspark_spark.sources.tables import (
+    checkpoint_table,
+    load_csv,
+    load_tsv_pairs,
+    write_table,
+    write_text_gz,
+)
+from cc_pyspark_spark.sources.warc import WarcMetrics, warc_records
+from cc_pyspark_spark.sources.warcio_lite import iter_warc_records
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sink-corpus")
+    return generate_warc_corpus(str(out))
+
+
+def test_wet_extraction_side_output(spark, corpus, tmp_path):
+    records = warc_records(spark, corpus["manifest"], num_input_partitions=2)
+    out_dir = str(tmp_path / "wet_out")
+    manifest = extract_wet_files(records, out_dir).collect()
+    written = {r["warc_filename"]: r for r in manifest}
+    assert all(not r["skipped"] for r in manifest)
+    total = 0
+    for r in manifest:
+        assert os.path.exists(r["wet_path"])
+        with open(r["wet_path"], "rb") as f:
+            recs = list(iter_warc_records(f.read()))
+        conv = [x for x in recs if x.rec_type == "conversion"]
+        assert len(conv) == r["n_records"] > 0
+        # text must be tag-free
+        assert all(b"<" not in x.payload for x in conv)
+        total += len(conv)
+    assert total > 0
+
+    # idempotence: second run skips everything
+    manifest2 = extract_wet_files(
+        warc_records(spark, corpus["manifest"], num_input_partitions=2), out_dir
+    ).collect()
+    assert all(r["skipped"] for r in manifest2)
+    assert {r["warc_filename"] for r in manifest2} == set(written)
+
+
+def test_md5sum_matches_hashlib(spark, corpus):
+    files = [f for f in corpus["files"] if f.endswith(".warc.gz")][:3]
+    got = {
+        r["file"]: r["md5"]
+        for r in md5sum(spark, os.path.dirname(files[0]) + "/*.warc.gz").collect()
+    }
+    for f in files:
+        want = hashlib.md5(open(f, "rb").read()).hexdigest()
+        assert got[os.path.basename(f)] == want
+
+
+def test_graph_text_sink(spark, tmp_path):
+    edges = spark.createDataFrame(
+        [("com.a", "com.b"), ("com.b", "com.c")], ["s", "t"]
+    )
+    vertices, int_edges = host_links_to_graph(edges)
+    vpath = str(tmp_path / "vertices")
+    write_text_gz(vertices, vpath)
+    parts = [p for p in os.listdir(vpath) if p.endswith(".txt.gz")]
+    assert parts
+    lines = []
+    for p in parts:
+        with gzip.open(os.path.join(vpath, p), "rt") as fh:
+            lines += [ln.strip() for ln in fh if ln.strip()]
+    assert sorted(lines) == ["com.a\t1", "com.b\t2", "com.c\t3"]
+
+
+def test_generic_table_io(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    csv_path = str(tmp_path / "t.csv")
+    df.write.option("header", "true").csv(csv_path)
+    back = load_csv(spark, csv_path)
+    assert {tuple(r) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+    tsv_path = str(tmp_path / "pairs.tsv")
+    spark.createDataFrame([("a", "b")], ["s", "t"]).write.option("sep", "\t").csv(
+        tsv_path
+    )
+    pairs = load_tsv_pairs(spark, tsv_path)
+    assert pairs.collect()[0].asDict() == {"s": "a", "t": "b"}
+
+    orc_path = str(tmp_path / "t.orc")
+    write_table(df, orc_path, fmt="orc", compression="gzip")  # zlib fixup
+    assert spark.read.orc(orc_path).count() == 2
+
+    ckpt = checkpoint_table(df, spark, str(tmp_path / "ckpt"))
+    assert ckpt.count() == 2
+
+
+def test_warc_metrics_accumulators(spark, corpus):
+    metrics = WarcMetrics(spark)
+    manifest_plus_bogus = corpus["files"] + ["/nonexistent/bogus.warc.gz"]
+    df = warc_records(
+        spark, manifest_plus_bogus, num_input_partitions=2, metrics=metrics
+    )
+    n = df.count()
+    logged = metrics.log()
+    assert logged["files_processed"] == len(corpus["files"])
+    assert logged["files_failed"] == 1
+    assert logged["records_processed"] == n
