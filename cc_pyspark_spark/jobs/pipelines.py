@@ -165,3 +165,18 @@ def wat_extract_host_links(records: DataFrame) -> DataFrame:
     # Cluster output for compression + dedup locality
     # (wat_extract_links.py:314-320).
     return edges.dropDuplicates().sortWithinPartitions("s", "t")
+
+
+def linkmap_to_parquet(spark, tsv_path: str, out_path: str):
+    """linkmap2parquet.py:10-34 parity: TSV (s, t) pairs → dedup →
+    sortWithinPartitions → parquet (clustered for compression)."""
+    from cc_pyspark_spark.sources.tables import load_tsv_pairs, write_table  # noqa: PLC0415
+
+    pairs = (
+        load_tsv_pairs(spark, tsv_path)
+        .dropna()
+        .dropDuplicates()
+        .sortWithinPartitions("s", "t")
+    )
+    write_table(pairs, out_path, fmt="parquet", compression="zstd")
+    return spark.read.parquet(out_path)

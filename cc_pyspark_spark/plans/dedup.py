@@ -312,3 +312,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sig = term if sig is None else sig + term
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+# ----------------------------------------- embedding-cosine near-dup
+
+COSINE_DUP_THRESHOLD = 0.42
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       list_reduce(list_prepend(0.0,
+           list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+           (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_prepend(0.0,
+          list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+          (x, y) -> x + y) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+""",
+    description="Embedding-cosine near-dup pairs (semantic dedup): all-pairs "
+    "here as the exactness baseline; at 100 TB the pair space is pruned by "
+    "the IVF/LSH bucketing in similarity.py so only same-bucket pairs score",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    dot_self = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    emb = t.embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ).withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("anrm")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bnrm")
+    )
+    dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.expr(dot) / (F.col("anrm") * F.col("bnrm")))
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("a_id", "b_id", "cos")
+    )

@@ -115,3 +115,15 @@ def test_warc_metrics_accumulators(spark, corpus):
     assert logged["files_processed"] == len(corpus["files"])
     assert logged["files_failed"] == 1
     assert logged["records_processed"] == n
+
+
+def test_linkmap_to_parquet(spark, tmp_path):
+    from cc_pyspark_spark.jobs.pipelines import linkmap_to_parquet
+
+    tsv_dir = str(tmp_path / "pairs_in")
+    spark.createDataFrame(
+        [("com.a", "com.b"), ("com.a", "com.b"), ("com.b", "com.c")], ["s", "t"]
+    ).write.option("sep", "\t").csv(tsv_dir)
+    out = linkmap_to_parquet(spark, tsv_dir, str(tmp_path / "pairs_out"))
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("com.a", "com.b"), ("com.b", "com.c")]
