@@ -115,55 +115,154 @@ def sitemaps_from_robotstxt(records: DataFrame) -> DataFrame:
     )
 
 
-#: Subset of the WAT JSON envelope the link extractor reads
+#: The WAT JSON envelope subtree the link extractor reads
 #: (wat_extract_links.py:211-255) — an explicit from_json schema keeps
 #: parsing JVM-side instead of the reference's per-record json.loads.
+#: HTTP headers: scalar string values (the JSON-list variant decodes to
+#: null under this typed schema and is skipped — multi-valued header
+#: links are rare; a VariantType walk is the escape hatch).
 WAT_ENVELOPE_SCHEMA = (
     "struct<Envelope: struct<"
     "`WARC-Header-Metadata`: struct<`WARC-Type`: string, `WARC-Target-URI`: string>, "
     "`Payload-Metadata`: struct<`HTTP-Response-Metadata`: struct<"
-    "`HTML-Metadata`: struct<Links: array<struct<path: string, url: string>>>>>>>"
+    "Headers: map<string, string>, "
+    "`HTML-Metadata`: struct<"
+    "Head: struct<Base: string, "
+    "Link: array<struct<url: string>>, "
+    "Metas: array<struct<name: string, property: string, content: string>>, "
+    "Scripts: array<struct<url: string>>>, "
+    "Links: array<struct<path: string, url: string, href: string>>"
+    ">>>>>"
 )
 
+#: Meta properties/names that usually carry links (F17 allowlists,
+#: wat_extract_links.py:48-55).
+HTML_META_PROPERTY_LINKS = (
+    "og:url", "og:image", "og:image:secure_url",
+    "og:video", "og:video:url", "og:video:secure_url",
+    "twitter:url", "twitter:image:src",
+)
+HTML_META_LINKS = (
+    "twitter:image", "thumbnail", "application-url",
+    "msapplication-starturl", "msapplication-TileImage", "vb_meta_bburl",
+)
 
-def wat_extract_host_links(records: DataFrame) -> DataFrame:
-    """wat_extract_links.py (ExtractHostLinksJob core): WAT metadata
-    records → host-level SURT edge list (s, t), deduplicated.
+URL_ABS_PATTERN = "^(?:https?:)?//"
 
-    JSON decoding happens in Catalyst (`from_json` with an explicit
-    schema — only the needed subtree is materialized); SURT keys via
-    the pandas UDF (F7). Pages with no outlinks emit the self-edge so
-    every crawled host appears in the graph (wat_extract_links.py:116-122).
+
+def wat_extract_links(records: DataFrame) -> DataFrame:
+    """wat_extract_links.py ExtractLinksJob: page-level (s, t) URL edges
+    from WAT metadata records + WARC redirect responses.
+
+    Link sources, all walked in Catalyst (wat_extract_links.py:158-255):
+    HTTP headers (Content-Location, Link with `<url>` syntax), Head.Link,
+    Head.Metas (property/name allowlists or absolute content), Head.Scripts,
+    body Links (url, or href when absolute), each resolved against
+    Head.Base ?? page URL (urljoin UDF); HTTP 30[12378] Location targets;
+    and the self-edge for pages with no outgoing links (F18).
     """
     wat = records.filter(
         (F.col("record_type") == "metadata")
         & F.col("content_type").contains("application/json")
     )
-    parsed = wat.select(
-        F.from_json(F.expr("" + PAYLOAD_TEXT + ""), WAT_ENVELOPE_SCHEMA).alias(
-            "w"
+    w = F.from_json(F.expr(PAYLOAD_TEXT), WAT_ENVELOPE_SCHEMA)
+    meta_root = "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`"
+    parsed = (
+        wat.select(w.alias("w"))
+        .filter(F.col("w.Envelope.`WARC-Header-Metadata`.`WARC-Type`") == "response")
+        .select(
+            F.col("w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`").alias(
+                "page_url"
+            ),
+            F.col(f"{meta_root}.Headers").alias("headers"),
+            F.col(f"{meta_root}.`HTML-Metadata`.Head.Base").alias("base"),
+            F.col(f"{meta_root}.`HTML-Metadata`.Head.Link.url").alias("head_links"),
+            F.col(f"{meta_root}.`HTML-Metadata`.Head.Metas").alias("metas"),
+            F.col(f"{meta_root}.`HTML-Metadata`.Head.Scripts.url").alias("scripts"),
+            F.col(f"{meta_root}.`HTML-Metadata`.Links").alias("links"),
         )
-    ).select(
-        F.col("w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`").alias("page_url"),
-        F.col(
-            "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`"
-            ".`HTML-Metadata`.Links.url"
-        ).alias("link_urls"),
-    ).filter(F.col("page_url").isNotNull())
-    exploded = parsed.select(
-        "page_url",
-        F.explode(
-            F.when(
-                F.size(F.coalesce("link_urls", F.array())) > 0, F.col("link_urls")
-            ).otherwise(F.array(F.col("page_url")))  # self-edge fallback (F18)
-        ).alias("link_url"),
+        .filter(F.col("page_url").isNotNull())
     )
-    edges = exploded.select(
-        surt_host_udf(F.col("page_url")).alias("s"),
-        surt_host_udf(F.col("link_url")).alias("t"),
+    empty = F.array().cast("array<string>")
+    hdr = F.map_filter(
+        F.transform_keys(
+            F.coalesce("headers", F.expr("map()")), lambda k, _: F.lower(k)
+        ),
+        lambda k, _: k.isin("content-location", "link"),
+    )
+    header_links = F.flatten(
+        F.transform(
+            F.map_entries(hdr),
+            lambda e: F.when(
+                e["key"] == "content-location", F.array(e["value"])
+            ).otherwise(
+                F.regexp_extract_all(e["value"], F.lit("<([^>]*)>"), F.lit(1))
+            ),
+        )
+    )
+    meta_links = F.expr(
+        "transform(filter(coalesce(metas, array()), m -> "
+        f"m.property IN {HTML_META_PROPERTY_LINKS} "
+        f"OR m.name IN {HTML_META_LINKS} "
+        f"OR (m.content IS NOT NULL AND m.content rlike '{URL_ABS_PATTERN}')"
+        "), m -> m.content)"
+    )
+    body_links = F.expr(
+        "transform(coalesce(links, array()), l -> CASE WHEN l.url IS NOT NULL "
+        f"THEN l.url WHEN l.href IS NOT NULL AND l.href rlike '{URL_ABS_PATTERN}' "
+        "THEN l.href END)"
+    )
+    all_links = F.filter(
+        F.concat(
+            F.coalesce(header_links, empty),
+            F.coalesce(F.col("head_links"), empty),
+            F.coalesce(meta_links, empty),
+            F.coalesce(F.col("scripts"), empty),
+            F.coalesce(body_links, empty),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    wat_edges = (
+        parsed.select(
+            "page_url",
+            F.coalesce("base", "page_url").alias("base_url"),
+            F.explode(
+                # self-edge fallback keeps every visited page in the graph
+                F.when(F.size(all_links) > 0, all_links).otherwise(
+                    F.array(F.col("page_url"))
+                )
+            ).alias("raw_link"),
+        )
+        .select(
+            F.col("page_url").alias("s"),
+            urljoin_udf(F.col("base_url"), F.col("raw_link")).alias("t"),
+        )
+    )
+    # WARC redirect responses: Location header target (wat_extract_links.py:125-155)
+    redirects = (
+        records.filter(
+            (F.col("record_type") == "response")
+            & F.col("http_status").isin(301, 302, 303, 307, 308)
+        )
+        .select(
+            F.col("target_uri").alias("s"),
+            F.element_at(header_values("location"), 1).alias("t"),
+        )
+        .filter(F.col("t").isNotNull())
+    )
+    return wat_edges.unionByName(redirects).filter(
+        F.col("s").isNotNull() & F.col("t").isNotNull()
+    )
+
+
+def wat_extract_host_links(records: DataFrame) -> DataFrame:
+    """ExtractHostLinksJob: page-level edges → host-level SURT edge list
+    (s, t), deduplicated and clustered for compression
+    (wat_extract_links.py:314-320). SURT keys via the pandas UDF (F7)."""
+    edges = wat_extract_links(records).select(
+        surt_host_udf(F.col("s")).alias("s"),
+        surt_host_udf(F.col("t")).alias("t"),
     ).filter(F.col("s").isNotNull() & F.col("t").isNotNull())
-    # Cluster output for compression + dedup locality
-    # (wat_extract_links.py:314-320).
     return edges.dropDuplicates().sortWithinPartitions("s", "t")
 
 

@@ -143,28 +143,62 @@ def generate_warc_corpus(
             )
     manifest.append(wet_name)
 
-    # WAT file: metadata records with the JSON envelope subset jobs read
+    # WAT file: metadata records exercising the full link-tree surface
+    # (Headers link/content-location, Head Base/Link/Metas/Scripts, body
+    # Links with url/relative-href/absolute-href, no-link self-edge case)
     wat_name = os.path.join(out_dir, "crawl-00.warc.wat.gz")
     with open(wat_name, "wb") as fh:
         w = WarcWriter(fh, gzip_members=True)
-        for mi in range(8):
+        for mi in range(10):
             url = f"http://wat{mi % 3}.example.com/p{mi}"
-            links = [
-                {"path": "A@/href", "url": f"http://tgt{rng.randint(0, 4)}.example.com/x"}
-                for _ in range(rng.randint(0, 3))
-            ]
+            links = []
+            for _ in range(rng.randint(0, 3)):
+                kind = rng.random()
+                tgt = f"http://tgt{rng.randint(0, 4)}.example.com/x"
+                if kind < 0.5:
+                    links.append({"path": "A@/href", "url": tgt})
+                elif kind < 0.75:
+                    links.append({"path": "A@/href", "href": f"//cdn{rng.randint(0,2)}.example.net/y"})
+                else:
+                    links.append({"path": "A@/href", "href": f"/relative{rng.randint(0,9)}"})
+            meta_root = {
+                "Headers": {"Server": rng.choice(SERVERS[:3]) or "Apache"},
+                "HTML-Metadata": {"Links": links},
+            }
+            if rng.random() < 0.4:
+                meta_root["Headers"]["Link"] = (
+                    f"<http://hdr{rng.randint(0, 2)}.example.com/l>; rel=preload"
+                )
+            if rng.random() < 0.3:
+                meta_root["Headers"]["Content-Location"] = (
+                    f"http://cloc{rng.randint(0, 2)}.example.com/c"
+                )
+            head = {}
+            if rng.random() < 0.3:
+                head["Base"] = f"http://base{mi % 2}.example.com/dir/"
+            if rng.random() < 0.5:
+                head["Link"] = [
+                    {"url": f"http://css{rng.randint(0, 2)}.example.com/s.css"}
+                ]
+            if rng.random() < 0.6:
+                head["Metas"] = [
+                    {"property": "og:url", "content": url},
+                    {"name": "viewport", "content": "width=device-width"},
+                    {"name": "thumbnail", "content": f"http://img{rng.randint(0,2)}.example.com/t.png"},
+                ]
+            if rng.random() < 0.4:
+                head["Scripts"] = [
+                    {"url": f"http://js{rng.randint(0, 2)}.example.com/a.js"}
+                ]
+            if head:
+                meta_root["HTML-Metadata"]["Head"] = head
             envelope = {
                 "Envelope": {
                     "WARC-Header-Metadata": {
-                        "WARC-Type": "response",
+                        "WARC-Type": "response" if mi != 9 else "request",
                         "WARC-Target-URI": url,
                     },
-                    "Payload-Metadata": {
-                        "HTTP-Response-Metadata": {
-                            "Headers": {"Server": rng.choice(SERVERS[:3])},
-                            "HTML-Metadata": {"Links": links},
-                        }
-                    },
+                    "Payload-Metadata": {"HTTP-Response-Metadata": meta_root},
                 }
             }
             w.write_record(

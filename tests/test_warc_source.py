@@ -139,13 +139,80 @@ def test_sitemaps_parity(records_df, records_py):
     assert len(got) >= 3  # fixture has absolute, relative, latin-1 cases
 
 
+def _expected_page_links(records_py):
+    """Independent recount of the WAT link-tree walk + redirects."""
+    import json as _json
+
+    meta_props = {
+        "og:url", "og:image", "og:image:secure_url", "og:video",
+        "og:video:url", "og:video:secure_url", "twitter:url",
+        "twitter:image:src",
+    }
+    meta_names = {
+        "twitter:image", "thumbnail", "application-url",
+        "msapplication-starturl", "msapplication-TileImage", "vb_meta_bburl",
+    }
+    abs_re = re.compile(r"^(?:https?:)?//")
+    edges = []
+    for r in records_py:
+        if r.rec_type == "metadata" and "application/json" in r.content_type:
+            env = _json.loads(r.payload.decode())["Envelope"]
+            if env["WARC-Header-Metadata"]["WARC-Type"] != "response":
+                continue
+            url = env["WARC-Header-Metadata"]["WARC-Target-URI"]
+            meta = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+            html = meta.get("HTML-Metadata", {})
+            head = html.get("Head", {})
+            base = head.get("Base") or url
+            raw = []
+            for k, v in meta.get("Headers", {}).items():
+                if k.lower() == "content-location":
+                    raw.append(v)
+                elif k.lower() == "link":
+                    raw += re.findall(r"<([^>]*)>", v)
+            raw += [l["url"] for l in head.get("Link", []) if "url" in l]
+            for m in head.get("Metas", []):
+                if (
+                    m.get("property") in meta_props
+                    or m.get("name") in meta_names
+                    or (m.get("content") and abs_re.match(m["content"]))
+                ):
+                    raw.append(m["content"])
+            raw += [s["url"] for s in head.get("Scripts", []) if "url" in s]
+            for l in html.get("Links", []):
+                if l.get("url"):
+                    raw.append(l["url"])
+                elif l.get("href") and abs_re.match(l["href"]):
+                    raw.append(l["href"])
+            if raw:
+                edges += [(url, urljoin(base, x)) for x in raw]
+            else:
+                edges.append((url, url))
+        elif r.rec_type == "response" and r.http_status in (301, 302, 303, 307, 308):
+            loc = [v for (k, v) in r.http_headers if k == "location"]
+            if loc:
+                edges.append((r.target_uri, loc[0]))
+    return edges
+
+
+def test_wat_page_links_parity(records_df, records_py):
+    from cc_pyspark_spark.jobs.pipelines import wat_extract_links
+
+    got = sorted((r["s"], r["t"]) for r in wat_extract_links(records_df).collect())
+    want = sorted(_expected_page_links(records_py))
+    assert got == want
+    assert len(got) > 10
+
+
 def test_wat_links_and_graph(records_df):
     edges = wat_extract_host_links(records_df)
     rows = edges.collect()
     assert len(rows) > 0
     assert all(r["s"] and r["t"] for r in rows)
-    # SURT form: reversed labels, www-stripped
-    assert all(r["s"].startswith("com.") for r in rows)
+    # SURT form: reversed labels (leading label is the TLD), www-stripped
+    tlds = {"com", "org", "net", "de", "invalid"}
+    assert all(r["s"].split(".")[0] in tlds for r in rows)
+    assert all(not r["s"].startswith("www.") for r in rows)
 
     vertices, int_edges = host_links_to_graph(edges)
     v = {row["name"]: row["id"] for row in vertices.collect()}
