@@ -1,0 +1,129 @@
+"""Production-scale dedup operators (the 100 TB variants).
+
+The oracle-checked queries in plans/dedup.py derive shingle/token IDs
+from `row_number` over a *global sort* so that DuckDB can replay them
+bit-for-bit. That sort is the one piece that does not survive a 1000×
+scale-up: at 100 TB the distinct-shingle set is itself billions of rows
+and a single global ordering is a bottleneck with no semantic value.
+
+These operators are the deployment path: IDs come from `xxhash64`
+(stable, partition-independent, no shuffle to assign), signatures and
+LSH bands are computed identically, and candidate pairs are still
+verified with exact Jaccard — so precision is unchanged and only the
+(already probabilistic) candidate recall depends on the hash family.
+
+Shuffle budget per stage:
+  shingle explode        — narrow (no shuffle)
+  signature groupBy(doc) — 1 shuffle keyed by doc_id
+  band explode + join    — 1 shuffle keyed by (band, key); skew-safe
+                           because band values are uniform hashes
+  verification           — joins keyed by doc_id over the candidate set
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.functions.text import shingles, tokenize
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).select(
+        "doc_id", F.explode(F.array_distinct(shingles("toks", k))).alias("s")
+    )
+
+
+def _perm(a: int, b: int, col: Column) -> Column:
+    return (F.lit(a) * col + F.lit(b)) % MINHASH_P
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perms: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs (a_id, b_id, jac) at scale: xxhash64 shingle IDs,
+    MinHash signatures, LSH banding, exact-Jaccard verification."""
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
+    # Stable 63-bit positive IDs straight from the shingle bytes — no
+    # global sort, no ID-assignment shuffle.
+    ds = sh.select(
+        "doc_id", (F.abs(F.xxhash64("s")) % MINHASH_P).alias("sid"), "s"
+    )
+    perms = [(37 + 7 * j, 17 + 101 * j) for j in range(num_perms)]
+    sig = ds.groupBy("doc_id").agg(
+        *[
+            F.min(_perm(a, b, F.col("sid"))).alias(f"h{j}")
+            for j, (a, b) in enumerate(perms)
+        ]
+    )
+    rows_per_band = num_perms // bands
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ":",
+                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("key"),
+        )
+        for band in range(bands)
+    ]
+    band_rows = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    return verify_jaccard(cand, sh, threshold)
+
+
+def verify_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs from (doc_id, s) shingle rows."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
+        .join(y, (F.col("y.doc_id") == F.col("b_id")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def exact_dedup_keep_first(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Exact dedup keeping the lowest `order_col` row per key group —
+    groupBy + min-struct, one narrow shuffle (no window sort needed)."""
+    others = [c for c in df.columns if c not in key_cols]
+    packed = df.select(
+        *key_cols, F.struct(order_col, *[c for c in others if c != order_col]).alias("r")
+    )
+    return packed.groupBy(*key_cols).agg(F.min("r").alias("r")).select(
+        *key_cols, "r.*"
+    )

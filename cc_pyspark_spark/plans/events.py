@@ -163,3 +163,44 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("event_type") == "purchase") & F.col("click_id").isNotNull())
         .select(F.col("event_id").alias("purchase_id"), "user_id", "click_id")
     )
+
+
+@register(
+    "events_range_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       COUNT(c.event_id) AS n_recent_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+ AND c.ts < p.ts
+GROUP BY p.event_id
+""",
+    description="Range join (equi on user + ts interval band): clicks in the "
+    "10 minutes before each purchase — the band predicate rides on the "
+    "user_id equi-join, so the shuffle is by user, never a cross product",
+    tags=("events", "join"),
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTE"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_recent_clicks")
+    )

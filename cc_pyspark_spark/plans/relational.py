@@ -719,3 +719,29 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+    description="Arbitrary GROUPING SETS (neither rollup nor cube) via SQL",
+    tags=("agg", "sql"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )

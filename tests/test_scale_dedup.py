@@ -1,0 +1,58 @@
+"""Scale-path dedup (xxhash64 IDs) must agree with the exact baseline.
+
+LSH candidate generation is probabilistic in the hash family, but
+verification is exact Jaccard — so everything reported is a true
+near-dup pair, and on the planted fixture near-dups recall should be
+essentially complete.
+"""
+
+from __future__ import annotations
+
+from cc_pyspark_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+)
+from cc_pyspark_spark.plans.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_scale_minhash_matches_exact_jaccard(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["a_id"], r["b_id"]): r["jac"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"]): r["jac"]
+        for r in QUERIES["dedup_ngram_jaccard"].spark(spark, SF_DIR).collect()
+    }
+    # precision: every reported pair is a true pair with the exact score
+    for k, v in got.items():
+        assert k in exact and abs(exact[k] - v) < 1e-12
+    # recall on planted near-dups: LSH with 4 bands at jac>=0.5 should
+    # find nearly all; require >= 80%
+    assert exact, "fixture has no planted near-dups?"
+    assert len(got) >= 0.8 * len(exact)
+
+
+def test_scale_minhash_plan_has_no_global_sort(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = minhash_lsh_pairs(docs, threshold=0.5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the oracle variant needs a single-partition window sort; this one must not
+    assert "Window" not in plan
+    assert "Sort [s" not in plan
+
+
+def test_exact_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        ["id", "key", "v"],
+    )
+    out = {
+        r["key"]: (r["id"], r["v"])
+        for r in exact_dedup_keep_first(df, ["key"], "id").collect()
+    }
+    assert out == {"a": (1, 10.0), "b": (3, 30.0)}
