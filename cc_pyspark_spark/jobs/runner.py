@@ -42,14 +42,19 @@ JOBS = {
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cc-pyspark-spark")
-    p.add_argument("job", choices=sorted(JOBS))
-    p.add_argument("input", help="manifest of WARC/WAT/WET file URIs")
+    p.add_argument("job", choices=sorted([*JOBS, "hostlinks_to_graph"]))
+    p.add_argument("input", help="manifest of WARC/WAT/WET file URIs "
+                   "(for hostlinks_to_graph: parquet edge table)")
     p.add_argument("output", help="output path (or table name with --save_as_table)")
     p.add_argument("--num_input_partitions", type=int, default=400)
     p.add_argument("--num_output_partitions", type=int, default=10)
     p.add_argument("--input_base_url", default=None)
+    p.add_argument("--validate_host_names", action="store_true")
+    p.add_argument("--normalize_host_names", action="store_true")
     p.add_argument(
-        "--output_format", default="parquet", choices=["parquet", "orc", "json", "csv"]
+        "--output_format",
+        default="parquet",
+        choices=["parquet", "orc", "json", "csv", "text"],
     )
     p.add_argument("--output_compression", default="gzip")
     p.add_argument(
@@ -81,6 +86,28 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = build_session(app_name=f"cc-pyspark-spark:{args.job}", master=args.spark_master)
     spark.sparkContext.setLogLevel(args.log_level)
+    if args.job == "hostlinks_to_graph":
+        # input = (s, t) edge table (parquet), output = <out>/vertices + <out>/edges
+        from cc_pyspark_spark.operators.graph import host_links_to_graph  # noqa: PLC0415
+
+        edges_in = spark.read.parquet(args.input)
+        vertices, int_edges = host_links_to_graph(
+            edges_in,
+            validate_host_names=args.validate_host_names,
+            normalize_host_names=args.normalize_host_names,
+        )
+        base = args.output.rstrip("/")
+        for name, df in (("vertices", vertices), ("edges", int_edges)):
+            out = df.coalesce(args.num_output_partitions)
+            if args.output_format == "text":
+                from cc_pyspark_spark.sources.tables import write_text_gz  # noqa: PLC0415
+
+                write_text_gz(out, f"{base}/{name}")
+            else:
+                out.write.format(args.output_format).option(
+                    "compression", args.output_compression
+                ).mode("overwrite").save(f"{base}/{name}")
+        return 0
     job_fn, sort_cols = JOBS[args.job]
     records = warc_records(
         spark,

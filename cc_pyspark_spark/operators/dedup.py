@@ -53,7 +53,11 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs (a_id, b_id, jac) at scale: xxhash64 shingle IDs,
     MinHash signatures, LSH banding, exact-Jaccard verification."""
-    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
+    # Persisted: the shingle set feeds signature building AND exact
+    # verification, and the band table is self-joined — without persist
+    # the scan+explode subtree runs 4×. Caller unpersists via
+    # `df.sparkSession.catalog.clearCache()` or lets LRU eviction run.
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k).persist()
     # Stable 63-bit positive IDs straight from the shingle bytes — no
     # global sort, no ID-assignment shuffle.
     ds = sh.select(
@@ -77,9 +81,11 @@ def minhash_lsh_pairs(
         )
         for band in range(bands)
     ]
-    band_rows = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    band_rows = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.key")
+        .persist()
+    )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(

@@ -745,3 +745,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
+
+
+@register(
+    "set_union_all",
+    oracle="""
+SELECT nationkey, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+""",
+    description="UNION ALL (bag semantics) + count — the non-dedup union",
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("nationkey"))
+        .unionAll(t.supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+    )

@@ -72,3 +72,25 @@ def test_cli_runner_end_to_end(spark, corpus, tmp_path):
     got = {r["key"]: r["val"] for r in result.collect()}
     assert got and sum(got.values()) > 0
     assert "(no server in HTTP header)" in got or "Apache" in got
+
+
+def test_cli_hostlinks_to_graph(spark, tmp_path):
+    edges_path = str(tmp_path / "edges_in")
+    spark.createDataFrame(
+        [("com.a", "com.b"), ("com.b", "com.a"), ("com.a", "com.a")], ["s", "t"]
+    ).write.parquet(edges_path)
+    out = str(tmp_path / "graph_out")
+    rc = runner_main(
+        [
+            "hostlinks_to_graph",
+            edges_path,
+            out,
+            "--num_output_partitions",
+            "1",
+        ]
+    )
+    assert rc == 0
+    v = {tuple(r) for r in spark.read.parquet(out + "/vertices").collect()}
+    e = {tuple(r) for r in spark.read.parquet(out + "/edges").collect()}
+    assert v == {("com.a", 1), ("com.b", 2)}
+    assert e == {(1, 2), (2, 1)}  # self-loop removed
