@@ -295,3 +295,34 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select(
         "doc_id", tokenize("text").alias("toks")
     ).select("doc_id", F.expr(fp).alias("fp"))
+
+
+@register(
+    "text_bigram_counts",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t
+)
+SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+HAVING COUNT(*) >= 5
+""",
+    description="Word bigram counts (n-gram extraction) with HAVING filter — "
+    "collocation mining over the corpus, pure Catalyst",
+    tags=("text",),
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat_ws(' ', toks[i], toks[i+1]))"
+    )
+    return (
+        t.documents.select(tokenize("text").alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )

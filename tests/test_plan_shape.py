@@ -64,3 +64,30 @@ def test_whole_stage_codegen_on_hot_path(spark):
 def test_cosine_broadcast_no_shuffle_before_topk(spark):
     plan = plan_of(spark, "sim_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partitioned_ccindex_prunes_partitions(spark, tmp_path_factory):
+    """cc-index queries on crawl=/subset= partition dirs must prune at
+    the source (SURVEY §4: partition pruning on the SQL path)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("part-ccindex"))
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("CC-MAIN-2017-"), (F.col("id") % 3).cast("string")).alias(
+            "crawl"
+        ),
+        F.when(F.col("id") % 2 == 0, "warc").otherwise("robotstxt").alias("subset"),
+    )
+    df.write.mode("overwrite").partitionBy("crawl", "subset").parquet(d)
+    q = (
+        spark.read.parquet(d)
+        .filter((F.col("crawl") == "CC-MAIN-2017-1") & (F.col("subset") == "warc"))
+        .select("k")
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(crawl" in plan
+    assert q.count() == 50
