@@ -1,0 +1,198 @@
+"""Charset / IDNA / malformed-input edge cases (SURVEY §7 hard part 5:
+the reference's utf-16 / latin-1 / punycode corpus as unit tests) plus
+hypothesis round-trip properties for the WARC layer.
+"""
+
+from __future__ import annotations
+
+import io
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cc_pyspark_spark.functions.url import surt_host
+from cc_pyspark_spark.sources.warcio_lite import (
+    WarcWriter,
+    http_response_block,
+    iter_warc_records,
+    read_record_at,
+)
+
+
+# ------------------------------------------------------------- SURT edge cases
+
+
+def test_surt_basic_and_www_strip():
+    assert surt_host("http://www.Example.COM/x") == "com.example"
+    assert surt_host("https://sub.example.co.uk/p?q=1") == "uk.co.example.sub"
+    # two-label www host: www. kept (stripping would leave one label),
+    # labels still reversed
+    assert surt_host("http://www.example/") == "example.www"
+
+
+def test_surt_ip_hosts_excluded():
+    assert surt_host("http://192.168.0.1/x") is None
+    assert surt_host("http://10.0.0.255:8080/") is None
+
+
+def test_surt_trailing_dot_and_case():
+    assert surt_host("http://Example.Org./p") == "org.example"
+
+
+def test_surt_idn_punycode():
+    # unicode host → per-label IDNA (punycode)
+    assert surt_host("http://bücher.example.com/") == "com.example.xn--bcher-kva"
+
+
+def test_surt_invalid_inputs():
+    assert surt_host(None) is None
+    assert surt_host("") is None
+    assert surt_host("not a url") is None
+    assert surt_host("ftp://example.com/x") == "com.example"  # via urlparse fallback
+    assert surt_host("http://" + "a" * 64 + ".com/") is None  # label > 63
+    assert surt_host("http://" + ("a" * 60 + ".") * 5 + "com/") is None  # host > 253
+
+
+def test_surt_port_and_userinfo():
+    assert surt_host("http://example.com:8080/x") == "com.example"
+
+
+# ---------------------------------------------------- charset edge cases
+
+
+def _robots_record(body: bytes, url: str = "http://h.example.com/robots.txt"):
+    buf = io.BytesIO()
+    w = WarcWriter(buf)
+    block = http_response_block(body, headers=[("Content-Type", "text/plain")])
+    w.write_record(
+        "response", block, target_uri=url,
+        content_type="application/http; msgtype=response",
+    )
+    return buf.getvalue()
+
+
+def test_utf16_robots_body_degrades_without_failing(spark):
+    """utf-16 bytes are not valid utf-8: the lenient decode mangles them
+    and no sitemap lines match — record skipped, task never fails
+    (reference counts it invalid, test_sitemaps_from_robotstxt:365-384)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.jobs.pipelines import sitemaps_from_robotstxt
+    from cc_pyspark_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    body = "Sitemap: http://h.example.com/s.xml\r\n".encode("utf-16")
+    raw = _robots_record(body)
+    recs = list(iter_warc_records(raw))
+    rows = [
+        {
+            "warc_filename": "f", "warc_record_offset": 0,
+            "warc_record_length": 1, "record_type": "response",
+            "content_type": recs[0].content_type,
+            "target_uri": recs[0].target_uri, "warc_date": None,
+            "warc_ip_address": None, "identified_payload_type": None,
+            "http_status": 200, "http_headers": recs[0].http_headers,
+            "payload": bytes(recs[0].payload),
+        }
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), WARC_RECORD_SCHEMA)
+    out = sitemaps_from_robotstxt(df).collect()
+    assert out == []  # degraded, not crashed
+
+
+def test_latin1_sitemap_url_survives_lenient_decode(spark):
+    import pandas as pd
+
+    from cc_pyspark_spark.jobs.pipelines import sitemaps_from_robotstxt
+    from cc_pyspark_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    body = "Sitemap: http://h.example.com/sitemäp.xml\r\n".encode("latin-1")
+    raw = _robots_record(body)
+    rec = next(iter(iter_warc_records(raw)))
+    rows = [
+        {
+            "warc_filename": "f", "warc_record_offset": 0,
+            "warc_record_length": 1, "record_type": "response",
+            "content_type": rec.content_type, "target_uri": rec.target_uri,
+            "warc_date": None, "warc_ip_address": None,
+            "identified_payload_type": None, "http_status": 200,
+            "http_headers": rec.http_headers, "payload": bytes(rec.payload),
+        }
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), WARC_RECORD_SCHEMA)
+    out = sitemaps_from_robotstxt(df).collect()
+    assert len(out) == 1
+    assert out[0]["sitemap_url"].startswith("http://h.example.com/sitem")
+    assert out[0]["hosts"] == ["h.example.com"]
+
+
+def test_many_sitemaps_in_one_robots(spark):
+    """>50 sitemap lines (the reference's outlier threshold) all extracted."""
+    import pandas as pd
+
+    from cc_pyspark_spark.jobs.pipelines import sitemaps_from_robotstxt
+    from cc_pyspark_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    body = "".join(
+        f"Sitemap: http://h.example.com/s{i}.xml\r\n" for i in range(60)
+    ).encode()
+    rec = next(iter(iter_warc_records(_robots_record(body))))
+    rows = [
+        {
+            "warc_filename": "f", "warc_record_offset": 0,
+            "warc_record_length": 1, "record_type": "response",
+            "content_type": rec.content_type, "target_uri": rec.target_uri,
+            "warc_date": None, "warc_ip_address": None,
+            "identified_payload_type": None, "http_status": 200,
+            "http_headers": rec.http_headers, "payload": bytes(rec.payload),
+        }
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), WARC_RECORD_SCHEMA)
+    assert sitemaps_from_robotstxt(df).count() == 60
+
+
+# ------------------------------------------------- hypothesis round-trips
+
+payload_strategy = st.binary(min_size=0, max_size=2048)
+uri_strategy = st.from_regex(r"http://[a-z]{1,10}\.example\.com/[a-z0-9]{0,8}", fullmatch=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    payloads=st.lists(st.tuples(uri_strategy, payload_strategy), min_size=1, max_size=8),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_property(payloads, gz):
+    """Writer→reader round-trip preserves count, order, URIs, payload
+    bytes, and (offset, length) coordinates — plain and gzip-member."""
+    buf = io.BytesIO()
+    w = WarcWriter(buf, gzip_members=gz)
+    for uri, payload in payloads:
+        w.write_record("conversion", payload, target_uri=uri,
+                       content_type="text/plain")
+    raw = buf.getvalue()
+    recs = list(iter_warc_records(raw))
+    assert len(recs) == len(payloads)
+    for rec, (uri, payload) in zip(recs, payloads):
+        assert rec.target_uri == uri
+        assert rec.payload == payload
+    assert [(r.offset, r.length) for r in recs] == w.coordinates
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    payloads=st.lists(st.tuples(uri_strategy, payload_strategy), min_size=2, max_size=6),
+    gz=st.booleans(),
+)
+def test_ranged_access_property(tmp_path_factory, payloads, gz):
+    """Every (offset, length) coordinate resolves to exactly its record."""
+    d = tmp_path_factory.mktemp("rt")
+    path = str(d / "f.warc")
+    with open(path, "wb") as fh:
+        w = WarcWriter(fh, gzip_members=gz)
+        for uri, payload in payloads:
+            w.write_record("conversion", payload, target_uri=uri,
+                           content_type="text/plain")
+    for (off, length), (uri, payload) in zip(w.coordinates, payloads):
+        rec = read_record_at(path, off, length)
+        assert rec is not None and rec.target_uri == uri and rec.payload == payload
