@@ -34,6 +34,23 @@ def tokenize(col: str | Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), F.lit(0))
 
 
+#: Unicode tokenizer pattern — the true `\w+` analog (word_count.py:25)
+#: for multilingual corpora. Used by jobs; the oracle queries keep the
+#: ASCII pattern so DuckDB's RE2 agrees byte-for-byte.
+TOKEN_PATTERN_UNICODE = r"[\\p{L}\\p{N}_]+"
+
+
+def tokenize_unicode(col: str | Column) -> Column:
+    """F1 with full Unicode word classes (jobs path)."""
+    if isinstance(col, str):
+        return F.expr(
+            f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN_UNICODE}', 0)"
+        )
+    return F.regexp_extract_all(
+        F.lower(col), F.lit(TOKEN_PATTERN_UNICODE.replace("\\\\", "\\")), F.lit(0)
+    )
+
+
 def shingles(tokens_col: str, k: int = 3) -> Column:
     """Word k-grams (as space-joined strings) from a token array column.
 

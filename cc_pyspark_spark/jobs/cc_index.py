@@ -83,3 +83,33 @@ def cc_index_word_count(
     return per_doc.groupBy("word").agg(
         F.sum("cnt").cast("bigint").alias("tf"), F.count("*").alias("df")
     )
+
+
+def cc_index_export(
+    spark: SparkSession,
+    index_path: str,
+    query: str,
+    output_path: str,
+    num_output_partitions: int = 10,
+    fmt: str = "parquet",
+    compression: str = "gzip",
+) -> int:
+    """cc_index_export.py parity: SQL over the index → table export.
+
+    Mirrors the reference's persist → count (logged action) →
+    repartition → write sequence (sparkcc.py:508-534).
+    """
+    from cc_pyspark_spark.sources.tables import write_table  # noqa: PLC0415
+
+    load_ccindex(spark, index_path)
+    sqldf = execute_query(spark, query).persist()
+    n = sqldf.count()
+    write_table(
+        sqldf,
+        output_path,
+        fmt=fmt,
+        compression=compression,
+        num_partitions=num_output_partitions,
+    )
+    sqldf.unpersist()
+    return n

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cc_pyspark_spark.functions.text import tokenize
+from cc_pyspark_spark.functions.text import tokenize, tokenize_unicode
 from cc_pyspark_spark.functions.url import surt_host_udf, urljoin_udf
 from cc_pyspark_spark.sources.warc import header_values, is_html
 
@@ -66,7 +66,7 @@ def word_count(records: DataFrame) -> DataFrame:
     wet = records.filter(F.col("record_type") == "conversion")
     toks = wet.select(
         "target_uri",
-        F.explode(tokenize("" + PAYLOAD_TEXT + "")).alias("word"),
+        F.explode(tokenize_unicode(PAYLOAD_TEXT)).alias("word"),
     )
     per_doc = toks.groupBy("target_uri", "word").agg(F.count("*").alias("cnt"))
     return per_doc.groupBy("word").agg(

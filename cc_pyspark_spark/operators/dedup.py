@@ -133,3 +133,49 @@ def exact_dedup_keep_first(
     return packed.groupBy(*key_cols).agg(F.min("r").alias("r")).select(
         *key_cols, "r.*"
     )
+
+
+def minhash_lsh_ml_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hash_tables: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Spark ML flavor: HashingTF(binary) → MinHashLSH →
+    approxSimilarityJoin (SURVEY §7.8 suggested `MinHashLSH from Spark ML`).
+
+    Jaccard here is computed on feature-hashed shingle vectors, so it is
+    approximate in two ways (hash collisions + LSH candidate recall);
+    use `minhash_lsh_pairs` when scores must be exact. Seeded for
+    determinism.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH  # noqa: PLC0415
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).select("doc_id", F.array_distinct(shingles("toks", shingle_k)).alias("sh"))
+    sh = sh.filter(F.size("sh") > 0)  # MinHashLSH needs >= 1 non-zero entry
+    htf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = htf.transform(sh)
+    mh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            (1.0 - F.col("jaccard_dist")).alias("jac_approx"),
+        )
+    )

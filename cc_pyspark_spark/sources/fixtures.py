@@ -130,7 +130,8 @@ def generate_warc_corpus(
 
     # WET file: conversion records with plain text
     wet_name = os.path.join(out_dir, "crawl-00.warc.wet.gz")
-    vocab = "the quick brown fox jumps over lazy dog spark shuffle".split()
+    vocab = ("the quick brown fox jumps over lazy dog spark shuffle "
+             "wörld héllo 中文").split()
     with open(wet_name, "wb") as fh:
         w = WarcWriter(fh, gzip_members=True)
         for di in range(10):

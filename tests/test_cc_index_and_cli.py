@@ -94,3 +94,19 @@ def test_cli_hostlinks_to_graph(spark, tmp_path):
     e = {tuple(r) for r in spark.read.parquet(out + "/edges").collect()}
     assert v == {("com.a", 1), ("com.b", 2)}
     assert e == {(1, 2), (2, 1)}  # self-loop removed
+
+
+def test_cc_index_export(spark, corpus, tmp_path):
+    from cc_pyspark_spark.jobs.cc_index import cc_index_export
+
+    out = str(tmp_path / "export")
+    n = cc_index_export(
+        spark,
+        corpus["ccindex_parquet"],
+        "SELECT url, warc_filename FROM ccindex WHERE url LIKE '%.com/%'",
+        out,
+        num_output_partitions=1,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == n > 0
+    assert set(back.columns) == {"url", "warc_filename"}

@@ -56,3 +56,24 @@ def test_exact_dedup_keep_first(spark):
         for r in exact_dedup_keep_first(df, ["key"], "id").collect()
     }
     assert out == {"a": (1, 10.0), "b": (3, 30.0)}
+
+
+def test_ml_minhash_agrees_with_exact(spark):
+    from cc_pyspark_spark.operators.dedup import minhash_lsh_ml_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r["a_id"], r["b_id"]): r["jac_approx"]
+        for r in minhash_lsh_ml_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"]): r["jac"]
+        for r in QUERIES["dedup_ngram_jaccard"].spark(spark, SF_DIR).collect()
+    }
+    # recall of planted near-dups
+    assert len([k for k in exact if k in got]) >= 0.8 * len(exact)
+    # reported scores are close to exact jaccard (feature-hash collisions
+    # can only inflate or slightly distort)
+    for k, v in got.items():
+        if k in exact:
+            assert abs(v - exact[k]) < 0.05

@@ -92,7 +92,7 @@ def test_word_count_parity(records_df, records_py):
     for r in records_py:
         if r.rec_type != "conversion":
             continue
-        toks = re.findall(r"[a-z0-9]+", r.payload.decode().lower())
+        toks = re.findall(r"\w+", r.payload.decode().lower(), re.UNICODE)
         tf.update(toks)
         df.update(set(toks))
     got = {row["word"]: (row["tf"], row["df"]) for row in word_count(records_df).collect()}
