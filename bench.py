@@ -24,9 +24,13 @@ from cc_pyspark_spark.session import build_session
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_late_shipments",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
     "text_word_count_tfdf",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -212,3 +212,168 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_q4_late_shipments",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+    description="Q4 shape: EXISTS semi-join with a correlated date "
+    "comparison + agg",
+    tags=("join", "agg", "bench"),
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = t.lineitem.select("l_orderkey", "l_shipdate")
+    matched = orders.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+""",
+    description="Q14 shape: conditional aggregation over a fact-dim join "
+    "(promo revenue share)",
+    tags=("join", "agg", "bench"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    joined = li.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = (
+        "CASE WHEN p_type LIKE 'PROMO%' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )
+    return joined.agg(
+        F.sum(F.expr(promo).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(
+            F.expr("l_extendedprice * (1 - l_discount)").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("total_revenue"),
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 210)
+GROUP BY c_custkey, c_name, o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+    description="Q18 shape: HAVING subquery (large-volume orders) + "
+    "3-way join + deterministic top-k",
+    tags=("join", "agg", "topk", "bench"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    big_orders = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 210)
+        .select(F.col("l_orderkey").alias("big_ok"))
+    )
+    return (
+        t.customer
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big_orders, F.col("o_orderkey") == F.col("big_ok"), "left_semi")
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+       AND l_quantity >= 20 AND l_quantity <= 45)
+""",
+    description="Q19 shape: disjunctive multi-clause predicates across a "
+    "join (tests CNF conversion / predicate pushdown through OR)",
+    tags=("join", "scan", "bench"),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    joined = t.lineitem.join(
+        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.sum(
+            F.expr("l_extendedprice * (1 - l_discount)").cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
