@@ -99,3 +99,15 @@ def tld_is_valid(col: str, tlds: frozenset[str] = DEFAULT_TLDS) -> F.Column:
     """F10: first label of a rev-host is a known TLD (isin — Catalyst
     folds this to a hash-set probe; for huge lists use a broadcast join)."""
     return F.split(F.col(col), "[.]").getItem(0).isin(list(tlds))
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the Python-side scalar library to SQL users
+    (`SELECT surt_host(url) FROM ...`) — parity with the reference's
+    registered UDFs (hostlinks_to_graph.py:86-94)."""
+    spark.udf.register("surt_host", surt_host, T.StringType())
+    spark.udf.register(
+        "url_join",
+        lambda b, l: _urljoin(b or "", l) if l is not None else None,
+        T.StringType(),
+    )

@@ -196,3 +196,39 @@ def test_ranged_access_property(tmp_path_factory, payloads, gz):
     for (off, length), (uri, payload) in zip(w.coordinates, payloads):
         rec = read_record_at(path, off, length)
         assert rec is not None and rec.target_uri == uri and rec.payload == payload
+
+
+def test_sql_registered_functions(spark):
+    from cc_pyspark_spark.functions.url import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT surt_host('http://www.Example.com/x') AS s, "
+        "url_join('http://a.com/dir/', '../up') AS j"
+    ).collect()[0]
+    assert row["s"] == "com.example"
+    assert row["j"] == "http://a.com/up"
+
+
+def test_corrupt_wat_json_is_skipped(spark):
+    """Malformed WAT JSON must not fail the task (records_failed
+    semantics, wat_extract_links.py:81-86): from_json yields null and
+    the record drops out."""
+    import pandas as pd
+
+    from cc_pyspark_spark.jobs.pipelines import wat_extract_links
+    from cc_pyspark_spark.sources.warc import WARC_RECORD_SCHEMA
+
+    rows = [
+        {
+            "warc_filename": "f", "warc_record_offset": 0,
+            "warc_record_length": 1, "record_type": "metadata",
+            "content_type": "application/json",
+            "target_uri": "http://x.example.com/p", "warc_date": None,
+            "warc_ip_address": None, "identified_payload_type": None,
+            "http_status": None, "http_headers": None,
+            "payload": b"{not valid json!!",
+        }
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), WARC_RECORD_SCHEMA)
+    assert wat_extract_links(df).collect() == []
