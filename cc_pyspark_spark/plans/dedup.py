@@ -89,9 +89,12 @@ sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
+    # Persisted: the shingle set is used by the self-join (twice) and the
+    # per-doc sizes — O6 parity (sparkcc.py:511 persist-before-reuse).
     sh = (
         t.documents.select("doc_id", tokenize("text").alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s"))
+        .persist()
     )
     return _jaccard_pairs(sh, sh.select("doc_id", "s"))
 
@@ -175,15 +178,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         t.documents.select("doc_id", tokenize("text").alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s"))
+        .persist()
     )
     # Deterministic shingle IDs for oracle parity. At production scale
-    # replace with F.xxhash64("s") — no global sort, same LSH behavior.
+    # replace with F.xxhash64("s") — no global sort, same LSH behavior
+    # (operators/dedup.py is that variant).
     ids = (
         sh.select("s")
         .distinct()
         .withColumn("sid", F.row_number().over(W.orderBy("s")).cast("bigint"))
     )
-    ds = sh.join(ids, "s").select("doc_id", "sid")
+    ds = sh.join(F.broadcast(ids), "s").select("doc_id", "sid")
     sig = ds.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("sid") + F.lit(b)) % MINHASH_P).alias(f"h{j}")
