@@ -232,3 +232,39 @@ def test_corrupt_wat_json_is_skipped(spark):
     ]
     df = spark.createDataFrame(pd.DataFrame(rows), WARC_RECORD_SCHEMA)
     assert wat_extract_links(df).collect() == []
+
+
+def test_variant_header_links_scalar_and_list(spark):
+    """VariantType path handles the JSON list-or-scalar header shapes the
+    typed schema cannot (wat_extract_links.py:164-177 semantics)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.functions.json import wat_header_links_variant
+
+    def env(headers):
+        return _json.dumps(
+            {"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+                "Headers": headers}}}}
+        )
+
+    rows = [
+        (env({"Link": "<http://a.com/x>; rel=preload"}),),
+        (env({"Link": ["<http://b.com/y>", "<http://c.com/z>; rel=next"]}),),
+        (env({"Content-Location": "http://d.com/c", "Link": "<http://e.com/w>"}),),
+        (env({}),),
+        ("{broken json",),
+    ]
+    df = spark.createDataFrame(rows, "payload_text string")
+    out = [
+        sorted(r[0])
+        for r in df.select(
+            wat_header_links_variant(F.col("payload_text")).alias("links")
+        ).collect()
+    ]
+    assert out[0] == ["http://a.com/x"]
+    assert out[1] == ["http://b.com/y", "http://c.com/z"]
+    assert out[2] == ["http://d.com/c", "http://e.com/w"]
+    assert out[3] == []
+    assert out[4] == []
