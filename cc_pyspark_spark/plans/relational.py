@@ -767,3 +767,76 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nationkey")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+WHERE props IS NOT NULL
+""",
+    description="F11-lite: JSON scalar extraction from a string column "
+    "(get_json_object) + derived banding",
+    tags=("scalar", "json"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return t.events.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS first_word,
+       string_split(p_name, ' ')[-1] AS last_word,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+       array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|')
+         AS sorted_words
+FROM part WHERE p_partkey <= 100
+""",
+    description="Array function library: split, element_at (first/last), "
+    "size, array_distinct + sort_array + array_join",
+    tags=("scalar", "array"),
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    words = F.split("p_name", " ")
+    return t.part.filter(F.col("p_partkey") <= 100).select(
+        "p_partkey",
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.array_join(F.sort_array(F.array_distinct(words)), "|").alias(
+            "sorted_words"
+        ),
+    )
+
+
+@register(
+    "join_merge_hint",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 450000
+""",
+    description="Join strategy hint (SHUFFLE_MERGE): same semantics as the "
+    "Catalyst-chosen plan, explicitly sort-merge — the hint API surface",
+    tags=("join",),
+)
+def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.filter(F.col("o_totalprice") > 450000)
+        .join(t.customer.hint("shuffle_merge"), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
