@@ -15,6 +15,7 @@ sort within partitions when the job declares a clustering key
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from pyspark.sql import DataFrame
@@ -28,7 +29,7 @@ from cc_pyspark_spark.jobs.pipelines import (
     word_count,
 )
 from cc_pyspark_spark.session import build_session
-from cc_pyspark_spark.sources.warc import warc_records
+from cc_pyspark_spark.sources.warc import WarcMetrics, warc_records
 
 JOBS = {
     "server_count": (server_count, None),
@@ -109,14 +110,24 @@ def main(argv: list[str] | None = None) -> int:
                 ).mode("overwrite").save(f"{base}/{name}")
         return 0
     job_fn, sort_cols = JOBS[args.job]
+    metrics = WarcMetrics(spark)
     records = warc_records(
         spark,
         args.input,
         input_base_url=args.input_base_url,
         num_input_partitions=args.num_input_partitions,
+        metrics=metrics,
     )
     df = job_fn(records)
+    # A8 dataflow metrics: accumulators for the parse stage +
+    # df.observe for the output stage, logged after the single action.
+    from pyspark.sql import Observation  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    obs = Observation("job_metrics")
+    df = df.observe(obs, F.count(F.lit(1)).alias("output_rows"))
     write_output(df, args, sort_cols)
+    print(json.dumps({"job": args.job, **metrics.log(), **obs.get}))
     return 0
 
 

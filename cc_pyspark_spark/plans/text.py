@@ -326,3 +326,54 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@register(
+    "text_top_terms_tfidf",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, word) AS rnk
+  FROM scored
+)
+SELECT doc_id, word, score, rnk FROM ranked WHERE rnk <= 3
+""",
+    description="Top-3 salient terms per document by tf x rational idf "
+    "(BM25-style (N-df+0.5)/(df+0.5) — log-free so the oracle is "
+    "bit-exact; ln() differs by 1 ulp across engines)",
+    tags=("text", "bench"),
+)
+def text_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Catalog(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.explode(tokenize("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = t.documents.count()  # scalar; tiny driver-side count
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        (
+            F.col("tf") * (F.lit(float(n_docs)) - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "score", "rnk")
+    )

@@ -110,3 +110,29 @@ def test_cc_index_export(spark, corpus, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == n > 0
     assert set(back.columns) == {"url", "warc_filename"}
+
+
+def test_cli_emits_job_metrics(spark, corpus, tmp_path, capsys):
+    import json as _json
+
+    rc = runner_main(
+        [
+            "word_count",
+            corpus["manifest"],
+            str(tmp_path / "wc_out"),
+            "--num_input_partitions",
+            "2",
+            "--num_output_partitions",
+            "1",
+        ]
+    )
+    assert rc == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ]
+    m = _json.loads(lines[-1])
+    assert m["job"] == "word_count"
+    assert m["files_processed"] == len(corpus["files"])
+    assert m["files_failed"] == 0
+    assert m["records_processed"] > 0
+    assert m["output_rows"] > 0

@@ -91,3 +91,32 @@ def test_partitioned_ccindex_prunes_partitions(spark, tmp_path_factory):
     assert "PartitionFilters: [" in plan
     assert "isnotnull(crawl" in plan
     assert q.count() == 50
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Bucketed co-located join (SURVEY scale directive): two tables
+    bucketed on the join key by the same bucket count join without any
+    Exchange — the 100 TB repeated-join pattern."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+        ).write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+        spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+        ).write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 10000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
