@@ -268,3 +268,25 @@ def test_variant_header_links_scalar_and_list(spark):
     assert out[2] == ["http://d.com/c", "http://e.com/w"]
     assert out[3] == []
     assert out[4] == []
+
+
+def test_sentence_split_udtf(spark):
+    """Python UDTF (U2 surface): lateral one-row→N-rows expansion."""
+    from cc_pyspark_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "One. Two! Three?"), (2, "No punctuation"), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT s.* FROM udtf_docs d, "
+        "LATERAL split_sentences(d.doc_id, d.text) s ORDER BY doc_id, sentence_idx"
+    ).collect()
+    got = [(r["doc_id"], r["sentence_idx"], r["sentence"]) for r in rows]
+    assert got == [
+        (1, 0, "One."),
+        (1, 1, "Two!"),
+        (1, 2, "Three?"),
+        (2, 0, "No punctuation"),
+    ]
