@@ -80,3 +80,95 @@ def decode_images(blobs_df: DataFrame, id_col: str = "blob_id",
             yield out
 
     return blobs_df.mapInPandas(run, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    blobs_df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "blob_id",
+    blob_col: str = "blob",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize stage (stub codec): real impl swaps `_fake_resize` for a
+    PIL `Image.resize`; the Spark plumbing — Arrow batches in, binary
+    column out, no shuffle — is the deliverable."""
+
+    def _fake_resize(blob: bytes) -> bytes:
+        # deterministic stand-in: truncate/pad to width*height bytes
+        target = width * height
+        return (blob * (target // max(len(blob), 1) + 1))[:target]
+
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image library (e.g. Pillow); "
+            "pass fake=True for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf[id_col].values,
+                    "width": width,
+                    "height": height,
+                    "resized": [_fake_resize(b) for b in pdf[blob_col]],
+                }
+            )
+
+    return blobs_df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    blobs_df: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    id_col: str = "blob_id",
+    blob_col: str = "blob",
+    fake: bool = False,
+) -> DataFrame:
+    """Frame sampling (1 video blob → N frame rows) — the U2-shaped
+    multimodal expansion. Stub slices the byte stream at fixed strides;
+    a real impl swaps in ffmpeg keyframe extraction. Row expansion
+    happens inside the Arrow batch (mapInPandas), so output partitioning
+    inherits the blob partitioning — no shuffle."""
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires a video library (e.g. ffmpeg); "
+            "pass fake=True for the deterministic stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                for i in range(min(max_frames, max(len(blob), 1) // every_n_bytes + 1)):
+                    rows.append(
+                        {
+                            "blob_id": bid,
+                            "frame_idx": i,
+                            "frame": blob[i * every_n_bytes : (i + 1) * every_n_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["blob_id", "frame_idx", "frame"])
+
+    return blobs_df.mapInPandas(run, FRAME_SCHEMA)
