@@ -204,3 +204,51 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("purchase_id").agg(
         F.count("click_id").alias("n_recent_clicks")
     )
+
+
+@register(
+    "events_user_trend",
+    oracle="""
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+         value AS y
+  FROM events
+), sums AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(12,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM b GROUP BY user_id
+)
+SELECT user_id, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+FROM sums
+""",
+    description="Per-user linear trend of event values over time: "
+    "closed-form least squares from decimal-exact sums (custom analytic "
+    "without any UDF; U3-class aggregation as plain algebra)",
+    tags=("events", "agg"),
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    b = t.events.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.lit(1704067200)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(12,0)")
+    yd = F.col("y").cast("decimal(18,6)")
+    sums = b.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select("user_id", "n", slope.alias("slope"))

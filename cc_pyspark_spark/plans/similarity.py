@@ -197,3 +197,51 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVF_TOP_K)
         .select("q_id", "n_id", "cos", "rnk")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 50
+), s AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                     (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS max_abs
+  FROM e
+), flat AS (
+  SELECT vec_id, max_abs, i.i AS dim_idx, v[i.i] AS x
+  FROM s, (SELECT unnest(range(1, 65)) AS i) i
+)
+SELECT vec_id,
+       CAST(dim_idx AS INT) AS dim_idx,
+       CAST(floor(x / max_abs * 127.0 + 0.5) AS BIGINT) AS q
+FROM flat
+""",
+    description="Int8 embedding quantization (per-vector max-abs scale, "
+    "floor(x*127/scale+0.5)) — storage compression stage of an embedding "
+    "pipeline, exact across engines (floor, not round)",
+    tags=("similarity", "multimodal"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.filter(F.col("vec_id") < 50).select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    max_abs = F.expr(
+        "aggregate(v, 0D, (a, x) -> CASE WHEN abs(x) > a THEN abs(x) ELSE a END)"
+    )
+    s = e.withColumn("max_abs", max_abs)
+    flat = s.select(
+        "vec_id",
+        "max_abs",
+        F.posexplode("v").alias("pos", "x"),
+    )
+    return flat.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim_idx"),
+        F.floor(F.col("x") / F.col("max_abs") * 127.0 + 0.5)
+        .cast("bigint")
+        .alias("q"),
+    )
