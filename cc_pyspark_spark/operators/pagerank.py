@@ -1,0 +1,68 @@
+"""PageRank over the integer host graph (iterative DataFrame algorithm).
+
+The reference stops at building the graph tables
+(hostlinks_to_graph.py); ranking them is the natural next operator for
+a web-graph pipeline. Implemented as damped power iteration in pure
+DataFrame algebra — no GraphX/GraphFrames dependency:
+
+    r_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} r_k(u)/outdeg(u) + dangling/N)
+
+Scale notes: each iteration is one shuffle keyed by target vertex
+(contribution aggregation) plus a broadcast-sized dangling-mass scalar;
+ranks are checkpointed every few iterations (`localCheckpoint`) so the
+lineage doesn't grow linearly with iteration count — the classic
+iterative-algorithm failure mode on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """edges(s, t) integer vertex ids → (id, rank); Σ rank == 1."""
+    vertices = (
+        edges.select(F.col("s").alias("id"))
+        .union(edges.select(F.col("t").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()
+    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist()
+
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    for i in range(n_iter):
+        with_deg = ranks.join(out_deg, ranks.id == out_deg.s, "left")
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            edges.join(ranks, edges.s == ranks.id)
+            .join(out_deg, "s")
+            .select(F.col("t").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)  # truncate lineage
+    return ranks

@@ -1,0 +1,42 @@
+"""PageRank vs an independent dense power iteration (numpy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cc_pyspark_spark.operators.pagerank import pagerank
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3),  # 4 → 3, 3 ↔ 1 cycle
+    (5, 1),  # 5 dangles into the cycle; nothing points at 5
+]
+
+
+def _numpy_pagerank(edges, n_iter=10, d=0.85):
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = {v: 0 for v in ids}
+    for s, _ in edges:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = sum(r[idx[v]] for v in ids if out[v] == 0)
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / out[s]
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in ids}
+
+
+def test_pagerank_matches_reference_math(spark):
+    edges = spark.createDataFrame(EDGES, "s long, t long")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, n_iter=10).collect()}
+    want = _numpy_pagerank(EDGES, n_iter=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # structural sanity: the cycle hub (3) outranks the dangling feeder (5)
+    assert got[3] > got[5]
