@@ -66,3 +66,50 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)  # truncate lineage
     return ranks
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 4
+) -> DataFrame:
+    """Undirected connected components by min-label propagation.
+
+    → (id, component) where component = min vertex id in the component.
+    Each iteration: one shuffle (neighbor-min aggregation); converges in
+    O(graph diameter) rounds and stops early when no label changes.
+    """
+    sym = edges.select("s", "t").union(
+        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    )
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.t == labels.id)
+            .groupBy("s")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nmin", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))

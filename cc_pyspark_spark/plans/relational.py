@@ -840,3 +840,38 @@ def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.customer.hint("shuffle_merge"), F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_totalprice", "c_name")
     )
+
+
+@register(
+    "conditional_functions",
+    oracle="""
+SELECT s_suppkey,
+       COALESCE(NULLIF(s_name, 'Supplier#000000001'), '(anonymized)') AS display,
+       GREATEST(s_acctbal, 0.0) AS bal_floor,
+       LEAST(CAST(s_nationkey AS BIGINT), 10) AS nation_cap,
+       CASE WHEN s_acctbal < 0 THEN 'debt'
+            WHEN s_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_band,
+       CAST(s_acctbal >= 0 AS INT) AS non_negative
+FROM supplier
+""",
+    description="Conditional/null function library: nullif, coalesce, "
+    "greatest/least, multi-branch CASE, boolean cast",
+    tags=("scalar",),
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.supplier.select(
+        "s_suppkey",
+        F.coalesce(
+            F.nullif(F.col("s_name"), F.lit("Supplier#000000001")),
+            F.lit("(anonymized)"),
+        ).alias("display"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("s_nationkey").cast("bigint"), F.lit(10)).alias("nation_cap"),
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        (F.col("s_acctbal") >= 0).cast("int").alias("non_negative"),
+    )

@@ -40,3 +40,13 @@ def test_pagerank_matches_reference_math(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     # structural sanity: the cycle hub (3) outranks the dangling feeder (5)
     assert got[3] > got[5]
+
+
+def test_connected_components(spark):
+    from cc_pyspark_spark.operators.pagerank import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (20, 20)], "s long, t long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20}
