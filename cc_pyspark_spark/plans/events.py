@@ -252,3 +252,52 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return sums.select("user_id", "n", slope.alias("slope"))
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         value
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY x
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS sum_10m,
+       CAST(COUNT(*)
+            OVER (PARTITION BY user_id ORDER BY x
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_10m
+FROM b
+""",
+    description="RANGE window frame (value-based, not row-based): rolling "
+    "10-minute sum/count per user over epoch seconds — the frame spec class "
+    "SURVEY §2.5 notes as absent from the reference",
+    tags=("events", "window"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    b = t.events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("x"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("x")
+        .rangeBetween(-600, W.currentRow)
+    )
+    return b.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_10m"),
+        F.count("*").over(w).cast("bigint").alias("n_10m"),
+    )
