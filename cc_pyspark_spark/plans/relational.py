@@ -875,3 +875,37 @@ def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_band"),
         (F.col("s_acctbal") >= 0).cast("int").alias("non_negative"),
     )
+
+
+@register(
+    "agg_arg_max",
+    oracle="""
+WITH m AS (
+  SELECT c_nationkey,
+         max(struct_pack(bal := c_acctbal, key := c_custkey, name := c_name)) AS t
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, t.bal AS top_bal, t.key AS top_custkey, t.name AS top_name
+FROM m
+""",
+    description="argmax per group via struct-max (deterministic tie-break "
+    "through the embedded unique key; the max_by/arg_max aggregate class)",
+    tags=("agg",),
+)
+def agg_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    packed = F.struct(
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+    )
+    return (
+        t.customer.groupBy("c_nationkey")
+        .agg(F.max(packed).alias("t"))
+        .select(
+            "c_nationkey",
+            F.col("t.bal").alias("top_bal"),
+            F.col("t.key").alias("top_custkey"),
+            F.col("t.name").alias("top_name"),
+        )
+    )
