@@ -56,11 +56,18 @@ def shingles(tokens_col: str, k: int = 3) -> Column:
 
     Built with `transform(sequence(...))` — pure Catalyst, no shuffle,
     no Python. Used by MinHash/Jaccard dedup.
+
+    Documents shorter than ``k`` tokens yield an empty array: without the
+    guard, ``sequence(0, size - k)`` turns negative and the element access
+    throws ``[INVALID_ARRAY_INDEX]`` under Spark 4's default ANSI mode,
+    aborting the whole job on the first short record.
     """
     parts = ", ".join(f"{tokens_col}[i + {j}]" for j in range(k))
     return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {k} THEN "
         f"transform(sequence(0, size({tokens_col}) - {k}), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END"
     )
 
 

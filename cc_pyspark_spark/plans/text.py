@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cc_pyspark_spark.catalog import Catalog
-from cc_pyspark_spark.functions.text import TOKEN_PATTERN, tokenize
+from cc_pyspark_spark.functions.text import TOKEN_PATTERN, shingles, tokenize
 from cc_pyspark_spark.plans.registry import register
 
 #: Deterministic language-marker sets (heuristic n-gram-style language
@@ -315,13 +315,9 @@ HAVING COUNT(*) >= 5
 )
 def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    bigrams = F.expr(
-        "transform(sequence(0, size(toks) - 2), "
-        "i -> concat_ws(' ', toks[i], toks[i+1]))"
-    )
     return (
         t.documents.select(tokenize("text").alias("toks"))
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode(shingles("toks", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)

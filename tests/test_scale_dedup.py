@@ -77,3 +77,35 @@ def test_ml_minhash_agrees_with_exact(spark):
     for k, v in got.items():
         if k in exact:
             assert abs(v - exact[k]) < 0.05
+
+def test_shingles_short_docs_do_not_crash(spark):
+    """ANSI regression: docs with fewer than k tokens must yield an empty
+    shingle array, not [INVALID_ARRAY_INDEX] (sequence(0, size-k) goes
+    negative without the guard)."""
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.functions.text import shingles, tokenize
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("two words", ), ("now three tokens", ),
+         ("this one has four", )],
+        ["text"],
+    ).select(tokenize("text").alias("toks"))
+    rows = df.select(F.size(shingles("toks", 3)).alias("n")).collect()
+    assert [r["n"] for r in rows] == [0, 0, 0, 1, 2]
+    # bigram helper path (k=2) used by text_bigram_counts
+    rows2 = df.select(F.size(shingles("toks", 2)).alias("n")).collect()
+    assert [r["n"] for r in rows2] == [0, 0, 1, 2, 3]
+
+
+def test_minhash_pipeline_tolerates_short_docs(spark):
+    """End-to-end: a corpus containing sub-k-token docs must not abort
+    minhash_lsh_pairs (ADVICE r1, high)."""
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "tiny doc"), (3, "a longer document with enough tokens"),
+         (4, "a longer document with enough tokens too")],
+        ["doc_id", "text"],
+    )
+    # must run without raising; short docs simply produce no signatures
+    pairs = minhash_lsh_pairs(docs, threshold=0.3).collect()
+    assert all(p["a_id"] != p["b_id"] for p in pairs)
