@@ -32,9 +32,15 @@ HEADLINE = [
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive",
     "text_word_count_tfdf",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # Deployment dedup variants (operators/dedup.py): xxhash64 IDs, no
+    # global-sort window, no all-pairs join — the plans you'd run at 100 TB.
+    # The oracle twins (dedup_minhash_lsh, dedup_ngram_jaccard) stay in the
+    # driver correctness gate but out of the benchmark.
+    "dedup_exact",
+    "dedup_minhash_scale",
+    "dedup_simhash_scale",
     "sim_cosine_topk",
+    "sim_ann_ivf",
     "events_tumbling_hourly",
     "events_session_window",
 ]

@@ -135,6 +135,47 @@ def exact_dedup_keep_first(
     )
 
 
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash signature per document, deployment flavor: token hashes come
+    straight from `xxhash64` (no distinct-token ID assignment, no global
+    sort — the plans/dedup.py oracle twin needs one for DuckDB parity).
+
+    One explode + one groupBy keyed by doc_id; the signature is a pure
+    column expression, so the whole plan is two narrow stages at any scale.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("w"),
+    )
+    hashed = tok.select(
+        "doc_id", (F.abs(F.xxhash64("w")) % F.lit(1 << bits)).alias("h")
+    )
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("h") / (1 << b)).cast("bigint") % 2 == 1, 1
+                ).otherwise(-1)
+            )
+            .cast("bigint")
+            .alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
 def minhash_lsh_ml_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

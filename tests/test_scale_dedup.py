@@ -109,3 +109,35 @@ def test_minhash_pipeline_tolerates_short_docs(spark):
     # must run without raising; short docs simply produce no signatures
     pairs = minhash_lsh_pairs(docs, threshold=0.3).collect()
     assert all(p["a_id"] != p["b_id"] for p in pairs)
+
+def test_simhash_scale_signatures(spark):
+    """Deployment simhash: one row per doc, 32-bit range, no window/global
+    sort in the plan, and planted near-dups are closer in hamming distance
+    than random pairs."""
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.operators.dedup import simhash_signatures
+    from cc_pyspark_spark.plans.registry import QUERIES
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = simhash_signatures(docs)
+    plan = sig._sc._jvm.PythonSQLUtils.explainString(
+        sig._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+
+    rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert len(rows) == docs.count()
+    assert all(0 <= v < (1 << 32) for v in rows.values())
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [
+        ham(rows[r["a_id"]], rows[r["b_id"]])
+        for r in QUERIES["dedup_ngram_jaccard"].spark(spark, SF_DIR).collect()
+    ]
+    ids = sorted(rows)
+    rand = [ham(rows[ids[i]], rows[ids[i + 7]]) for i in range(0, 200, 2)]
+    assert near, "fixture has no planted near-dups?"
+    assert sum(near) / len(near) < 0.5 * sum(rand) / len(rand)
