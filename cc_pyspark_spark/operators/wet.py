@@ -50,11 +50,18 @@ def extract_wet_files(
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from cc_pyspark_spark.sources.warcio_lite import WarcWriter  # noqa: PLC0415
 
+        import hashlib  # noqa: PLC0415
+
         warc_name = pdf["warc_filename"].iloc[0]
         base = os.path.basename(warc_name).replace(".warc.gz", "").replace(
             ".warc", ""
         )
-        wet_path = os.path.join(output_dir, f"{base}.warc.wet.gz")
+        # Two inputs with the same basename in different directories must
+        # not collide on one wet_path (the idempotence check would
+        # silently drop the second group) — disambiguate with a short
+        # hash of the full input path.
+        tag = hashlib.sha1(warc_name.encode()).hexdigest()[:8]
+        wet_path = os.path.join(output_dir, f"{base}-{tag}.warc.wet.gz")
         if os.path.exists(wet_path) and not overwrite:  # idempotence check
             return pd.DataFrame(
                 [

@@ -1,0 +1,88 @@
+"""Byte-fetch backends for archive access: local file, http(s) with
+Range GETs, and s3:// behind an injectable client.
+
+Reference behavior being re-expressed (sparkcc.py:291-342): full-file
+fetches for whole-archive processing, and ranged fetches
+(`Range: bytes=o-(o+l-1)` HTTP header / boto3 ranged `get_object`) for
+cc-index record lookups. This module is deliberately Spark-independent:
+it runs inside Arrow `mapInPandas` workers and in plain unit tests.
+
+The sandbox has no network and no boto3, so the s3 client is an
+*injected* dependency with the boto3 `get_object` call shape — tests
+inject a fake; production injects `boto3.client("s3")` (or nothing, and
+the lazy import picks it up where installed).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+_S3_CLIENT: Any | None = None
+
+
+def set_s3_client(client: Any | None) -> None:
+    """Inject an s3 client exposing boto3's
+    ``get_object(Bucket=..., Key=..., [Range=...]) -> {"Body": readable}``.
+    Pass ``None`` to reset to the lazy boto3 default."""
+    global _S3_CLIENT
+    _S3_CLIENT = client
+
+
+def _s3_client() -> Any:
+    if _S3_CLIENT is not None:
+        return _S3_CLIENT
+    try:  # pragma: no cover - boto3 not bundled in the sandbox
+        import boto3  # noqa: PLC0415
+
+        return boto3.client("s3")
+    except ImportError as exc:
+        raise NotImplementedError(
+            "s3:// fetch needs an injected client (sources.fetch.set_s3_client) "
+            "or boto3 (reference: sparkcc.py:309-318)"
+        ) from exc
+
+
+def parse_s3_uri(uri: str) -> tuple[str, str]:
+    rest = uri.removeprefix("s3://")
+    bucket, _, key = rest.partition("/")
+    if not bucket or not key:
+        raise ValueError(f"malformed s3 uri: {uri!r}")
+    return bucket, key
+
+
+def resolve(path: str, input_base_url: str | None) -> str:
+    """Prefix relative archive keys (e.g. ``crawl-data/...``) with the
+    job's input base URL (sparkcc.py `--input_base_url`)."""
+    if input_base_url and "://" not in path and not path.startswith("/"):
+        return input_base_url.rstrip("/") + "/" + path
+    return path
+
+
+def fetch_bytes(uri: str, offset: int | None = None, length: int | None = None) -> bytes:
+    """Fetch a whole object, or ``length`` bytes at ``offset`` when given.
+
+    Ranged semantics are identical across backends: local seek+read,
+    HTTP ``Range`` header GET (sparkcc.py:320-327), s3 ranged
+    ``get_object`` (sparkcc.py:291-305).
+    """
+    ranged = offset is not None
+    if uri.startswith(("http://", "https://")):
+        from urllib.request import Request, urlopen  # noqa: PLC0415
+
+        req = Request(uri)
+        if ranged:
+            req.add_header("Range", f"bytes={offset}-{offset + length - 1}")
+        with urlopen(req) as resp:
+            return resp.read()
+    if uri.startswith("s3://"):
+        bucket, key = parse_s3_uri(uri)
+        kwargs: dict[str, Any] = {"Bucket": bucket, "Key": key}
+        if ranged:
+            kwargs["Range"] = f"bytes={offset}-{offset + length - 1}"
+        return _s3_client().get_object(**kwargs)["Body"].read()
+    path = uri.removeprefix("file://")
+    with open(path, "rb") as f:
+        if ranged:
+            f.seek(offset)
+            return f.read(length)
+        return f.read()

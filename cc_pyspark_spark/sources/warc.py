@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cc_pyspark_spark.functions.encoding import decode_bytes
+from cc_pyspark_spark.sources.fetch import fetch_bytes, resolve
 from cc_pyspark_spark.sources.warcio_lite import iter_warc_records, read_record_at
 
 #: §1.4 record schema — one row per WARC/WAT/WET record.
@@ -64,26 +66,10 @@ WARC_RECORD_SCHEMA = T.StructType(
 _SCHEMA_COLS = [f.name for f in WARC_RECORD_SCHEMA.fields]
 
 
-def _resolve(path: str, input_base_url: str | None) -> str:
-    if input_base_url and "://" not in path and not path.startswith("/"):
-        return input_base_url.rstrip("/") + "/" + path
-    return path
-
-
-def _fetch_bytes(uri: str) -> bytes:
-    """Fetch one archive file. Local paths now; http(s) gated on
-    urllib; s3 needs a client the environment doesn't ship (the
-    reference uses boto3, sparkcc.py:309-318)."""
-    if uri.startswith(("http://", "https://")):
-        from urllib.request import urlopen  # noqa: PLC0415
-
-        with urlopen(uri) as resp:  # pragma: no cover - no network in CI
-            return resp.read()
-    if uri.startswith("s3://"):  # pragma: no cover
-        raise NotImplementedError(
-            "s3:// fetch requires boto3 (sparkcc.py:309-318); not bundled"
-        )
-    return open(uri.removeprefix("file://"), "rb").read()
+# Backend-dispatching helpers live in sources/fetch.py (local seek/read,
+# HTTP Range GET, injectable s3 client — sparkcc.py:291-342 parity).
+_resolve = resolve
+_fetch_bytes = fetch_bytes
 
 
 def _record_rows(
@@ -122,12 +108,16 @@ class WarcMetrics:
         self.records_processed = sc.accumulator(0)
         self.files_processed = sc.accumulator(0)
         self.files_failed = sc.accumulator(0)
+        self.records_fetched = sc.accumulator(0)
+        self.fetch_failed = sc.accumulator(0)
 
     def log(self) -> dict[str, int]:
         return {
             "records_processed": self.records_processed.value,
             "files_processed": self.files_processed.value,
             "files_failed": self.files_failed.value,
+            "records_fetched": self.records_fetched.value,
+            "fetch_failed": self.fetch_failed.value,
         }
 
 
@@ -163,17 +153,24 @@ def warc_records(
             for path in pdf["path"]:
                 uri = _resolve(path, input_base_url)
                 try:
-                    n_before = len(rows)
-                    rows.extend(
+                    # Materialize before extending so a mid-file parse
+                    # error leaves no partial records behind.
+                    new_rows = list(
                         _record_rows(path, uri, record_types, parse_http, with_payload)
                     )
+                    rows.extend(new_rows)
                     if metrics:
                         metrics.files_processed += 1
-                        metrics.records_processed += len(rows) - n_before
-                except OSError:
+                        metrics.records_processed += len(new_rows)
+                except Exception:  # noqa: BLE001 — skip-and-count, never fatal
+                    # Corrupt archives surface as OSError (missing file),
+                    # zlib.error (bad gzip member) or ValueError (garbage
+                    # Content-Length); the reference counts *any* archive
+                    # load failure and moves on (sparkcc.py:390-392
+                    # ArchiveLoadFailed → warc_input_failed += 1).
                     if metrics:
                         metrics.files_failed += 1
-                    continue  # skip-and-count semantics; file-level failure
+                    continue
             yield pd.DataFrame(rows, columns=_SCHEMA_COLS)
 
     return paths_df.mapInPandas(parse, WARC_RECORD_SCHEMA)
@@ -184,6 +181,9 @@ def fetch_warc_records(
     coordinates: DataFrame,
     parse_http: bool = True,
     num_input_partitions: int = 32,
+    input_base_url: str | None = None,
+    metrics: WarcMetrics | None = None,
+    decode_payload_text: bool = False,
 ) -> DataFrame:
     """Coordinate table → records, by byte-range access (J2 / S3).
 
@@ -191,48 +191,77 @@ def fetch_warc_records(
     warc_record_length) — the cc-index pointer-table shape
     (sparkcc.py:617-651). One ranged read per row; repartitioned first
     to spread fetch load (sparkcc.py:600-603).
+
+    `warc_filename` values may be relative archive keys (the cc-index
+    convention, e.g. ``crawl-data/CC-MAIN-.../x.warc.gz``) — pass
+    `input_base_url` to resolve them against local/http(s)/s3 storage
+    (ranged GETs via sources/fetch.py). Failed or missing fetches are
+    skipped and counted in ``metrics.fetch_failed`` so an all-miss run
+    is visible, not silently empty (sparkcc.py:636-640).
+
+    With ``decode_payload_text=True`` the output gains a ``payload_text``
+    column decoded via the charset fallback chain (utf-8 → the table's
+    ``content_charset`` column if present → latin-1; sparkcc.py:609-615).
     """
     cols = ["url", "warc_filename", "warc_record_offset", "warc_record_length"]
+    has_charset = "content_charset" in coordinates.columns
+    if has_charset:
+        cols.append("content_charset")
     src = coordinates.select(*cols).repartition(
         num_input_partitions, "warc_filename"
     )
+
+    schema = WARC_RECORD_SCHEMA
+    out_cols = list(_SCHEMA_COLS)
+    if decode_payload_text:
+        schema = T.StructType(
+            schema.fields + [T.StructField("payload_text", T.StringType())]
+        )
+        out_cols.append("payload_text")
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
+                uri = _resolve(row.warc_filename, input_base_url)
                 try:
                     rec = read_record_at(
-                        row.warc_filename,
+                        uri,
                         int(row.warc_record_offset),
                         int(row.warc_record_length),
                         parse_http=parse_http,
                     )
-                except OSError:
+                except Exception:  # noqa: BLE001 — skip-and-count
                     rec = None
                 if rec is None:  # skip-and-count (sparkcc.py:636-640)
+                    if metrics:
+                        metrics.fetch_failed += 1
                     continue
-                rows.append(
-                    {
-                        "warc_filename": row.warc_filename,
-                        "warc_record_offset": int(row.warc_record_offset),
-                        "warc_record_length": int(row.warc_record_length),
-                        "record_type": rec.rec_type,
-                        "content_type": rec.content_type,
-                        "target_uri": rec.target_uri or row.url,
-                        "warc_date": rec.headers.get("WARC-Date"),
-                        "warc_ip_address": rec.headers.get("WARC-IP-Address"),
-                        "identified_payload_type": rec.headers.get(
-                            "WARC-Identified-Payload-Type"
-                        ),
-                        "http_status": rec.http_status,
-                        "http_headers": rec.http_headers or None,
-                        "payload": bytes(rec.payload),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=_SCHEMA_COLS)
+                if metrics:
+                    metrics.records_fetched += 1
+                out = {
+                    "warc_filename": row.warc_filename,
+                    "warc_record_offset": int(row.warc_record_offset),
+                    "warc_record_length": int(row.warc_record_length),
+                    "record_type": rec.rec_type,
+                    "content_type": rec.content_type,
+                    "target_uri": rec.target_uri or row.url,
+                    "warc_date": rec.headers.get("WARC-Date"),
+                    "warc_ip_address": rec.headers.get("WARC-IP-Address"),
+                    "identified_payload_type": rec.headers.get(
+                        "WARC-Identified-Payload-Type"
+                    ),
+                    "http_status": rec.http_status,
+                    "http_headers": rec.http_headers or None,
+                    "payload": bytes(rec.payload),
+                }
+                if decode_payload_text:
+                    charset = getattr(row, "content_charset", None) if has_charset else None
+                    out["payload_text"] = decode_bytes(bytes(rec.payload), charset)
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return src.mapInPandas(fetch, WARC_RECORD_SCHEMA)
+    return src.mapInPandas(fetch, schema)
 
 
 # ------------------------------------------------- column-level helpers

@@ -111,6 +111,8 @@ def _iter_gzip_members(raw: bytes):
     while pos < len(raw):
         d = zlib.decompressobj(wbits=31)
         data = d.decompress(raw[pos:])
+        if not d.eof:  # truncated member — corrupt archive, not EOF
+            raise zlib.error(f"truncated gzip member at offset {pos}")
         consumed = len(raw) - pos - len(d.unused_data)
         yield pos, consumed, data
         pos += consumed
@@ -176,12 +178,13 @@ def read_record_at(
     """Byte-range record access (sparkcc.py:291-305 ranged-GET analog).
 
     For gzip files (offset, length) address one gzip member; for plain
-    files they address the record bytes directly. Against object
-    storage this becomes a Range GET with identical semantics.
+    files they address the record bytes directly. `path` may be a local
+    path, ``http(s)://`` (Range-header GET) or ``s3://`` (ranged
+    `get_object` via the injectable client in sources/fetch.py).
     """
-    with open(path, "rb") as f:
-        f.seek(offset)
-        raw = f.read(length)
+    from cc_pyspark_spark.sources.fetch import fetch_bytes  # noqa: PLC0415
+
+    raw = fetch_bytes(path, offset, length)
     for rec in iter_warc_records(raw, parse_http=parse_http):
         rec.offset = offset
         rec.length = length

@@ -1,0 +1,272 @@
+"""Fetch backends + fault tolerance: HTTP Range GETs against a local
+server, s3:// via an injected fake client, corrupt-archive skip-and-
+count, the charset decode chain, and WET output-path disambiguation.
+
+Reference behaviors under test: sparkcc.py:291-342 (ranged/full fetch
+across storage backends), sparkcc.py:390-392 (ArchiveLoadFailed →
+count + continue), sparkcc.py:609-615 (charset fallback decode).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from cc_pyspark_spark.functions.encoding import decode_bytes
+from cc_pyspark_spark.sources import fetch as fetchmod
+from cc_pyspark_spark.sources.fetch import fetch_bytes, parse_s3_uri, resolve
+from cc_pyspark_spark.sources.fixtures import generate_warc_corpus
+from cc_pyspark_spark.sources.warc import WarcMetrics, fetch_warc_records, warc_records
+from cc_pyspark_spark.sources.warcio_lite import read_record_at
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fetch-corpus")
+    return generate_warc_corpus(str(out))
+
+
+# ----------------------------------------------------- local HTTP server
+
+
+class _RangeHandler(BaseHTTPRequestHandler):
+    """Static file server honoring single `Range: bytes=a-b` requests."""
+
+    root: str = "/"
+
+    def do_GET(self):  # noqa: N802
+        try:
+            with open(self.root + self.path, "rb") as f:
+                data = f.read()
+        except OSError:
+            self.send_error(404)
+            return
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            lo, _, hi = rng.removeprefix("bytes=").partition("-")
+            lo, hi = int(lo), int(hi)
+            body = data[lo : hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+        else:
+            body = data
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def http_base(corpus):
+    root = corpus["files"][0].rsplit("/", 1)[0]
+    handler = type("H", (_RangeHandler,), {"root": root})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_full_and_ranged_fetch(corpus, http_base):
+    path = corpus["files"][0]
+    name = path.rsplit("/", 1)[1]
+    local = open(path, "rb").read()
+    assert fetch_bytes(f"{http_base}/{name}") == local
+    assert fetch_bytes(f"{http_base}/{name}", 10, 20) == local[10:30]
+
+
+def test_read_record_at_over_http(corpus, http_base):
+    url, fname, offset, length = corpus["coordinates"][0]
+    name = fname.rsplit("/", 1)[1]
+    via_http = read_record_at(f"{http_base}/{name}", offset, length)
+    via_file = read_record_at(fname, offset, length)
+    assert via_http is not None
+    assert via_http.target_uri == via_file.target_uri == url
+    assert via_http.payload == via_file.payload
+
+
+def test_fetch_warc_records_http_base_url(spark, corpus, http_base):
+    """cc-index-style relative keys + input_base_url → HTTP Range GETs."""
+    rel = [
+        (u, f.rsplit("/", 1)[1], o, l) for (u, f, o, l) in corpus["coordinates"][:8]
+    ]
+    coords = spark.createDataFrame(
+        rel, ["url", "warc_filename", "warc_record_offset", "warc_record_length"]
+    )
+    metrics = WarcMetrics(spark)
+    out = fetch_warc_records(
+        spark, coords, num_input_partitions=2,
+        input_base_url=http_base, metrics=metrics,
+    )
+    assert out.count() == 8
+    assert metrics.records_fetched.value == 8
+    assert metrics.fetch_failed.value == 0
+
+
+def test_fetch_all_miss_is_counted_not_silent(spark, corpus):
+    coords = spark.createDataFrame(
+        [("http://x/", "nonexistent/archive.warc.gz", 0, 100)],
+        ["url", "warc_filename", "warc_record_offset", "warc_record_length"],
+    )
+    metrics = WarcMetrics(spark)
+    out = fetch_warc_records(spark, coords, num_input_partitions=1, metrics=metrics)
+    assert out.count() == 0
+    assert metrics.fetch_failed.value == 1
+
+
+# ------------------------------------------------------------ fake s3
+
+
+class _FakeS3:
+    """boto3-shaped get_object over an in-memory bucket."""
+
+    def __init__(self, objects: dict[tuple[str, str], bytes]):
+        self.objects = objects
+        self.calls: list[dict] = []
+
+    def get_object(self, Bucket, Key, Range=None):  # noqa: N803
+        self.calls.append({"Bucket": Bucket, "Key": Key, "Range": Range})
+        data = self.objects[(Bucket, Key)]
+        if Range:
+            lo, _, hi = Range.removeprefix("bytes=").partition("-")
+            data = data[int(lo) : int(hi) + 1]
+        return {"Body": io.BytesIO(data)}
+
+
+def test_s3_fetch_via_injected_client(corpus):
+    path = corpus["files"][0]
+    data = open(path, "rb").read()
+    fake = _FakeS3({("cc-bucket", "crawl-data/x.warc.gz"): data})
+    fetchmod.set_s3_client(fake)
+    try:
+        assert fetch_bytes("s3://cc-bucket/crawl-data/x.warc.gz") == data
+        assert fetch_bytes("s3://cc-bucket/crawl-data/x.warc.gz", 5, 7) == data[5:12]
+        assert fake.calls[1]["Range"] == "bytes=5-11"
+        # ranged record read straight off "s3"
+        url, fname, offset, length = corpus["coordinates"][0]
+        if fname == path:
+            rec = read_record_at("s3://cc-bucket/crawl-data/x.warc.gz", offset, length)
+            assert rec is not None and rec.target_uri == url
+    finally:
+        fetchmod.set_s3_client(None)
+
+
+def test_s3_without_client_raises_not_implemented(monkeypatch):
+    import sys
+
+    monkeypatch.setitem(sys.modules, "boto3", None)  # simulate absence
+    with pytest.raises(NotImplementedError):
+        fetch_bytes("s3://bucket/key")
+    with pytest.raises(ValueError):
+        parse_s3_uri("s3://only-bucket")
+
+
+def test_resolve_base_url():
+    assert resolve("crawl-data/x.gz", "s3://b") == "s3://b/crawl-data/x.gz"
+    assert resolve("/abs/path.gz", "s3://b") == "/abs/path.gz"
+    assert resolve("http://h/x.gz", "s3://b") == "http://h/x.gz"
+    assert resolve("crawl-data/x.gz", None) == "crawl-data/x.gz"
+
+
+# ----------------------------------------------- corrupt-archive skipping
+
+
+def test_corrupt_archives_skipped_and_counted(spark, corpus, tmp_path):
+    good = corpus["files"][0]
+    bad_gzip = tmp_path / "bad.warc.gz"
+    bad_gzip.write_bytes(b"\x1f\x8b" + b"\x00garbage-not-a-gzip-stream")
+    bad_len = tmp_path / "badlen.warc"
+    bad_len.write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: NaN\r\n\r\n"
+    )
+    truncated = tmp_path / "trunc.warc.gz"
+    truncated.write_bytes(gzip.compress(b"WARC/1.0\r\nContent-Length: 10\r\n\r\n")[:-5])
+    missing = tmp_path / "missing.warc.gz"
+
+    metrics = WarcMetrics(spark)
+    df = warc_records(
+        spark,
+        [good, str(bad_gzip), str(bad_len), str(truncated), str(missing)],
+        num_input_partitions=2,
+        metrics=metrics,
+    )
+    n = df.count()
+    assert n > 0  # good file fully parsed…
+    assert metrics.files_processed.value == 1
+    assert metrics.files_failed.value == 4  # …every corrupt one skipped
+    # and the good file's records all survived (no partial-file loss)
+    with open(good, "rb") as f:
+        from cc_pyspark_spark.sources.warcio_lite import iter_warc_records
+
+        assert n == sum(1 for _ in iter_warc_records(f.read()))
+
+
+# ------------------------------------------------------- charset chain
+
+
+def test_decode_chain_utf8_declared_latin1():
+    assert decode_bytes("héllo".encode()) == "héllo"  # valid utf-8 wins
+    assert decode_bytes("héllo".encode("utf-16"), "utf-16") == "héllo"
+    assert decode_bytes("héllo".encode("latin-1"), "ISO-8859-1") == "héllo"
+    # declared charset garbage → latin-1 replacement, never a crash
+    assert decode_bytes(b"\xff\xfe\x00b", "not-a-charset") is not None
+    assert decode_bytes(None) is None
+    # charset names arrive quoted/cased from HTTP headers
+    assert decode_bytes("héllo".encode("latin-1"), ' "Latin-1" ') == "héllo"
+
+
+def test_decode_payload_column(spark):
+    rows = [
+        ("héllo".encode(), None),
+        ("héllo".encode("utf-16"), "UTF-16"),
+        ("héllo".encode("latin-1"), "iso-8859-1"),
+    ]
+    df = spark.createDataFrame(rows, ["payload", "content_charset"])
+    from cc_pyspark_spark.functions.encoding import decode_payload
+
+    got = [
+        r["t"] for r in df.select(decode_payload("payload", "content_charset").alias("t")).collect()
+    ]
+    assert got == ["héllo", "héllo", "héllo"]
+
+
+def test_fetch_decode_payload_text(spark, corpus):
+    """decode_payload_text=True adds a charset-decoded text column."""
+    import pyspark.sql.functions as F
+
+    coords = spark.read.parquet(corpus["ccindex_parquet"]).withColumn(
+        "content_charset", F.lit("utf-8")
+    )
+    out = fetch_warc_records(
+        spark, coords.limit(5), num_input_partitions=1, decode_payload_text=True
+    )
+    rows = out.select("payload", "payload_text").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["payload_text"] == decode_bytes(bytes(r["payload"]), "utf-8")
+
+
+# --------------------------------------------- WET path disambiguation
+
+
+def test_wet_same_basename_no_collision(spark, tmp_path):
+    from cc_pyspark_spark.operators.wet import extract_wet_files
+    from cc_pyspark_spark.sources.fixtures import generate_warc_corpus as gen
+
+    a = gen(str(tmp_path / "a"), n_files=1, responses_per_file=3, seed=1)
+    b = gen(str(tmp_path / "b"), n_files=1, responses_per_file=3, seed=2)
+    records = warc_records(
+        spark, [a["files"][0], b["files"][0]], num_input_partitions=2
+    )
+    manifest = extract_wet_files(records, str(tmp_path / "wet")).collect()
+    wet_paths = {r["wet_path"] for r in manifest}
+    assert len(manifest) == 2
+    assert len(wet_paths) == 2  # same basename, distinct outputs
+    assert not any(r["skipped"] for r in manifest)
