@@ -1,11 +1,14 @@
 """Semi-structured JSON helpers (Spark 4 VariantType).
 
 The typed `from_json` schema in jobs/pipelines.py is the fast path for
-the WAT envelope, but JSON headers are *dynamically* typed in real WAT
-data — `Link` can be a string or a list of strings
-(wat_extract_links.py:164-177 handles both). VariantType keeps the
-dynamic shape queryable without a schema: `parse_json` once, then
-`variant_get` typed probes — both scalar and list variants resolve.
+the WAT envelope, but HTTP headers are *dynamically* typed in real WAT
+data — `Link` / `Content-Location` can hold a string or a list of
+strings (the reference handles both, wat_extract_links.py:158-177),
+and a typed `map<string,string>` stringifies list values into JSON
+text (`'["<a>",...]'`), corrupting link extraction. VariantType keeps
+the dynamic shape queryable: one `try_parse_json`, a cast of the
+Headers object to `map<string, variant>`, then per-entry scalar-or-
+array resolution — all JVM-side, no Python.
 """
 
 from __future__ import annotations
@@ -16,37 +19,47 @@ from pyspark.sql import functions as F
 _HEADERS_PATH = "$.Envelope.Payload-Metadata.HTTP-Response-Metadata.Headers"
 
 
-def wat_header_links_variant(payload_text: Column | str) -> Column:
-    """All link URLs from WAT HTTP headers, list-or-scalar tolerant.
+def _string_or_list(value_variant: Column) -> Column:
+    """variant holding a JSON string or list of strings → array<string>.
 
-    Returns array<string>: Content-Location values plus `<url>` targets
-    from Link headers, whether the JSON holds a string or an array.
+    Non-string/list shapes (objects, numbers) resolve to null elements
+    and are filtered out — reference skip semantics.
+    """
+    return F.filter(
+        F.coalesce(
+            F.try_variant_get(value_variant, "$", "array<string>"),
+            F.array(F.try_variant_get(value_variant, "$", "string")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def wat_header_links_variant(payload_text: Column | str) -> Column:
+    """All link URLs from WAT HTTP headers, list-or-scalar tolerant and
+    header-name case-insensitive.
+
+    Returns array<string>: every Content-Location value plus every
+    `<url>` target from Link header values, whether the JSON holds one
+    string or a list (wat_extract_links.py:158-177 parity).
     """
     col = F.expr(payload_text) if isinstance(payload_text, str) else payload_text
-    v = F.try_parse_json(col)
-
-    def header(name: str) -> Column:
-        return F.expr(
-            f"variant_get(try_parse_json({payload_text}), "
-            f"'{_HEADERS_PATH}.{name}', 'variant')"
-        ) if isinstance(payload_text, str) else F.try_variant_get(
-            v, f"{_HEADERS_PATH}.{name}", "variant"
-        )
-
-    def as_string_array(var: Column) -> Column:
-        # scalar string → single-element array; JSON array → cast through
-        scalar = F.try_variant_get(var, "$", "string")
-        arr = F.try_variant_get(var, "$", "array<string>")
-        return F.coalesce(
-            arr, F.when(scalar.isNotNull(), F.array(scalar)), F.array().cast("array<string>")
-        )
-
-    cloc = as_string_array(header("Content-Location"))
-    link_raw = as_string_array(header("Link"))
-    link_urls = F.flatten(
+    hdr_map = F.try_variant_get(F.try_parse_json(col), _HEADERS_PATH, "map<string, variant>")
+    links = F.flatten(
         F.transform(
-            link_raw,
-            lambda s: F.regexp_extract_all(s, F.lit("<([^>]*)>"), F.lit(1)),
+            F.filter(
+                F.map_entries(hdr_map),
+                lambda e: F.lower(e["key"]).isin("content-location", "link"),
+            ),
+            lambda e: F.when(
+                F.lower(e["key"]) == "content-location", _string_or_list(e["value"])
+            ).otherwise(
+                F.flatten(
+                    F.transform(
+                        _string_or_list(e["value"]),
+                        lambda s: F.regexp_extract_all(s, F.lit("<([^>]*)>"), F.lit(1)),
+                    )
+                )
+            ),
         )
     )
-    return F.concat(cloc, link_urls)
+    return F.coalesce(links, F.array().cast("array<string>"))

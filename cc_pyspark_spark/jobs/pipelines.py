@@ -118,14 +118,13 @@ def sitemaps_from_robotstxt(records: DataFrame) -> DataFrame:
 #: The WAT JSON envelope subtree the link extractor reads
 #: (wat_extract_links.py:211-255) — an explicit from_json schema keeps
 #: parsing JVM-side instead of the reference's per-record json.loads.
-#: HTTP headers: scalar string values (the JSON-list variant decodes to
-#: null under this typed schema and is skipped — multi-valued header
-#: links are rare; a VariantType walk is the escape hatch).
+#: HTTP headers are NOT in this schema: their values are dynamically
+#: typed (string or list of strings), which a typed map mangles — they
+#: go through the VariantType walk in functions/json.py instead.
 WAT_ENVELOPE_SCHEMA = (
     "struct<Envelope: struct<"
     "`WARC-Header-Metadata`: struct<`WARC-Type`: string, `WARC-Target-URI`: string>, "
     "`Payload-Metadata`: struct<`HTTP-Response-Metadata`: struct<"
-    "Headers: map<string, string>, "
     "`HTML-Metadata`: struct<"
     "Head: struct<Base: string, "
     "Link: array<struct<url: string>>, "
@@ -155,12 +154,15 @@ def wat_extract_links(records: DataFrame) -> DataFrame:
     from WAT metadata records + WARC redirect responses.
 
     Link sources, all walked in Catalyst (wat_extract_links.py:158-255):
-    HTTP headers (Content-Location, Link with `<url>` syntax), Head.Link,
+    HTTP headers (Content-Location, Link with `<url>` syntax — string
+    OR JSON-list values, via the VariantType walk), Head.Link,
     Head.Metas (property/name allowlists or absolute content), Head.Scripts,
     body Links (url, or href when absolute), each resolved against
     Head.Base ?? page URL (urljoin UDF); HTTP 30[12378] Location targets;
     and the self-edge for pages with no outgoing links (F18).
     """
+    from cc_pyspark_spark.functions.json import wat_header_links_variant  # noqa: PLC0415
+
     wat = records.filter(
         (F.col("record_type") == "metadata")
         & F.col("content_type").contains("application/json")
@@ -168,13 +170,18 @@ def wat_extract_links(records: DataFrame) -> DataFrame:
     w = F.from_json(F.expr(PAYLOAD_TEXT), WAT_ENVELOPE_SCHEMA)
     meta_root = "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`"
     parsed = (
-        wat.select(w.alias("w"))
+        wat.select(
+            w.alias("w"),
+            # list-or-scalar tolerant header links (F11): typed maps
+            # mangle JSON-list values, so headers take the variant path
+            wat_header_links_variant(F.expr(PAYLOAD_TEXT)).alias("header_links"),
+        )
         .filter(F.col("w.Envelope.`WARC-Header-Metadata`.`WARC-Type`") == "response")
         .select(
             F.col("w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`").alias(
                 "page_url"
             ),
-            F.col(f"{meta_root}.Headers").alias("headers"),
+            F.col("header_links"),
             F.col(f"{meta_root}.`HTML-Metadata`.Head.Base").alias("base"),
             F.col(f"{meta_root}.`HTML-Metadata`.Head.Link.url").alias("head_links"),
             F.col(f"{meta_root}.`HTML-Metadata`.Head.Metas").alias("metas"),
@@ -184,22 +191,7 @@ def wat_extract_links(records: DataFrame) -> DataFrame:
         .filter(F.col("page_url").isNotNull())
     )
     empty = F.array().cast("array<string>")
-    hdr = F.map_filter(
-        F.transform_keys(
-            F.coalesce("headers", F.expr("map()")), lambda k, _: F.lower(k)
-        ),
-        lambda k, _: k.isin("content-location", "link"),
-    )
-    header_links = F.flatten(
-        F.transform(
-            F.map_entries(hdr),
-            lambda e: F.when(
-                e["key"] == "content-location", F.array(e["value"])
-            ).otherwise(
-                F.regexp_extract_all(e["value"], F.lit("<([^>]*)>"), F.lit(1))
-            ),
-        )
-    )
+    header_links = F.col("header_links")
     meta_links = F.expr(
         "transform(filter(coalesce(metas, array()), m -> "
         f"m.property IN {HTML_META_PROPERTY_LINKS} "

@@ -51,8 +51,14 @@ def host_links_to_graph(
     validate_host_names: bool = False,
     normalize_host_names: bool = False,
     tlds: frozenset[str] = DEFAULT_TLDS,
+    distributed_ids: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """(s, t) string edges → (vertices(name, id), edges(s, t) as ids)."""
+    """(s, t) string edges → (vertices(name, id), edges(s, t) as ids).
+
+    `distributed_ids=True` switches ID assignment to the partition-
+    offset operator (operators/ids.py) — identical IDs (name is unique),
+    no single-partition window; use it at scale.
+    """
     names = (
         edges.select(F.col("s").alias("name"))
         .union(edges.select(F.col("t").alias("name")))
@@ -64,9 +70,14 @@ def host_links_to_graph(
         ).dropna().distinct()
     if validate_host_names:
         names = names.filter(tld_is_valid("name", tlds))
-    vertices = names.withColumn(
-        "id", F.row_number().over(W.orderBy("name")).cast("bigint")
-    )
+    if distributed_ids:
+        from cc_pyspark_spark.operators.ids import assign_sequential_ids  # noqa: PLC0415
+
+        vertices = assign_sequential_ids(names, "name")
+    else:
+        vertices = names.withColumn(
+            "id", F.row_number().over(W.orderBy("name")).cast("bigint")
+        )
 
     s_ids = vertices.select(
         F.col("name").alias("s_name"), F.col("id").alias("s_id")

@@ -8,10 +8,13 @@ DataFrame algebra — no GraphX/GraphFrames dependency:
     r_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} r_k(u)/outdeg(u) + dangling/N)
 
 Scale notes: each iteration is one shuffle keyed by target vertex
-(contribution aggregation) plus a broadcast-sized dangling-mass scalar;
-ranks are checkpointed every few iterations (`localCheckpoint`) so the
-lineage doesn't grow linearly with iteration count — the classic
-iterative-algorithm failure mode on Spark.
+(contribution aggregation) plus a broadcast-sized dangling-mass scalar.
+The dangling mass stays INSIDE the plan — a 1-row aggregate cross-
+joined (broadcast) into the rank update — so building all n_iter
+iterations launches no driver actions; the only actions are the eager
+`localCheckpoint` lineage truncations every `checkpoint_every`
+iterations (the classic iterative-algorithm failure mode on Spark is
+linear lineage growth, not the checkpoint cost).
 """
 
 from __future__ import annotations
@@ -38,12 +41,11 @@ def pagerank(
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     for i in range(n_iter):
-        with_deg = ranks.join(out_deg, ranks.id == out_deg.s, "left")
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # Dangling mass as a 1-row DataFrame folded into the plan — a
+        # per-iteration `.collect()` here would double the job count.
+        dangling_df = (
+            ranks.join(out_deg, ranks.id == out_deg.s, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         contribs = (
             edges.join(ranks, edges.s == ranks.id)
@@ -54,12 +56,16 @@ def pagerank(
         )
         ranks = (
             vertices.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + damping
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
         )
@@ -69,13 +75,19 @@ def pagerank(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 4
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_every: int = 4,
+    probe_every: int = 4,
 ) -> DataFrame:
     """Undirected connected components by min-label propagation.
 
     → (id, component) where component = min vertex id in the component.
     Each iteration: one shuffle (neighbor-min aggregation); converges in
-    O(graph diameter) rounds and stops early when no label changes.
+    O(graph diameter) rounds. The convergence probe (a join + count
+    driver action) runs only every `probe_every` iterations — at worst
+    `probe_every - 1` extra cheap iterations, in exchange for
+    `probe_every`× fewer driver round-trips.
     """
     sym = edges.select("s", "t").union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
@@ -102,14 +114,17 @@ def connected_components(
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if (i + 1) % probe_every == 0 or i == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select("id", F.col("comp").alias("component"))

@@ -46,3 +46,23 @@ def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     return simhash_signatures(t.documents)
+
+
+@register(
+    "window_distributed_ids",
+    oracle="""
+SELECT c_custkey, CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS id
+FROM customer
+""",
+    description="W2 scale path: dense sequential IDs via range-partition "
+    "offsets + parallel per-partition row_number — bit-identical to the "
+    "global-window variant (unique order key), no single-partition sort",
+    tags=("window", "scale"),
+)
+def window_distributed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.ids import assign_sequential_ids
+
+    t = Catalog(spark, sf_dir)
+    return assign_sequential_ids(
+        t.customer.select("c_custkey"), "c_custkey", num_partitions=8
+    )

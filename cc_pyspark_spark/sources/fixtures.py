@@ -167,12 +167,21 @@ def generate_warc_corpus(
                 "HTML-Metadata": {"Links": links},
             }
             if rng.random() < 0.4:
-                meta_root["Headers"]["Link"] = (
-                    f"<http://hdr{rng.randint(0, 2)}.example.com/l>; rel=preload"
-                )
+                # real WAT data holds a string OR a JSON list here
+                # (wat_extract_links.py:164-177) — exercise both
+                if rng.random() < 0.5:
+                    meta_root["Headers"]["Link"] = (
+                        f"<http://hdr{rng.randint(0, 2)}.example.com/l>; rel=preload"
+                    )
+                else:
+                    meta_root["Headers"]["Link"] = [
+                        f"<http://hdr{rng.randint(0, 2)}.example.com/l>; rel=preload",
+                        f"<http://hdr{rng.randint(0, 2)}.example.com/m>; rel=next",
+                    ]
             if rng.random() < 0.3:
+                cloc = f"http://cloc{rng.randint(0, 2)}.example.com/c"
                 meta_root["Headers"]["Content-Location"] = (
-                    f"http://cloc{rng.randint(0, 2)}.example.com/c"
+                    cloc if rng.random() < 0.5 else [cloc, cloc + "2"]
                 )
             head = {}
             if rng.random() < 0.3:

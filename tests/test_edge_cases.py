@@ -255,6 +255,10 @@ def test_variant_header_links_scalar_and_list(spark):
         (env({"Content-Location": "http://d.com/c", "Link": "<http://e.com/w>"}),),
         (env({}),),
         ("{broken json",),
+        # case-insensitive names, list-valued Content-Location, junk types
+        (env({"link": ["<http://f.com/q>"],
+              "CONTENT-LOCATION": ["http://g.com/1", "http://g.com/2"],
+              "X-Num": 7, "X-Obj": {"a": 1}}),),
     ]
     df = spark.createDataFrame(rows, "payload_text string")
     out = [
@@ -268,6 +272,7 @@ def test_variant_header_links_scalar_and_list(spark):
     assert out[2] == ["http://d.com/c", "http://e.com/w"]
     assert out[3] == []
     assert out[4] == []
+    assert out[5] == ["http://f.com/q", "http://g.com/1", "http://g.com/2"]
 
 
 def test_sentence_split_udtf(spark):

@@ -1,0 +1,59 @@
+"""W2 distributed ID assignment: equality with the global-window variant
+and no single-partition exchange in the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.operators.ids import assign_sequential_ids
+from tests.conftest import SF_DIR
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ids_equal_global_row_number(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    got = assign_sequential_ids(docs, "doc_id", num_partitions=7)
+    want = docs.withColumn(
+        "id", F.row_number().over(W.orderBy("doc_id")).cast("bigint")
+    )
+    assert {(r["doc_id"], r["id"]) for r in got.collect()} == {
+        (r["doc_id"], r["id"]) for r in want.collect()
+    }
+
+
+def test_ids_plan_has_no_single_partition_exchange(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    plan = _plan(assign_sequential_ids(docs, "doc_id", num_partitions=7))
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    # the window sorts within range partitions, keyed by partition id
+    assert "row_number" in plan
+
+
+def test_ids_multi_column_order(spark):
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 9), ("a", 1), ("c", 0)], ["k", "v"]
+    )
+    got = {
+        (r["k"], r["v"]): r["id"]
+        for r in assign_sequential_ids(df, ["k", "v"], num_partitions=3).collect()
+    }
+    assert got == {("a", 1): 1, ("a", 9): 2, ("b", 2): 3, ("c", 0): 4}
+
+
+def test_graph_distributed_ids_match_default(spark):
+    from cc_pyspark_spark.operators.graph import host_links_to_graph
+
+    edges = spark.createDataFrame(
+        [("com.a", "com.b"), ("com.b", "org.c"), ("org.c", "com.a")], ["s", "t"]
+    )
+    v1, e1 = host_links_to_graph(edges)
+    v2, e2 = host_links_to_graph(edges, distributed_ids=True)
+    assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))

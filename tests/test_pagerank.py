@@ -50,3 +50,29 @@ def test_connected_components(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+def test_pagerank_no_per_iteration_driver_actions(spark):
+    """The dangling-mass scalar must live inside the plan: building 10
+    iterations may launch only the setup count + eager checkpoints
+    (VERDICT r1 #6), never one job per iteration."""
+    edges = spark.createDataFrame(EDGES, "s long, t long")
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_to_build(n_iter):
+        before = len(tracker.getJobIdsForGroup())
+        # checkpoint_every > n_iter: no eager checkpoints, so the only
+        # permitted actions while building are the fixed setup jobs
+        # (vertices.count() + its AQE sub-jobs), independent of n_iter.
+        ranks = pagerank(edges, n_iter=n_iter, checkpoint_every=99)
+        return ranks, len(tracker.getJobIdsForGroup()) - before
+
+    # small iteration counts: without checkpoints the plan tree grows
+    # ~3x per iteration (ranks feeds dangling + contribs + update), so
+    # deep builds are exactly what checkpoint_every exists to prevent
+    _, d2 = jobs_to_build(2)
+    ranks, d4 = jobs_to_build(4)
+    # caching can make the second build cheaper, never more expensive —
+    # a per-iteration collect would show d4 >= d2 + 2
+    assert d4 <= d2, f"driver jobs scale with iterations: {d2} -> {d4}"
+    assert len(ranks.collect()) == 5  # still computes correctly

@@ -166,10 +166,12 @@ def _expected_page_links(records_py):
             base = head.get("Base") or url
             raw = []
             for k, v in meta.get("Headers", {}).items():
+                vals = v if isinstance(v, list) else [v]  # list-or-scalar
                 if k.lower() == "content-location":
-                    raw.append(v)
+                    raw += vals
                 elif k.lower() == "link":
-                    raw += re.findall(r"<([^>]*)>", v)
+                    for val in vals:
+                        raw += re.findall(r"<([^>]*)>", val)
             raw += [l["url"] for l in head.get("Link", []) if "url" in l]
             for m in head.get("Metas", []):
                 if (
