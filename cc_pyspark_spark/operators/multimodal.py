@@ -6,17 +6,20 @@ them; decode / feature-extract / resize / frame-sample run as
 Arrow-batched `mapInPandas` stages so each task processes a columnar
 batch of blobs without per-row Python overhead.
 
-The actual codec step is STUBBED: the container ships no image/audio
-libraries, so `decode_image_batch` raises unless `fake=True`, which
-produces a deterministic fake decode (dimensions + checksum derived
-from the bytes). The Spark-side plumbing — schema, batch shape, UDF
-signature, partition behavior — is real and tested; swapping in
-Pillow/ffmpeg is a one-function change.
+Decode tiers: PNG / BMP / GIF / JPEG dimensions come from a real
+pure-Python header parser (no codec library needed — width/height live
+in fixed header fields); full pixel decode of other formats is STUBBED
+(the container ships no image/audio libraries): `decode_image_batch`
+raises on unknown formats unless `fake=True`, which produces a
+deterministic fake decode. The Spark-side plumbing — schema, batch
+shape, UDF signature, partition behavior — is real and tested;
+swapping in Pillow/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,20 +51,66 @@ def _fake_decode(blob: bytes) -> dict:
     }
 
 
+def parse_image_header(blob: bytes) -> dict | None:
+    """Real width/height from PNG/BMP/GIF/JPEG headers, pure Python.
+
+    Returns None for anything unrecognized (truncated or other format).
+    """
+    if blob is None or len(blob) < 10:
+        return None
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", blob[16:24])
+            return {"format": "image/png", "width": w, "height": h}
+        if blob[:2] == b"BM" and len(blob) >= 26:
+            w, h = struct.unpack("<ii", blob[18:26])
+            return {"format": "image/bmp", "width": w, "height": abs(h)}
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", blob[6:10])
+            return {"format": "image/gif", "width": w, "height": h}
+        if blob[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+            pos = 2
+            while pos + 9 < len(blob):
+                if blob[pos] != 0xFF:
+                    return None
+                marker = blob[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", blob[pos + 5 : pos + 9])
+                    return {"format": "image/jpeg", "width": w, "height": h}
+                pos += 2 + seg_len
+    except struct.error:
+        return None
+    return None
+
+
 def decode_image_batch(blobs: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode one Arrow batch of image blobs → metadata frame.
 
-    Real implementation requires an image library (not bundled):
-    replace the body with e.g. PIL.Image.open per blob. `fake=True`
-    yields the deterministic stub used by tests.
+    PNG/BMP/GIF/JPEG dimensions come from the real header parser; for
+    other formats a full pixel decode would need an image library (not
+    bundled), so unknown blobs raise unless `fake=True`, which swaps in
+    the deterministic stub.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library (e.g. Pillow); "
-            "not bundled in this environment — pass fake=True for the "
-            "deterministic stub"
-        )
-    return pd.DataFrame([_fake_decode(b) for b in blobs])
+    rows = []
+    for b in blobs:
+        hdr = parse_image_header(b)
+        if hdr is not None:
+            hdr["n_bytes"] = len(b)
+            hdr["checksum"] = hashlib.md5(b).hexdigest()
+            rows.append(hdr)
+        elif fake:
+            rows.append(_fake_decode(b))
+        else:
+            raise NotImplementedError(
+                "blob is not PNG/BMP/GIF/JPEG; full decode requires an "
+                "image library (e.g. Pillow) — pass fake=True for the "
+                "deterministic stub"
+            )
+    return pd.DataFrame(rows, columns=["n_bytes", "format", "width", "height", "checksum"])
 
 
 def decode_images(blobs_df: DataFrame, id_col: str = "blob_id",

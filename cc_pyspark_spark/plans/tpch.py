@@ -120,8 +120,12 @@ GROUP BY n_name
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    # region/nation/supplier are small dims: broadcast them so the only
-    # shuffle is the customer⋈orders⋈lineitem fact-side hash agg.
+    # region/nation are bounded-size dims (25/5 rows at any sf):
+    # broadcast unconditionally. supplier GROWS with sf (~10M rows at
+    # sf=1000), so its join strategy is left to Catalyst/AQE, which
+    # broadcasts while the size estimate is under the threshold and
+    # degrades to a shuffle join when it is not — a hard-coded
+    # F.broadcast would OOM executors at large sf.
     return (
         t.customer
         .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
@@ -131,7 +135,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t.supplier),
+            t.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

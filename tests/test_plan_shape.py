@@ -39,6 +39,16 @@ def test_column_pruning(spark):
 def test_q5_broadcasts_dimensions(spark):
     plan = plan_of(spark, "tpch_q5_local_supplier_volume")
     assert "BroadcastHashJoin" in plan
+    # supplier carries no F.broadcast hint: Catalyst/AQE owns its join
+    # strategy (it still picks broadcast at test sf, where supplier is
+    # under the autoBroadcastJoinThreshold — the point is that nothing
+    # forces it when supplier grows to ~10M rows at large sf)
+    from cc_pyspark_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["tpch_q5_local_supplier_volume"].spark(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2  # nation + region only
 
 
 def test_topk_uses_take_ordered(spark):
