@@ -33,10 +33,37 @@ def _normalize(charset: str | None) -> str | None:
         return None
 
 
+#: BOM → codec, longest-prefix first (UTF-32 BOMs start with UTF-16's).
+_BOMS = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+
+def sniff_bom(data: bytes) -> str | None:
+    """Byte-order-mark detection — the cheap prefix of the reference's
+    EncodingDetector chain (its detector also starts with the BOM)."""
+    for bom, codec in _BOMS:
+        if data.startswith(bom):
+            return codec
+    return None
+
+
 def decode_bytes(data: bytes | None, charset: str | None = None) -> str | None:
-    """utf-8 strict → declared charset strict → latin-1 replace."""
+    """BOM → utf-8 strict → declared charset strict → latin-1 replace."""
     if data is None:
         return None
+    bom = sniff_bom(data)
+    if bom:
+        try:
+            text = data.decode(bom)
+            # utf-8-sig strips its BOM itself; strip the UTF-16/32 one
+            return text.lstrip("\ufeff")
+        except UnicodeDecodeError:
+            pass
     try:
         return data.decode("utf-8")
     except UnicodeDecodeError:

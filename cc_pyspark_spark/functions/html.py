@@ -15,12 +15,41 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: Minimal named-entity map for the JVM-side decode chain — the
+#: high-frequency entities bs4 resolves (general numeric &#NNN;
+#: references stay literal — they need a character table, i.e. a UDF).
+#: Order matters: &amp; must decode LAST so "&amp;lt;" ends up as the
+#: text "&lt;", exactly as a browser/bs4 renders it.
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
 def html_to_text(col: Column | str) -> Column:
-    """Regex-backend text extraction, pure column expressions."""
+    """Regex-backend text extraction, pure column expressions.
+
+    Strips comments and CDATA sections *before* tag removal (both can
+    contain literal ``<``/``>`` that would otherwise desync the tag
+    regex — the bs4-divergence classes noted in round 1), then tags,
+    then decodes the common HTML entities, then collapses whitespace.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    no_script = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    no_comment = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    no_cdata = F.regexp_replace(no_comment, r"(?s)<!\[CDATA\[.*?\]\]>", " ")
+    no_script = F.regexp_replace(
+        no_cdata, r"(?is)<(script|style)[^>]*>.*?</\1>", " "
+    )
     no_tags = F.regexp_replace(no_script, r"(?s)<[^>]*>", " ")
-    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    decoded = no_tags
+    for ent, rep in _ENTITIES:
+        decoded = F.regexp_replace(decoded, ent, rep)
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
 
 
 def html_to_text_udf_factory():

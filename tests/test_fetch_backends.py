@@ -270,3 +270,27 @@ def test_wet_same_basename_no_collision(spark, tmp_path):
     assert len(manifest) == 2
     assert len(wet_paths) == 2  # same basename, distinct outputs
     assert not any(r["skipped"] for r in manifest)
+
+
+def test_decode_bom_sniffing():
+    from cc_pyspark_spark.functions.encoding import decode_bytes, sniff_bom
+
+    for codec in ("utf-16-le", "utf-16-be", "utf-32-le", "utf-32-be"):
+        data = codecs_encode_with_bom("héllo wörld", codec)
+        # no declared charset at all — the BOM alone must be enough
+        assert decode_bytes(data) == "héllo wörld", codec
+    assert decode_bytes("x".encode("utf-8-sig")) == "x"
+    assert sniff_bom(b"plain") is None
+    # BOM wins over a wrong declared charset
+    data = codecs_encode_with_bom("héllo", "utf-16-le")
+    assert decode_bytes(data, "latin-1") == "héllo"
+
+
+def codecs_encode_with_bom(text, codec):
+    import codecs as c
+
+    bom = {
+        "utf-16-le": c.BOM_UTF16_LE, "utf-16-be": c.BOM_UTF16_BE,
+        "utf-32-le": c.BOM_UTF32_LE, "utf-32-be": c.BOM_UTF32_BE,
+    }[codec]
+    return bom + text.encode(codec)

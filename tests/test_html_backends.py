@@ -42,3 +42,18 @@ def test_bs4_backend_agrees_with_regex_on_simple_html(spark):
     ).collect()
     for r in both:
         assert r["rx"].split() == r["bs"].split()
+
+
+def test_regex_backend_comments_cdata_entities(spark):
+    """Round-1 divergence classes, now handled JVM-side: comments and
+    CDATA stripped before tag removal, common entities decoded."""
+    cases = [
+        ("<p>a<!-- hidden <b>not a tag</b> -->b</p>", "a b"),
+        ("<p>x<![CDATA[ <raw> & bytes ]]>y</p>", "x y"),
+        ("<p>Tom &amp; Jerry &lt;3 &quot;cats&quot;</p>", 'Tom & Jerry <3 "cats"'),
+        ("<p>a&nbsp;b</p>", "a b"),
+        ("<p>&amp;lt;</p>", "&lt;"),  # double-encoded stays single-decoded
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
+    got = [r["t"] for r in df.select(html_to_text("html").alias("t")).collect()]
+    assert got == [want for _, want in cases]
