@@ -64,6 +64,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_as_table", action="store_true")
     p.add_argument("--log_level", default="WARN")
     p.add_argument("--spark_master", default=None)
+    p.add_argument(
+        "--local_temp_dir",
+        default=None,
+        help="spool remote archives to this local directory before "
+        "parsing (sparkcc.py:308-318)",
+    )
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="profile the driver with cProfile and print cumulative "
+        "top-50 to stderr (sparkcc.py:180-191)",
+    )
     return p
 
 
@@ -85,6 +97,21 @@ def write_output(df: DataFrame, args: argparse.Namespace, sort_cols) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.profile:
+        # Driver-side profile (sparkcc.py:180-191 parity). Worker-side
+        # Python profiling is spark.python.profile, orthogonal to this.
+        import cProfile  # noqa: PLC0415
+        import pstats  # noqa: PLC0415
+
+        args.profile = False
+        prof = cProfile.Profile()
+        rc = prof.runcall(main_with_args, args)
+        pstats.Stats(prof, stream=sys.stderr).sort_stats("cumulative").print_stats(50)
+        return rc
+    return main_with_args(args)
+
+
+def main_with_args(args: argparse.Namespace) -> int:
     spark = build_session(app_name=f"cc-pyspark-spark:{args.job}", master=args.spark_master)
     spark.sparkContext.setLogLevel(args.log_level)
     if args.job == "hostlinks_to_graph":
@@ -117,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         input_base_url=args.input_base_url,
         num_input_partitions=args.num_input_partitions,
         metrics=metrics,
+        local_temp_dir=args.local_temp_dir,
     )
     df = job_fn(records)
     # A8 dataflow metrics: accumulators for the parse stage +

@@ -58,6 +58,41 @@ def resolve(path: str, input_base_url: str | None) -> str:
     return path
 
 
+def open_stream(uri: str):
+    """Open `uri` as a readable binary stream (no ranging).
+
+    Used by the temp-dir spool path: remote archives stream to local
+    disk instead of being held in memory (sparkcc.py:308-318
+    TemporaryFile behavior).
+    """
+    if uri.startswith(("http://", "https://")):
+        from urllib.request import urlopen  # noqa: PLC0415
+
+        return urlopen(uri)
+    if uri.startswith("s3://"):
+        bucket, key = parse_s3_uri(uri)
+        return _s3_client().get_object(Bucket=bucket, Key=key)["Body"]
+    return open(uri.removeprefix("file://"), "rb")
+
+
+def spool_to_local(uri: str, temp_dir: str) -> str:
+    """Stream a remote archive into `temp_dir`; return the local path.
+
+    Local paths are returned unchanged (nothing to spool). Caller owns
+    deletion of the returned file when it differs from `uri`.
+    """
+    if not uri.startswith(("http://", "https://", "s3://")):
+        return uri.removeprefix("file://")
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    with open_stream(uri) as src, tempfile.NamedTemporaryFile(
+        dir=temp_dir, suffix=".spool", delete=False
+    ) as dst:
+        shutil.copyfileobj(src, dst, length=1 << 20)
+        return dst.name
+
+
 def fetch_bytes(uri: str, offset: int | None = None, length: int | None = None) -> bytes:
     """Fetch a whole object, or ``length`` bytes at ``offset`` when given.
 

@@ -78,8 +78,25 @@ def _record_rows(
     record_types: set[str] | None,
     parse_http: bool,
     with_payload: bool,
+    local_temp_dir: str | None = None,
 ):
-    data = _fetch_bytes(uri)
+    if local_temp_dir:
+        # Spool remote archives to local disk first (sparkcc.py:308-318):
+        # bounds worker memory to the gzip member being parsed instead
+        # of the whole in-flight download.
+        import os  # noqa: PLC0415
+
+        from cc_pyspark_spark.sources.fetch import spool_to_local  # noqa: PLC0415
+
+        local = spool_to_local(uri, local_temp_dir)
+        try:
+            with open(local, "rb") as f:
+                data = f.read()
+        finally:
+            if local != uri.removeprefix("file://"):
+                os.unlink(local)
+    else:
+        data = _fetch_bytes(uri)
     for rec in iter_warc_records(data, parse_http=parse_http, record_types=record_types):
         yield {
             "warc_filename": filename,
@@ -130,9 +147,13 @@ def warc_records(
     input_base_url: str | None = None,
     num_input_partitions: int = 32,
     metrics: WarcMetrics | None = None,
+    local_temp_dir: str | None = None,
 ) -> DataFrame:
     """Manifest (path to a text file of URIs, or an in-memory list) →
     records DataFrame with `WARC_RECORD_SCHEMA`.
+
+    `local_temp_dir` spools remote archives to local disk before
+    parsing (the reference's --local_temp_dir, sparkcc.py:308-318).
 
     Per-file fault tolerance matches the reference (sparkcc.py:390-392):
     an unreadable archive is skipped, never fatal.
@@ -156,7 +177,10 @@ def warc_records(
                     # Materialize before extending so a mid-file parse
                     # error leaves no partial records behind.
                     new_rows = list(
-                        _record_rows(path, uri, record_types, parse_http, with_payload)
+                        _record_rows(
+                            path, uri, record_types, parse_http, with_payload,
+                            local_temp_dir=local_temp_dir,
+                        )
                     )
                     rows.extend(new_rows)
                     if metrics:

@@ -294,3 +294,53 @@ def codecs_encode_with_bom(text, codec):
         "utf-32-le": c.BOM_UTF32_LE, "utf-32-be": c.BOM_UTF32_BE,
     }[codec]
     return bom + text.encode(codec)
+
+
+# ------------------------------------------- local_temp_dir spooling
+
+
+def test_spool_to_local_passthrough_and_http(corpus, http_base, tmp_path):
+    from cc_pyspark_spark.sources.fetch import spool_to_local
+
+    path = corpus["files"][0]
+    # local paths return unchanged (nothing to spool)
+    assert spool_to_local(path, str(tmp_path)) == path
+    assert spool_to_local("file://" + path, str(tmp_path)) == path
+    # remote URIs stream byte-identically into temp_dir
+    name = path.rsplit("/", 1)[1]
+    local = spool_to_local(f"{http_base}/{name}", str(tmp_path))
+    assert local.startswith(str(tmp_path))
+    assert open(local, "rb").read() == open(path, "rb").read()
+
+
+def test_warc_records_spooled_equals_direct(spark, corpus, http_base, tmp_path):
+    """--local_temp_dir parity (sparkcc.py:308-318): the spooled read
+    yields the exact same records, and leaves no spool files behind."""
+    import os
+
+    name = corpus["files"][0].rsplit("/", 1)[1]
+    manifest = [f"{http_base}/{name}"]
+    direct = warc_records(spark, manifest).collect()
+    spooled = warc_records(spark, manifest, local_temp_dir=str(tmp_path)).collect()
+    key = lambda r: (r["warc_record_offset"], r["target_uri"])  # noqa: E731
+    assert sorted((key(r) for r in direct)) == sorted(key(r) for r in spooled)
+    assert len(spooled) == len(direct) > 0
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".spool")]
+
+
+def test_profile_flag_wraps_main(capsys, monkeypatch, tmp_path):
+    """--profile runs the job under cProfile and prints cumulative
+    stats to stderr (sparkcc.py:180-191 parity), preserving the rc."""
+    from cc_pyspark_spark.jobs import runner
+
+    seen = {}
+
+    def fake_main(args):
+        seen["profile"] = args.profile
+        return 0
+
+    monkeypatch.setattr(runner, "main_with_args", fake_main)
+    rc = runner.main(["word_count", "dummy-manifest", str(tmp_path / "o"), "--profile"])
+    assert rc == 0
+    assert seen["profile"] is False  # not re-entered
+    assert "cumulative" in capsys.readouterr().err
