@@ -1,5 +1,6 @@
 """Byte-fetch backends for archive access: local file, http(s) with
-Range GETs, and s3:// behind an injectable client.
+Range GETs, s3:// behind an injectable client, and hdfs:// behind an
+injectable pyarrow filesystem.
 
 Reference behavior being re-expressed (sparkcc.py:291-342): full-file
 fetches for whole-archive processing, and ranged fetches
@@ -42,6 +43,41 @@ def _s3_client() -> Any:
         ) from exc
 
 
+_HDFS_FS: Any | None = None
+
+
+def set_hdfs_filesystem(fs: Any | None) -> None:
+    """Inject a filesystem exposing pyarrow.fs's
+    ``open_input_file(path) -> seekable readable``. Pass ``None`` to
+    reset to the lazy ``pyarrow.fs.HadoopFileSystem`` default."""
+    global _HDFS_FS
+    _HDFS_FS = fs
+
+
+def _hdfs_fs(uri: str) -> tuple[Any, str]:
+    """Resolve (filesystem, in-fs path) for an hdfs:// URI.
+
+    Re-expresses the reference's pydoop.hdfs.open backend
+    (sparkcc.py:344-352) over pyarrow's libhdfs binding — pydoop isn't
+    public-PyPI-maintained for py3.11+, pyarrow.fs is the standard
+    route. Tests inject a fake via `set_hdfs_filesystem`.
+    """
+    path = "/" + uri.removeprefix("hdfs://").partition("/")[2]
+    if _HDFS_FS is not None:
+        return _HDFS_FS, path
+    try:  # pragma: no cover - libhdfs not present in the sandbox
+        from pyarrow import fs as pafs  # noqa: PLC0415
+
+        filesystem, path = pafs.FileSystem.from_uri(uri)
+        return filesystem, path
+    except (ImportError, OSError) as exc:
+        raise NotImplementedError(
+            "hdfs:// fetch needs an injected filesystem "
+            "(sources.fetch.set_hdfs_filesystem) or a pyarrow libhdfs "
+            "environment (reference: sparkcc.py:344-352)"
+        ) from exc
+
+
 def parse_s3_uri(uri: str) -> tuple[str, str]:
     rest = uri.removeprefix("s3://")
     bucket, _, key = rest.partition("/")
@@ -72,6 +108,9 @@ def open_stream(uri: str):
     if uri.startswith("s3://"):
         bucket, key = parse_s3_uri(uri)
         return _s3_client().get_object(Bucket=bucket, Key=key)["Body"]
+    if uri.startswith("hdfs://"):
+        filesystem, path = _hdfs_fs(uri)
+        return filesystem.open_input_file(path)
     return open(uri.removeprefix("file://"), "rb")
 
 
@@ -81,7 +120,7 @@ def spool_to_local(uri: str, temp_dir: str) -> str:
     Local paths are returned unchanged (nothing to spool). Caller owns
     deletion of the returned file when it differs from `uri`.
     """
-    if not uri.startswith(("http://", "https://", "s3://")):
+    if not uri.startswith(("http://", "https://", "s3://", "hdfs://")):
         return uri.removeprefix("file://")
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -115,6 +154,13 @@ def fetch_bytes(uri: str, offset: int | None = None, length: int | None = None) 
         if ranged:
             kwargs["Range"] = f"bytes={offset}-{offset + length - 1}"
         return _s3_client().get_object(**kwargs)["Body"].read()
+    if uri.startswith("hdfs://"):
+        filesystem, path = _hdfs_fs(uri)
+        with filesystem.open_input_file(path) as f:
+            if ranged:
+                f.seek(offset)
+                return f.read(length)
+            return f.read()
     path = uri.removeprefix("file://")
     with open(path, "rb") as f:
         if ranged:

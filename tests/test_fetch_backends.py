@@ -344,3 +344,49 @@ def test_profile_flag_wraps_main(capsys, monkeypatch, tmp_path):
     assert rc == 0
     assert seen["profile"] is False  # not re-entered
     assert "cumulative" in capsys.readouterr().err
+
+
+# --------------------------------------------------- hdfs:// backend
+
+
+@pytest.fixture
+def hdfs_local(corpus):
+    """Inject pyarrow's LocalFileSystem as the hdfs filesystem — same
+    open_input_file() interface a real HadoopFileSystem exposes."""
+    from pyarrow import fs as pafs
+
+    fetchmod.set_hdfs_filesystem(pafs.LocalFileSystem())
+    yield "hdfs://namenode:8020"
+    fetchmod.set_hdfs_filesystem(None)
+
+
+def test_hdfs_full_and_ranged_fetch(corpus, hdfs_local):
+    path = corpus["files"][0]
+    local = open(path, "rb").read()
+    uri = hdfs_local + path
+    assert fetch_bytes(uri) == local
+    assert fetch_bytes(uri, offset=10, length=20) == local[10:30]
+
+
+def test_hdfs_record_read_and_spool(corpus, hdfs_local, tmp_path):
+    # ranged record read straight off "hdfs" (cc-index coordinates path)
+    url, fname, offset, length = corpus["coordinates"][0]
+    rec = read_record_at(hdfs_local + fname, offset, length)
+    assert rec is not None and rec.target_uri == url
+    # spool path treats hdfs:// as remote → streams to temp_dir
+    from cc_pyspark_spark.sources.fetch import spool_to_local
+
+    uri = hdfs_local + corpus["files"][0]
+    local = spool_to_local(uri, str(tmp_path))
+    assert local.startswith(str(tmp_path))
+    assert open(local, "rb").read() == open(corpus["files"][0], "rb").read()
+
+
+def test_hdfs_without_fs_raises_not_implemented(monkeypatch):
+    # simulate a pyarrow-less / libhdfs-less environment
+    import sys
+
+    fetchmod.set_hdfs_filesystem(None)
+    monkeypatch.setitem(sys.modules, "pyarrow", None)
+    with pytest.raises(NotImplementedError, match="hdfs"):
+        fetch_bytes("hdfs://nn:8020/a/b.warc.gz")
