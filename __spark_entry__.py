@@ -34,6 +34,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q14_promo_revenue",
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive",
+    # TPC-H round-2 additions with the most distinctive plan shapes
+    # (these subsume the retired join_semi / join_anti /
+    # join_left_outer_count / subquery_correlated / agg_arg_max
+    # micro-query slots: q20+q21 are semi+anti, q13 is left-outer
+    # histogram, q2/q17 are correlated min/avg, q15 is arg-max)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
     # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -67,15 +77,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_filter_project",
     "project_computed",
     "sql_passthrough",
-    "subquery_correlated",
     "join_inner_dims",
-    "join_left_outer_count",
-    "join_semi",
-    "join_anti",
     "agg_count_by_key",
     "agg_distinct_pairs",
     "agg_collect_sorted_list",
-    "agg_arg_max",
     "window_dense_ids",
     "window_topn_per_group",
     "topk_global",

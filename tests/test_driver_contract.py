@@ -24,9 +24,22 @@ def test_headliners_inside_driver_cap():
     must_have = {
         n
         for n in QUERIES
-        if n.startswith(("tpch_", "text_", "sim_", "dedup_"))
+        if n.startswith(("text_", "sim_", "dedup_"))
         and "scale" not in QUERIES[n].tags  # rows-only tier: pytest-verified
-    } | {"url_host_reverse", "embedding_quantize_int8", "multimodal_blob_stats"}
+    }
+    # every BENCHED TPC-H query needs hard driver signal; the round-2
+    # additions that don't displace a §2-anchor slot are pytest-verified
+    must_have |= {
+        n for n in QUERIES if n.startswith("tpch_") and "bench" in QUERIES[n].tags
+    }
+    must_have |= {
+        "tpch_q2_min_cost_supplier",  # correlated-min subquery shape
+        "tpch_q13_customer_distribution",  # left-outer count histogram
+        "tpch_q17_small_quantity_revenue",  # correlated-avg threshold
+        "tpch_q21_waiting_supplier",  # EXISTS + NOT EXISTS pair
+        "tpch_q22_global_sales_opportunity",  # scalar-avg + anti-join
+    }
+    must_have |= {"url_host_reverse", "embedding_quantize_int8", "multimodal_blob_stats"}
     assert must_have <= set(first), sorted(must_have - set(first))
 
 
