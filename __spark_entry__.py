@@ -69,8 +69,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_session_window",
     "events_asof_join",
     "events_range_join",
-    "events_user_trend",
-    "window_range_frame",
+    # LLM-pipeline: curation (the other curation_* queries are
+    # pytest-verified beyond the cap, like events_user_trend /
+    # window_range_frame which ceded these two slots)
+    "curation_contamination",
+    "curation_repetition_signals",
     # multimodal
     "multimodal_blob_stats",
     # relational core — one representative per operator family

@@ -1,0 +1,257 @@
+"""Training-data curation operators over `documents`.
+
+Beyond-reference LLM-pipeline surface: PII redaction, Gopher-style
+repetition signals, benchmark-contamination detection, and
+deterministic sampling. All JVM-side column expressions / joins — no
+Python UDFs — so every operator whole-stage-codegens and scales by
+partitioning alone.
+
+100 TB notes per operator:
+* pii_redact          — pure per-row regexp_replace, embarrassingly
+                        parallel, zero shuffle.
+* repetition_signals  — explode + two-level partial agg keyed by
+                        doc_id; the shuffle key is the document id, so
+                        skew is bounded by document length.
+* contamination       — inverted-index join keyed by shingle between
+                        the (small) benchmark side and the corpus: the
+                        benchmark side is broadcast-sized by
+                        construction; never an all-pairs product.
+* samples             — hash-gate filter (no shuffle) and per-stratum
+                        row_number window (shuffle keyed by stratum).
+
+Cross-engine determinism: md5 hex (lowercase in both engines) is the
+sampling hash — never rand(); ratios multiply by 1.0 before dividing;
+counts cast to BIGINT (DuckDB SUM/COUNT widen to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.catalog import Catalog
+from cc_pyspark_spark.functions.text import TOKEN_PATTERN, shingles, tokenize
+from cc_pyspark_spark.plans.registry import register
+
+_DUCK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+#: PII patterns — valid under both Java regex (Spark) and RE2 (DuckDB):
+#: no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: The synthetic documents carry no PII, so the query plants a
+#: deterministic specimen per document (derived from doc_id) before
+#: redacting — the assertion is then about real substitutions, not a
+#: no-op pass-through. Spark and the oracle build the identical string.
+_AUG_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@mail.example.com or 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), "
+    "'-0199 at 10.0.', CAST(doc_id % 256 AS STRING), '.77')"
+)
+_AUG_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+    "|| '-0199 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'"
+)
+
+
+@register(
+    "curation_pii_redact",
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_AUG_DUCK} AS t FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '{EMAIL_RE}', '<EMAIL>', 'g'),
+         '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM aug
+""",
+    description="PII redaction: email/IPv4/phone masking via JVM-side "
+    "global regexp_replace (zero-shuffle, codegen'd; RE2-compatible "
+    "patterns so the oracle is bit-identical)",
+    tags=("curation", "text"),
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    aug = t.documents.select("doc_id", F.expr(_AUG_SPARK).alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"),
+            IPV4_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+@register(
+    "curation_repetition_signals",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM toks WHERE len(toks) >= 2
+),
+bg_counts AS (
+  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram
+),
+rep AS (
+  SELECT doc_id,
+         MAX(cnt) * 1.0 / SUM(cnt) AS top_bigram_frac
+  FROM bg_counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       1.0 - len(list_distinct(toks)) * 1.0 / len(toks) AS dup_token_frac,
+       rep.top_bigram_frac
+FROM toks t JOIN rep ON t.doc_id = rep.doc_id
+WHERE len(toks) > 0
+""",
+    description="Gopher-style repetition signals: duplicate-token "
+    "fraction and most-frequent-bigram mass per document (explode + "
+    "two-level partial agg keyed by doc_id)",
+    tags=("curation", "text", "agg"),
+)
+def curation_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    toks = t.documents.select("doc_id", tokenize("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    bigrams = toks.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(shingles("toks", k=2)).alias("bigram")
+    )
+    rep = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg((F.max("cnt") * 1.0 / F.sum("cnt")).alias("top_bigram_frac"))
+        .withColumnRenamed("doc_id", "rep_doc_id")
+    )
+    return (
+        toks.join(rep, F.col("doc_id") == F.col("rep_doc_id"))
+        .select(
+            "doc_id",
+            (1.0 - F.size(F.array_distinct("toks")) * 1.0 / F.size("toks")).alias(
+                "dup_token_frac"
+            ),
+            "top_bigram_frac",
+        )
+    )
+
+
+#: Benchmark split for the contamination check: the first docs by id
+#: play the eval set; everything else is the training corpus. In a real
+#: deployment the benchmark side is an external (small) table — the
+#: plan shape (broadcast-able inverted-index join) is what matters.
+BENCH_MAX_ID = 25
+CONTAM_MIN_SHARED = 2
+
+_DUCK_TRIGRAMS = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+@register(
+    "curation_contamination",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_DUCK_TRIGRAMS}) AS s FROM toks)
+SELECT train.doc_id AS train_id,
+       bench.doc_id AS bench_id,
+       CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM sh train JOIN sh bench ON train.s = bench.s
+WHERE train.doc_id >= {BENCH_MAX_ID} AND bench.doc_id < {BENCH_MAX_ID}
+GROUP BY train.doc_id, bench.doc_id
+HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+""",
+    description="Benchmark-contamination detection: distinct 3-gram "
+    "overlap between the training corpus and a (broadcast-sized) eval "
+    "set via an inverted-index join on the shingle — never all-pairs",
+    tags=("curation", "dedup"),
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    sh = (
+        t.documents.select("doc_id", tokenize("text").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(shingles("toks", k=3))).alias("s"))
+    )
+    train = sh.filter(F.col("doc_id") >= BENCH_MAX_ID)
+    bench = sh.filter(F.col("doc_id") < BENCH_MAX_ID).select(
+        F.col("doc_id").alias("bench_id"), F.col("s").alias("bs")
+    )
+    # the eval set is bounded-size: broadcast it so the corpus side
+    # streams through without a shuffle
+    return (
+        train.join(F.broadcast(bench), F.col("s") == F.col("bs"))
+        .groupBy(F.col("doc_id").alias("train_id"), "bench_id")
+        .agg(F.count("*").cast("bigint").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= CONTAM_MIN_SHARED)
+    )
+
+
+@register(
+    "curation_hash_sample",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+""",
+    description="Deterministic ~25% stratum-free sample via an md5 hash "
+    "gate (pure filter, zero shuffle, reproducible across engines and "
+    "runs — never rand())",
+    tags=("curation", "sample"),
+)
+def curation_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return t.documents.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "curation_reservoir_per_lang",
+    oracle="""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) ranked
+WHERE rn <= 10
+""",
+    description="Fixed-size per-stratum sample (reservoir analog): "
+    "row_number over a per-lang window ordered by the md5 hash — the "
+    "window is PARTITIONED (shuffle keyed by stratum, no global sort)",
+    tags=("curation", "sample", "window"),
+)
+def curation_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rn")
+        )
+        .filter(F.col("rn") <= 10)
+    )

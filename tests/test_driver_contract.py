@@ -39,7 +39,13 @@ def test_headliners_inside_driver_cap():
         "tpch_q21_waiting_supplier",  # EXISTS + NOT EXISTS pair
         "tpch_q22_global_sales_opportunity",  # scalar-avg + anti-join
     }
-    must_have |= {"url_host_reverse", "embedding_quantize_int8", "multimodal_blob_stats"}
+    must_have |= {
+        "url_host_reverse",
+        "embedding_quantize_int8",
+        "multimodal_blob_stats",
+        "curation_contamination",  # most novel curation shapes in-window
+        "curation_repetition_signals",
+    }
     assert must_have <= set(first), sorted(must_have - set(first))
 
 
