@@ -7,12 +7,22 @@ funnels every row through ONE task; fine for oracle replay, fatal at
 for DataFrames:
 
 1. `repartitionByRange(order)` — range shuffle; Spark's RangePartitioner
-   assigns ascending key ranges to ascending partition ids.
-2. per-partition row counts — one tiny job (`num_partitions` rows to
-   the driver, the same metadata zipWithIndex collects).
-3. dense id = prefix-sum offset of the partition (broadcast-joined)
-   + `row_number` *within* the partition — every window group is one
-   range partition, so the sort parallelism equals `num_partitions`.
+   assigns ascending key ranges to ascending partition ids. The ranged
+   frame is `localCheckpoint(eager=True)`-pinned: range-exchange
+   boundaries come from *reservoir sampling* that is re-drawn on every
+   execution of the plan, so the counts pass and the id pass below MUST
+   read one materialization — otherwise the two runs can partition rows
+   differently, and the `__pid` join silently drops/duplicates IDs.
+   zipWithIndex pays the same cost (its shuffle files persist across
+   its two jobs); the checkpoint is the DataFrame equivalent.
+2. per-partition row counts — a metadata-sized aggregate
+   (`num_partitions` rows) kept as a DataFrame end-to-end; the
+   prefix-sum offset is a window-free broadcast self-join over those
+   few rows (O(P²) pairs of *partition counts*, not data). No driver
+   `.collect()` anywhere.
+3. dense id = broadcast offset of the partition + `row_number` *within*
+   the partition — every window group is one range partition, so the
+   sort parallelism equals `num_partitions`.
 
 Determinism contract: the order key must be unique (callers pass the
 full sort key, e.g. the distinct host name) — then IDs are identical
@@ -25,6 +35,15 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def range_partitioned(
+    df: DataFrame, order_cols: list[str], num_partitions: int
+) -> DataFrame:
+    """The pre-checkpoint range-shuffle plan (exposed for plan tests)."""
+    return df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+
 def assign_sequential_ids(
     df: DataFrame,
     order_cols: list[str] | str,
@@ -33,35 +52,36 @@ def assign_sequential_ids(
 ) -> DataFrame:
     """Dense 1-based IDs ordered by `order_cols`, no global-sort window.
 
-    One range shuffle + one count job; the per-partition `row_number`
-    windows run in parallel (one group per range partition).
+    One range shuffle (materialized exactly once via local checkpoint)
+    + one metadata-sized count aggregate; the per-partition
+    `row_number` windows run in parallel (one group per range
+    partition).
     """
     if isinstance(order_cols, str):
         order_cols = [order_cols]
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+    # Eager checkpoint: see module docstring — the exchange's reservoir
+    # sampling is per-execution, so both passes must share one run.
+    ranged = range_partitioned(df, order_cols, num_partitions).localCheckpoint(
+        eager=True
     )
     # Range partitioning on a small/skewed key set may use fewer
     # populated partitions than requested — offsets come from the data.
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    prior = counts.select(
+        F.col("__pid").alias("__prior_pid"), F.col("__cnt").alias("__prior_cnt")
     )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    offset_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    offsets = (
+        counts.join(
+            F.broadcast(prior), F.col("__prior_pid") < F.col("__pid"), "left"
         )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__prior_cnt"), F.lit(0)).alias("__offset"))
     )
     local = W.partitionBy("__pid").orderBy(*order_cols)
     return (
-        ranged.join(offset_df, "__pid")
+        ranged.join(F.broadcast(offsets), "__pid")
         .withColumn(
             id_col,
             (F.row_number().over(local).cast("bigint") + F.col("__offset")),

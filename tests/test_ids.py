@@ -28,12 +28,35 @@ def test_ids_equal_global_row_number(spark):
 
 
 def test_ids_plan_has_no_single_partition_exchange(spark):
+    from cc_pyspark_spark.operators.ids import range_partitioned
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    # The range shuffle lives behind a localCheckpoint (the exchange's
+    # reservoir sampling is per-execution, so the counts pass and the id
+    # pass must share ONE materialization) — assert its shape on the
+    # pre-checkpoint builder, and the no-SinglePartition / parallel
+    # window shape on the full operator.
+    pre = _plan(range_partitioned(docs, ["doc_id"], 7))
+    assert "rangepartitioning" in pre.lower()
     plan = _plan(assign_sequential_ids(docs, "doc_id", num_partitions=7))
-    assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
     # the window sorts within range partitions, keyed by partition id
     assert "row_number" in plan
+
+
+def test_ids_checkpoint_pins_one_partitioning(spark):
+    # Regression: without materialization the counts job and the id job
+    # re-run the range exchange with fresh sampling; with enough rows per
+    # partition the partitionings diverge and the __pid join drops rows.
+    # Pin the invariant directly: every input row comes back exactly once
+    # with a dense, gap-free 1..N id range.
+    df = spark.range(0, 20000).select(
+        F.concat(F.lit("k"), F.format_string("%08d", F.col("id"))).alias("k")
+    )
+    out = assign_sequential_ids(df, "k", num_partitions=8).collect()
+    assert len(out) == 20000
+    ids = sorted(r["id"] for r in out)
+    assert ids == list(range(1, 20001))
 
 
 def test_ids_multi_column_order(spark):
