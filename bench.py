@@ -21,7 +21,7 @@ import time
 from cc_pyspark_spark.plans import QUERIES
 from cc_pyspark_spark.session import build_session
 
-HEADLINE = [
+HEADLINERS = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q4_late_shipments",
@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_scale",
     "dedup_simhash_scale",
+    "dedup_embedding_scale",
     "sim_cosine_topk",
     "sim_ann_ivf",
     "events_tumbling_hourly",
@@ -56,13 +57,19 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
-    # Warm-up: JVM JIT, codegen, parquet footer caches.
-    QUERIES["tpch_q6_forecast_revenue"].spark(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm-up: JVM JIT, codegen, parquet footer caches. q6 covers the
+    # scan/filter path; q1 covers the wide decimal-aggregate codegen the
+    # first timed query otherwise absorbs. (BENCH_r02's q1 1.92 s vs
+    # r1/r3 1.42 s reproduced as ambient round-run load, not a plan
+    # change — same commit re-timed at 1.42 s — but the wider warm-up
+    # removes the first-query sensitivity either way.)
+    for warm in ("tpch_q6_forecast_revenue", "tpch_q1_pricing_summary"):
+        QUERIES[warm].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINERS:
         best = float("inf")
         for _ in range(2):  # min of 2 runs: drops codegen/GC jitter
             df = QUERIES[name].spark(spark, sf_dir)

@@ -22,6 +22,9 @@ Shuffle budget per stage:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -220,3 +223,88 @@ def minhash_lsh_ml_pairs(
             (1.0 - F.col("jaccard_dist")).alias("jac_approx"),
         )
     )
+
+
+# --------------------------- sign-bit LSH embedding dedup (Arrow path)
+#
+# The Spark-side compute for plans/dedup.py::dedup_embedding_scale.
+# Signature + bucket verification run in Arrow-batched numpy, but every
+# floating-point reduction is an explicit LEFT FOLD over the dimension
+# index (acc = acc + x_i * w_i, one vectorized step per dimension), so
+# results are bit-identical to Spark's `aggregate(..., 0D, +)` and
+# DuckDB's `list_reduce(list_prepend(0.0, ...))` — the determinism
+# contract that lets a pandas-UDF plan keep a full value-hash oracle.
+
+SIGN_LSH_BITS = 32
+SIGN_LSH_BAND_BITS = 4  # demo width; widen (16-20 bits) as corpus grows
+SIGN_LSH_BANDS = SIGN_LSH_BITS // SIGN_LSH_BAND_BITS
+_LSH_P = 1000003
+_LSH_M1 = 2654435761
+_LSH_M2 = 40503
+_LSH_M3 = 1299721
+
+
+def _lsh_weights(dim: int):
+    """(dim, bits) float64 weights in [-0.5, 0.5) from the integer hash
+    ((i*M1 + (j+1)*M2*i + (j+1)*M3) mod P)/P - 0.5, 1-based dim i —
+    exact-integer arithmetic, then one double divide + subtract, matching
+    the oracle's CAST(h AS DOUBLE)/P - 0.5 op-for-op."""
+    w = np.empty((dim, SIGN_LSH_BITS), dtype="float64")
+    for i in range(1, dim + 1):
+        for j in range(SIGN_LSH_BITS):
+            h = (i * _LSH_M1 + (j + 1) * _LSH_M2 * i + (j + 1) * _LSH_M3) % _LSH_P
+            w[i - 1, j] = h / _LSH_P - 0.5
+    return w
+
+
+def sign_lsh_sig_and_norm(vec_col: str):
+    """pandas UDF: array<double> -> struct(sig bigint, nrm double)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("sig bigint, nrm double")
+    def _udf(vs: pd.Series) -> pd.DataFrame:
+        X = np.vstack(vs.to_numpy())  # (n, d) float64
+        n, d = X.shape
+        w = _lsh_weights(d)
+        acc = np.zeros((n, SIGN_LSH_BITS))
+        nrm2 = np.zeros(n)
+        for i in range(d):  # explicit left fold per (row, bit)
+            acc = acc + X[:, i : i + 1] * w[i]
+            nrm2 = nrm2 + X[:, i] * X[:, i]
+        pows = (1 << np.arange(SIGN_LSH_BITS, dtype="int64"))
+        sig = ((acc > 0) * pows).sum(axis=1)
+        return pd.DataFrame({"sig": sig, "nrm": np.sqrt(nrm2)})
+
+    return _udf(vec_col)
+
+
+def bucket_cosine_pairs(schema: str = "a_id bigint, b_id bigint, cos double"):
+    """applyInPandas fn: all-pairs cosine WITHIN one (band, bucket) group.
+
+    Group sizes are bounded by the band width (the LSH tuning knob), so
+    the quadratic work is local and small; across-bucket pairs are never
+    formed. Emits only threshold-passing pairs (a_id < b_id)."""
+    from cc_pyspark_spark.plans.dedup import COSINE_DUP_THRESHOLD  # noqa: PLC0415
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos": "float64"}
+            )
+        X = np.vstack(pdf["v"].to_numpy())  # (m, d)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["nrm"].to_numpy()
+        d = X.shape[1]
+        acc = np.zeros((m, m))
+        for i in range(d):  # left fold: ((0 + x1*y1) + x2*y2) + ...
+            acc = acc + np.outer(X[:, i], X[:, i])
+        cos = acc / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = cos[iu, ju] >= COSINE_DUP_THRESHOLD
+        iu, ju = iu[keep], ju[keep]
+        a, b = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cos[iu, ju]})
+
+    return _pairs, schema

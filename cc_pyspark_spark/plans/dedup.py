@@ -369,3 +369,136 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
         .select("a_id", "b_id", "cos")
     )
+
+
+# ------------------------------- sign-bit LSH embedding dedup (scale)
+
+# Deterministic integer-hash hyperplanes so DuckDB can replay the exact
+# bit arithmetic: w(i, j) for 1-based dim i, bit j is a pseudo-random
+# weight in [-0.5, 0.5) derived from ((i*M1 + (j+1)*M2*i + (j+1)*M3)
+# mod P) / P - 0.5.  A surrogate for Gaussian random projections —
+# sign(v . w_j) gives bit j; vectors within ~acos(cos_threshold) agree
+# on a bit with prob 1 - theta/pi (Charikar 2002, SimHash for cosine).
+# Constants + the Arrow-side compute live in operators/dedup.py; the
+# SQL builder below replays the identical arithmetic for DuckDB.
+from cc_pyspark_spark.operators.dedup import (  # noqa: E402
+    _LSH_M1,
+    _LSH_M2,
+    _LSH_M3,
+    _LSH_P,
+    SIGN_LSH_BAND_BITS,
+    SIGN_LSH_BANDS,
+    SIGN_LSH_BITS,
+)
+
+
+def _lsh_weight_sql(i_expr: str, j_expr: str) -> str:
+    """Integer-hash weight in [-0.5, 0.5), identical text in both engines."""
+    h = (
+        f"(({i_expr}) * {_LSH_M1} + ({j_expr} + 1) * {_LSH_M2} * ({i_expr})"
+        f" + ({j_expr} + 1) * {_LSH_M3}) % {_LSH_P}"
+    )
+    return f"(CAST({h} AS DOUBLE) / {_LSH_P}.0 - 0.5)"
+
+
+def _duck_embedding_scale_oracle() -> str:
+    w = _lsh_weight_sql("i", "j")
+    dot_w = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), "
+        f"i -> v[i] * {w})), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+), s AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(0, {SIGN_LSH_BITS}), j ->
+             CASE WHEN {dot_w} > 0
+                  THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+           (a, b) -> a + b) AS sig
+  FROM n
+), bk AS (
+  SELECT vec_id, band,
+         (sig >> ({SIGN_LSH_BAND_BITS} * band)) % {1 << SIGN_LSH_BAND_BITS}
+           AS bkey
+  FROM s, (SELECT unnest(range(0, {SIGN_LSH_BANDS})) AS band)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       list_reduce(list_prepend(0.0,
+           list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
+           (p, q) -> p + q) / (x.nrm * y.nrm) AS cos
+FROM cand c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id
+WHERE list_reduce(list_prepend(0.0,
+          list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
+          (p, q) -> p + q) / (x.nrm * y.nrm) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_scale",
+    oracle=_duck_embedding_scale_oracle(),
+    description="Embedding near-dup pairs with sign-bit LSH candidate "
+    "pruning — the 100 TB twin of dedup_embedding_cosine: only pairs "
+    "sharing a band bucket are scored (shuffle on (band, bucket), never "
+    "all-pairs); deterministic integer-hash hyperplanes keep it "
+    "DuckDB-replayable, so unlike the minhash/simhash scale twins it "
+    "retains a full value-hash oracle",
+    tags=("dedup", "similarity", "bench", "scale"),
+)
+def dedup_embedding_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+        bucket_cosine_pairs,
+        sign_lsh_sig_and_norm,
+    )
+
+    t = Catalog(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    # Signature + norm in one Arrow-batched numpy pass (explicit left
+    # fold over dimensions -> bit-identical to the oracle's list_reduce).
+    sig = emb.select(
+        "vec_id", "v", sign_lsh_sig_and_norm("v").alias("sn")
+    ).select("vec_id", "v", "sn.sig", "sn.nrm")
+    # One row per (vector, band); shuffle key = (band, bucket). Vectors
+    # travel WITH the row so verification never re-joins the corpus —
+    # at 100 TB that is one narrow shuffle of (id, 8B sig, vec) * bands.
+    bands = sig.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(sig, {SIGN_LSH_BAND_BITS * b}) % "
+                            f"{1 << SIGN_LSH_BAND_BITS}"
+                        ).alias("bkey"),
+                    )
+                    for b in range(SIGN_LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "nrm", "bk.band", "bk.bkey")
+    # All-pairs cosine WITHIN each band bucket (numpy, local, bounded by
+    # the band width); threshold filter inside the UDF so only real
+    # near-dup pairs ever hit the final distinct.
+    pairs_fn, schema = bucket_cosine_pairs()
+    return (
+        bands.groupBy("band", "bkey")
+        .applyInPandas(pairs_fn, schema=schema)
+        .distinct()
+    )

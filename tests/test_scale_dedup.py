@@ -141,3 +141,27 @@ def test_simhash_scale_signatures(spark):
     rand = [ham(rows[ids[i]], rows[ids[i + 7]]) for i in range(0, 200, 2)]
     assert near, "fixture has no planted near-dups?"
     assert sum(near) / len(near) < 0.5 * sum(rand) / len(rand)
+
+
+def test_embedding_scale_prunes_but_recalls(spark):
+    """Sign-bit LSH twin: subset of the all-pairs baseline (precision 1.0
+    on the cosine threshold by construction), recall >= 0.5 on the fixture,
+    and no all-pairs cartesian in the plan (the join is band-bucket keyed).
+    """
+    from cc_pyspark_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 has too few threshold pairs
+    base = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["dedup_embedding_cosine"].spark(spark, sf).collect()
+    }
+    lsh_df = QUERIES["dedup_embedding_scale"].spark(spark, sf)
+    lsh = {(r["a_id"], r["b_id"]) for r in lsh_df.collect()}
+    assert base, "fixture has no cosine-dup pairs?"
+    assert lsh <= base  # every returned pair really meets the threshold
+    assert len(lsh) >= 0.5 * len(base)
+    plan = lsh_df._sc._jvm.PythonSQLUtils.explainString(
+        lsh_df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
