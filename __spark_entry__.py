@@ -22,9 +22,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cc_pyspark_spark.plans import QUERIES
 
-#: Names the per-round driver gate must see first (its r1 cap was 50).
+#: Names the per-round driver gate must see first (its cap is 50).
+#:
+#: Round-3 rotation (VERDICT r2 ask #1): the driver only checks the
+#: first 50 entries, so the list keeps the bench headliners + one
+#: §2-anchor per operator family FIXED and cycles the remaining slots
+#: to names that have never had a driver row. This round's first-time
+#: block (15 names): tpch q7/q8/q9/q11/q12/q15/q16/q20, the three
+#: curation queries past r2's cap, window_distributed_ids, and the
+#: three deployment-path dedup twins (minhash/simhash scale rows-only,
+#: embedding_scale fully oracled). The r2-checked names they displace
+#: (tpch q2/q13/q17/q21/q22, the oracle-variant dedup quartet, five
+#: text micro-queries, curation_contamination/repetition) keep their
+#: green local DuckDB-parity pytest and their r2 driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # TPC-H bench headliners
+    # TPC-H bench headliners (fixed)
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q4_late_shipments",
@@ -34,49 +46,44 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q14_promo_revenue",
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive",
-    # TPC-H round-2 additions with the most distinctive plan shapes
-    # (these subsume the retired join_semi / join_anti /
-    # join_left_outer_count / subquery_correlated / agg_arg_max
-    # micro-query slots: q20+q21 are semi+anti, q13 is left-outer
-    # histogram, q2/q17 are correlated min/avg, q15 is arg-max)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    # LLM-pipeline: dedup family
+    # TPC-H first-time-checked rotation block
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_potential_promotion",
+    # LLM-pipeline: dedup — deployment twins, first driver rows
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # LLM-pipeline: text analysis
+    "dedup_minhash_scale",
+    "dedup_simhash_scale",
+    "dedup_embedding_scale",
+    # LLM-pipeline: text analysis representatives (fixed)
     "text_word_count_tfdf",
     "text_token_stats",
     "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_fingerprint",
-    "text_bigram_counts",
     "text_top_terms_tfidf",
     "url_host_reverse",
-    # LLM-pipeline: similarity / embeddings
+    # LLM-pipeline: similarity / embeddings (fixed)
     "sim_cosine_topk",
     "sim_ann_ivf",
     "embedding_quantize_int8",
-    # events / time-series
+    # events / time-series (fixed)
     "events_tumbling_hourly",
     "events_session_window",
     "events_asof_join",
     "events_range_join",
-    # LLM-pipeline: curation (the other curation_* queries are
-    # pytest-verified beyond the cap, like events_user_trend /
-    # window_range_frame which ceded these two slots)
-    "curation_contamination",
-    "curation_repetition_signals",
+    # LLM-pipeline: curation — first driver rows for the three past r2's cap
+    "curation_pii_redact",
+    "curation_hash_sample",
+    "curation_reservoir_per_lang",
+    # window scale path — first driver row
+    "window_distributed_ids",
     # multimodal
     "multimodal_blob_stats",
-    # relational core — one representative per operator family
+    # relational core — one representative per operator family (fixed)
     "scan_filter_project",
     "project_computed",
     "sql_passthrough",

@@ -2,16 +2,29 @@
 
 The per-round driver checks the FIRST 50 entries of ``queries()`` in
 dict order (observed in CORRECTNESS_r01.json), so the ordering is
-load-bearing: every benchmark headliner and every SURVEY §2 family
-representative must land inside the first 50.
+load-bearing. Round-3 policy (VERDICT r2 ask #1): bench headliners and
+one §2-anchor per operator family stay fixed; the remaining slots
+ROTATE to names that have never had a driver row, so the whole registry
+accumulates hard oracle signal across rounds.
 """
 
 from __future__ import annotations
+
+import json
+import pathlib
 
 import __spark_entry__ as e
 from cc_pyspark_spark.plans import QUERIES
 
 DRIVER_CAP = 50
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _previously_checked() -> set[str]:
+    seen: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(f.read_text()))
+    return seen
 
 
 def test_priority_names_all_registered():
@@ -19,34 +32,51 @@ def test_priority_names_all_registered():
     assert len(set(e.DRIVER_PRIORITY)) == len(e.DRIVER_PRIORITY) == DRIVER_CAP
 
 
-def test_headliners_inside_driver_cap():
+def test_rotation_brings_first_time_names():
+    """≥15 of the 50 checked slots go to names with no prior driver row
+    (so long as enough unchecked names remain in the registry)."""
     first = list(e.queries())[:DRIVER_CAP]
-    must_have = {
-        n
-        for n in QUERIES
-        if n.startswith(("text_", "sim_", "dedup_"))
-        and "scale" not in QUERIES[n].tags  # rows-only tier: pytest-verified
-    }
-    # every BENCHED TPC-H query needs hard driver signal; the round-2
-    # additions that don't displace a §2-anchor slot are pytest-verified
+    prev = _previously_checked()
+    never = set(QUERIES) - prev
+    first_time = [n for n in first if n not in prev]
+    want = min(15, len(never))
+    assert len(first_time) >= want, (
+        f"only {len(first_time)} first-time names in the driver window, "
+        f"{len(never)} never-checked remain: rotate DRIVER_PRIORITY"
+    )
+
+
+def test_headliners_inside_driver_cap():
+    """Fixed anchors: every benched query + one per §2 family keeps a
+    permanent driver slot; rotation only cycles the remaining slots."""
+    first = set(list(e.queries())[:DRIVER_CAP])
+    import bench
+
+    must_have = set(bench.HEADLINERS)
     must_have |= {
-        n for n in QUERIES if n.startswith("tpch_") and "bench" in QUERIES[n].tags
-    }
-    must_have |= {
-        "tpch_q2_min_cost_supplier",  # correlated-min subquery shape
-        "tpch_q13_customer_distribution",  # left-outer count histogram
-        "tpch_q17_small_quantity_revenue",  # correlated-avg threshold
-        "tpch_q21_waiting_supplier",  # EXISTS + NOT EXISTS pair
-        "tpch_q22_global_sales_opportunity",  # scalar-avg + anti-join
-    }
-    must_have |= {
+        # §2 family representatives
+        "scan_filter_project",
+        "project_computed",
+        "sql_passthrough",
+        "join_inner_dims",
+        "agg_count_by_key",
+        "agg_distinct_pairs",
+        "agg_collect_sorted_list",
+        "window_dense_ids",
+        "window_topn_per_group",
+        "topk_global",
+        "set_union_distinct",
+        "string_functions",
         "url_host_reverse",
+        # beyond-reference family representatives
+        "sim_cosine_topk",
+        "sim_ann_ivf",
         "embedding_quantize_int8",
         "multimodal_blob_stats",
-        "curation_contamination",  # most novel curation shapes in-window
-        "curation_repetition_signals",
+        "events_asof_join",
+        "events_range_join",
     }
-    assert must_have <= set(first), sorted(must_have - set(first))
+    assert must_have <= first, sorted(must_have - first)
 
 
 def test_oracle_order_mirrors_query_order():
