@@ -21,13 +21,13 @@ from pyspark.sql import types as T
 _HOST_FAST = re.compile(r"^https?://([a-zA-Z0-9_.-]{2,253})(?::\d+)?(?:[/?#]|$)")
 _IP_LIKE = re.compile(r"^\d{1,3}(?:\.\d{1,3}){3}$")
 
-#: Representative TLD whitelist for validation (F10). The reference
-#: embeds the full IANA list (iana_tld.py); deployments pass their own
-#: complete set — validation is `isin`/broadcast-join either way.
-DEFAULT_TLDS = frozenset(
-    "com org net edu gov mil int io de uk fr es it nl pl ru jp cn au ca br "
-    "ch se no fi dk cz at be hu pt gr ie info biz xyz dev app".split()
-)
+#: Full public IANA registry snapshot (F10) — parity with the
+#: reference's vendored list (iana_tld.py:4). Deployments tracking
+#: newer delegations can still inject their own set; validation is
+#: `isin`/broadcast-join either way.
+from cc_pyspark_spark.functions.iana_tlds import IANA_TLDS
+
+DEFAULT_TLDS = IANA_TLDS
 
 
 def surt_host(url: str | None) -> str | None:

@@ -295,3 +295,25 @@ def test_sentence_split_udtf(spark):
         (1, 2, "Three?"),
         (2, 0, "No punctuation"),
     ]
+
+
+def test_iana_tld_default_accepts_cctld_hosts(spark):
+    """F10 with the vendored IANA registry: ccTLD hosts the old ~40-entry
+    demo set rejected now validate; junk labels still don't."""
+    from cc_pyspark_spark.functions.iana_tlds import IANA_TLDS
+    from cc_pyspark_spark.functions.url import tld_is_valid
+
+    assert len(IANA_TLDS) > 1400
+    hosts = [
+        ("us.census", True),       # rev-host form: first label is the TLD
+        ("kr.example", True),
+        ("in.gov-portal", True),
+        ("xn--p1ai.example", True),  # punycode ccTLD (.рф)
+        ("localdomain.foo", False),
+        ("zz9.bar", False),
+    ]
+    df = spark.createDataFrame(hosts, ["name", "want"])
+    got = {r["name"]: r["ok"] for r in df.select(
+        "name", "want", tld_is_valid("name").alias("ok")).collect()}
+    for name, want in hosts:
+        assert got[name] is want, name
