@@ -3,9 +3,11 @@
 Reference behavior (sparkcc.py:609-615, sitemaps_from_robotstxt
 fetch path): try UTF-8 first; on failure fall back to the charset the
 cc-index / HTTP headers declared; finally decode latin-1 with
-replacement, which cannot fail. No external charset-detector library is
-bundled, so the declared charset IS the detection signal — the same
-chain the reference runs when `EncodingDetector` is absent.
+replacement, which cannot fail. The reference additionally runs bs4's
+``EncodingDetector`` when available (bs4_parser.py:37-39); the
+statistical sniffer below fills that role without bundling a detector
+library, so unlabeled Shift-JIS/KOI8-R/EUC pages decode correctly
+instead of degrading to latin-1 mojibake.
 
 `decode_bytes` is plain Python for the Arrow worker path;
 `decode_payload` is its vectorized pandas-UDF twin for DataFrame use.
@@ -52,8 +54,128 @@ def sniff_bom(data: bytes) -> str | None:
     return None
 
 
+# ------------------------- statistical detection (no declared charset)
+#
+# Candidate codecs are scored by STRUCTURAL VALIDITY (strict decode must
+# succeed) plus TEXT COHERENCE (printable/native-script mass positive,
+# C1-control / replacement / box-drawing mass negative) plus per-script
+# letter FREQUENCY — the signal that separates codecs mapping the same
+# byte stream into the same script: koi8-r vs cp1251 (both decode any
+# bytes; only the right one yields common Russian letters) and gb18030
+# vs big5 (both yield ideographs; only the right one yields common
+# hanzi). Kana/hangul outrank raw ideographs: wrong-codec CJK mojibake
+# decodes to ideograph soup, real Japanese is kana-heavy and real
+# Korean is hangul-heavy.
+
+_SNIFF_CANDIDATES: tuple[str, ...] = (
+    "shift_jis",
+    "euc-jp",
+    "euc-kr",
+    "gb18030",
+    "big5",
+    "koi8-r",
+    "windows-1251",
+    "windows-1252",
+)
+
+#: (lo, hi) codepoint ranges whose characters are positive evidence the
+#: decode hit a real native-script text: greek, hebrew, arabic, thai,
+#: CJK ideographs (cyrillic/kana/hangul are scored separately above).
+_NATIVE_RANGES = (
+    (0x0370, 0x03FF),
+    (0x0590, 0x05FF),
+    (0x0600, 0x06FF),
+    (0x0E00, 0x0E7F),
+    (0x3400, 0x4DBF),
+    (0x4E00, 0x9FFF),
+)
+
+#: Top-frequency Russian letters (~85% of letter mass in real text; a
+#: wrong Cyrillic codec scrambles case/letters and misses this set).
+_RU_COMMON = frozenset("оеаинтслвркдмпу")
+
+#: Most frequent hanzi (simplified + common traditional forms) — real
+#: Chinese/Japanese text hits this set constantly; ideograph soup from
+#: a wrong CJK codec almost never does.
+_HANZI_COMMON = frozenset(
+    "的一是了我不人在他有这个上们来到时大地为子中你说生国年着就那和"
+    "要她出也得里后自以会家可下而过天去能对小多然于心学么之都好看起"
+    "发当没成只如事把还用第样道想作种开美总从无情己面最女但现前些所"
+    "同日手又行意动方期它头经长儿回位分爱老因很给名法间斯知世什两次"
+    "使身者被高已亲其进此话常与活正感"
+    # traditional variants of high-frequency forms (big5 text)
+    "這個來們時為學國會後長兒經對裡還沒髮說種開總無點現給愛間諸與話"
+)
+
+#: Most frequent hangul syllables — same trick for euc-kr: real modern
+#: Korean is dominated by these; wrong-codec hangul soup is uniform
+#: over ~11k syllables and almost never hits the set.
+_HANGUL_COMMON = frozenset(
+    "이다의는에을하고지를가서한은기사어로아니것수있그대자게나주도시"
+    "전상소부정인제중무일년리구우스트만적경장보내용들면서울말했습니"
+    "과와요련동안되해였음식본토집양방금색각계"
+)
+
+_SNIFF_SAMPLE = 8192
+
+
+def _coherence(text: str) -> float:
+    """Higher = more plausible human text; negatives = mojibake tells."""
+    if not text:
+        return 0.0
+    score = 0.0
+    for ch in text:
+        o = ord(ch)
+        if o < 0x80:
+            score += 1.0 if (o >= 0x20 or ch in "\t\n\r") else -2.0
+        elif o < 0xA0 or o == 0xFFFD:
+            score -= 2.0  # C1 controls / replacement chars
+        elif 0x3040 <= o <= 0x30FF:
+            score += 2.5  # kana: script-defining for Japanese
+        elif 0xAC00 <= o <= 0xD7A3:
+            score += 2.5 if ch in _HANGUL_COMMON else 1.6
+        elif ch in _HANZI_COMMON:
+            score += 2.5  # frequency evidence for the right CJK codec
+        elif 0x0400 <= o <= 0x04FF:
+            score += 2.5 if ch in _RU_COMMON else 1.5
+        elif 0x2500 <= o <= 0x259F:
+            score -= 1.0  # box drawing: classic single-byte mojibake
+        elif 0x3000 <= o <= 0x303F or 0xFF00 <= o <= 0xFFEF:
+            score += 1.0  # CJK punctuation / fullwidth forms
+        else:
+            for lo, hi in _NATIVE_RANGES:
+                if lo <= o <= hi:
+                    score += 2.0
+                    break
+            else:
+                score += 1.0 if ch.isalpha() else 0.0
+    return score / len(text)
+
+
+def sniff_statistical(data: bytes) -> tuple[str, str] | None:
+    """Best (codec, full_decoded_text) for unlabeled non-UTF8 bytes, or
+    None when plain latin-1 explains the bytes at least as well."""
+    sample = data[:_SNIFF_SAMPLE]
+    baseline = _coherence(sample.decode("latin-1", "replace"))
+    best: tuple[float, str] | None = None
+    for codec in _SNIFF_CANDIDATES:
+        try:
+            text = sample.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        s = _coherence(text)
+        if best is None or s > best[0]:
+            best = (s, codec)
+    # Require a clear win over latin-1: ASCII-mostly pages shouldn't
+    # flip codecs on weak evidence.
+    if best is not None and best[0] > baseline + 0.25:
+        return best[1], data.decode(best[1], "replace")
+    return None
+
+
 def decode_bytes(data: bytes | None, charset: str | None = None) -> str | None:
-    """BOM → utf-8 strict → declared charset strict → latin-1 replace."""
+    """BOM → utf-8 strict → declared charset strict → statistical sniff
+    → latin-1 replace (cannot fail)."""
     if data is None:
         return None
     bom = sniff_bom(data)
@@ -61,7 +183,7 @@ def decode_bytes(data: bytes | None, charset: str | None = None) -> str | None:
         try:
             text = data.decode(bom)
             # utf-8-sig strips its BOM itself; strip the UTF-16/32 one
-            return text.lstrip("\ufeff")
+            return text.lstrip("﻿")
         except UnicodeDecodeError:
             pass
     try:
@@ -74,6 +196,9 @@ def decode_bytes(data: bytes | None, charset: str | None = None) -> str | None:
             return data.decode(cs)
         except (UnicodeDecodeError, LookupError):
             pass
+    sniffed = sniff_statistical(data)
+    if sniffed:
+        return sniffed[1]
     return data.decode("latin-1", "replace")
 
 

@@ -122,37 +122,51 @@ def spool_to_local(uri: str, temp_dir: str) -> str:
     """
     if not uri.startswith(("http://", "https://", "s3://", "hdfs://")):
         return uri.removeprefix("file://")
+    import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     with open_stream(uri) as src, tempfile.NamedTemporaryFile(
         dir=temp_dir, suffix=".spool", delete=False
     ) as dst:
-        shutil.copyfileobj(src, dst, length=1 << 20)
+        try:
+            shutil.copyfileobj(src, dst, length=1 << 20)
+        except BaseException:
+            # mid-copy failure (flaky remote, truncated object): don't
+            # leak the partial spool file into temp_dir over a long job
+            dst.close()
+            os.unlink(dst.name)
+            raise
         return dst.name
 
 
 def fetch_bytes(uri: str, offset: int | None = None, length: int | None = None) -> bytes:
-    """Fetch a whole object, or ``length`` bytes at ``offset`` when given.
+    """Fetch a whole object, or a byte range when ``offset`` is given.
 
     Ranged semantics are identical across backends: local seek+read,
     HTTP ``Range`` header GET (sparkcc.py:320-327), s3 ranged
-    ``get_object`` (sparkcc.py:291-305).
+    ``get_object`` (sparkcc.py:291-305). ``offset`` with
+    ``length=None`` is an open-ended range (read to EOF) on every
+    backend — ``Range: bytes=o-`` for http/s3, seek+read for
+    local/hdfs.
     """
     ranged = offset is not None
+    range_header = (
+        f"bytes={offset}-" if length is None else f"bytes={offset}-{offset + length - 1}"
+    ) if ranged else None
     if uri.startswith(("http://", "https://")):
         from urllib.request import Request, urlopen  # noqa: PLC0415
 
         req = Request(uri)
         if ranged:
-            req.add_header("Range", f"bytes={offset}-{offset + length - 1}")
+            req.add_header("Range", range_header)
         with urlopen(req) as resp:
             return resp.read()
     if uri.startswith("s3://"):
         bucket, key = parse_s3_uri(uri)
         kwargs: dict[str, Any] = {"Bucket": bucket, "Key": key}
         if ranged:
-            kwargs["Range"] = f"bytes={offset}-{offset + length - 1}"
+            kwargs["Range"] = range_header
         return _s3_client().get_object(**kwargs)["Body"].read()
     if uri.startswith("hdfs://"):
         filesystem, path = _hdfs_fs(uri)
