@@ -52,7 +52,8 @@ def _fake_decode(blob: bytes) -> dict:
 
 
 def parse_image_header(blob: bytes) -> dict | None:
-    """Real width/height from PNG/BMP/GIF/JPEG headers, pure Python.
+    """Real width/height from PNG/BMP/GIF/JPEG/WEBP/TIFF headers,
+    pure Python.
 
     Returns None for anything unrecognized (truncated or other format).
     """
@@ -68,32 +69,102 @@ def parse_image_header(blob: bytes) -> dict | None:
         if blob[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", blob[6:10])
             return {"format": "image/gif", "width": w, "height": h}
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+            return _parse_webp(blob)
+        if blob[:4] in (b"II*\x00", b"MM\x00*"):
+            return _parse_tiff(blob)
         if blob[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
             pos = 2
             while pos + 9 < len(blob):
                 if blob[pos] != 0xFF:
                     return None
-                marker = blob[pos + 1]
+                pos += 1
+                # skip 0xFF fill/padding bytes before the marker proper
+                while pos < len(blob) and blob[pos] == 0xFF:
+                    pos += 1
+                if pos + 8 >= len(blob):
+                    return None
+                marker = blob[pos]
+                pos += 1
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                    pos += 2
                     continue
-                seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+                seg_len = struct.unpack(">H", blob[pos : pos + 2])[0]
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                    h, w = struct.unpack(">HH", blob[pos + 5 : pos + 9])
+                    h, w = struct.unpack(">HH", blob[pos + 3 : pos + 7])
                     return {"format": "image/jpeg", "width": w, "height": h}
-                pos += 2 + seg_len
+                pos += seg_len
     except struct.error:
         return None
+    return None
+
+
+def _parse_webp(blob: bytes) -> dict | None:
+    """WEBP dimensions from the first VP8/VP8L/VP8X chunk."""
+    chunk = blob[12:16]
+    if chunk == b"VP8X" and len(blob) >= 30:
+        # 24-bit little-endian width-1 / height-1 at offsets 24 / 27
+        w = int.from_bytes(blob[24:27], "little") + 1
+        h = int.from_bytes(blob[27:30], "little") + 1
+        return {"format": "image/webp", "width": w, "height": h}
+    if chunk == b"VP8 " and len(blob) >= 30:
+        # lossy: 14-bit dims at offset 26, after the 3-byte start code
+        if blob[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = struct.unpack("<H", blob[26:28])[0] & 0x3FFF
+        h = struct.unpack("<H", blob[28:30])[0] & 0x3FFF
+        return {"format": "image/webp", "width": w, "height": h}
+    if chunk == b"VP8L" and len(blob) >= 25:
+        # lossless: 14-bit-1 dims bit-packed after the 0x2F signature
+        if blob[20] != 0x2F:
+            return None
+        bits = int.from_bytes(blob[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return {"format": "image/webp", "width": w, "height": h}
+    return None
+
+
+def _parse_tiff(blob: bytes) -> dict | None:
+    """TIFF dimensions from the first IFD's ImageWidth/ImageLength tags."""
+    endian = "<" if blob[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(f"{endian}I", blob[4:8])
+    if ifd_off + 2 > len(blob):
+        return None
+    (n_tags,) = struct.unpack(f"{endian}H", blob[ifd_off : ifd_off + 2])
+    w = h = None
+    for t in range(min(n_tags, 512)):
+        off = ifd_off + 2 + 12 * t
+        if off + 12 > len(blob):
+            return None
+        tag, typ = struct.unpack(f"{endian}HH", blob[off : off + 4])
+        if tag not in (256, 257):
+            continue
+        if typ == 3:  # SHORT
+            (val,) = struct.unpack(f"{endian}H", blob[off + 8 : off + 10])
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack(f"{endian}I", blob[off + 8 : off + 12])
+        else:
+            continue
+        if tag == 256:
+            w = val
+        else:
+            h = val
+        if w is not None and h is not None:
+            return {"format": "image/tiff", "width": w, "height": h}
     return None
 
 
 def decode_image_batch(blobs: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode one Arrow batch of image blobs → metadata frame.
 
-    PNG/BMP/GIF/JPEG dimensions come from the real header parser; for
-    other formats a full pixel decode would need an image library (not
-    bundled), so unknown blobs raise unless `fake=True`, which swaps in
-    the deterministic stub.
+    PNG/BMP/GIF/JPEG/WEBP/TIFF dimensions come from the real header
+    parser. For anything else (ICO, SVG, AVIF, truncated blobs, …) a
+    full pixel decode would need an image library (not bundled), so the
+    row degrades to ``format='unknown'`` with null dimensions —
+    skip-and-count semantics, like the reference's ArchiveLoadFailed
+    handling (sparkcc.py:390-392): one odd blob in a 100 TB corpus must
+    never abort the job. `fake=True` swaps in the deterministic stub
+    decode instead (test plumbing).
     """
     rows = []
     for b in blobs:
@@ -105,10 +176,14 @@ def decode_image_batch(blobs: pd.Series, fake: bool = False) -> pd.DataFrame:
         elif fake:
             rows.append(_fake_decode(b))
         else:
-            raise NotImplementedError(
-                "blob is not PNG/BMP/GIF/JPEG; full decode requires an "
-                "image library (e.g. Pillow) — pass fake=True for the "
-                "deterministic stub"
+            rows.append(
+                {
+                    "n_bytes": len(b) if b is not None else 0,
+                    "format": "unknown",
+                    "width": None,
+                    "height": None,
+                    "checksum": hashlib.md5(b).hexdigest() if b is not None else None,
+                }
             )
     return pd.DataFrame(rows, columns=["n_bytes", "format", "width", "height", "checksum"])
 

@@ -9,11 +9,15 @@ import pytest
 from cc_pyspark_spark.operators.multimodal import decode_image_batch, decode_images
 
 
-def test_decode_stub_requires_fake():
+def test_decode_unknown_degrades_to_unknown_row():
+    """Unknown formats must NOT abort the batch (skip-and-count, like
+    the reference's ArchiveLoadFailed handling): real corpora contain
+    ICO/SVG/AVIF blobs the header parser doesn't cover."""
     import pandas as pd
 
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(pd.Series([b"xx"]))
+    out = decode_image_batch(pd.Series([b"xx"]))
+    assert out["format"].tolist() == ["unknown"]
+    assert out["width"].isna().all() and out["height"].isna().all()
 
 
 def test_decode_images_plumbing(spark):
@@ -138,13 +142,82 @@ def test_decode_images_non_fake_on_real_png(spark):
     }
 
 
-def test_decode_non_image_still_raises_without_fake(spark):
-    import pytest as _pytest
-
-    from cc_pyspark_spark.operators.multimodal import decode_image_batch
+def test_decode_non_image_mixed_batch_survives(spark):
+    """One odd blob among real images: the batch completes, the odd row
+    degrades, the real rows decode."""
     import pandas as _pd
 
-    with _pytest.raises(NotImplementedError):
-        decode_image_batch(_pd.Series([b"plain text bytes"]))
-    out = decode_image_batch(_pd.Series([b"plain text bytes"]), fake=True)
-    assert out["format"].tolist() == ["fake/raw"]
+    from cc_pyspark_spark.operators.multimodal import decode_image_batch
+
+    out = decode_image_batch(
+        _pd.Series([_make_png(3, 2), b"plain text bytes", _make_gif(4, 5)])
+    )
+    assert out["format"].tolist() == ["image/png", "unknown", "image/gif"]
+    assert out["n_bytes"].tolist()[1] == len(b"plain text bytes")
+    out_fake = decode_image_batch(_pd.Series([b"plain text bytes"]), fake=True)
+    assert out_fake["format"].tolist() == ["fake/raw"]
+
+
+def _make_webp_lossy(w, h):
+    import struct as _s
+
+    vp8 = b"\x00" * 3 + b"\x9d\x01\x2a" + _s.pack("<HH", w, h) + b"\x00" * 8
+    riff = b"WEBP" + b"VP8 " + _s.pack("<I", len(vp8)) + vp8
+    return b"RIFF" + _s.pack("<I", len(riff)) + riff
+
+
+def _make_webp_lossless(w, h):
+    import struct as _s
+
+    bits = (w - 1) | ((h - 1) << 14)
+    vp8l = bytes([0x2F]) + _s.pack("<I", bits) + b"\x00" * 4
+    riff = b"WEBP" + b"VP8L" + _s.pack("<I", len(vp8l)) + vp8l
+    return b"RIFF" + _s.pack("<I", len(riff)) + riff
+
+
+def _make_webp_vp8x(w, h):
+    import struct as _s
+
+    vp8x = b"\x00" * 4 + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    riff = b"WEBP" + b"VP8X" + _s.pack("<I", len(vp8x)) + vp8x
+    return b"RIFF" + _s.pack("<I", len(riff)) + riff
+
+
+def _make_tiff(w, h, endian="<"):
+    import struct as _s
+
+    magic = b"II*\x00" if endian == "<" else b"MM\x00*"
+    # IFD at offset 8: two SHORT tags (256=width, 257=height)
+    ifd = _s.pack(f"{endian}H", 2)
+    ifd += _s.pack(f"{endian}HHI", 256, 3, 1) + _s.pack(f"{endian}H", w) + b"\x00\x00"
+    ifd += _s.pack(f"{endian}HHI", 257, 3, 1) + _s.pack(f"{endian}H", h) + b"\x00\x00"
+    ifd += _s.pack(f"{endian}I", 0)
+    return magic + _s.pack(f"{endian}I", 8) + ifd
+
+
+def test_parse_webp_tiff_headers():
+    from cc_pyspark_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_make_webp_lossy(320, 240)) == {
+        "format": "image/webp", "width": 320, "height": 240}
+    assert parse_image_header(_make_webp_lossless(33, 65)) == {
+        "format": "image/webp", "width": 33, "height": 65}
+    assert parse_image_header(_make_webp_vp8x(1920, 1080)) == {
+        "format": "image/webp", "width": 1920, "height": 1080}
+    assert parse_image_header(_make_tiff(640, 480)) == {
+        "format": "image/tiff", "width": 640, "height": 480}
+    assert parse_image_header(_make_tiff(31, 17, ">")) == {
+        "format": "image/tiff", "width": 31, "height": 17}
+
+
+def test_parse_jpeg_with_fill_bytes():
+    """Valid JPEGs may pad with 0xFF fill bytes before markers
+    (ITU T.81 B.1.1.2) — the segment walk must skip them."""
+    import struct as _s
+
+    from cc_pyspark_spark.operators.multimodal import parse_image_header
+
+    sof = b"\xff\xff\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", 9, 13) + b"\x01\x11\x00"
+    jpg = b"\xff\xd8" + b"\xff\xff\xe0" + _s.pack(">H", 4) + b"JF" + sof + b"\xff\xd9"
+    assert parse_image_header(jpg) == {
+        "format": "image/jpeg", "width": 13, "height": 9}
