@@ -73,3 +73,73 @@ def html_to_text_udf_factory():
         return series.map(one)
 
     return F.pandas_udf(extract, T.StringType())
+
+
+def resiliparse_udf_factory():
+    """Resiliparse backend if importable — the reference's third parser
+    plugin (resiliparse_parser.py:11-36: HTMLTree.parse +
+    extract_plain_text); else None. Import-guarded exactly like bs4."""
+    try:
+        from resiliparse.extract.html2text import extract_plain_text  # noqa: PLC0415
+        from resiliparse.parse.html import HTMLTree  # noqa: PLC0415
+    except ImportError:
+        return None
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    def extract(series: pd.Series) -> pd.Series:
+        def one(html):
+            if html is None:
+                return None
+            tree = HTMLTree.parse(html)
+            return extract_plain_text(tree, main_content=False, alt_texts=False)
+
+        return series.map(one)
+
+    return F.pandas_udf(extract, T.StringType())
+
+
+#: name → factory returning a Column-producer (or None when the lib is
+#: absent). "regex" is always available; the reference's `--html_parser`
+#: flag maps onto these names (beautifulsoup/resiliparse).
+_BACKENDS = {
+    "regex": lambda: html_to_text,
+    "beautifulsoup": lambda: (
+        (lambda udf: (lambda col: udf(F.col(col) if isinstance(col, str) else col)))(
+            html_to_text_udf_factory()
+        )
+        if html_to_text_udf_factory() is not None
+        else None
+    ),
+    "resiliparse": lambda: (
+        (lambda udf: (lambda col: udf(F.col(col) if isinstance(col, str) else col)))(
+            resiliparse_udf_factory()
+        )
+        if resiliparse_udf_factory() is not None
+        else None
+    ),
+}
+
+
+def available_backends() -> tuple[str, ...]:
+    """Backends usable in this environment (regex always; bs4 and
+    resiliparse when their libraries import)."""
+    return tuple(n for n in _BACKENDS if _BACKENDS[n]() is not None)
+
+
+def html_backend(name: str = "regex"):
+    """Column-producer for the named backend: fn(col) -> text Column.
+
+    Raises ValueError for unknown names and ImportError-shaped
+    RuntimeError when the backend's library is absent — mirroring the
+    reference's `--html_parser` plugin selection.
+    """
+    if name not in _BACKENDS:
+        raise ValueError(f"unknown html parser backend: {name!r}")
+    fn = _BACKENDS[name]()
+    if fn is None:
+        raise RuntimeError(
+            f"html parser backend {name!r} requires a library that is "
+            "not installed in this environment"
+        )
+    return fn

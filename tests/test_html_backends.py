@@ -1,12 +1,19 @@
-"""HTML->text backend parity: regex (default) vs bs4 (plugin), mirroring
-the reference's --html_parser switch (bs4_parser.py:10-41). Skipped
-where bs4 isn't installed — the factory returns None there by design."""
+"""HTML->text backend parity across the plugin matrix, mirroring the
+reference's --html_parser switch (bs4_parser.py:10-41,
+resiliparse_parser.py:11-36). The matrix runs every backend whose
+library is installed — regex always; bs4/resiliparse skip cleanly in
+environments without them (the factories return None by design)."""
 
 from __future__ import annotations
 
 import pytest
 
-from cc_pyspark_spark.functions.html import html_to_text, html_to_text_udf_factory
+from cc_pyspark_spark.functions.html import (
+    available_backends,
+    html_backend,
+    html_to_text,
+    html_to_text_udf_factory,
+)
 
 FIXTURES = [
     "<html><body><p>Hello <b>world</b></p></body></html>",
@@ -16,32 +23,56 @@ FIXTURES = [
 ]
 
 
-def test_regex_backend_strips_script_style(spark):
-    from pyspark.sql import functions as F
+def test_backend_registry_surface():
+    avail = available_backends()
+    assert "regex" in avail  # always present
+    # unknown names fail loudly; absent-library names raise RuntimeError
+    with pytest.raises(ValueError):
+        html_backend("lexbor")
+    for name in ("beautifulsoup", "resiliparse"):
+        if name not in avail:
+            with pytest.raises(RuntimeError):
+                html_backend(name)
 
+
+@pytest.mark.parametrize("backend", available_backends())
+def test_backend_strips_script_style(spark, backend):
+    fn = html_backend(backend)
     df = spark.createDataFrame([(h,) for h in FIXTURES], ["html"])
-    got = [r["t"] for r in df.select(html_to_text("html").alias("t")).collect()]
-    assert got[0] == "Hello world"
+    got = [r["t"] for r in df.select(fn("html").alias("t")).collect()]
+    assert got[0].split() == ["Hello", "world"]
     assert "var a=1" not in got[1] and "kept text" in got[1]
-    assert got[2] == "line one line two"
+    assert got[2].split() == ["line", "one", "line", "two"]
 
 
-def test_bs4_backend_agrees_with_regex_on_simple_html(spark):
-    """Where bs4 exists: token-level agreement on plain fixtures.
-    Known divergences (documented): comments/CDATA content, entity
-    decoding (&amp;), and malformed markup — bs4 resolves these, the
-    regex backend does not."""
-    udf = html_to_text_udf_factory()
-    if udf is None:
-        pytest.skip("bs4 not installed in this environment")
-    from pyspark.sql import functions as F
+@pytest.mark.parametrize(
+    "backend", [b for b in available_backends() if b != "regex"]
+)
+def test_parser_backend_agrees_with_regex_on_simple_html(spark, backend):
+    """Where a real parser exists: token-level agreement on plain
+    fixtures. Known divergences (documented): comments/CDATA content,
+    entity decoding (&amp;), and malformed markup — real parsers resolve
+    these, the regex backend handles only the common classes."""
+    from pyspark.sql import functions as F  # noqa: F401
 
+    fn = html_backend(backend)
     df = spark.createDataFrame([(h,) for h in FIXTURES], ["html"])
     both = df.select(
-        html_to_text("html").alias("rx"), udf(F.col("html")).alias("bs")
+        html_to_text("html").alias("rx"), fn("html").alias("px")
     ).collect()
     for r in both:
-        assert r["rx"].split() == r["bs"].split()
+        assert r["rx"].split() == r["px"].split()
+
+
+def test_bs4_factory_none_without_bs4():
+    """The import guard itself: factory is None exactly when bs4 is
+    absent (parity with the reference's optional plugin)."""
+    try:
+        import bs4  # noqa: F401
+
+        assert html_to_text_udf_factory() is not None
+    except ImportError:
+        assert html_to_text_udf_factory() is None
 
 
 def test_regex_backend_comments_cdata_entities(spark):
