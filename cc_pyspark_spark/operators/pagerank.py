@@ -89,9 +89,12 @@ def connected_components(
     `probe_every - 1` extra cheap iterations, in exchange for
     `probe_every`× fewer driver round-trips.
     """
+    # Persisted: the adjacency is re-joined EVERY iteration — without
+    # this, an expensive edge lineage (e.g. minhash pair generation in
+    # dedup_cluster_canonical) is recomputed O(iterations) times.
     sym = edges.select("s", "t").union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    )
+    ).persist()
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()

@@ -502,3 +502,75 @@ def dedup_embedding_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pairs_fn, schema=schema)
         .distinct()
     )
+
+
+# ---------------------------- near-dup clustering → canonical survivor
+
+
+def _duck_cluster_oracle() -> str:
+    """Recursive min-label reachability over the minhash near-dup pairs.
+
+    DuckDB's recursive CTE replays Spark's iterative min-label
+    propagation exactly (both converge to min doc_id per component), so
+    even this *iterative graph algorithm* carries a full value-hash
+    oracle rather than a rows-only check.
+    """
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({_duck_minhash_oracle()})
+), edges AS (
+  SELECT a_id AS s, b_id AS t FROM pairs
+  UNION
+  SELECT b_id AS s, a_id AS t FROM pairs
+), reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.s AS id, re.r AS r FROM edges e JOIN reach re ON re.id = e.t
+), comp AS (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS keep_id,
+       CAST(CASE WHEN c.comp IS NULL OR c.comp = d.doc_id THEN 1 ELSE 0 END
+            AS BIGINT) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=_duck_cluster_oracle(),
+    description="Near-dup CLUSTERING: minhash pairs → undirected connected "
+    "components (iterative min-label propagation, O(diameter) shuffles) → "
+    "every document mapped to its cluster's canonical survivor (min "
+    "doc_id; unpaired docs survive as themselves). The step after pair "
+    "generation every dedup pipeline actually needs — and oracled via "
+    "DuckDB's recursive CTE, so the iterative algorithm gets a full "
+    "value-hash check",
+    tags=("dedup", "graph"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.pagerank import connected_components  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("t"))
+    # Near-dup clusters are near-cliques: diameter ~1-2, so probe for
+    # convergence every 2 rounds instead of the graph default of 4.
+    comp = connected_components(edges, max_iter=12, probe_every=2, checkpoint_every=2)
+    docs = t.documents.select("doc_id")
+    return (
+        docs.join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("keep_id"),
+        )
+        .withColumn(
+            "is_canonical",
+            F.when(F.col("keep_id") == F.col("doc_id"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+    )
