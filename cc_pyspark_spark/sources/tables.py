@@ -85,3 +85,35 @@ def write_text_gz(df: DataFrame, path: str, sep: str = "\t") -> None:
     df.select(F.concat_ws(sep, *cols).alias("value")).write.mode(
         "overwrite"
     ).option("compression", "gzip").text(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """K1 at scale: hash-bucketed managed table for co-located joins.
+
+    Bucketing pre-shuffles data ONCE at write time: two tables bucketed
+    on the same key with the same bucket count join with ZERO exchanges
+    (SortMergeJoin reads buckets pairwise), and a groupBy on the bucket
+    key skips its exchange too. This is the 100 TB answer to repeated
+    joins on the same key (doc_id, host, custkey): pay the shuffle once
+    in the sink, never in the queries. Optional sort_cols additionally
+    pre-sorts within buckets, eliminating the sort in sort-merge joins.
+    """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    writer = (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -127,3 +127,43 @@ def test_linkmap_to_parquet(spark, tmp_path):
     out = linkmap_to_parquet(spark, tsv_dir, str(tmp_path / "pairs_out"))
     got = sorted(tuple(r) for r in out.collect())
     assert got == [("com.a", "com.b"), ("com.b", "com.c")]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join with zero shuffles and
+    a bucket-key groupBy skips its exchange — the pay-once co-location
+    contract write_bucketed_table exists for."""
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.sources.tables import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 97).alias("feat")
+        )
+        scores = spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 7 % 101).alias("score")
+        )
+        write_bucketed_table(docs, "b_docs", "doc_id", num_buckets=8,
+                             sort_cols="doc_id")
+        write_bucketed_table(scores, "b_scores", "doc_id", num_buckets=8,
+                             sort_cols="doc_id")
+        a = spark.table("b_docs")
+        b = spark.table("b_scores")
+        joined = a.join(b, "doc_id")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+
+        agg = a.groupBy("doc_id").agg(F.sum("feat").alias("s"))
+        plan2 = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan2, plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_scores")
