@@ -41,11 +41,21 @@ JOBS = {
 }
 
 
+#: Jobs over a parquet documents/embeddings table (LLM-pipeline surface)
+#: — input is the table path, not a WARC manifest.
+DOC_JOBS = (
+    "dedup_documents",
+    "export_training_jsonl",
+)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cc-pyspark-spark")
-    p.add_argument("job", choices=sorted([*JOBS, "hostlinks_to_graph"]))
+    p.add_argument("job", choices=sorted([*JOBS, "hostlinks_to_graph", *DOC_JOBS]))
     p.add_argument("input", help="manifest of WARC/WAT/WET file URIs "
-                   "(for hostlinks_to_graph: parquet edge table)")
+                   "(for hostlinks_to_graph: parquet edge table; for "
+                   "dedup_documents/export_training_jsonl: parquet "
+                   "documents — or embeddings — table)")
     p.add_argument("output", help="output path (or table name with --save_as_table)")
     p.add_argument("--num_input_partitions", type=int, default=400)
     p.add_argument("--num_output_partitions", type=int, default=10)
@@ -76,6 +86,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="profile the driver with cProfile and print cumulative "
         "top-50 to stderr (sparkcc.py:180-191)",
     )
+    # ---- LLM-pipeline knobs (dedup_documents / export_training_jsonl)
+    p.add_argument(
+        "--dedup_method",
+        default="minhash",
+        choices=["exact", "minhash", "simhash", "embedding_lsh", "cluster"],
+        help="dedup_documents: exact survivors, minhash/embedding pairs, "
+        "simhash signatures, or cluster (pairs → components → canonical)",
+    )
+    p.add_argument("--jaccard_threshold", type=float, default=0.5)
+    p.add_argument("--min_tokens", type=int, default=5)
+    p.add_argument("--max_tokens", type=int, default=100_000)
     return p
 
 
@@ -93,6 +114,74 @@ def write_output(df: DataFrame, args: argparse.Namespace, sort_cols) -> None:
         writer.saveAsTable(args.output)
     else:
         writer.mode("overwrite").save(args.output)
+
+
+
+def _run_doc_job(spark, args: argparse.Namespace) -> int:
+    """LLM-pipeline jobs over a parquet documents/embeddings table."""
+    from cc_pyspark_spark.operators import dedup as D  # noqa: PLC0415
+
+    table = spark.read.parquet(args.input)
+    if args.job == "export_training_jsonl":
+        from cc_pyspark_spark.operators.export import export_training_jsonl  # noqa: PLC0415
+
+        n = export_training_jsonl(
+            table, args.output,
+            min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+            n_shards=args.num_output_partitions,
+        )
+        print(json.dumps({"job": args.job, "exported_docs": n}))
+        return 0
+    method = args.dedup_method
+    if method == "exact":
+        df = D.exact_dedup_keep_first(table, ["text"], "doc_id")
+    elif method == "minhash":
+        df = D.minhash_lsh_pairs(table, threshold=args.jaccard_threshold)
+    elif method == "simhash":
+        df = D.simhash_signatures(table)
+    elif method == "embedding_lsh":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+            SIGN_LSH_BAND_BITS,
+            SIGN_LSH_BANDS,
+            bucket_cosine_pairs,
+            sign_lsh_sig_and_norm,
+        )
+
+        emb = table.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+        sig = emb.select(
+            "vec_id", "v", sign_lsh_sig_and_norm("v").alias("sn")
+        ).select("vec_id", "v", "sn.sig", "sn.nrm")
+        bands = sig.select(
+            "vec_id", "v", "nrm",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"shiftright(sig, {SIGN_LSH_BAND_BITS * b}) % "
+                        f"{1 << SIGN_LSH_BAND_BITS}"
+                    ).alias("bkey"),
+                )
+                for b in range(SIGN_LSH_BANDS)
+            ])).alias("bk"),
+        ).select("vec_id", "v", "nrm", "bk.band", "bk.bkey")
+        fn, schema = bucket_cosine_pairs()
+        df = bands.groupBy("band", "bkey").applyInPandas(fn, schema=schema).distinct()
+    else:  # cluster
+        pairs = D.minhash_lsh_pairs(table, threshold=args.jaccard_threshold)
+        df = D.canonical_survivors(table, pairs)
+    from pyspark.sql import Observation  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    obs = Observation("doc_job_metrics")
+    df = df.observe(obs, F.count(F.lit(1)).alias("output_rows"))
+    write_output(df, args, None)
+    print(json.dumps({"job": args.job, "method": method, **obs.get}))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -136,6 +225,8 @@ def main_with_args(args: argparse.Namespace) -> int:
                     "compression", args.output_compression
                 ).mode("overwrite").save(f"{base}/{name}")
         return 0
+    if args.job in DOC_JOBS:
+        return _run_doc_job(spark, args)
     job_fn, sort_cols = JOBS[args.job]
     metrics = WarcMetrics(spark)
     records = warc_records(

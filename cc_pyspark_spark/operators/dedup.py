@@ -308,3 +308,37 @@ def bucket_cosine_pairs(schema: str = "a_id bigint, b_id bigint, cos double"):
         return pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cos[iu, ju]})
 
     return _pairs, schema
+
+
+def canonical_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """Map every document to its near-dup cluster's canonical survivor.
+
+    `pairs` is any near-dup pair frame (minhash/simhash/embedding LSH);
+    components come from iterative min-label propagation
+    (operators/pagerank.py), survivors are the min id per cluster, and
+    unpaired documents survive as themselves. Deployment twin of the
+    oracled registry query `dedup_cluster_canonical`.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.pagerank import connected_components  # noqa: PLC0415
+
+    edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+    comp = connected_components(edges, probe_every=2, checkpoint_every=2)
+    base = docs.select(id_col)
+    return (
+        base.join(comp, base[id_col] == comp.id, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col))
+            .cast("bigint")
+            .alias("keep_id"),
+        )
+        .withColumn("is_canonical", (F.col("keep_id") == F.col(id_col)).cast("int"))
+    )

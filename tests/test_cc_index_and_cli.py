@@ -136,3 +136,49 @@ def test_cli_emits_job_metrics(spark, corpus, tmp_path, capsys):
     assert m["files_failed"] == 0
     assert m["records_processed"] > 0
     assert m["output_rows"] > 0
+
+
+def test_cli_dedup_documents_cluster(tmp_path):
+    """End-to-end CLI: documents parquet → cluster survivors parquet."""
+    import json as _json
+
+    from cc_pyspark_spark.jobs.runner import main
+
+    out = str(tmp_path / "survivors")
+    rc = main([
+        "dedup_documents", "/root/testdata/sf0.001/documents.parquet", out,
+        "--dedup_method", "cluster", "--num_output_partitions", "2",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "keep_id", "is_canonical"}
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert got.count() == n_docs
+    # survivors are closed under the mapping: every keep_id is canonical
+    keeps = {r["keep_id"] for r in got.select("keep_id").distinct().collect()}
+    canon = {r["doc_id"] for r in got.filter("is_canonical = 1").collect()}
+    assert keeps <= canon
+
+
+def test_cli_export_training_jsonl(tmp_path, capsys):
+    from cc_pyspark_spark.jobs.runner import main
+
+    out = str(tmp_path / "jsonl")
+    rc = main([
+        "export_training_jsonl", "/root/testdata/sf0.001/documents.parquet",
+        out, "--min_tokens", "1", "--num_output_partitions", "2",
+        "--spark_master", "local[4]",
+    ])
+    assert rc == 0
+    import json as _json
+
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    payload = _json.loads(line)
+    assert payload["job"] == "export_training_jsonl"
+    assert payload["exported_docs"] > 0
