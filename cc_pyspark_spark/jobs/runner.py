@@ -95,6 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
         "simhash signatures, or cluster (pairs → components → canonical)",
     )
     p.add_argument("--jaccard_threshold", type=float, default=0.5)
+    p.add_argument("--cosine_threshold", type=float, default=0.42)
     p.add_argument("--min_tokens", type=int, default=5)
     p.add_argument("--max_tokens", type=int, default=100_000)
     return p
@@ -140,37 +141,7 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
     elif method == "simhash":
         df = D.simhash_signatures(table)
     elif method == "embedding_lsh":
-        from pyspark.sql import functions as F  # noqa: PLC0415
-
-        from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
-            SIGN_LSH_BAND_BITS,
-            SIGN_LSH_BANDS,
-            bucket_cosine_pairs,
-            sign_lsh_sig_and_norm,
-        )
-
-        emb = table.select(
-            "vec_id",
-            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        )
-        sig = emb.select(
-            "vec_id", "v", sign_lsh_sig_and_norm("v").alias("sn")
-        ).select("vec_id", "v", "sn.sig", "sn.nrm")
-        bands = sig.select(
-            "vec_id", "v", "nrm",
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.expr(
-                        f"shiftright(sig, {SIGN_LSH_BAND_BITS * b}) % "
-                        f"{1 << SIGN_LSH_BAND_BITS}"
-                    ).alias("bkey"),
-                )
-                for b in range(SIGN_LSH_BANDS)
-            ])).alias("bk"),
-        ).select("vec_id", "v", "nrm", "bk.band", "bk.bkey")
-        fn, schema = bucket_cosine_pairs()
-        df = bands.groupBy("band", "bkey").applyInPandas(fn, schema=schema).distinct()
+        df = D.sign_lsh_pairs(table, threshold=args.cosine_threshold)
     else:  # cluster
         pairs = D.minhash_lsh_pairs(table, threshold=args.jaccard_threshold)
         df = D.canonical_survivors(table, pairs)

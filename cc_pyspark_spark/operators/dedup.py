@@ -244,47 +244,52 @@ _LSH_M2 = 40503
 _LSH_M3 = 1299721
 
 
-def _lsh_weights(dim: int):
-    """(dim, bits) float64 weights in [-0.5, 0.5) from the integer hash
-    ((i*M1 + (j+1)*M2*i + (j+1)*M3) mod P)/P - 0.5, 1-based dim i —
+def _lsh_weights(dim: int, n_bits: int = SIGN_LSH_BITS):
+    """(dim, n_bits) float64 weights in [-0.5, 0.5) from the integer
+    hash ((i*M1 + (j+1)*M2*i + (j+1)*M3) mod P)/P - 0.5, 1-based dim i —
     exact-integer arithmetic, then one double divide + subtract, matching
     the oracle's CAST(h AS DOUBLE)/P - 0.5 op-for-op."""
-    w = np.empty((dim, SIGN_LSH_BITS), dtype="float64")
+    w = np.empty((dim, n_bits), dtype="float64")
     for i in range(1, dim + 1):
-        for j in range(SIGN_LSH_BITS):
+        for j in range(n_bits):
             h = (i * _LSH_M1 + (j + 1) * _LSH_M2 * i + (j + 1) * _LSH_M3) % _LSH_P
             w[i - 1, j] = h / _LSH_P - 0.5
     return w
 
 
-def sign_lsh_sig_and_norm(vec_col: str):
+def sign_lsh_sig_and_norm(vec_col: str, n_bits: int = SIGN_LSH_BITS):
     """pandas UDF: array<double> -> struct(sig bigint, nrm double)."""
     from pyspark.sql.functions import pandas_udf
+
+    if n_bits > 62:
+        raise ValueError("sig is packed into one bigint: n_bits <= 62")
 
     @pandas_udf("sig bigint, nrm double")
     def _udf(vs: pd.Series) -> pd.DataFrame:
         X = np.vstack(vs.to_numpy())  # (n, d) float64
         n, d = X.shape
-        w = _lsh_weights(d)
-        acc = np.zeros((n, SIGN_LSH_BITS))
+        w = _lsh_weights(d, n_bits)
+        acc = np.zeros((n, n_bits))
         nrm2 = np.zeros(n)
         for i in range(d):  # explicit left fold per (row, bit)
             acc = acc + X[:, i : i + 1] * w[i]
             nrm2 = nrm2 + X[:, i] * X[:, i]
-        pows = (1 << np.arange(SIGN_LSH_BITS, dtype="int64"))
+        pows = (1 << np.arange(n_bits, dtype="int64"))
         sig = ((acc > 0) * pows).sum(axis=1)
         return pd.DataFrame({"sig": sig, "nrm": np.sqrt(nrm2)})
 
     return _udf(vec_col)
 
 
-def bucket_cosine_pairs(schema: str = "a_id bigint, b_id bigint, cos double"):
+def bucket_cosine_pairs(
+    threshold: float,
+    schema: str = "a_id bigint, b_id bigint, cos double",
+):
     """applyInPandas fn: all-pairs cosine WITHIN one (band, bucket) group.
 
     Group sizes are bounded by the band width (the LSH tuning knob), so
     the quadratic work is local and small; across-bucket pairs are never
     formed. Emits only threshold-passing pairs (a_id < b_id)."""
-    from cc_pyspark_spark.plans.dedup import COSINE_DUP_THRESHOLD  # noqa: PLC0415
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -301,7 +306,7 @@ def bucket_cosine_pairs(schema: str = "a_id bigint, b_id bigint, cos double"):
             acc = acc + np.outer(X[:, i], X[:, i])
         cos = acc / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(m, k=1)
-        keep = cos[iu, ju] >= COSINE_DUP_THRESHOLD
+        keep = cos[iu, ju] >= threshold
         iu, ju = iu[keep], ju[keep]
         a, b = ids[iu], ids[ju]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -342,3 +347,53 @@ def canonical_survivors(
         )
         .withColumn("is_canonical", (F.col("keep_id") == F.col(id_col)).cast("int"))
     )
+
+
+def sign_lsh_pairs(
+    emb: DataFrame,
+    threshold: float,
+    band_bits: int = SIGN_LSH_BAND_BITS,
+    n_bands: int = SIGN_LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-bit LSH bucket pruning.
+
+    The full deployment composition: Arrow-batched signature+norm, band
+    explode keyed by (band, bucket), all-pairs cosine LOCAL to each
+    bucket, distinct across bands. `band_bits` is THE scale knob: wider
+    bands → exponentially smaller buckets and lower recall per band
+    (compensate with `n_bands`). The 4/8 defaults match the oracled
+    registry twin; at 100 TB with a real near-dup threshold (cos ≥ 0.85)
+    use ~16-bit bands × 8-16 bands.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    n_bits = band_bits * n_bands
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    sig = vecs.select(
+        "vec_id", "v", sign_lsh_sig_and_norm("v", n_bits).alias("sn")
+    ).select("vec_id", "v", "sn.sig", "sn.nrm")
+    bands = sig.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(sig, {band_bits * b}) % {1 << band_bits}"
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "nrm", "bk.band", "bk.bkey")
+    fn, schema = bucket_cosine_pairs(threshold)
+    return bands.groupBy("band", "bkey").applyInPandas(fn, schema=schema).distinct()

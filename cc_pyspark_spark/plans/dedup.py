@@ -457,51 +457,14 @@ WHERE list_reduce(list_prepend(0.0,
     tags=("dedup", "similarity", "bench", "scale"),
 )
 def dedup_embedding_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
-        bucket_cosine_pairs,
-        sign_lsh_sig_and_norm,
-    )
+    from cc_pyspark_spark.operators.dedup import sign_lsh_pairs  # noqa: PLC0415
 
     t = Catalog(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
-    )
-    # Signature + norm in one Arrow-batched numpy pass (explicit left
-    # fold over dimensions -> bit-identical to the oracle's list_reduce).
-    sig = emb.select(
-        "vec_id", "v", sign_lsh_sig_and_norm("v").alias("sn")
-    ).select("vec_id", "v", "sn.sig", "sn.nrm")
-    # One row per (vector, band); shuffle key = (band, bucket). Vectors
-    # travel WITH the row so verification never re-joins the corpus —
-    # at 100 TB that is one narrow shuffle of (id, 8B sig, vec) * bands.
-    bands = sig.select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"shiftright(sig, {SIGN_LSH_BAND_BITS * b}) % "
-                            f"{1 << SIGN_LSH_BAND_BITS}"
-                        ).alias("bkey"),
-                    )
-                    for b in range(SIGN_LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "v", "nrm", "bk.band", "bk.bkey")
-    # All-pairs cosine WITHIN each band bucket (numpy, local, bounded by
-    # the band width); threshold filter inside the UDF so only real
-    # near-dup pairs ever hit the final distinct.
-    pairs_fn, schema = bucket_cosine_pairs()
-    return (
-        bands.groupBy("band", "bkey")
-        .applyInPandas(pairs_fn, schema=schema)
-        .distinct()
-    )
+    # Defaults (4-bit bands x 8) mirror the oracle SQL above; every
+    # float reduction inside sign_lsh_pairs is an explicit left fold
+    # over the dimension index, bit-identical to the oracle's
+    # list_reduce — see operators/dedup.py.
+    return sign_lsh_pairs(t.embeddings, COSINE_DUP_THRESHOLD)
 
 
 # ---------------------------- near-dup clustering → canonical survivor
