@@ -373,3 +373,64 @@ def text_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "word", "score", "rnk")
     )
+
+
+def _duck_tld_oracle() -> str:
+    from cc_pyspark_spark.functions.iana_tlds import IANA_TLDS
+
+    tld_list = ", ".join(f"'{t}'" for t in sorted(IANA_TLDS))
+    return f"""
+WITH h AS (
+  SELECT c_custkey,
+         CASE c_custkey % 8
+           WHEN 0 THEN 'us' WHEN 1 THEN 'kr' WHEN 2 THEN 'de'
+           WHEN 3 THEN 'jp' WHEN 4 THEN 'xn--p1ai' WHEN 5 THEN 'dev'
+           WHEN 6 THEN 'localdomain' ELSE 'zz9'
+         END AS tld
+  FROM customer
+), r AS (
+  SELECT c_custkey, tld, tld || '.site' || CAST(c_custkey AS VARCHAR) AS rev_host
+  FROM h
+)
+SELECT tld,
+       CAST(CASE WHEN string_split(rev_host, '.')[1] IN ({tld_list})
+            THEN 1 ELSE 0 END AS BIGINT) AS tld_valid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+@register(
+    "url_tld_validation_counts",
+    oracle=_duck_tld_oracle(),
+    description="F10 with the full vendored IANA registry: synthesized "
+    "rev-hosts over valid ccTLDs/punycode/gTLDs and junk labels, "
+    "validated via tld_is_valid (Catalyst-folded isin over 1569 TLDs) "
+    "and counted per (tld, verdict) — the oracle replays membership "
+    "against the same public list",
+    tags=("text", "url"),
+)
+def url_tld_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.functions.url import tld_is_valid  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    tld = (
+        F.when(F.col("c_custkey") % 8 == 0, "us")
+        .when(F.col("c_custkey") % 8 == 1, "kr")
+        .when(F.col("c_custkey") % 8 == 2, "de")
+        .when(F.col("c_custkey") % 8 == 3, "jp")
+        .when(F.col("c_custkey") % 8 == 4, "xn--p1ai")
+        .when(F.col("c_custkey") % 8 == 5, "dev")
+        .when(F.col("c_custkey") % 8 == 6, "localdomain")
+        .otherwise("zz9")
+    )
+    r = t.customer.select(
+        "c_custkey",
+        tld.alias("tld"),
+    ).withColumn(
+        "rev_host",
+        F.concat(F.col("tld"), F.lit(".site"), F.col("c_custkey").cast("string")),
+    )
+    return r.groupBy(
+        "tld", tld_is_valid("rev_host").cast("bigint").alias("tld_valid")
+    ).agg(F.count(F.lit(1)).alias("n"))
