@@ -50,14 +50,23 @@ def write_table(
     compression: str = "zstd",
     num_partitions: int | None = None,
     save_as_table: bool = False,
+    partition_by: list[str] | str | None = None,
     **options: str,
 ) -> None:
     """K1: managed-table/path sink with compression (sparkcc.py:219-225;
-    orc 'gzip'→'zlib' fixup sparkcc.py:132-134)."""
+    orc 'gzip'→'zlib' fixup sparkcc.py:132-134).
+
+    `partition_by` writes hive-style directory partitions (crawl=, lang=,
+    subset= …) — the layout that turns downstream equality filters into
+    partition PRUNING at the scan (the cc-index layout, cc_index.py)."""
     if fmt == "orc" and compression == "gzip":
         compression = "zlib"
     out = df.coalesce(num_partitions) if num_partitions else df
     writer = out.write.format(fmt).option("compression", compression)
+    if partition_by:
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
+        writer = writer.partitionBy(*partition_by)
     for k, v in options.items():
         writer = writer.option(k, v)
     if save_as_table:

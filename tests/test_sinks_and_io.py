@@ -167,3 +167,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """partition_by writes hive-style dirs and an equality filter on the
+    partition column reaches the scan as partition pruning (the
+    cc-index crawl=/subset= layout)."""
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.sources.tables import write_table
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang"), (F.col("id") % 4).cast("string")).alias("lang"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    out = str(tmp_path / "parts")
+    write_table(docs, out, partition_by="lang")
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == [
+        f"lang=lang{i}" for i in range(4)
+    ]
+    back = spark.read.parquet(out).filter(F.col("lang") == "lang2")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters:" in l]
+    assert pf_lines, plan
+    assert any("lang" in l and "lang2" in l for l in pf_lines), pf_lines
+    assert back.count() == 750
