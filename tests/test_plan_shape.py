@@ -130,3 +130,44 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_embedding_scale_single_wide_shuffle(spark):
+    """dedup_embedding_scale: the only wide shuffles are the (band,
+    bucket) groupBy and the final distinct — no cartesian, no
+    vector-table re-join, no extra exchanges from the signature stage."""
+    from cc_pyspark_spark.plans.registry import QUERIES
+
+    import re
+
+    df = QUERIES["dedup_embedding_scale"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    def nodes(kind):
+        return len(re.findall(rf"^\(\d+\) {kind}", plan, re.M))
+
+    # wide shuffles: the (band, bucket) groupBy + the final distinct
+    assert nodes("Exchange") <= 2, plan
+    # Arrow boundaries: one signature pandas-UDF eval + the grouped scorer
+    assert nodes("ArrowEvalPython") == 1, plan
+    assert nodes("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_tld_validation_is_folded_not_joined(spark):
+    """F10 over 1569 TLDs compiles to an isin probe inside the
+    aggregate — no join against a TLD table, no Python eval."""
+    from cc_pyspark_spark.plans.registry import QUERIES
+
+    import re
+
+    df = QUERIES["url_tld_validation_counts"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1  # final agg
