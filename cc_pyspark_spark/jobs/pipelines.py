@@ -271,3 +271,53 @@ def linkmap_to_parquet(spark, tsv_path: str, out_path: str):
     )
     write_table(pairs, out_path, fmt="parquet", compression="zstd")
     return spark.read.parquet(out_path)
+
+
+def warc_to_documents(
+    records: DataFrame,
+    min_tokens: int = 5,
+    html_parser: str = "regex",
+) -> DataFrame:
+    """The crawl→training-data bridge: WARC response records → a
+    `documents`-shaped table (doc_id, url, text, lang, n_chars, quality).
+
+    Each stage is the engine's own §2/LLM-pipeline operator: charset
+    decode chain (F13/F14), HTML→text via the parser-backend registry
+    (F12), language ID + quality scoring (plans/text.py heuristics),
+    token gating, and distributed dense doc_ids (W2 scale path — no
+    global-sort window). Everything except the decode UDF is JVM-side.
+    """
+    from cc_pyspark_spark.functions.encoding import decode_payload  # noqa: PLC0415
+    from cc_pyspark_spark.functions.html import html_backend  # noqa: PLC0415
+    from cc_pyspark_spark.functions.text import tokenize  # noqa: PLC0415
+    from cc_pyspark_spark.operators.ids import assign_sequential_ids  # noqa: PLC0415
+    from cc_pyspark_spark.plans.text import lang_id_col, quality_ok_col  # noqa: PLC0415
+    from cc_pyspark_spark.sources.warc import is_html  # noqa: PLC0415
+
+    to_text = html_backend(html_parser)
+    charset = F.expr(
+        "filter(http_headers, h -> lower(h.name) = 'content-type')[0].value"
+    )
+    charset = F.regexp_extract(F.coalesce(charset, F.lit("")), "charset=([^;\\s]+)", 1)
+    html = (
+        records.filter(
+            (F.col("record_type") == "response") & is_html()
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            decode_payload(F.col("payload"), charset).alias("raw_html"),
+        )
+        .withColumn("text", to_text("raw_html"))
+        .drop("raw_html")
+    )
+    gated = html.filter(F.size(tokenize("text")) >= min_tokens)
+    docs = gated.select(
+        "url",
+        "text",
+        lang_id_col("text").alias("lang"),
+        F.length("text").alias("n_chars"),
+        quality_ok_col("text").alias("quality_ok"),
+    )
+    return assign_sequential_ids(docs, ["url", "text"], id_col="doc_id").select(
+        "doc_id", "url", "text", "lang", "n_chars", "quality_ok"
+    )

@@ -25,6 +25,7 @@ from cc_pyspark_spark.jobs.pipelines import (
     server_count,
     server_ip_address,
     sitemaps_from_robotstxt,
+    warc_to_documents,
     wat_extract_host_links,
     word_count,
 )
@@ -38,6 +39,9 @@ JOBS = {
     "server_ip_address": (server_ip_address, None),
     "sitemaps_from_robotstxt": (sitemaps_from_robotstxt, None),
     "wat_extract_host_links": (wat_extract_host_links, ["s", "t"]),
+    # crawl → documents-table bridge (decode → html→text → lang/quality
+    # gates → distributed dense doc_ids)
+    "warc_to_documents": (warc_to_documents, ["doc_id"]),
 }
 
 

@@ -50,6 +50,41 @@ def _lang_case(score_col: dict[str, str]) -> str:
     return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
 
 
+def lang_id_col(text_col) -> F.Column:
+    """Reusable lang_pred column (same scoring + tie-break as the
+    text_lang_id oracle query) for pipelines like warc_to_documents."""
+    toks = tokenize(text_col)
+    langs = [lang for lang, _ in LANG_MARKERS]
+
+    def marker_count(words):
+        ws = list(words)  # capture per language; HOF lambdas are 1-arg
+        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+
+    scores = [marker_count(words) for _, words in LANG_MARKERS]
+    result = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = scores[i] >= scores[j]
+            cond = c if cond is None else (cond & c)
+        result = F.when(cond, F.lit(langs[i])).otherwise(result)
+    return result
+
+
+def quality_ok_col(text_col) -> F.Column:
+    """Reusable 0/1 quality gate (token count + stopword-ratio bounds,
+    same thresholds as the text_quality_score oracle query)."""
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    stop_cnt = F.size(F.filter(toks, lambda t: t.isin(list(STOPWORDS))))
+    stop_ratio = stop_cnt * F.lit(1.0) / n_tokens
+    return (
+        F.when((n_tokens >= 5) & (n_tokens <= 10000) & (stop_ratio <= 0.5), 1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+
+
 @register(
     "text_word_count_tfdf",
     oracle=f"""

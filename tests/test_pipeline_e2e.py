@@ -57,3 +57,31 @@ def test_crawl_to_graph_pipeline(spark, corpus, tmp_path):
     # accumulators saw every archive in the manifest
     assert metrics.log()["files_processed"] == len(corpus["files"])
     assert metrics.log()["files_failed"] == 0
+
+
+def test_warc_to_documents_bridge(spark, corpus):
+    """Crawl → documents-table bridge: every HTML response becomes one
+    gated, scored row with dense 1..N doc_ids; lang/quality columns
+    agree with the registry operators' logic on the same text."""
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.jobs.pipelines import warc_to_documents
+    from cc_pyspark_spark.plans.text import lang_id_col, quality_ok_col
+    from cc_pyspark_spark.sources.warc import warc_records
+
+    recs = warc_records(spark, corpus["files"], num_input_partitions=2)
+    docs = warc_to_documents(recs, min_tokens=1)
+    rows = docs.collect()
+    assert rows, "fixture corpus produced no documents?"
+    assert sorted(r["doc_id"] for r in rows) == list(range(1, len(rows) + 1))
+    assert {r["lang"] for r in rows} <= {"en", "es", "de", "fr", "zh"}
+    assert all(r["n_chars"] == len(r["text"]) for r in rows)
+    # recompute the gates over the produced text: must agree exactly
+    re_scored = docs.select(
+        "doc_id",
+        (lang_id_col("text") == F.col("lang")).alias("lang_same"),
+        (quality_ok_col("text") == F.col("quality_ok")).alias("q_same"),
+    ).collect()
+    assert all(r["lang_same"] and r["q_same"] for r in re_scored)
+    # min_tokens gate actually gates
+    assert warc_to_documents(recs, min_tokens=10_000).count() == 0
