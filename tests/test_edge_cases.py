@@ -317,3 +317,69 @@ def test_iana_tld_default_accepts_cctld_hosts(spark):
         "name", "want", tld_is_valid("name").alias("ok")).collect()}
     for name, want in hosts:
         assert got[name] is want, name
+
+
+def test_sniffer_never_flips_ascii_property():
+    """Property: pure-ASCII bytes always decode to themselves — the
+    statistical sniffer must never beat the latin-1 baseline on them."""
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cc_pyspark_spark.functions.encoding import decode_bytes
+
+    printable = string.ascii_letters + string.digits + string.punctuation + " \t\n"
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(alphabet=printable, min_size=0, max_size=500))
+    def check(s):
+        assert decode_bytes(s.encode("ascii"), None) == s
+
+    check()
+
+
+def test_sniffer_utf8_always_wins_property():
+    """Property: any valid UTF-8 text decodes exactly (strict utf-8 is
+    tried before the sniffer ever runs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cc_pyspark_spark.functions.encoding import decode_bytes
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(min_size=0, max_size=300))
+    def check(s):
+        assert decode_bytes(s.encode("utf-8"), None) == s
+
+    check()
+
+
+def test_canonical_survivors_empty_pairs(spark):
+    """No near-dup pairs → every document survives as itself."""
+    from cc_pyspark_spark.operators.dedup import canonical_survivors
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame([], "a_id bigint, b_id bigint")
+    got = {r["doc_id"]: (r["keep_id"], r["is_canonical"])
+           for r in canonical_survivors(docs, pairs).collect()}
+    assert got == {i: (i, 1) for i in range(8)}
+
+
+def test_sign_lsh_pairs_tiny_and_single(spark):
+    """Degenerate corpora: one vector (no pairs), two identical vectors
+    (one pair at cos 1.0 — same bucket in every band)."""
+    from cc_pyspark_spark.operators.dedup import sign_lsh_pairs
+
+    one = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    assert sign_lsh_pairs(one, threshold=0.5).count() == 0
+    two = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = sign_lsh_pairs(two, threshold=0.99).collect()
+    assert len(rows) == 1
+    assert (rows[0]["a_id"], rows[0]["b_id"]) == (1, 2)
+    assert abs(rows[0]["cos"] - 1.0) < 1e-12
