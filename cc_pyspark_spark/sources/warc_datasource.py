@@ -18,7 +18,12 @@ Options mirror the mapInPandas source: parse-time record-type filter
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from cc_pyspark_spark.sources.warc import WARC_RECORD_SCHEMA
 
@@ -33,6 +38,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> "WarcReader":
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> "WarcStreamReader":  # noqa: N802
+        return WarcStreamReader(self.options)
 
 
 class _FilePartition(InputPartition):
@@ -85,3 +93,50 @@ class WarcReader(DataSourceReader):
                 "http_headers",
                 "payload",
             ))
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """`spark.readStream.format("warc")` — incremental manifest tailing.
+
+    The manifest is an append-only text file of archive URIs (the shape
+    a crawler publishes: new WARC paths appended as segments land). The
+    stream offset is simply the number of manifest lines consumed; each
+    microbatch turns the newly appended lines into one `InputPartition`
+    per archive, so parsing stays on executors with the same
+    parse-time `record_types` pushdown as the batch reader. Replay of a
+    committed batch re-reads the same line range — offsets are
+    deterministic, giving end-to-end exactly-once with a checkpoint.
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.manifest = options.get("manifest")
+        if not self.manifest:
+            raise ValueError("warc stream source needs option 'manifest'")
+        rt = options.get("record_types")
+        self.record_types = set(rt.split(",")) if rt else None
+        self.parse_http = options.get("parse_http", "true").lower() == "true"
+        self.with_payload = options.get("with_payload", "true").lower() == "true"
+
+    def _lines(self) -> list[str]:
+        try:
+            with open(self.manifest) as fh:
+                return [ln.strip() for ln in fh if ln.strip()]
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"line": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"line": len(self._lines())}
+
+    def partitions(self, start: dict, end: dict):
+        lines = self._lines()[start["line"] : end["line"]]
+        return [_FilePartition(p) for p in lines]
+
+    def read(self, partition: _FilePartition):
+        return WarcReader.read(self, partition)  # same executor-side parse
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets derive from the manifest itself; nothing to clean

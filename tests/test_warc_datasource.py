@@ -56,3 +56,54 @@ def test_format_warc_jobs_compose(spark, corpus):
     )
     out = dict(server_count(df).collect())
     assert out and sum(out.values()) > 0
+
+
+def test_warc_stream_reader_incremental_manifest(spark, corpus, tmp_path):
+    """readStream.format('warc'): each availableNow pass consumes only
+    the manifest lines appended since the checkpointed offset —
+    exactly-once per archive, parse on executors."""
+    from cc_pyspark_spark.sources.warc_datasource import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    manifest = tmp_path / "manifest.txt"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    manifest.write_text(corpus["files"][0] + "\n")
+
+    def run_pass():
+        q = (
+            spark.readStream.format("warc")
+            .option("manifest", str(manifest))
+            .option("record_types", "response")
+            .load()
+            .select("warc_filename", "warc_record_offset", "target_uri")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    first = spark.read.parquet(out)
+    assert first.select("warc_filename").distinct().count() == 1
+    n_after_first = first.count()
+    assert n_after_first > 0
+
+    # append a second archive; the next pass must add ONLY its records
+    manifest.write_text(
+        corpus["files"][0] + "\n" + corpus["files"][1] + "\n"
+    )
+    run_pass()
+    both = spark.read.parquet(out)
+    assert both.select("warc_filename").distinct().count() == 2
+    assert both.count() > n_after_first
+    # no re-ingestion of the first archive (exactly-once per line range)
+    dup = (
+        both.groupBy("warc_filename", "warc_record_offset")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
