@@ -69,30 +69,37 @@ class WarcReader(DataSourceReader):
         return [_FilePartition(p) for p in self.paths]
 
     def read(self, partition: _FilePartition):
-        # Imports run on the executor — keep them inside the method.
-        from cc_pyspark_spark.sources.warc import _record_rows  # noqa: PLC0415
+        return _read_archive(
+            partition, self.record_types, self.parse_http, self.with_payload
+        )
 
-        for row in _record_rows(
-            partition.path,
-            partition.path,
-            self.record_types,
-            self.parse_http,
-            self.with_payload,
-        ):
-            yield tuple(row[f] for f in (
-                "warc_filename",
-                "warc_record_offset",
-                "warc_record_length",
-                "record_type",
-                "content_type",
-                "target_uri",
-                "warc_date",
-                "warc_ip_address",
-                "identified_payload_type",
-                "http_status",
-                "http_headers",
-                "payload",
-            ))
+
+def _read_archive(partition: _FilePartition, record_types, parse_http, with_payload):
+    """Executor-side parse shared by the batch and stream readers."""
+    # Imports run on the executor — keep them inside the function.
+    from cc_pyspark_spark.sources.warc import _record_rows  # noqa: PLC0415
+
+    for row in _record_rows(
+        partition.path,
+        partition.path,
+        record_types,
+        parse_http,
+        with_payload,
+    ):
+        yield tuple(row[f] for f in (
+            "warc_filename",
+            "warc_record_offset",
+            "warc_record_length",
+            "record_type",
+            "content_type",
+            "target_uri",
+            "warc_date",
+            "warc_ip_address",
+            "identified_payload_type",
+            "http_status",
+            "http_headers",
+            "payload",
+        ))
 
 
 class WarcStreamReader(DataSourceStreamReader):
@@ -136,7 +143,9 @@ class WarcStreamReader(DataSourceStreamReader):
         return [_FilePartition(p) for p in lines]
 
     def read(self, partition: _FilePartition):
-        return WarcReader.read(self, partition)  # same executor-side parse
+        return _read_archive(
+            partition, self.record_types, self.parse_http, self.with_payload
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets derive from the manifest itself; nothing to clean
