@@ -125,16 +125,31 @@ def verify_jaccard(
 
 
 def exact_dedup_keep_first(
-    df: DataFrame, key_cols: list[str], order_col: str
+    df: DataFrame, key_cols: list[str], order_col: str, hash_key: bool = True
 ) -> DataFrame:
     """Exact dedup keeping the lowest `order_col` row per key group —
-    groupBy + min-struct, one narrow shuffle (no window sort needed)."""
-    others = [c for c in df.columns if c not in key_cols]
-    packed = df.select(
-        *key_cols, F.struct(order_col, *[c for c in others if c != order_col]).alias("r")
-    )
-    return packed.groupBy(*key_cols).agg(F.min("r").alias("r")).select(
-        *key_cols, "r.*"
+    groupBy + min-struct, one shuffle (no window sort needed).
+
+    With `hash_key` (default) the shuffle key is `md5` of the key
+    columns instead of the raw values, so a 100 KB document body
+    crosses the wire once (inside the surviving-row struct), not twice
+    — the shuffle-key side stays 32 bytes. Standard content-dedup
+    digest semantics: md5 collisions (~2^-64 at corpus scale) would
+    merge two distinct groups; pass hash_key=False for literal-key
+    grouping.
+    """
+    value_cols = [order_col, *[c for c in df.columns if c != order_col]]
+    packed = F.struct(*value_cols).alias("r")
+    if hash_key:
+        fp = F.md5(F.to_json(F.struct(*key_cols))).alias("__fp")
+        grouped = df.select(fp, packed).groupBy("__fp").agg(F.min("r").alias("r"))
+        return grouped.select("r.*").select(*df.columns)
+    return (
+        df.select(*key_cols, packed)
+        .groupBy(*key_cols)
+        .agg(F.min("r").alias("r"))
+        .select("r.*")
+        .select(*df.columns)
     )
 
 

@@ -48,15 +48,22 @@ _DUCK_SHINGLES = (
 SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text
 """,
-    description="Exact dedup: hash-groupBy on content, keep lowest doc_id "
-    "(single narrow shuffle; scales linearly)",
+    description="Exact dedup: hash-groupBy on the content DIGEST, keep "
+    "lowest doc_id — the shuffle carries (32-byte fp, doc_id) rows, never "
+    "the document body (single narrow shuffle; scales linearly)",
     tags=("dedup",),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    return t.documents.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
-    ).select(F.md5(F.col("text").cast("binary")).alias("fp"), "keep_id", "n_copies")
+    # md5 BEFORE the shuffle: grouping by the raw text column would move
+    # every document body across the wire just to act as a key.
+    return (
+        t.documents.select(
+            F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
 
 
 def _duck_jaccard_tail() -> str:
