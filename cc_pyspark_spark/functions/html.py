@@ -99,25 +99,21 @@ def resiliparse_udf_factory():
     return F.pandas_udf(extract, T.StringType())
 
 
+def _udf_backend(factory):
+    """Wrap a maybe-absent pandas-UDF factory as a Column-producer."""
+    udf = factory()
+    if udf is None:
+        return None
+    return lambda col: udf(F.col(col) if isinstance(col, str) else col)
+
+
 #: name → factory returning a Column-producer (or None when the lib is
 #: absent). "regex" is always available; the reference's `--html_parser`
 #: flag maps onto these names (beautifulsoup/resiliparse).
 _BACKENDS = {
     "regex": lambda: html_to_text,
-    "beautifulsoup": lambda: (
-        (lambda udf: (lambda col: udf(F.col(col) if isinstance(col, str) else col)))(
-            html_to_text_udf_factory()
-        )
-        if html_to_text_udf_factory() is not None
-        else None
-    ),
-    "resiliparse": lambda: (
-        (lambda udf: (lambda col: udf(F.col(col) if isinstance(col, str) else col)))(
-            resiliparse_udf_factory()
-        )
-        if resiliparse_udf_factory() is not None
-        else None
-    ),
+    "beautifulsoup": lambda: _udf_backend(html_to_text_udf_factory),
+    "resiliparse": lambda: _udf_backend(resiliparse_udf_factory),
 }
 
 
