@@ -71,7 +71,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         best = float("inf")
-        for _ in range(2):  # min of 2 runs: drops codegen/GC jitter
+        for _ in range(3):  # min of 3 runs: drops codegen/GC/ambient jitter
             df = QUERIES[name].spark(spark, sf_dir)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
