@@ -182,3 +182,35 @@ def test_cli_export_training_jsonl(tmp_path, capsys):
     payload = _json.loads(line)
     assert payload["job"] == "export_training_jsonl"
     assert payload["exported_docs"] > 0
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "method,expected_cols",
+    [
+        ("exact", {"doc_id", "text", "lang", "source", "n_chars"}),
+        ("minhash", {"a_id", "b_id", "jac"}),
+        ("simhash", {"doc_id", "simhash"}),
+    ],
+)
+def test_cli_dedup_documents_methods(tmp_path, method, expected_cols):
+    from cc_pyspark_spark.jobs.runner import main
+
+    out = str(tmp_path / f"out_{method}")
+    rc = main([
+        "dedup_documents", "/root/testdata/sf0.001/documents.parquet", out,
+        "--dedup_method", method, "--num_output_partitions", "1",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == expected_cols
+    if method == "exact":
+        # survivors: one row per distinct text, first doc_id kept
+        src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert got.count() == src.select("text").distinct().count()
