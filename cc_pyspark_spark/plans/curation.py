@@ -255,3 +255,35 @@ def curation_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 10)
     )
+
+
+@register(
+    "curation_split_assign",
+    oracle="""
+SELECT doc_id, lang,
+       CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+""",
+    description="Deterministic train/val/test assignment by md5 hash range "
+    "(~75/12.5/12.5): pure column expression, zero shuffle, stable across "
+    "runs/engines/cluster sizes — the split every training pipeline needs "
+    "and rand() cannot give reproducibly; stratification falls out free "
+    "because the hash is independent of lang/source",
+    tags=("curation", "sample"),
+)
+def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        F.when(first.isin(*"0123456789ab"), "train")
+        .when(first.isin("c", "d"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
