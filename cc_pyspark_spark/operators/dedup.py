@@ -412,3 +412,113 @@ def sign_lsh_pairs(
     ).select("vec_id", "v", "nrm", "bk.band", "bk.bkey")
     fn, schema = bucket_cosine_pairs(threshold)
     return bands.groupBy("band", "bkey").applyInPandas(fn, schema=schema).distinct()
+
+
+# ---------------------------------------- incremental (delta) dedup
+#
+# The operational pattern at 100 TB: crawls land as daily increments,
+# and re-deduplicating the whole corpus per increment is O(corpus) work
+# for O(delta) new data. Both operators consume a small PERSISTED INDEX
+# of the existing corpus (content fingerprints / minhash band rows —
+# the natural bucketed managed tables) and touch only index partitions
+# the delta's keys hash into.
+
+
+def content_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fp, doc_id) content-digest index of a corpus — the state an
+    incremental exact dedup joins new batches against."""
+    return docs.select(
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+        F.col(id_col).alias("doc_id"),
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perms: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band, key) LSH band index of a corpus — the state an
+    incremental near-dup check joins new batches against. Bucket it on
+    (band, key) (write_bucketed_table) so delta joins are co-located."""
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k)
+    ds = sh.select(
+        "doc_id", (F.abs(F.xxhash64("s")) % MINHASH_P).alias("sid")
+    )
+    perms = [(37 + 7 * j, 17 + 101 * j) for j in range(num_perms)]
+    sig = ds.groupBy("doc_id").agg(
+        *[
+            F.min(_perm(a, b, F.col("sid"))).alias(f"h{j}")
+            for j, (a, b) in enumerate(perms)
+        ]
+    )
+    rows_per_band = num_perms // bands
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                ":",
+                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("key"),
+        )
+        for band in range(bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of `new_docs` that are new to the corpus: within-batch exact
+    dedup (keep lowest id), then an fp anti-join against the corpus
+    index. Work is O(|delta|) + one narrow digest shuffle — the corpus
+    is only touched through its (fp) index."""
+    batch = exact_dedup_keep_first(new_docs, [text_col], id_col)
+    fp = F.md5(F.col(text_col).cast("binary")).alias("__fp")
+    return (
+        batch.withColumn("__fp", fp)
+        .join(seen_fps.select(F.col("fp").alias("__fp")), "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perms: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (new_id, old_id) between a delta and the
+    existing corpus: band the delta, join bands against the corpus'
+    band index. Only index rows in the delta's (band, key) buckets are
+    read — with a bucketed index that is a co-located, shuffle-free
+    probe. Verification (exact jaccard over the pair set) is the
+    caller's next step, exactly as in the full-corpus path."""
+    delta_bands = minhash_band_index(
+        new_docs, id_col, text_col, shingle_k, num_perms, bands
+    )
+    return (
+        delta_bands.alias("n")
+        .join(
+            band_index.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.key") == F.col("o.key")),
+        )
+        .filter(F.col("n.doc_id") != F.col("o.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )

@@ -165,3 +165,72 @@ def test_embedding_scale_prunes_but_recalls(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_exact_dedup(spark):
+    """Delta dedup: in-batch duplicates collapse, corpus-known content
+    is anti-joined out, genuinely new docs survive."""
+    from cc_pyspark_spark.operators.dedup import (
+        content_fingerprints,
+        incremental_exact_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),     # already in corpus → dropped
+            (11, "brand new document"),   # new → kept
+            (12, "brand new document"),   # in-batch dup of 11 → dropped
+            (13, "another fresh one"),    # new → kept
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(new, content_fingerprints(old)).collect()
+    )
+    assert got == [11, 13]
+
+
+def test_incremental_minhash_matches_full_run(spark):
+    """Cross-generation candidates from the delta-vs-index probe,
+    verified with exact jaccard, equal the full-corpus run's pairs
+    restricted to (old, new) — the incremental path loses nothing."""
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.operators.dedup import (
+        _shingle_rows,
+        incremental_minhash_candidates,
+        minhash_band_index,
+        minhash_lsh_pairs,
+        verify_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cut = 30
+    old = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+
+    full = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    full_cross = {
+        (a, b) for a, b in full if (a < cut) <= (b >= cut) and (a < cut) != (b < cut)
+    }
+
+    cand = incremental_minhash_candidates(new, minhash_band_index(old))
+    pairs = cand.select(
+        F.least("new_id", "old_id").alias("a_id"),
+        F.greatest("new_id", "old_id").alias("b_id"),
+    ).distinct()
+    sh = _shingle_rows(docs, "doc_id", "text", 3).persist()
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in verify_jaccard(pairs, sh, 0.5).collect()
+    }
+    assert got == full_cross
