@@ -49,6 +49,7 @@ JOBS = {
 #: — input is the table path, not a WARC manifest.
 DOC_JOBS = (
     "dedup_documents",
+    "build_dedup_index",
     "export_training_jsonl",
 )
 
@@ -94,9 +95,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--dedup_method",
         default="minhash",
-        choices=["exact", "minhash", "simhash", "embedding_lsh", "cluster"],
+        choices=[
+            "exact", "minhash", "simhash", "embedding_lsh", "cluster",
+            "incremental_exact", "incremental_minhash",
+        ],
         help="dedup_documents: exact survivors, minhash/embedding pairs, "
-        "simhash signatures, or cluster (pairs → components → canonical)",
+        "simhash signatures, cluster (pairs → components → canonical), or "
+        "incremental_* (delta vs a --corpus_index built by "
+        "build_dedup_index)",
+    )
+    p.add_argument(
+        "--corpus_index",
+        default=None,
+        help="index directory from build_dedup_index (fp/ + bands/) for "
+        "the incremental_* dedup methods",
     )
     p.add_argument("--jaccard_threshold", type=float, default=0.5)
     p.add_argument("--cosine_threshold", type=float, default=0.42)
@@ -127,6 +139,17 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
     from cc_pyspark_spark.operators import dedup as D  # noqa: PLC0415
 
     table = spark.read.parquet(args.input)
+    if args.job == "build_dedup_index":
+        from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+            content_fingerprints,
+            minhash_band_index,
+        )
+
+        base = args.output.rstrip("/")
+        content_fingerprints(table).write.mode("overwrite").parquet(f"{base}/fp")
+        minhash_band_index(table).write.mode("overwrite").parquet(f"{base}/bands")
+        print(json.dumps({"job": args.job, "index": base}))
+        return 0
     if args.job == "export_training_jsonl":
         from cc_pyspark_spark.operators.export import export_training_jsonl  # noqa: PLC0415
 
@@ -146,6 +169,16 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         df = D.simhash_signatures(table)
     elif method == "embedding_lsh":
         df = D.sign_lsh_pairs(table, threshold=args.cosine_threshold)
+    elif method == "incremental_exact":
+        if not args.corpus_index:
+            raise SystemExit("incremental_exact needs --corpus_index")
+        seen = spark.read.parquet(args.corpus_index.rstrip("/") + "/fp")
+        df = D.incremental_exact_dedup(table, seen)
+    elif method == "incremental_minhash":
+        if not args.corpus_index:
+            raise SystemExit("incremental_minhash needs --corpus_index")
+        idx = spark.read.parquet(args.corpus_index.rstrip("/") + "/bands")
+        df = D.incremental_minhash_candidates(table, idx)
     else:  # cluster
         pairs = D.minhash_lsh_pairs(table, threshold=args.jaccard_threshold)
         df = D.canonical_survivors(table, pairs)

@@ -214,3 +214,41 @@ def test_cli_dedup_documents_methods(tmp_path, method, expected_cols):
         # survivors: one row per distinct text, first doc_id kept
         src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         assert got.count() == src.select("text").distinct().count()
+
+
+def test_cli_incremental_dedup_roundtrip(tmp_path):
+    """build_dedup_index on a corpus half, then incremental_exact over
+    the full table: survivors are exactly the docs whose content the
+    index has not seen."""
+    from pyspark.sql import SparkSession, functions as F
+
+    from cc_pyspark_spark.jobs.runner import main
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).getOrCreate()
+    src = "/root/testdata/sf0.001/documents.parquet"
+    old_dir = str(tmp_path / "old.parquet")
+    spark.read.parquet(src).filter(F.col("doc_id") < 30).write.parquet(old_dir)
+    idx = str(tmp_path / "index")
+    assert main(["build_dedup_index", old_dir, idx,
+                 "--spark_master", "local[4]"]) == 0
+
+    out = str(tmp_path / "delta_out")
+    assert main([
+        "dedup_documents", src, out, "--dedup_method", "incremental_exact",
+        "--corpus_index", idx, "--num_output_partitions", "1",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ]) == 0
+    got = spark.read.parquet(out)
+    old_texts = {r["text"] for r in spark.read.parquet(old_dir).collect()}
+    rows = got.collect()
+    assert rows and all(r["text"] not in old_texts for r in rows)
+    # plus the band-index probe path runs end-to-end
+    out2 = str(tmp_path / "cand_out")
+    assert main([
+        "dedup_documents", src, out2, "--dedup_method", "incremental_minhash",
+        "--corpus_index", idx, "--num_output_partitions", "1",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ]) == 0
+    assert set(spark.read.parquet(out2).columns) == {"new_id", "old_id"}
