@@ -28,13 +28,16 @@ from cc_pyspark_spark.plans import QUERIES
 #: first 50 entries, so the list keeps the bench headliners + one
 #: §2-anchor per operator family FIXED and cycles the remaining slots
 #: to names that have never had a driver row. This round's first-time
-#: block (15 names): tpch q7/q8/q9/q11/q12/q15/q16/q20, the three
-#: curation queries past r2's cap, window_distributed_ids, and the
-#: three deployment-path dedup twins (minhash/simhash scale rows-only,
-#: embedding_scale fully oracled). The r2-checked names they displace
-#: (tpch q2/q13/q17/q21/q22, the oracle-variant dedup quartet, five
-#: text micro-queries, curation_contamination/repetition) keep their
-#: green local DuckDB-parity pytest and their r2 driver row.
+#: block (18 names): tpch q7/q8/q9/q11/q12/q15/q16/q20, the three
+#: curation queries past r2's cap, window_distributed_ids, the three
+#: deployment-path dedup twins (minhash/simhash scale rows-only,
+#: embedding_scale fully oracled), and the three r3-new queries
+#: (dedup_cluster_canonical, url_tld_validation_counts,
+#: curation_split_assign) — after this round ZERO registered queries
+#: have never had a driver row. The r2-checked names displaced (tpch
+#: q2/q13/q17/q21/q22, the oracle-variant dedup quartet, five text
+#: micro-queries, curation_contamination/repetition) keep their green
+#: local DuckDB-parity pytest and their r2 driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H bench headliners (fixed)
     "tpch_q1_pricing_summary",
@@ -60,12 +63,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_scale",
     "dedup_simhash_scale",
     "dedup_embedding_scale",
-    # LLM-pipeline: text analysis representatives (fixed)
+    # LLM-pipeline: text analysis (word count is the benched anchor; the
+    # token/quality/tfidf micro-queries earned their r2 driver rows and
+    # cede three slots to the r3-new queries below, leaving ZERO
+    # registered queries that have never had a driver row)
     "text_word_count_tfdf",
-    "text_token_stats",
-    "text_quality_score",
-    "text_top_terms_tfidf",
     "url_host_reverse",
+    "dedup_cluster_canonical",
+    "url_tld_validation_counts",
+    "curation_split_assign",
     # LLM-pipeline: similarity / embeddings (fixed)
     "sim_cosine_topk",
     "sim_ann_ivf",
