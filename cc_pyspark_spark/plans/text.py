@@ -469,3 +469,172 @@ def url_tld_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy(
         "tld", tld_is_valid("rev_host").cast("bigint").alias("tld_valid")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "a", "in")
+
+
+def _duck_gopher_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(words, x -> CAST(length(x) AS BIGINT))),
+              (acc, c) -> acc + c) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                  AS BIGINT) AS n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l ->
+              starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+              OR starts_with(ltrim(l), chr(8226)))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l ->
+              ends_with(rtrim(l), '...')
+              OR ends_with(rtrim(l), chr(8230)))) AS BIGINT) AS n_ellipsis,
+         CAST(len(list_intersect(list_distinct(
+              list_transform(words, x -> lower(x))),
+              [{stop_list}])) AS BIGINT) AS n_stop
+  FROM w
+)
+SELECT doc_id, n_words,
+       CASE WHEN n_words > 0
+            THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS mean_word_len,
+       CASE WHEN n_words > 0
+            THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS alpha_word_frac,
+       CASE WHEN n_words > 0
+            THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS symbol_word_ratio,
+       CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_line_frac,
+       CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         AS ellipsis_line_frac,
+       n_stop AS n_stopwords,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      BETWEEN 3.0 AND 10.0
+                  AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1
+                  AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
+                  AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9
+                  AND CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3
+                  AND n_stop >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM s
+"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=_duck_gopher_oracle(),
+    description="Gopher-style document quality rules (Rae et al. 2021, "
+    "App. A1.1): word-count bounds, mean word length, symbol-to-word "
+    "ratio, alpha-word fraction, bullet/ellipsis line fractions, "
+    "distinct-stopword floor — all whole-stage-codegen column "
+    "expressions; the pass flag replays the published thresholds",
+    tags=("text", "curation"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    lines = F.split(F.col("text"), "\n")
+    base = t.documents.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x).cast("bigint"),
+        ).alias("sum_len"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        (
+            (F.length("text") - F.length(F.replace("text", F.lit("#"))))
+            .cast("bigint")
+            + F.floor(
+                (
+                    F.length("text")
+                    - F.length(F.replace("text", F.lit("...")))
+                )
+                / 3
+            ).cast("bigint")
+        ).alias("n_symbols"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith("-")
+                | F.ltrim(l).startswith("*")
+                | F.ltrim(l).startswith("•"),
+            )
+        )
+        .cast("bigint")
+        .alias("n_bullet"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...")
+                | F.rtrim(l).endswith("…"),
+            )
+        )
+        .cast("bigint")
+        .alias("n_ellipsis"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(words, F.lower)),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    nw = F.col("n_words").cast("double")
+    nl = F.col("n_lines").cast("double")
+    mean_len = F.when(
+        F.col("n_words") > 0, F.col("sum_len").cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        F.col("n_words") > 0, F.col("n_alpha").cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        F.col("n_words") > 0, F.col("n_symbols").cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.col("n_bullet").cast("double") / nl
+    ellipsis_frac = F.col("n_ellipsis").cast("double") / nl
+    gopher_pass = (
+        F.when(
+            F.col("n_words").between(50, 100000)
+            & mean_len.between(3.0, 10.0)
+            & (symbol_ratio < 0.1)
+            & (alpha_frac > 0.8)
+            & (bullet_frac < 0.9)
+            & (ellipsis_frac < 0.3)
+            & (F.col("n_stop") >= 2),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        F.col("n_stop").alias("n_stopwords"),
+        gopher_pass.alias("gopher_pass"),
+    )
