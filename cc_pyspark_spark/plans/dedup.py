@@ -544,3 +544,189 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+#: Tracking query parameters stripped during URL canonicalization —
+#: the standard public tracking-param families (Google Analytics utm_*,
+#: click IDs). Kept as a literal tuple so both engines replay the same
+#: membership test.
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)="
+
+
+def _duck_url_normalize_oracle() -> str:
+    return f"""
+WITH raw AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 6
+           WHEN 0 THEN 'https://www.site' || (o_custkey % 10)
+                       || '.example.com/p/' || (o_orderkey % 50)
+           WHEN 1 THEN 'HTTPS://WWW.Site' || (o_custkey % 10)
+                       || '.EXAMPLE.COM/p/' || (o_orderkey % 50)
+           WHEN 2 THEN 'https://www.site' || (o_custkey % 10)
+                       || '.example.com:443/p/' || (o_orderkey % 50)
+           WHEN 3 THEN 'https://www.site' || (o_custkey % 10)
+                       || '.example.com/p/' || (o_orderkey % 50) || '/'
+           WHEN 4 THEN 'https://www.site' || (o_custkey % 10)
+                       || '.example.com/p/' || (o_orderkey % 50)
+                       || '?utm_source=feed&utm_campaign=x&id=7'
+           ELSE 'https://www.site' || (o_custkey % 10)
+                       || '.example.com/p/' || (o_orderkey % 50) || '#frag'
+         END AS url
+  FROM orders
+), parts AS (
+  SELECT o_orderkey, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM raw
+), split1 AS (
+  SELECT o_orderkey, url, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+                        ':(443|80)$', '') AS authority,
+         substr(rest, length(regexp_extract(rest, '^([^/?#]*)', 1)) + 1)
+           AS pathqf
+  FROM parts
+), split2 AS (
+  SELECT o_orderkey, url, scheme, authority,
+         regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1),
+                        '/+$', '') AS path,
+         regexp_extract(pathqf, '\\?([^#]*)', 1) AS query
+  FROM split1
+), canon AS (
+  SELECT o_orderkey, url, scheme, authority, path,
+         array_to_string(list_filter(string_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')),
+             '&') AS canon_query
+  FROM split2
+), final AS (
+  SELECT o_orderkey,
+         scheme || '://' || authority || path ||
+           CASE WHEN canon_query <> '' THEN '?' || canon_query
+                ELSE '' END AS canonical_url
+  FROM canon
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes,
+       CAST(MIN(o_orderkey) AS BIGINT) AS keep_key
+FROM final GROUP BY 1
+"""
+
+
+@register(
+    "dedup_url_normalize",
+    oracle=_duck_url_normalize_oracle(),
+    description="URL-canonicalization dedup: lowercase scheme/host, strip "
+    "default ports, fragments, tracking params (utm_*/gclid/fbclid) and "
+    "trailing slashes, then exact-dedup on the canonical form — all "
+    "regex/list column expressions, one hash shuffle on the canonical "
+    "key (the crawl-frontier dedup every web pipeline runs before "
+    "content dedup)",
+    tags=("dedup", "url"),
+)
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    host = F.concat(
+        F.lit("www.site"), (F.col("o_custkey") % 10).cast("string")
+    )
+    path = (F.col("o_orderkey") % 50).cast("string")
+    variant = F.col("o_orderkey") % 6
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("https://"), host, F.lit(".example.com/p/"), path),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"),
+                (F.col("o_custkey") % 10).cast("string"),
+                F.lit(".EXAMPLE.COM/p/"),
+                path,
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://"), host, F.lit(".example.com:443/p/"), path
+            ),
+        )
+        .when(
+            variant == 3,
+            F.concat(
+                F.lit("https://"),
+                host,
+                F.lit(".example.com/p/"),
+                path,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            variant == 4,
+            F.concat(
+                F.lit("https://"),
+                host,
+                F.lit(".example.com/p/"),
+                path,
+                F.lit("?utm_source=feed&utm_campaign=x&id=7"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                host,
+                F.lit(".example.com/p/"),
+                path,
+                F.lit("#frag"),
+            )
+        )
+    )
+    raw = t.orders.select("o_orderkey", url.alias("url"))
+    scheme = F.lower(
+        F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace("url", r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    split1 = raw.select(
+        "o_orderkey",
+        scheme.alias("scheme"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1)),
+            r":(443|80)$",
+            "",
+        ).alias("authority"),
+        F.substr(
+            rest, F.length(F.regexp_extract(rest, r"^([^/?#]*)", 1)) + 1
+        ).alias("pathqf"),
+    )
+    split2 = split1.select(
+        "o_orderkey",
+        "scheme",
+        "authority",
+        F.regexp_replace(
+            F.regexp_extract("pathqf", r"^([^?#]*)", 1), r"/+$", ""
+        ).alias("path"),
+        F.regexp_extract("pathqf", r"\?([^#]*)", 1).alias("query"),
+    )
+    canon_query = F.array_join(
+        F.filter(
+            F.split("query", "&"),
+            lambda p: (p != F.lit(""))
+            & ~p.rlike(TRACKING_PARAM_RE),
+        ),
+        "&",
+    )
+    final = split2.select(
+        "o_orderkey",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("authority"),
+            F.col("path"),
+            F.when(
+                canon_query != "", F.concat(F.lit("?"), canon_query)
+            ).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    return final.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_dupes"),
+        F.min("o_orderkey").cast("bigint").alias("keep_key"),
+    )
