@@ -287,3 +287,99 @@ def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+#: Sequence-packing capacity in tokens. Small enough that fixture docs
+#: (~20-60 tokens) pack several-per-sequence, mirroring max_seq_len
+#: packing in LLM pre-training loaders.
+PACK_CAPACITY = 256
+#: Docs per range-shard. Packing is order-sensitive and sequential, so
+#: it cannot distribute beyond a shard; bounding the shard bounds both
+#: the applyInPandas group size and the packing state. At 100 TB the
+#: shard is the unit of parallelism (1e4-1e6 docs per shard).
+PACK_SHARD = 100
+
+
+def _duck_pack_oracle() -> str:
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CAST(doc_id // {PACK_SHARD} AS BIGINT) AS shard,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), d AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM toks
+), packed AS (
+  SELECT lang, shard, doc_id, n_tokens, rn,
+         n_tokens AS cum, CAST(1 AS BIGINT) AS pack_seq
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
+              THEN p.cum + d.n_tokens ELSE d.n_tokens END,
+         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
+              THEN p.pack_seq ELSE p.pack_seq + 1 END
+  FROM d JOIN packed p
+    ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT lang, shard, doc_id, n_tokens, pack_seq,
+       cum - n_tokens AS pack_offset
+FROM packed
+"""
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=_duck_pack_oracle(),
+    description="Greedy sequence packing for LLM pre-training: docs are "
+    "walked in doc_id order within a (lang, range-shard) group and "
+    "appended to the current pack until adding one would exceed "
+    "PACK_CAPACITY tokens, then a new pack starts. Sequential state -> "
+    "applyInPandas per shard (Arrow-batched; parallel across shards, "
+    "which is the 100 TB unit of work); the oracle replays the same "
+    "greedy fold as a DuckDB recursive CTE",
+    tags=("curation", "pandas-udf"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    toks = t.documents.select(
+        "lang",
+        "doc_id",
+        (F.col("doc_id") / PACK_SHARD).cast("bigint").alias("shard"),
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        cum = 0
+        pack_seq = 1
+        seqs = []
+        offs = []
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i > 0 and cum + n > PACK_CAPACITY:
+                pack_seq += 1
+                cum = 0
+            offs.append(cum)
+            cum += n
+            seqs.append(pack_seq)
+        return pd.DataFrame(
+            {
+                "lang": pdf["lang"],
+                "shard": pdf["shard"],
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_seq": pd.Series(seqs, dtype="int64"),
+                "pack_offset": pd.Series(offs, dtype="int64"),
+            }
+        )
+
+    return toks.groupBy("lang", "shard").applyInPandas(
+        pack,
+        schema="lang string, shard bigint, doc_id bigint, "
+        "n_tokens bigint, pack_seq bigint, pack_offset bigint",
+    )
