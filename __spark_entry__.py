@@ -28,16 +28,18 @@ from cc_pyspark_spark.plans import QUERIES
 #: first 50 entries, so the list keeps the bench headliners + one
 #: §2-anchor per operator family FIXED and cycles the remaining slots
 #: to names that have never had a driver row. This round's first-time
-#: block (18 names): tpch q7/q8/q9/q11/q12/q15/q16/q20, the three
+#: block (21 names): tpch q7/q8/q9/q11/q12/q15/q16/q20, the three
 #: curation queries past r2's cap, window_distributed_ids, the three
 #: deployment-path dedup twins (minhash/simhash scale rows-only,
-#: embedding_scale fully oracled), and the three r3-new queries
+#: embedding_scale fully oracled), and the six r3-new queries
 #: (dedup_cluster_canonical, url_tld_validation_counts,
-#: curation_split_assign) — after this round ZERO registered queries
+#: curation_split_assign, text_gopher_rules, dedup_url_normalize,
+#: curation_pack_sequences) — after this round ZERO registered queries
 #: have never had a driver row. The r2-checked names displaced (tpch
 #: q2/q13/q17/q21/q22, the oracle-variant dedup quartet, five text
-#: micro-queries, curation_contamination/repetition) keep their green
-#: local DuckDB-parity pytest and their r2 driver row.
+#: micro-queries, curation_contamination/repetition, three relational
+#: micro-anchors) keep their green local DuckDB-parity pytest and
+#: their r2 driver row.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H bench headliners (fixed)
     "tpch_q1_pricing_summary",
@@ -72,6 +74,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_canonical",
     "url_tld_validation_counts",
     "curation_split_assign",
+    "text_gopher_rules",
+    "dedup_url_normalize",
+    "curation_pack_sequences",
     # LLM-pipeline: similarity / embeddings (fixed)
     "sim_cosine_topk",
     "sim_ann_ivf",
@@ -96,12 +101,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_inner_dims",
     "agg_count_by_key",
     "agg_distinct_pairs",
-    "agg_collect_sorted_list",
     "window_dense_ids",
     "window_topn_per_group",
     "topk_global",
-    "set_union_distinct",
-    "string_functions",
 )
 
 
