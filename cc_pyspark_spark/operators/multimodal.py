@@ -6,14 +6,18 @@ them; decode / feature-extract / resize / frame-sample run as
 Arrow-batched `mapInPandas` stages so each task processes a columnar
 batch of blobs without per-row Python overhead.
 
-Decode tiers: PNG / BMP / GIF / JPEG dimensions come from a real
-pure-Python header parser (no codec library needed — width/height live
-in fixed header fields); full pixel decode of other formats is STUBBED
-(the container ships no image/audio libraries): `decode_image_batch`
-raises on unknown formats unless `fake=True`, which produces a
-deterministic fake decode. The Spark-side plumbing — schema, batch
-shape, UDF signature, partition behavior — is real and tested;
-swapping in Pillow/ffmpeg is a one-function change.
+Decode tiers:
+* dimensions — real pure-Python header parser for PNG / BMP / GIF /
+  JPEG / WEBP / TIFF / netpbm (width/height live in fixed or token
+  header fields; no codec library needed).
+* pixels — REAL numpy decode for the uncompressed formats
+  (24-bit BI_RGB BMP, binary PPM/PGM) plus a deterministic
+  nearest-neighbor resize; compressed formats would need a codec
+  library the container doesn't ship, so those rows degrade to null
+  (skip-and-count) or use the `fake=True` stub. The Spark-side
+  plumbing — schema, batch shape, UDF signature, partition behavior —
+  is identical either way; swapping in Pillow/ffmpeg is a
+  one-function change.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -73,6 +78,17 @@ def parse_image_header(blob: bytes) -> dict | None:
             return _parse_webp(blob)
         if blob[:4] in (b"II*\x00", b"MM\x00*"):
             return _parse_tiff(blob)
+        if blob[:2] in (b"P5", b"P6"):
+            parsed = _scan_pnm_header(blob)
+            if parsed is None:
+                return None
+            w, h, _maxval, _pos = parsed
+            fmt = (
+                "image/x-portable-pixmap"
+                if blob[:2] == b"P6"
+                else "image/x-portable-graymap"
+            )
+            return {"format": fmt, "width": w, "height": h}
         if blob[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
             pos = 2
             while pos + 9 < len(blob):
@@ -206,6 +222,111 @@ def decode_images(blobs_df: DataFrame, id_col: str = "blob_id",
     return blobs_df.mapInPandas(run, DECODED_SCHEMA)
 
 
+def decode_pixels(blob: bytes) -> "np.ndarray | None":
+    """Real pixel decode, pure numpy — no codec library.
+
+    Supported: uncompressed 24-bit BI_RGB BMP (top-down and bottom-up)
+    and binary netpbm (P6 PPM color, P5 PGM gray). Returns an HxWx3
+    uint8 RGB array, or None for anything else (compressed formats need
+    a codec library the container doesn't ship).
+    """
+    if blob is None or len(blob) < 12:
+        return None
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:2] in (b"P5", b"P6"):
+        return _decode_pnm(blob)
+    return None
+
+
+def _decode_bmp(blob: bytes) -> "np.ndarray | None":
+    try:
+        (pix_off,) = struct.unpack("<I", blob[10:14])
+        (dib_size,) = struct.unpack("<I", blob[14:18])
+        if dib_size < 40:
+            return None  # BITMAPCOREHEADER etc. — not worth supporting
+        w, h_signed = struct.unpack("<ii", blob[18:26])
+        _planes, bpp = struct.unpack("<HH", blob[26:30])
+        (compression,) = struct.unpack("<I", blob[30:34])
+    except struct.error:
+        return None
+    if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    if len(blob) < pix_off + stride * h:
+        return None
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)
+    arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_signed > 0:  # positive height = bottom-up row order
+        arr = arr[::-1]
+    return np.ascontiguousarray(arr)
+
+
+def _scan_pnm_header(blob: bytes) -> "tuple[int, int, int, int] | None":
+    """Parse a binary netpbm header: magic, width, height, maxval —
+    ASCII tokens separated by whitespace, '#' comments run to
+    end-of-line, then ONE whitespace byte precedes the raster.
+
+    Returns (width, height, maxval, raster_offset) or None.
+    """
+    pos = 2
+    fields: list[int] = []
+    n = len(blob)
+    while len(fields) < 3 and pos < n:
+        c = blob[pos]
+        if c == 0x23:  # '#' comment
+            while pos < n and blob[pos] not in (0x0A, 0x0D):
+                pos += 1
+        elif c in (0x20, 0x09, 0x0A, 0x0D):
+            pos += 1
+        elif 0x30 <= c <= 0x39:
+            start = pos
+            while pos < n and 0x30 <= blob[pos] <= 0x39:
+                pos += 1
+            fields.append(int(blob[start:pos]))
+        else:
+            return None
+    if len(fields) < 3 or pos >= n:
+        return None
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        return None
+    return w, h, maxval, pos
+
+
+def _decode_pnm(blob: bytes) -> "np.ndarray | None":
+    """Binary netpbm: P6 (RGB) / P5 (gray, expanded to RGB)."""
+    parsed = _scan_pnm_header(blob)
+    if parsed is None:
+        return None
+    w, h, maxval, pos = parsed
+    if maxval != 255:
+        return None
+    channels = 3 if blob[:2] == b"P6" else 1
+    need = w * h * channels
+    if len(blob) < pos + need:
+        return None
+    arr = np.frombuffer(blob, dtype=np.uint8, count=need, offset=pos)
+    if channels == 3:
+        return np.ascontiguousarray(arr.reshape(h, w, 3))
+    return np.ascontiguousarray(
+        np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+    )
+
+
+def resize_nearest(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an HxWxC uint8 array via pure index
+    arithmetic — deterministic across platforms (no float kernels)."""
+    src_h, src_w = arr.shape[:2]
+    yi = (np.arange(height) * src_h) // height
+    xi = (np.arange(width) * src_w) // width
+    return np.ascontiguousarray(arr[yi][:, xi])
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("blob_id", T.LongType()),
@@ -224,20 +345,28 @@ def resize_images(
     blob_col: str = "blob",
     fake: bool = False,
 ) -> DataFrame:
-    """Resize stage (stub codec): real impl swaps `_fake_resize` for a
-    PIL `Image.resize`; the Spark plumbing — Arrow batches in, binary
-    column out, no shuffle — is the deliverable."""
+    """Resize stage: REAL for formats `decode_pixels` handles (24-bit
+    BMP, binary PPM/PGM) — numpy nearest-neighbor resample, resized
+    raster emitted as raw RGB bytes (row-major HxWx3). Blobs in
+    compressed formats (JPEG/PNG/… need a codec library the container
+    doesn't ship) degrade to a null `resized` — skip-and-count, never
+    abort the batch. `fake=True` keeps the old deterministic
+    truncate/pad stub for plumbing tests.
+
+    Arrow batches in, binary column out, no shuffle."""
 
     def _fake_resize(blob: bytes) -> bytes:
         # deterministic stand-in: truncate/pad to width*height bytes
         target = width * height
         return (blob * (target // max(len(blob), 1) + 1))[:target]
 
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires an image library (e.g. Pillow); "
-            "pass fake=True for the deterministic stub"
-        )
+    def _resize(blob: bytes) -> bytes | None:
+        if fake:
+            return _fake_resize(blob)
+        arr = decode_pixels(blob)
+        if arr is None:
+            return None
+        return resize_nearest(arr, width, height).tobytes()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -246,7 +375,7 @@ def resize_images(
                     "blob_id": pdf[id_col].values,
                     "width": width,
                     "height": height,
-                    "resized": [_fake_resize(b) for b in pdf[blob_col]],
+                    "resized": [_resize(b) for b in pdf[blob_col]],
                 }
             )
 

@@ -221,3 +221,155 @@ def test_parse_jpeg_with_fill_bytes():
     jpg = b"\xff\xd8" + b"\xff\xff\xe0" + _s.pack(">H", 4) + b"JF" + sof + b"\xff\xd9"
     assert parse_image_header(jpg) == {
         "format": "image/jpeg", "width": 13, "height": 9}
+
+
+# ---------------------------------------- real pixel decode + resize
+
+def _make_bmp_pixels(rows_rgb, top_down=False):
+    """24-bit BI_RGB BMP from a list of rows of (r, g, b) tuples."""
+    import struct as _s
+
+    h = len(rows_rgb)
+    w = len(rows_rgb[0])
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    # file stores rows bottom-up unless height is negative
+    stored = rows_rgb if top_down else rows_rgb[::-1]
+    raster = b"".join(
+        b"".join(bytes([b, g, r]) for (r, g, b) in row) + pad
+        for row in stored
+    )
+    header = b"BM" + _s.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    dib = _s.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, 24, 0,
+        len(raster), 2835, 2835, 0, 0,
+    )
+    return header + dib + raster
+
+
+PIX = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+]
+
+
+def test_decode_pixels_bmp_bottom_up_and_top_down():
+    import numpy as np
+
+    from cc_pyspark_spark.operators.multimodal import decode_pixels
+
+    want = np.array(PIX, dtype=np.uint8)
+    for top_down in (False, True):
+        arr = decode_pixels(_make_bmp_pixels(PIX, top_down=top_down))
+        assert arr is not None and arr.shape == (2, 3, 3)
+        assert (arr == want).all(), f"top_down={top_down}"
+
+
+def test_decode_pixels_ppm_with_comment_and_pgm_gray():
+    import numpy as np
+
+    from cc_pyspark_spark.operators.multimodal import decode_pixels
+
+    flat = bytes(v for row in PIX for px in row for v in px)
+    ppm = b"P6 # a comment\n3 2\n255\n" + flat
+    arr = decode_pixels(ppm)
+    assert arr is not None and arr.shape == (2, 3, 3)
+    assert (arr == np.array(PIX, dtype=np.uint8)).all()
+
+    pgm = b"P5\n2 2\n255\n" + bytes([0, 85, 170, 255])
+    gray = decode_pixels(pgm)
+    assert gray.shape == (2, 2, 3)
+    assert (gray[:, :, 0] == gray[:, :, 1]).all()
+    assert gray[0, 1, 0] == 85 and gray[1, 1, 2] == 255
+
+
+def test_decode_pixels_rejects_compressed_and_truncated():
+    from cc_pyspark_spark.operators.multimodal import decode_pixels
+
+    assert decode_pixels(_make_jpeg(4, 4)) is None
+    assert decode_pixels(_make_png(4, 4)) is None
+    bmp = _make_bmp_pixels(PIX)
+    assert decode_pixels(bmp[: len(bmp) - 5]) is None  # truncated raster
+    assert decode_pixels(b"P6 3 2 255 ") is None
+
+
+def test_resize_nearest_exact_index_math():
+    import numpy as np
+
+    from cc_pyspark_spark.operators.multimodal import resize_nearest
+
+    arr = np.array(PIX, dtype=np.uint8)
+    up = resize_nearest(arr, 6, 4)
+    assert up.shape == (4, 6, 3)
+    # each source pixel becomes a 2x2 block under exact //-index math
+    assert (up[0:2, 0:2] == arr[0, 0]).all()
+    assert (up[2:4, 4:6] == arr[1, 2]).all()
+    down = resize_nearest(up, 3, 2)
+    assert (down == arr).all()
+
+
+def test_parse_image_header_netpbm():
+    from cc_pyspark_spark.operators.multimodal import parse_image_header
+
+    hdr = parse_image_header(b"P6 # c\n37 19\n255\n" + b"\x00" * 10)
+    assert hdr == {"format": "image/x-portable-pixmap", "width": 37, "height": 19}
+    hdr = parse_image_header(b"P5 8 4 255 " + b"\x00" * 32)
+    assert hdr == {"format": "image/x-portable-graymap", "width": 8, "height": 4}
+
+
+def test_resize_images_real_path_spark(spark):
+    import numpy as np
+
+    from cc_pyspark_spark.operators.multimodal import (
+        resize_images,
+        resize_nearest,
+    )
+
+    flat = bytes(v for row in PIX for px in row for v in px)
+    blobs = [
+        (1, _make_bmp_pixels(PIX)),
+        (2, b"P6 3 2 255 " + flat),
+        (3, _make_jpeg(4, 4)),  # compressed: degrades to null, no abort
+    ]
+    df = spark.createDataFrame(blobs, "blob_id long, blob binary")
+    out = {r["blob_id"]: r for r in resize_images(df, 6, 4).collect()}
+    want = resize_nearest(np.array(PIX, dtype=np.uint8), 6, 4).tobytes()
+    assert out[1]["resized"] == want
+    assert out[2]["resized"] == want
+    assert out[3]["resized"] is None
+    assert out[3]["width"] == 6 and out[3]["height"] == 4
+
+
+def test_multimodal_decode_resize_query_matches_python_replay(spark):
+    """The registry query is rows-only for the driver (no SQL twin), so
+    pin its values here: replay the blob synthesis + decode + resize in
+    plain Python/numpy and compare md5s."""
+    import duckdb
+
+    from cc_pyspark_spark.operators.multimodal import (
+        decode_pixels,
+        resize_nearest,
+    )
+    from cc_pyspark_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_decode_resize"].spark(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    assert len(out) == len(docs)
+    for doc_id, text in docs[:50]:
+        raw = text.encode()
+        raster = (
+            hashlib.md5(raw).digest()
+            + hashlib.md5(raw + b"x").digest()
+            + hashlib.md5(raw + b"y").digest()
+        )[:36]
+        arr = decode_pixels(b"P6 4 3 255 " + raster)
+        want = hashlib.md5(resize_nearest(arr, 8, 6).tobytes()).hexdigest()
+        assert out[doc_id]["resized_md5"] == want, doc_id
