@@ -40,3 +40,45 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(blob).alias("blob_md5"),
         F.substring("text", 1, 4).alias("magic"),
     )
+
+
+@register(
+    "multimodal_decode_resize",
+    oracle=None,  # pixel decode/resize has no SQL twin: rows-only check;
+    # exact output bytes are pinned by tests/test_multimodal.py instead
+    description="Real pixel pipeline over synthesized netpbm blobs: each "
+    "doc's md5 bytes become a 4x3 P6 raster, decoded and nearest-"
+    "neighbor-resized to 8x6 by numpy inside Arrow-batched mapInPandas "
+    "(operators/multimodal.py decode_pixels/resize_nearest — no codec "
+    "library, no shuffle); output is the resized raster's md5",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.multimodal import (  # noqa: PLC0415
+        resize_images,
+    )
+
+    t = Catalog(spark, sf_dir)
+    # 4x3 RGB raster = 36 bytes: three md5 digests (48 bytes) truncated.
+    raster = F.substring(
+        F.concat(
+            F.unhex(F.md5(F.expr("encode(text, 'UTF-8')"))),
+            F.unhex(F.md5(F.expr("encode(text || 'x', 'UTF-8')"))),
+            F.unhex(F.md5(F.expr("encode(text || 'y', 'UTF-8')"))),
+        ),
+        1,
+        36,
+    )
+    blobs = t.documents.select(
+        F.col("doc_id").alias("blob_id"),
+        F.concat(F.expr("encode('P6 4 3 255 ', 'UTF-8')"), raster).alias(
+            "blob"
+        ),
+    )
+    resized = resize_images(blobs, 8, 6)
+    return resized.select(
+        F.col("blob_id").alias("doc_id"),
+        F.col("width").cast("bigint").alias("out_w"),
+        F.col("height").cast("bigint").alias("out_h"),
+        F.md5("resized").alias("resized_md5"),
+    )
