@@ -82,3 +82,46 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("bigint").alias("out_h"),
         F.md5("resized").alias("resized_md5"),
     )
+
+
+#: 44-byte RIFF/WAVE header for PCM16 mono @8000 Hz with a 32-byte data
+#: chunk (16 frames) — precomputed constant, see operators/audio.py for
+#: the field layout.
+_WAV_HEADER_HEX = (
+    "524946464400000057415645666D7420100000000100010040"
+    "1F0000803E0000020010006461746120000000"
+)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=None,  # PCM decode has no SQL twin: rows-only check; values
+    # are pinned by a Python replay in tests/test_audio_query.py
+    description="Real audio pipeline over synthesized WAV blobs: each "
+    "doc's md5 bytes become 16 PCM16 frames behind a RIFF header, "
+    "decoded by operators/audio.py inside Arrow-batched mapInPandas; "
+    "integer features only (peak / zero crossings / energy) so results "
+    "are bit-exact with no float kernels",
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.audio import audio_features  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    data = F.concat(
+        F.unhex(F.md5(F.expr("encode(text, 'UTF-8')"))),
+        F.unhex(F.md5(F.expr("encode(text || 'x', 'UTF-8')"))),
+    )
+    blobs = t.documents.select(
+        F.col("doc_id").alias("blob_id"),
+        F.concat(F.unhex(F.lit(_WAV_HEADER_HEX)), data).alias("blob"),
+    )
+    feats = audio_features(blobs)
+    return feats.select(
+        F.col("blob_id").alias("doc_id"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_frames").alias("n_frames"),
+        F.col("peak").cast("bigint").alias("peak"),
+        F.col("zero_crossings").alias("zero_crossings"),
+        F.col("energy").alias("energy"),
+    )

@@ -93,4 +93,5 @@ def test_every_query_has_oracle_or_is_known_rows_only():
         "dedup_minhash_scale",  # xxhash64 IDs: pytest-pinned vs exact baseline
         "dedup_simhash_scale",
         "multimodal_decode_resize",  # pixel resize: python-replay-pinned
+        "multimodal_audio_features",  # PCM decode: python-replay-pinned
     }, rows_only
