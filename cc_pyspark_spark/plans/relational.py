@@ -909,3 +909,63 @@ def agg_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.name").alias("top_name"),
         )
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+WITH chg AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         c_acctbal + 100.0 AS new_bal
+  FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 7 = 0
+), ins AS (
+  SELECT c_custkey + 1000000 AS k, c_custkey * 1.5 AS new_bal
+  FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT c.c_custkey,
+       CASE WHEN chg.op = 'U' THEN chg.new_bal ELSE c.c_acctbal END
+         AS c_acctbal,
+       CASE WHEN chg.op = 'U' THEN 'updated' ELSE 'kept' END AS action
+FROM customer c LEFT JOIN chg ON c.c_custkey = chg.k
+WHERE chg.op IS NULL OR chg.op <> 'D'
+UNION ALL
+SELECT k, new_bal, 'inserted' FROM ins
+""",
+    description="MERGE/upsert semantics (update + delete + insert in one "
+    "pass) as a single left join with a post-filter plus a union of "
+    "inserts — Spark core has no MERGE statement, so this is the "
+    "composition a lakehouse writer runs; one shuffle keyed on the "
+    "merge key, changes side broadcastable when small",
+    tags=("relational", "join"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    cust = t.customer
+    chg = (
+        cust.filter((F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 7 == 0, "D").otherwise("U").alias("op"),
+            (F.col("c_acctbal") + 100.0).alias("new_bal"),
+        )
+    )
+    ins = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        (F.col("c_custkey") * 1.5).alias("c_acctbal"),
+        F.lit("inserted").alias("action"),
+    )
+    merged = (
+        cust.join(chg, cust.c_custkey == chg.k, "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "c_custkey",
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("op") == "U", "updated")
+            .otherwise("kept")
+            .alias("action"),
+        )
+    )
+    return merged.unionAll(ins)
