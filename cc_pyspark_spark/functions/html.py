@@ -99,6 +99,57 @@ def resiliparse_udf_factory():
     return F.pandas_udf(extract, T.StringType())
 
 
+def stdlib_udf_factory():
+    """Real tokenizer backend with NO external dependency: the stdlib
+    `html.parser` state machine. Unlike the regex backend it decodes
+    every character reference (numeric included), survives malformed
+    tags that would desync a regex, and tracks script/style nesting —
+    the always-available middle ground between regex and bs4/resiliparse
+    (which need libraries this environment doesn't ship)."""
+    import re  # noqa: PLC0415
+    from html.parser import HTMLParser  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    class _Extract(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.chunks: list[str] = []
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+            self.chunks.append(" ")
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip:
+                self.skip -= 1
+            self.chunks.append(" ")
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.chunks.append(data)
+
+    ws = re.compile(r"\s+")
+
+    # NOTE: no pd.Series annotations — under `from __future__ import
+    # annotations` pandas_udf resolves hint STRINGS against module
+    # globals, and pd is factory-local here; pass returnType explicitly.
+    def extract(series):
+        def one(html):
+            if html is None:
+                return None
+            p = _Extract()
+            p.feed(html)
+            p.close()
+            return ws.sub(" ", "".join(p.chunks)).strip()
+
+        return series.map(one)
+
+    return F.pandas_udf(extract, T.StringType())
+
+
 def _udf_backend(factory):
     """Wrap a maybe-absent pandas-UDF factory as a Column-producer."""
     udf = factory()
@@ -112,6 +163,7 @@ def _udf_backend(factory):
 #: flag maps onto these names (beautifulsoup/resiliparse).
 _BACKENDS = {
     "regex": lambda: html_to_text,
+    "stdlib": lambda: _udf_backend(stdlib_udf_factory),
     "beautifulsoup": lambda: _udf_backend(html_to_text_udf_factory),
     "resiliparse": lambda: _udf_backend(resiliparse_udf_factory),
 }

@@ -88,3 +88,23 @@ def test_regex_backend_comments_cdata_entities(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
     got = [r["t"] for r in df.select(html_to_text("html").alias("t")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_stdlib_backend_always_available():
+    assert "stdlib" in available_backends()
+
+
+def test_stdlib_backend_beyond_regex(spark):
+    """The stdlib tokenizer resolves what the regex backend can't:
+    numeric character references and attribute values containing '>'."""
+    fn = html_backend("stdlib")
+    cases = [
+        ("<p>price &#8364;5 &#x2713;</p>", "price €5 ✓"),
+        ('<p data-x="a>b">text</p>', "text"),
+        ("<p>Tom &amp; Jerry &lt;3</p>", "Tom & Jerry <3"),
+        ("<p>&amp;lt;</p>", "&lt;"),  # single decode, like bs4
+        ("<script>if (a<b) {}</script>after", "after"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
+    got = [r["t"] for r in df.select(fn("html").alias("t")).collect()]
+    assert got == [want for _, want in cases]
