@@ -638,3 +638,81 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stop").alias("n_stopwords"),
         gopher_pass.alias("gopher_pass"),
     )
+
+
+def _duck_html_extract_oracle() -> str:
+    # replays functions/html.py html_to_text step by step: comments,
+    # CDATA, script/style blocks, tags, entity chain (&amp; LAST),
+    # whitespace collapse. DuckDB regexp_replace needs the 'gs' flags
+    # argument where Spark's Java regex uses inline (?s) + implicit
+    # replace-all — and RE2 has no backreferences, so the Spark side's
+    # single `<(script|style)...</\\1>` becomes two replaces here
+    # (equivalent on well-formed pages).
+    steps = """
+regexp_replace(
+ regexp_replace(
+  regexp_replace(
+   regexp_replace(
+    regexp_replace(html, '<!--.*?-->', ' ', 'gs'),
+    '<!\\[CDATA\\[.*?\\]\\]>', ' ', 'gs'),
+   '<script[^>]*>.*?</script>', ' ', 'gsi'),
+  '<style[^>]*>.*?</style>', ' ', 'gsi'),
+ '<[^>]*>', ' ', 'gs')
+"""
+    ents = steps
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&apos;", "''"),
+        ("&amp;", "&"),
+    ):
+        ents = f"replace({ents}, '{ent}', '{rep}')"
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><style>p {{ color: red }}</style>'
+         || '<script>var x = 1 < 2;</script></head>'
+         || '<body><!-- doc ' || doc_id || ' --><h1>Doc</h1><p>'
+         || text || ' &amp; more &lt;tags&gt;</p></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace({ents}, '\\s+', ' ', 'g')) AS extracted
+FROM pages
+"""
+
+
+@register(
+    "text_html_extract",
+    oracle=_duck_html_extract_oracle(),
+    description="F12 HTML-to-text with the default regex backend "
+    "(functions/html.py html_to_text) over synthesized pages that "
+    "exercise every pipeline stage — style/script blocks, comments, "
+    "entity decode order (&amp; last), whitespace collapse — all "
+    "JVM-side regexp_replace (whole-stage codegen, the 100 TB hot "
+    "path); the oracle replays the identical replace chain",
+    tags=("text", "html"),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.functions.html import html_to_text  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    pages = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html><head><style>p { color: red }</style>"
+                "<script>var x = 1 < 2;</script></head><body><!-- doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit(" --><h1>Doc</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; more &lt;tags&gt;</p></body></html>"),
+        ).alias("html"),
+    )
+    return pages.select(
+        "doc_id", html_to_text("html").alias("extracted")
+    )
