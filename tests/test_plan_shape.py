@@ -171,3 +171,64 @@ def test_tld_validation_is_folded_not_joined(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1  # final agg
+
+
+def _tree_nodes(plan: str, op: str) -> int:
+    """Count physical operators of a type via their numbered plan-tree
+    entries ('(7) Exchange') — formatted explain repeats names in the
+    detail section, so raw substring counts over-count."""
+    import re as _re
+
+    return len(_re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_gopher_rules_is_pure_map_no_shuffle(spark):
+    """All Gopher signals are column expressions: no exchange, no
+    Python evaluation anywhere in the plan — at 100 TB the quality
+    gate must stream through the scan stage."""
+    plan = plan_of(spark, "text_gopher_rules")
+    assert _tree_nodes(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "[codegen id :" in plan
+
+
+def test_url_normalize_single_shuffle(spark):
+    """Canonicalization is per-row regex; the only wide stage is the
+    final groupBy on the canonical key (partial/final HashAggregate
+    around a single hash exchange)."""
+    plan = plan_of(spark, "dedup_url_normalize")
+    assert _tree_nodes(plan, "Exchange") == 1
+    assert "hashpartitioning(canonical_url" in plan
+    assert _tree_nodes(plan, "HashAggregate") == 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_groups_once(spark):
+    """Packing state lives in one FlatMapGroupsInPandas keyed by
+    (lang, shard): exactly one exchange, no second pass."""
+    plan = plan_of(spark, "curation_pack_sequences")
+    assert _tree_nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert _tree_nodes(plan, "Exchange") == 1
+
+
+def test_multimodal_decode_stages_inherit_partitioning(spark):
+    """Pixel and audio decode are mapInPandas over the blob source —
+    zero shuffle end-to-end."""
+    for name in ("multimodal_decode_resize", "multimodal_audio_features"):
+        plan = plan_of(spark, name)
+        assert _tree_nodes(plan, "MapInPandas") == 1, name
+        assert _tree_nodes(plan, "Exchange") == 0, name
+
+
+def test_html_extract_stays_jvm_side(spark):
+    """F12 default backend is the regex chain: no Python, no shuffle,
+    whole-stage codegen intact."""
+    plan = plan_of(spark, "text_html_extract")
+    assert _tree_nodes(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "[codegen id :" in plan
+
+
+def test_merge_upsert_no_cartesian(spark):
+    plan = plan_of(spark, "merge_upsert")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
