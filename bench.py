@@ -44,6 +44,11 @@ HEADLINERS = [
     "sim_ann_ivf",
     "events_tumbling_hourly",
     "events_session_window",
+    # r3 additions: the curation gate (pure codegen columns) and the
+    # packing stage (applyInPandas) — the two plan shapes a training-data
+    # pipeline spends its time in beyond dedup.
+    "text_gopher_rules",
+    "curation_pack_sequences",
 ]
 
 
