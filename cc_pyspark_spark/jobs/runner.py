@@ -51,6 +51,8 @@ DOC_JOBS = (
     "dedup_documents",
     "build_dedup_index",
     "export_training_jsonl",
+    "quality_gate",
+    "pack_sequences",
 )
 
 
@@ -114,6 +116,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cosine_threshold", type=float, default=0.42)
     p.add_argument("--min_tokens", type=int, default=5)
     p.add_argument("--max_tokens", type=int, default=100_000)
+    p.add_argument(
+        "--gate_filter",
+        action="store_true",
+        help="quality_gate: keep only gopher_pass=1 docs instead of "
+        "emitting the full signals frame",
+    )
+    p.add_argument(
+        "--pack_capacity",
+        type=int,
+        default=None,
+        help="pack_sequences: max tokens per pack (default "
+        "plans.curation.PACK_CAPACITY)",
+    )
     return p
 
 
@@ -149,6 +164,29 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         content_fingerprints(table).write.mode("overwrite").parquet(f"{base}/fp")
         minhash_band_index(table).write.mode("overwrite").parquet(f"{base}/bands")
         print(json.dumps({"job": args.job, "index": base}))
+        return 0
+    if args.job == "quality_gate":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cc_pyspark_spark.plans.text import gopher_signals_frame  # noqa: PLC0415
+
+        df = gopher_signals_frame(table)
+        if args.gate_filter:
+            df = df.filter(F.col("gopher_pass") == 1)
+        write_output(df, args, None)
+        print(json.dumps({"job": args.job, "gate_filter": args.gate_filter}))
+        return 0
+    if args.job == "pack_sequences":
+        from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415
+            PACK_CAPACITY,
+            pack_sequences_frame,
+        )
+
+        df = pack_sequences_frame(
+            table, capacity=args.pack_capacity or PACK_CAPACITY
+        )
+        write_output(df, args, ["lang", "shard", "doc_id"])
+        print(json.dumps({"job": args.job}))
         return 0
     if args.job == "export_training_jsonl":
         from cc_pyspark_spark.operators.export import export_training_jsonl  # noqa: PLC0415

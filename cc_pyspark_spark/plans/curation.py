@@ -344,11 +344,21 @@ FROM packed
     tags=("curation", "pandas-udf"),
 )
 def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Catalog(spark, sf_dir)
-    toks = t.documents.select(
+    return pack_sequences_frame(Catalog(spark, sf_dir).documents)
+
+
+def pack_sequences_frame(
+    documents: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    shard_size: int = PACK_SHARD,
+) -> DataFrame:
+    """Greedy sequence packing over any frame with (lang, doc_id, text)
+    — the reusable form behind the curation_pack_sequences query and
+    the CLI pack_sequences job."""
+    toks = documents.select(
         "lang",
         "doc_id",
-        (F.col("doc_id") / PACK_SHARD).cast("bigint").alias("shard"),
+        (F.col("doc_id") / shard_size).cast("bigint").alias("shard"),
         F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
     )
 
@@ -361,7 +371,7 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs = []
         offs = []
         for i, n in enumerate(pdf["n_tokens"]):
-            if i > 0 and cum + n > PACK_CAPACITY:
+            if i > 0 and cum + n > capacity:
                 pack_seq += 1
                 cum = 0
             offs.append(cum)

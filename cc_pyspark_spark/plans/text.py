@@ -544,12 +544,18 @@ FROM s
     tags=("text", "curation"),
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Catalog(spark, sf_dir)
+    return gopher_signals_frame(Catalog(spark, sf_dir).documents)
+
+
+def gopher_signals_frame(documents: DataFrame) -> DataFrame:
+    """Gopher signal columns over any frame with (doc_id, text) — the
+    reusable form behind the text_gopher_rules query and the CLI
+    quality_gate job."""
     words = F.filter(
         F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
     )
     lines = F.split(F.col("text"), "\n")
-    base = t.documents.select(
+    base = documents.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
         F.aggregate(

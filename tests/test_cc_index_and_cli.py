@@ -252,3 +252,63 @@ def test_cli_incremental_dedup_roundtrip(tmp_path):
         "--spark_master", "local[4]", "--output_compression", "snappy",
     ]) == 0
     assert set(spark.read.parquet(out2).columns) == {"new_id", "old_id"}
+
+
+def test_cli_quality_gate(tmp_path):
+    """End-to-end CLI: documents parquet → gopher signal frame, and the
+    --gate_filter variant keeps exactly the gopher_pass=1 subset."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    out_all = str(tmp_path / "signals")
+    rc = main([
+        "quality_gate", "/root/testdata/sf0.001/documents.parquet", out_all,
+        "--num_output_partitions", "2", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    out_kept = str(tmp_path / "kept")
+    rc = main([
+        "quality_gate", "/root/testdata/sf0.001/documents.parquet", out_kept,
+        "--gate_filter", "--num_output_partitions", "2",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    signals = spark.read.parquet(out_all)
+    kept = spark.read.parquet(out_kept)
+    assert "gopher_pass" in signals.columns
+    n_pass = signals.filter("gopher_pass = 1").count()
+    assert 0 < n_pass < signals.count()  # the gate is discriminative
+    assert kept.count() == n_pass
+
+
+def test_cli_pack_sequences(tmp_path):
+    """End-to-end CLI: documents parquet → packing manifest; every pack
+    respects the capacity and every doc appears exactly once."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    out = str(tmp_path / "packs")
+    rc = main([
+        "pack_sequences", "/root/testdata/sf0.001/documents.parquet", out,
+        "--pack_capacity", "128", "--num_output_partitions", "2",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    packs = spark.read.parquet(out)
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert packs.count() == n_docs
+    # docs larger than capacity get singleton packs; multi-doc packs
+    # never exceed capacity
+    from pyspark.sql import functions as F
+
+    singleton_over = packs.groupBy("lang", "shard", "pack_seq").agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("toks")
+    ).filter("toks > 128").collect()
+    assert all(r["n"] == 1 for r in singleton_over), "oversized multi-doc pack"
