@@ -34,12 +34,14 @@ from cc_pyspark_spark.plans import QUERIES
 #: embedding_scale fully oracled), and the six r3-new queries
 #: (dedup_cluster_canonical, url_tld_validation_counts,
 #: curation_split_assign, text_gopher_rules, dedup_url_normalize,
-#: curation_pack_sequences) — after this round ZERO registered queries
-#: have never had a driver row. The r2-checked names displaced (tpch
-#: q2/q13/q17/q21/q22, the oracle-variant dedup quartet, five text
-#: micro-queries, curation_contamination/repetition, three relational
-#: micro-anchors) keep their green local DuckDB-parity pytest and
-#: their r2 driver row.
+#: curation_pack_sequences) — plus the four late-r3 additions
+#: (merge_upsert, text_html_extract, multimodal_decode_resize,
+#: multimodal_audio_features), which take the slots of four relational
+#: family reps that already hold TWO green driver rows (r1+r2):
+#: project_computed, agg_distinct_pairs, window_dense_ids, topk_global.
+#: After this round ZERO registered queries have never had a driver
+#: row. Every displaced name keeps its green local DuckDB-parity
+#: pytest and its prior driver rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # TPC-H bench headliners (fixed)
     "tpch_q1_pricing_summary",
@@ -92,18 +94,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_reservoir_per_lang",
     # window scale path — first driver row
     "window_distributed_ids",
-    # multimodal
+    # multimodal (blob stats fixed; decode/audio are late-r3 first rows)
     "multimodal_blob_stats",
-    # relational core — one representative per operator family (fixed)
+    "multimodal_decode_resize",
+    "multimodal_audio_features",
+    # late-r3 additions — first driver rows
+    "merge_upsert",
+    "text_html_extract",
+    # relational core — representatives (fixed); project_computed /
+    # agg_distinct_pairs / window_dense_ids / topk_global earned r1+r2
+    # rows and ceded their slots to the late-r3 block above
     "scan_filter_project",
-    "project_computed",
     "sql_passthrough",
     "join_inner_dims",
     "agg_count_by_key",
-    "agg_distinct_pairs",
-    "window_dense_ids",
     "window_topn_per_group",
-    "topk_global",
 )
 
 

@@ -56,17 +56,14 @@ def test_headliners_inside_driver_cap():
     must_have |= {
         # §2 family representatives
         "scan_filter_project",
-        "project_computed",
         "sql_passthrough",
         "join_inner_dims",
         "agg_count_by_key",
-        "agg_distinct_pairs",
-        "window_dense_ids",
         "window_topn_per_group",
-        "topk_global",
         # agg_collect_sorted_list / set_union_distinct / string_functions
-        # earned their r2 driver rows and ceded their slots to the
-        # r3-new gopher/url-normalize/pack-sequences queries.
+        # (r2) and project_computed / agg_distinct_pairs /
+        # window_dense_ids / topk_global (r3) earned their driver rows
+        # and ceded their slots to newer first-time queries.
         "url_host_reverse",
         # beyond-reference family representatives
         "sim_cosine_topk",
