@@ -101,14 +101,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # late-r3 additions — first driver rows
     "merge_upsert",
     "text_html_extract",
+    "dedup_substring_spans",
+    "dedup_semantic_clustered",
+    "text_token_rarity",
     # relational core — representatives (fixed); project_computed /
-    # agg_distinct_pairs / window_dense_ids / topk_global earned r1+r2
-    # rows and ceded their slots to the late-r3 block above
+    # agg_distinct_pairs / window_dense_ids / topk_global (r1+r2 rows)
+    # ceded slots to the late-r3 block, then join_inner_dims /
+    # agg_count_by_key / window_topn_per_group (also r1+r2 green, and
+    # their families stay covered by merge_upsert / events joins /
+    # word-count aggs / window_distributed_ids) ceded to the three
+    # newest LLM-pipeline queries above
     "scan_filter_project",
     "sql_passthrough",
-    "join_inner_dims",
-    "agg_count_by_key",
-    "window_topn_per_group",
 )
 
 

@@ -730,3 +730,170 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dupes"),
         F.min("o_orderkey").cast("bigint").alias("keep_key"),
     )
+
+
+# ------------------------- span-level substring dedup (ExactSubstr-lite)
+
+#: Positional k-gram width for span-level duplicate detection. The
+#: published ExactSubstr setup (Lee et al. 2022, "Deduplicating
+#: Training Data Makes Language Models Better") uses 50-token spans
+#: over a suffix array; the fixture documents are 30-70 tokens, so the
+#: demo width is 5. Width is the only tuning knob — the plan is
+#: identical at 50.
+SUBSTR_K = 5
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {SUBSTR_K}
+           THEN list_transform(range(1, len(toks) - {SUBSTR_K} + 2),
+                i -> array_to_string(list_slice(toks, i, i + {SUBSTR_K} - 1), ' '))
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM t
+),
+gd AS (SELECT doc_id, gram, COUNT(*) AS k FROM g GROUP BY doc_id, gram),
+occ AS (SELECT gram, SUM(k) AS occ FROM gd GROUP BY gram),
+pd AS (
+  SELECT gd.doc_id,
+         CAST(SUM(gd.k) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN occ.occ >= 2 THEN gd.k ELSE 0 END) AS BIGINT)
+           AS n_dup_grams
+  FROM gd JOIN occ USING (gram) GROUP BY gd.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN pd.n_grams IS NULL OR pd.n_grams = 0 THEN 0.0
+            ELSE pd.n_dup_grams * 1.0 / pd.n_grams END AS dup_ratio
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+""",
+    description="Span-level duplicate detection (ExactSubstr-lite, Lee et "
+    "al. 2022): every positional token 5-gram that occurs >=2 times "
+    "corpus-wide marks its positions duplicated; per-doc duplicated-span "
+    "ratio drives span-drop curation. Two narrow shuffles — per-doc gram "
+    "counts (map-side combine collapses positions), then gram-keyed "
+    "occurrence totals; at 100 TB the gram join key is xxhash64(gram), "
+    "8 bytes instead of the span text",
+    tags=("dedup", "text"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    docs = t.documents.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    g = docs.select(
+        "doc_id", F.explode(shingles("toks", SUBSTR_K)).alias("gram")
+    )
+    # (doc, gram) pre-aggregation first: partial aggregation collapses
+    # repeated in-doc spans map-side, so the gram-keyed shuffle carries
+    # one row per distinct (doc, gram), not one per position.
+    gd = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("k"))
+    occ = gd.groupBy("gram").agg(F.sum("k").alias("occ"))
+    per = (
+        gd.join(occ, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("occ") >= 2, F.col("k")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+    )
+    base = t.documents.select("doc_id")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0)
+        )
+        .otherwise(F.col("n_dup_grams") * F.lit(1.0) / F.col("n_grams"))
+        .alias("dup_ratio"),
+    )
+
+
+# ----------------------- SemDeDup-style cluster-pruned semantic dedup
+
+#: Cluster count for the semantic-dedup demo: seed centroids are the
+#: embeddings with vec_id < SEMDEDUP_K (deterministic, replayable in
+#: SQL). Production uses k-means centroids from a sampled fit; the
+#: pairing plan is identical either way.
+SEMDEDUP_K = 8
+
+_DUCK_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+    "(x, y) -> x + y)"
+)
+
+
+def _duck_semantic_oracle() -> str:
+    dot_vc = _DUCK_DOT.format(a="n.v", b="c.cv")
+    dot_xy = _DUCK_DOT.format(a="x.v", b="y.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+), c AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {SEMDEDUP_K}
+), sc AS (
+  SELECT n.vec_id, c.cid, {dot_vc} / (n.nrm * c.cnrm) AS score
+  FROM n, c
+), asg AS (
+  SELECT vec_id, cid FROM sc
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) = 1
+)
+SELECT x.vec_id AS a_id, y.vec_id AS b_id, {dot_xy} / (x.nrm * y.nrm) AS cos
+FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+JOIN n x ON x.vec_id = a.vec_id
+JOIN n y ON y.vec_id = b.vec_id
+WHERE {dot_xy} / (x.nrm * y.nrm) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle=_duck_semantic_oracle(),
+    description="SemDeDup-style semantic dedup (Abbas et al. 2023): assign "
+    "every embedding to its nearest of K deterministic seed centroids "
+    "(broadcast K-row dim table, argmax cosine with cid tie-break), then "
+    "score pairs ONLY within a cluster via the Arrow all-pairs kernel — "
+    "the pair space shrinks from O(n^2) to sum over clusters of "
+    "O(|cluster|^2), and the only wide exchange is the cluster-keyed "
+    "shuffle. Every float reduction is an explicit left fold over the "
+    "dimension index, bit-identical across Catalyst, numpy, and DuckDB "
+    "list_reduce, so the clustered plan keeps a full value-hash oracle",
+    tags=("dedup", "similarity", "scale"),
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import bucket_cosine_pairs  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    dot_self = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    emb = t.embeddings.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ).withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot_vc = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "score", F.expr(dot_vc) / (F.col("nrm") * F.col("cnrm"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid").asc())
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", "vec_id", "v", "nrm")
+    )
+    fn, schema = bucket_cosine_pairs(COSINE_DUP_THRESHOLD)
+    return asg.groupBy("cid").applyInPandas(fn, schema=schema)

@@ -722,3 +722,63 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select(
         "doc_id", html_to_text("html").alias("extracted")
     )
+
+
+# ----------------------- corpus-frequency token rarity (perplexity proxy)
+
+
+@register(
+    "text_token_rarity",
+    oracle=f"""
+WITH g AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+f AS (SELECT tok, COUNT(*) AS cf FROM g GROUP BY tok),
+pd AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(f.cf) AS BIGINT) AS sum_corpus_freq
+  FROM g JOIN f USING (tok) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(pd.sum_corpus_freq, 0) AS BIGINT) AS sum_corpus_freq,
+       CASE WHEN pd.n_tokens IS NULL OR pd.n_tokens = 0 THEN 0.0
+            ELSE pd.sum_corpus_freq * 1.0 / pd.n_tokens END
+         AS mean_token_freq
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+""",
+    description="Unigram-LM quality proxy (CCNet-style perplexity filter "
+    "without float logs): corpus-wide token frequencies joined back to "
+    "each document's token stream; per-doc mean corpus frequency ranks "
+    "documents by how 'typical' their vocabulary is. All-integer "
+    "arithmetic until one final division, so the score is bit-stable "
+    "across engines and partitionings — the production alternative to an "
+    "order-sensitive sum of log-probs. The frequency table is "
+    "vocabulary-sized (Zipf: ~millions of rows at 100 TB), so AQE "
+    "broadcasts the join side; token rows pre-aggregate map-side",
+    tags=("text", "curation"),
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    g = t.documents.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    freq = g.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    per = (
+        g.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("cf").cast("bigint").alias("sum_corpus_freq"),
+        )
+    )
+    base = t.documents.select("doc_id")
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("sum_corpus_freq", F.lit(0))
+        .cast("bigint")
+        .alias("sum_corpus_freq"),
+        F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.col("sum_corpus_freq") * F.lit(1.0) / F.col("n_tokens"))
+        .alias("mean_token_freq"),
+    )

@@ -57,13 +57,11 @@ def test_headliners_inside_driver_cap():
         # §2 family representatives
         "scan_filter_project",
         "sql_passthrough",
-        "join_inner_dims",
-        "agg_count_by_key",
-        "window_topn_per_group",
         # agg_collect_sorted_list / set_union_distinct / string_functions
         # (r2) and project_computed / agg_distinct_pairs /
-        # window_dense_ids / topk_global (r3) earned their driver rows
-        # and ceded their slots to newer first-time queries.
+        # window_dense_ids / topk_global / join_inner_dims /
+        # agg_count_by_key / window_topn_per_group (r3) earned their
+        # driver rows and ceded their slots to newer first-time queries.
         "url_host_reverse",
         # beyond-reference family representatives
         "sim_cosine_topk",

@@ -232,3 +232,35 @@ def test_html_extract_stays_jvm_side(spark):
 def test_merge_upsert_no_cartesian(spark):
     plan = plan_of(spark, "merge_upsert")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_substring_spans_partial_agg_no_sort(spark):
+    """dedup_substring_spans: the (doc, gram) pre-aggregation must show
+    partial/final HashAggregate (map-side combine collapses repeated
+    in-doc spans before the gram shuffle), and nothing in the plan may
+    globally sort the gram stream."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "HashAggregate" in plan
+    assert "partial_" in plan.lower() or "Partial" in plan
+    assert "Sort [gram" not in plan
+
+
+def test_semantic_clustered_broadcasts_centroids(spark):
+    """dedup_semantic_clustered: the K-row centroid table joins by
+    broadcast (never a shuffle of the full embedding side against it),
+    and the only wide exchange after assignment is cluster-keyed."""
+    plan = plan_of(spark, "dedup_semantic_clustered")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cid" in plan
+
+
+def test_token_rarity_no_body_shuffle(spark):
+    """text_token_rarity: shuffles carry (tok)/(doc_id) keyed rows only;
+    the document text column must be pruned before any exchange."""
+    plan = plan_of(spark, "text_token_rarity")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    # documents scan reads only doc_id + text (projection pruning)
+    assert all("lang" not in ln for ln in read_schema)
+    assert "HashAggregate" in plan
