@@ -80,24 +80,41 @@ def _record_rows(
     with_payload: bool,
     local_temp_dir: str | None = None,
 ):
-    if local_temp_dir:
-        # Spool remote archives to local disk first (sparkcc.py:308-318):
-        # bounds worker memory to the gzip member being parsed instead
-        # of the whole in-flight download.
-        import os  # noqa: PLC0415
+    """Stream one archive's records as plain dicts.
 
-        from cc_pyspark_spark.sources.fetch import spool_to_local  # noqa: PLC0415
+    The archive is never materialized: local (and spooled) files hand
+    `iter_warc_records` the open file object, remote URIs hand it the
+    backend's readable stream (`open_stream`), and the parser consumes
+    either in 1 MiB slices, gzip member by member (sparkcc.py:381-410
+    `ArchiveIterator`-over-spool semantics). Worker memory is bounded
+    by one record, not one archive.
+    """
+    import contextlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
 
-        local = spool_to_local(uri, local_temp_dir)
-        try:
-            with open(local, "rb") as f:
-                data = f.read()
-        finally:
+    from cc_pyspark_spark.sources.fetch import open_stream, spool_to_local  # noqa: PLC0415
+
+    with contextlib.ExitStack() as stack:
+        if local_temp_dir:
+            # Spool remote archives to local disk first
+            # (sparkcc.py:308-318 --local_temp_dir behavior).
+            local = spool_to_local(uri, local_temp_dir)
             if local != uri.removeprefix("file://"):
-                os.unlink(local)
-    else:
-        data = _fetch_bytes(uri)
-    for rec in iter_warc_records(data, parse_http=parse_http, record_types=record_types):
+                stack.callback(os.unlink, local)
+            stream = stack.enter_context(open(local, "rb"))
+        else:
+            stream = stack.enter_context(
+                contextlib.closing(open_stream(uri))
+            )
+        yield from _stream_rows(
+            stream, filename, record_types, parse_http, with_payload
+        )
+
+
+def _stream_rows(stream, filename, record_types, parse_http, with_payload):
+    for rec in iter_warc_records(
+        stream, parse_http=parse_http, record_types=record_types
+    ):
         yield {
             "warc_filename": filename,
             "warc_record_offset": rec.offset,

@@ -89,33 +89,150 @@ def parse_http_response(body: bytes) -> tuple[int | None, list[tuple[str, str]],
     return status, headers, payload
 
 
-def _read_record(buf: bytes, pos: int) -> tuple[WarcRecord | None, int]:
-    """Parse one record from `buf` at `pos` → (record, next_pos)."""
-    end = buf.find(b"\r\n\r\n", pos)
-    if end < 0 or not buf[pos:].startswith(b"WARC/"):
-        return None, len(buf)
-    _, headers = _parse_header_block(buf[pos:end])
-    length = int(headers.get("Content-Length", "0"))
-    body_start = end + 4
-    body = buf[body_start : body_start + length]
-    next_pos = body_start + length
-    # Skip the two record-separator CRLFs.
-    while buf[next_pos : next_pos + 2] == CRLF:
-        next_pos += 2
-    return WarcRecord(headers=headers, payload=body), next_pos
+#: Streaming read unit. Worker memory for the parse is bounded by
+#: O(_CHUNK + one record / one gzip member), never the archive size.
+_CHUNK = 1 << 20
 
 
-def _iter_gzip_members(raw: bytes):
-    """Yield (offset, member_length, decompressed) per gzip member."""
-    pos = 0
-    while pos < len(raw):
+class _ChunkSource:
+    """Uniform chunked reader over bytes or a binary file-like object.
+
+    Never calls ``read()`` without a size — the whole point of the
+    streaming parse is that a 1 GB ``.warc.gz`` is consumed in
+    ``_CHUNK`` slices (sparkcc.py:381-410 iterates `ArchiveIterator`
+    over a spooled stream the same way).
+    """
+
+    def __init__(self, src):
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            self._buf: bytes | None = bytes(src)
+            self._pos = 0
+            self._readf = None
+        else:
+            self._buf = None
+            self._readf = src.read
+
+    def read(self, n: int = _CHUNK) -> bytes:
+        if self._readf is not None:
+            return self._readf(n) or b""
+        chunk = self._buf[self._pos : self._pos + n]
+        self._pos += len(chunk)
+        return chunk
+
+
+class _RecordAssembler:
+    """Incremental WARC record parser over a growing byte buffer.
+
+    ``feed`` returns the records completed by the new bytes; ``flush``
+    drains what a clean EOF leaves behind. Record ``offset``/``length``
+    are relative to the assembled stream (the plain-file case); the
+    gzip path overwrites them with member coordinates.
+    """
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._start = 0  # parse cursor into _buf
+        self._abs = 0  # absolute offset of _buf[_start]
+        self._dead = False  # non-WARC garbage seen: stop (tolerant)
+
+    def feed(self, data: bytes) -> list[WarcRecord]:
+        if self._dead:
+            return []
+        self._buf += data
+        return self._drain(final=False)
+
+    def flush(self) -> list[WarcRecord]:
+        return [] if self._dead else self._drain(final=True)
+
+    def _drain(self, final: bool) -> list[WarcRecord]:
+        out: list[WarcRecord] = []
+        buf = self._buf
+        while True:
+            s = self._start
+            end = buf.find(b"\r\n\r\n", s)
+            if end < 0:
+                break  # header incomplete — wait (or tolerant EOF stop)
+            if bytes(buf[s : s + 5]) != b"WARC/":
+                self._dead = True  # garbage between records: stop parsing
+                break
+            _, headers = _parse_header_block(bytes(buf[s:end]))
+            # Garbage Content-Length raises ValueError → caller counts
+            # the archive as failed (sparkcc.py:390-392 semantics).
+            length = int(headers.get("Content-Length", "0"))
+            body_start = end + 4
+            rec_end = body_start + length
+            if len(buf) < rec_end + (0 if final else 4):
+                break  # body (or separator lookahead) incomplete — wait
+            nxt = rec_end
+            while nxt + 2 <= len(buf) and bytes(buf[nxt : nxt + 2]) == CRLF:
+                nxt += 2
+            if not final and nxt + 2 > len(buf):
+                break  # separator run may continue in the next chunk
+            out.append(
+                WarcRecord(
+                    headers=headers,
+                    payload=bytes(buf[body_start:rec_end]),
+                    offset=self._abs,
+                    length=nxt - s,
+                )
+            )
+            self._abs += nxt - s
+            self._start = nxt
+            if self._start > _CHUNK:  # compact: keep the buffer small
+                del buf[: self._start]
+                self._start = 0
+        return out
+
+
+def _iter_gzip_stream(src: _ChunkSource, pending: bytes):
+    """Yield raw records from a gzip WARC, one member at a time.
+
+    Peak memory is one decompressed member (+ one compressed chunk) —
+    the Common Crawl layout is record-per-member, so that is one
+    record. Every record in a member carries the member's compressed
+    (offset, length), the addressable unit for ranged re-fetch.
+    """
+    offset = 0
+    while True:
+        if not pending:
+            pending = src.read()
+            if not pending:
+                return  # clean EOF on a member boundary
         d = zlib.decompressobj(wbits=31)
-        data = d.decompress(raw[pos:])
-        if not d.eof:  # truncated member — corrupt archive, not EOF
-            raise zlib.error(f"truncated gzip member at offset {pos}")
-        consumed = len(raw) - pos - len(d.unused_data)
-        yield pos, consumed, data
-        pos += consumed
+        asm = _RecordAssembler()
+        recs: list[WarcRecord] = []
+        consumed = 0
+        while True:
+            if not pending:
+                pending = src.read()
+                if not pending:  # EOF mid-member — corrupt archive
+                    raise zlib.error(f"truncated gzip member at offset {offset}")
+            data = d.decompress(pending)
+            if d.eof:
+                consumed += len(pending) - len(d.unused_data)
+                pending = d.unused_data
+            else:
+                consumed += len(pending)
+                pending = b""
+            recs += asm.feed(data)
+            if d.eof:
+                break
+        recs += asm.flush()
+        for rec in recs:
+            rec.offset, rec.length = offset, consumed
+            yield rec
+        offset += consumed
+
+
+def _iter_plain_stream(src: _ChunkSource, pending: bytes):
+    asm = _RecordAssembler()
+    yield from asm.feed(pending)
+    while True:
+        chunk = src.read()
+        if not chunk:
+            break
+        yield from asm.feed(chunk)
+    yield from asm.flush()
 
 
 def iter_warc_records(
@@ -125,20 +242,28 @@ def iter_warc_records(
 ):
     """Iterate records from a WARC file (plain or per-record gzip).
 
+    ``stream`` may be raw bytes or any binary file-like object; file
+    objects are consumed in `_CHUNK` reads, gzip member by member, so
+    worker memory stays bounded by one record regardless of archive
+    size (sparkcc.py:381-410 `ArchiveIterator`-over-spool parity).
+
     `record_types` is the parse-time filter (FastWARC `record_filter`
     parity, sparkcc_fastwarc.py:14) — filtered records are skipped
     before any HTTP parsing, which is the pushdown the reference gets
     from FastWARC's C parser.
     """
-    raw = stream if isinstance(stream, bytes) else stream.read()
-    if raw[:2] == b"\x1f\x8b":
-        chunks = _iter_gzip_members(raw)
+    src = _ChunkSource(stream)
+    first = src.read()
+    if not first:
+        return
+    if first[:2] == b"\x1f\x8b":
+        raw_records = _iter_gzip_stream(src, first)
     else:
-        chunks = None
+        raw_records = _iter_plain_stream(src, first)
 
-    def _finish(rec: WarcRecord):
+    for rec in raw_records:
         if record_types and rec.rec_type not in record_types:
-            return None
+            continue
         if (
             parse_http
             and rec.rec_type in ("response", "request")
@@ -148,28 +273,7 @@ def iter_warc_records(
             rec.http_status = status
             rec.http_headers = hdrs
             rec.payload = payload
-        return rec
-
-    if chunks is not None:
-        for offset, length, data in chunks:
-            rec, _ = _read_record(data, 0)
-            if rec is None:
-                continue
-            rec.offset, rec.length = offset, length
-            rec = _finish(rec)
-            if rec is not None:
-                yield rec
-    else:
-        pos = 0
-        while pos < len(raw):
-            start = pos
-            rec, pos = _read_record(raw, pos)
-            if rec is None:
-                break
-            rec.offset, rec.length = start, pos - start
-            rec = _finish(rec)
-            if rec is not None:
-                yield rec
+        yield rec
 
 
 def read_record_at(
