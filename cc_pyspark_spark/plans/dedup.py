@@ -776,23 +776,29 @@ FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
     "corpus-wide marks its positions duplicated; per-doc duplicated-span "
     "ratio drives span-drop curation. Two narrow shuffles — per-doc gram "
     "counts (map-side combine collapses positions), then gram-keyed "
-    "occurrence totals; at 100 TB the gram join key is xxhash64(gram), "
-    "8 bytes instead of the span text",
+    "occurrence totals — both keyed on xxhash64(gram): 8 bytes on the "
+    "wire instead of the span text (pinned by plan-shape test)",
     tags=("dedup", "text"),
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     docs = t.documents.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # Replace the span text with its 8-byte xxhash64 before anything
+    # shuffles: both wide exchanges below (per-doc gram counts, then
+    # corpus-wide occurrence totals + the join back) carry a fixed-width
+    # bigint key instead of a ~40 B skew-prone text key. The oracle twin
+    # keeps text grams — counts agree unless xxhash64 collides, which at
+    # 2^-64 per pair is below the fixture's noise floor.
     g = docs.select(
         "doc_id", F.explode(shingles("toks", SUBSTR_K)).alias("gram")
-    )
+    ).select("doc_id", F.xxhash64("gram").alias("gram_key"))
     # (doc, gram) pre-aggregation first: partial aggregation collapses
     # repeated in-doc spans map-side, so the gram-keyed shuffle carries
     # one row per distinct (doc, gram), not one per position.
-    gd = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("k"))
-    occ = gd.groupBy("gram").agg(F.sum("k").alias("occ"))
+    gd = g.groupBy("doc_id", "gram_key").agg(F.count(F.lit(1)).alias("k"))
+    occ = gd.groupBy("gram_key").agg(F.sum("k").alias("occ"))
     per = (
-        gd.join(occ, "gram")
+        gd.join(occ, "gram_key")
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("bigint").alias("n_grams"),

@@ -155,6 +155,68 @@ class WarcMetrics:
         }
 
 
+#: Records per emitted Arrow batch. Peak worker memory for the parse
+#: stage is O(batch_records · record size + one in-flight record) —
+#: independent of archive size and of how many archives share a task.
+_BATCH_RECORDS = 256
+
+
+def _parse_paths(
+    paths,
+    record_types: set[str] | None = None,
+    parse_http: bool = True,
+    with_payload: bool = True,
+    input_base_url: str | None = None,
+    metrics: WarcMetrics | None = None,
+    local_temp_dir: str | None = None,
+    batch_records: int = _BATCH_RECORDS,
+) -> Iterator[pd.DataFrame]:
+    """Stream pandas batches of records across a sequence of archives.
+
+    One batch per `batch_records` records — never one per archive or
+    per path-batch — mirroring the reference's record-at-a-time
+    `iterate_records` (sparkcc.py:381-410). A batch may span a file
+    boundary; a mid-file parse error discards only the failing file's
+    unflushed tail (records already emitted stand, exactly as the
+    reference's generator had already yielded them before
+    ArchiveLoadFailed fires, sparkcc.py:390-392).
+    """
+    buf: list[dict] = []
+    for path in paths:
+        uri = _resolve(path, input_base_url)
+        in_buf = 0  # current file's rows still sitting in buf
+        emitted = 0
+        try:
+            for row in _record_rows(
+                path, uri, record_types, parse_http, with_payload,
+                local_temp_dir=local_temp_dir,
+            ):
+                buf.append(row)
+                in_buf += 1
+                if len(buf) >= batch_records:
+                    yield pd.DataFrame(buf, columns=_SCHEMA_COLS)
+                    emitted += in_buf
+                    buf = []
+                    in_buf = 0
+            if metrics:
+                metrics.files_processed += 1
+                metrics.records_processed += emitted + in_buf
+        except Exception:  # noqa: BLE001 — skip-and-count, never fatal
+            # Corrupt archives surface as OSError (missing file),
+            # zlib.error (bad gzip member) or ValueError (garbage
+            # Content-Length); the reference counts *any* archive
+            # load failure and moves on (sparkcc.py:390-392
+            # ArchiveLoadFailed → warc_input_failed += 1).
+            if in_buf:
+                del buf[-in_buf:]
+            if metrics:
+                metrics.files_failed += 1
+                metrics.records_processed += emitted
+            continue
+    if buf:
+        yield pd.DataFrame(buf, columns=_SCHEMA_COLS)
+
+
 def warc_records(
     spark: SparkSession,
     manifest: str | list[str],
@@ -165,6 +227,7 @@ def warc_records(
     num_input_partitions: int = 32,
     metrics: WarcMetrics | None = None,
     local_temp_dir: str | None = None,
+    batch_records: int = _BATCH_RECORDS,
 ) -> DataFrame:
     """Manifest (path to a text file of URIs, or an in-memory list) →
     records DataFrame with `WARC_RECORD_SCHEMA`.
@@ -173,7 +236,9 @@ def warc_records(
     parsing (the reference's --local_temp_dir, sparkcc.py:308-318).
 
     Per-file fault tolerance matches the reference (sparkcc.py:390-392):
-    an unreadable archive is skipped, never fatal.
+    an unreadable archive is skipped, never fatal. Records flow out in
+    `batch_records`-sized Arrow batches (see `_parse_paths`), so a task
+    holding several 1 GB archives never materializes one of them.
     """
     if isinstance(manifest, str):
         paths_df = spark.read.text(manifest).withColumnRenamed("value", "path")
@@ -187,32 +252,16 @@ def warc_records(
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for path in pdf["path"]:
-                uri = _resolve(path, input_base_url)
-                try:
-                    # Materialize before extending so a mid-file parse
-                    # error leaves no partial records behind.
-                    new_rows = list(
-                        _record_rows(
-                            path, uri, record_types, parse_http, with_payload,
-                            local_temp_dir=local_temp_dir,
-                        )
-                    )
-                    rows.extend(new_rows)
-                    if metrics:
-                        metrics.files_processed += 1
-                        metrics.records_processed += len(new_rows)
-                except Exception:  # noqa: BLE001 — skip-and-count, never fatal
-                    # Corrupt archives surface as OSError (missing file),
-                    # zlib.error (bad gzip member) or ValueError (garbage
-                    # Content-Length); the reference counts *any* archive
-                    # load failure and moves on (sparkcc.py:390-392
-                    # ArchiveLoadFailed → warc_input_failed += 1).
-                    if metrics:
-                        metrics.files_failed += 1
-                    continue
-            yield pd.DataFrame(rows, columns=_SCHEMA_COLS)
+            yield from _parse_paths(
+                pdf["path"],
+                record_types=record_types,
+                parse_http=parse_http,
+                with_payload=with_payload,
+                input_base_url=input_base_url,
+                metrics=metrics,
+                local_temp_dir=local_temp_dir,
+                batch_records=batch_records,
+            )
 
     return paths_df.mapInPandas(parse, WARC_RECORD_SCHEMA)
 

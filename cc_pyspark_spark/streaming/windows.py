@@ -21,23 +21,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (catalog.py note)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
-    """readStream over an events parquet directory (ns → timestamp)."""
+    """readStream over an events parquet directory.
+
+    The fixture's physical `ts` type has varied across driver versions
+    (nanos-as-long vs timestamp[us]); infer the schema the files
+    actually carry with a batch read, and only rebuild the timestamp
+    when `ts` arrives as a long — the same branch catalog.py takes for
+    the batch twins. (`nanosAsLong` is set for old nanos fixtures; it
+    is a no-op on PySpark ≥ 4.)
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    schema = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (LTZ); session tz is UTC so the
+        # cast preserves the naive-UTC epoch semantics of the oracle.
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def tumbling_counts(

@@ -234,3 +234,16 @@ def test_incremental_minhash_matches_full_run(spark):
         for r in verify_jaccard(pairs, sh, 0.5).collect()
     }
     assert got == full_cross
+
+def test_substring_spans_shuffles_on_hash_key(spark):
+    """Both wide exchanges of dedup_substring_spans must carry the
+    8-byte xxhash64(gram) key, never the raw span text (VERDICT r3/r5)."""
+    import re
+
+    df = QUERIES["dedup_substring_spans"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "xxhash64" in plan
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "gram#" not in part, f"text gram key in shuffle: {part}"

@@ -35,10 +35,12 @@ def events_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def max_ts_epoch(spark, events_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(events_dir).selectExpr(
-        "max(ts DIV 1000000000) AS s"  # ts stored as nanos-long in the file
-    )
-    return df.collect()[0]["s"]
+    df = spark.read.parquet(events_dir)
+    if dict(df.dtypes).get("ts") == "bigint":  # legacy nanos-long fixture
+        expr = "max(ts DIV 1000000000) AS s"
+    else:
+        expr = "unix_seconds(cast(max(ts) AS TIMESTAMP)) AS s"
+    return df.selectExpr(expr).collect()[0]["s"]
 
 
 def _drain(q):
