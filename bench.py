@@ -6,15 +6,26 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Each query is executed to completion with a `noop` sink (materializes
-every row, writes nothing), after a warm-up query to absorb JVM/codegen
-startup. Wall time per query, one run each (the driver records trends
-across rounds).
+every row, writes nothing). Timing discipline (r5 verdict: min-of-3
+showed ~±20% run-to-run variance on identical code): one untimed
+warm-up run per query, then the MEDIAN of 5 timed runs; the per-query
+relative spread ((max−min)/median of the timed runs) is reported under
+"spread" so round-over-round comparisons can see the noise floor.
+
+Calibration (r6, idle guest): two back-to-back runs of identical code
+still differ ~±20% *wholesale* — min, median, and p25 over the same
+raw samples all drift together, so the noise is host-level (shared
+hypervisor CPU), not per-sample jitter a better estimator could
+remove. Interpretation rule: a round-over-round per-query delta is
+signal only if it exceeds that query's recorded "spread"; headline
+totals within ~20% of the previous round are noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -74,20 +85,25 @@ def main() -> None:
         ).save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINERS:
-        best = float("inf")
-        for _ in range(3):  # min of 3 runs: drops codegen/GC/ambient jitter
+        samples: list[float] = []
+        for i in range(6):  # run 0 = per-query warm-up, untimed
             df = QUERIES[name].spark(spark, sf_dir)
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            if i > 0:
+                samples.append(time.perf_counter() - start)
+        med = statistics.median(samples)
+        timings[name] = round(med, 4)
+        spread[name] = round((max(samples) - min(samples)) / med, 3)
 
     result = {
         "metric": "total_headline_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
     }
     print(json.dumps(result))
