@@ -351,15 +351,29 @@ def pack_sequences_frame(
     documents: DataFrame,
     capacity: int = PACK_CAPACITY,
     shard_size: int = PACK_SHARD,
+    tokenizer: str = "regex",
 ) -> DataFrame:
     """Greedy sequence packing over any frame with (lang, doc_id, text)
     — the reusable form behind the curation_pack_sequences query and
-    the CLI pack_sequences job."""
+    the CLI pack_sequences job.
+
+    `tokenizer` picks the capacity unit: "regex" (word proxy, cheap and
+    SQL-replayable — the registered oracle uses it) or "bpe" (vendored
+    byte-level BPE, functions/bpe.py — the production LLM capacity
+    unit, Arrow-batched pandas UDF)."""
+    if tokenizer == "bpe":
+        from cc_pyspark_spark.functions.bpe import token_count_udf  # noqa: PLC0415
+
+        n_tokens = token_count_udf()(F.col("text")).cast("bigint")
+    elif tokenizer == "regex":
+        n_tokens = F.size(tokenize("text")).cast("bigint")
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
     toks = documents.select(
         "lang",
         "doc_id",
         (F.col("doc_id") / shard_size).cast("bigint").alias("shard"),
-        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
     )
 
     def pack(pdf):

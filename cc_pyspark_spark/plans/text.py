@@ -547,10 +547,25 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_signals_frame(Catalog(spark, sf_dir).documents)
 
 
-def gopher_signals_frame(documents: DataFrame) -> DataFrame:
+def gopher_signals_frame(
+    documents: DataFrame, tokenizer: str | None = None
+) -> DataFrame:
     """Gopher signal columns over any frame with (doc_id, text) — the
     reusable form behind the text_gopher_rules query and the CLI
-    quality_gate job."""
+    quality_gate job.
+
+    The gate itself is word-based (as published); `tokenizer="bpe"`
+    appends an `n_bpe_tokens` column (vendored tokenizer,
+    functions/bpe.py) so downstream capacity budgeting reads the same
+    frame. Default output schema is unchanged (oracle compatibility).
+    """
+    extra: list[F.Column] = []
+    if tokenizer == "bpe":
+        from cc_pyspark_spark.functions.bpe import token_count_udf  # noqa: PLC0415
+
+        extra = [
+            token_count_udf()(F.col("text")).cast("bigint").alias("n_bpe_tokens")
+        ]
     words = F.filter(
         F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
     )
@@ -605,6 +620,7 @@ def gopher_signals_frame(documents: DataFrame) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_stop"),
+        *extra,
     )
     nw = F.col("n_words").cast("double")
     nl = F.col("n_lines").cast("double")
@@ -633,7 +649,7 @@ def gopher_signals_frame(documents: DataFrame) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
     )
-    return base.select(
+    out = base.select(
         "doc_id",
         "n_words",
         mean_len.alias("mean_word_len"),
@@ -643,7 +659,9 @@ def gopher_signals_frame(documents: DataFrame) -> DataFrame:
         ellipsis_frac.alias("ellipsis_line_frac"),
         F.col("n_stop").alias("n_stopwords"),
         gopher_pass.alias("gopher_pass"),
+        *([F.col("n_bpe_tokens")] if extra else []),
     )
+    return out
 
 
 def _duck_html_extract_oracle() -> str:
@@ -782,3 +800,50 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("sum_corpus_freq") * F.lit(1.0) / F.col("n_tokens"))
         .alias("mean_token_freq"),
     )
+
+
+# ------------------------------------------------- BPE token counting
+
+
+def _bpe_fixture_oracle() -> str:
+    """Oracle for `text_bpe_token_count`: DuckDB cannot run BPE, so the
+    expected counts are a vendored fixture (scripts/gen_bpe_vocab.py)
+    keyed by md5(text) — covering every document text at sf0.001 AND
+    sf0.01, so the same SQL adapts to whichever scale the caller's
+    `documents` view holds. A driver-testdata regeneration breaks the
+    join visibly (NULL counts) instead of silently passing."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "functions", "bpe_token_fixture.json"
+    )
+    with open(path) as f:
+        fixture = json.load(f)
+    values = ",".join(f"('{h}',{n})" for h, n in sorted(fixture.items()))
+    return f"""
+SELECT d.doc_id,
+       CAST(f.n_tokens AS BIGINT) AS n_tokens
+FROM documents d JOIN (VALUES {values}) AS f(h, n_tokens)
+  ON md5(d.text) = f.h
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=_bpe_fixture_oracle(),
+    description="Per-document BPE token count with the vendored byte-level "
+    "tokenizer (functions/bpe.py): the real LLM-pipeline capacity unit, "
+    "replacing the regex-word proxy. Arrow-batched pandas UDF with an "
+    "lru_cache per pre-token; oracle is a precomputed md5(text)->count "
+    "fixture joined in DuckDB (BPE is not SQL-expressible)",
+    tags=("text", "tokenizer"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.functions.bpe import token_count_udf
+
+    t = Catalog(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", token_count_udf()(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")

@@ -1,0 +1,146 @@
+"""Vendored byte-level BPE tokenizer (functions/bpe.py).
+
+Properties pinned: exact round-trip for arbitrary text (byte-level base
+vocab), determinism, additivity over whitespace-joined concatenation
+(merges never cross pre-token boundaries), fixture consistency (the
+committed oracle fixture equals what the committed vocab produces), and
+Spark-UDF vs pure-Python parity with `tokenizer=` wiring into packing
+and the Gopher frame.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cc_pyspark_spark.functions import bpe
+
+TEXTS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(TEXTS)
+@settings(max_examples=300, deadline=None)
+def test_roundtrip(text):
+    assert bpe.decode(bpe.encode(text)) == text
+
+
+@given(TEXTS)
+@settings(max_examples=100, deadline=None)
+def test_deterministic_and_count_consistent(text):
+    ids = bpe.encode(text)
+    assert bpe.encode(text) == ids
+    assert bpe.token_count(text) == len(ids)
+
+
+@given(
+    st.text(alphabet=st.sampled_from("abc 123.xyz"), max_size=60),
+    st.text(alphabet=st.sampled_from("abc 123.xyz"), max_size=60),
+)
+@settings(max_examples=100, deadline=None)
+def test_additive_over_space_join(a, b):
+    # The space separator pretokenizes as part of b's first word (or
+    # alone), and merges never cross pre-token boundaries — so joining
+    # with "\n" (always its own pre-token boundary) is exactly additive.
+    joined = a + "\n" + b
+    assert bpe.token_count(joined) == (
+        bpe.token_count(a) + bpe.token_count("\n" + b)
+    )
+
+
+def test_vocab_well_formed():
+    assert bpe.VOCAB_SIZE == 256 + len(bpe.MERGES)
+    for k, (left, right) in enumerate(bpe.MERGES):
+        # merges refer only to already-defined ids (bottom-up table)
+        assert left < 256 + k and right < 256 + k
+        assert bpe.TOKEN_BYTES[256 + k] == (
+            bpe.TOKEN_BYTES[left] + bpe.TOKEN_BYTES[right]
+        )
+
+
+def test_compresses_fixture_vocabulary():
+    # Trained merges must actually compress in-domain text.
+    s = "key agg row scan slow fast table value part hash"
+    assert bpe.token_count(s) < len(s.encode()) / 2
+
+
+def test_fixture_matches_committed_vocab():
+    path = os.path.join(
+        os.path.dirname(bpe.__file__), "bpe_token_fixture.json"
+    )
+    with open(path) as f:
+        fixture = json.load(f)
+    assert len(fixture) >= 500
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "ORDER BY doc_id LIMIT 25"
+    ).fetchall()
+    for (text,) in rows:
+        h = hashlib.md5(text.encode()).hexdigest()
+        assert fixture[h] == bpe.token_count(text)
+
+
+def test_udf_matches_python(spark):
+    texts = ["hello world", "", "ünïcode 中文 test", "a b  c\n\nd"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe.token_count_udf()(df["t"]).alias("n")
+        ).collect()
+    }
+    assert got == {i: bpe.token_count(t) for i, t in enumerate(texts)}
+
+
+def test_pack_sequences_bpe_capacity(spark):
+    from cc_pyspark_spark.plans.curation import pack_sequences_frame
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    out = pack_sequences_frame(docs, capacity=512, tokenizer="bpe").collect()
+    assert out
+    by_pack = {}
+    for r in out:
+        key = (r["lang"], r["shard"], r["pack_seq"])
+        by_pack.setdefault(key, []).append(r)
+    for rows in by_pack.values():
+        total = sum(r["n_tokens"] for r in rows)
+        # a pack only exceeds capacity if it holds a single oversized doc
+        assert total <= 512 or len(rows) == 1
+        # offsets are the exclusive running sum in doc_id order
+        rows = sorted(rows, key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_offset"] == cum
+            cum += r["n_tokens"]
+
+
+def test_gopher_frame_bpe_column(spark):
+    from cc_pyspark_spark.plans.text import gopher_signals_frame
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    out = gopher_signals_frame(docs, tokenizer="bpe")
+    assert "n_bpe_tokens" in out.columns
+    rows = out.collect()
+    want = {r["doc_id"]: bpe.token_count(r["text"]) for r in docs.collect()}
+    for r in rows:
+        assert r["n_bpe_tokens"] == want[r["doc_id"]]
+
+
+def test_unknown_tokenizer_rejected(spark):
+    from cc_pyspark_spark.plans.curation import pack_sequences_frame
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError):
+        pack_sequences_frame(docs, tokenizer="nope")
