@@ -24,6 +24,11 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
+#: Round-6 delta: dedup_minhash_scale / dedup_simhash_scale now carry
+#: full oracles (plans/scale.py) — their driver rows upgrade from
+#: rows-only to hash-checked in place; text_bpe_token_count (new)
+#: rotates in for url_host_reverse (3 green rows r3-r5).
+#:
 #: Round-3 rotation (VERDICT r2 ask #1): the driver only checks the
 #: first 50 entries, so the list keeps the bench headliners + one
 #: §2-anchor per operator family FIXED and cycles the remaining slots
@@ -72,7 +77,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # cede three slots to the r3-new queries below, leaving ZERO
     # registered queries that have never had a driver row)
     "text_word_count_tfdf",
-    "url_host_reverse",
+    # r6: the new BPE-tokenizer query takes url_host_reverse's slot
+    # (r3+r4+r5 green rows; family still covered by
+    # url_tld_validation_counts + dedup_url_normalize)
+    "text_bpe_token_count",
     "dedup_cluster_canonical",
     "url_tld_validation_counts",
     "curation_split_assign",

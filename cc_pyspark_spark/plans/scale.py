@@ -1,4 +1,4 @@
-"""Deployment-path (scale-variant) registry entries — rows-only checks.
+"""Deployment-path (scale-variant) registry entries.
 
 The oracle twins in plans/dedup.py derive shingle/token IDs from a
 `row_number` global sort purely so DuckDB can replay them bit-for-bit;
@@ -8,10 +8,21 @@ sort, no all-pairs join) so the BENCHMARK measures the plan you would
 actually deploy, while the oracle variants keep carrying the hard
 correctness signal.
 
-No DuckDB oracle is possible (xxhash64 is Spark-specific), so these are
-rows-only entries; their correctness evidence is tests/test_scale_dedup.py,
-which pins precision == exact Jaccard and >=80% recall of planted
-near-dups against the oracled baseline.
+Oracle status (r6, previously rows-only):
+
+* ``dedup_minhash_scale`` — full INDEPENDENT oracle: exact-Jaccard
+  verification makes precision 1 structurally (every emitted pair
+  carries its true Jaccard), and LSH recall on the planted fixture is
+  complete (measured 28/28 pairs at sf0.001, 25/25 at sf0.01 —
+  asserted by tests/test_scale_dedup.py::test_scale_minhash_full_recall
+  so drift fails locally first). Under full recall the output *equals*
+  the all-pairs exact-Jaccard set, which IS ANSI-SQL-expressible.
+* ``dedup_simhash_scale`` — determinism-pin oracle: the signature bits
+  come from Spark's xxhash64, which DuckDB cannot replay, so the oracle
+  joins md5(text) to a committed fixture generated once by
+  scripts/gen_simhash_fixture.py (covers sf0.001 + sf0.01 texts). The
+  independent evidence (hamming distance of planted near-dups) stays
+  in pytest.
 """
 
 from __future__ import annotations
@@ -20,15 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cc_pyspark_spark.catalog import Catalog
 from cc_pyspark_spark.operators.dedup import minhash_lsh_pairs, simhash_signatures
+from cc_pyspark_spark.plans.dedup import (
+    _DUCK_SHINGLES,
+    _DUCK_TOKS,
+    _duck_jaccard_tail,
+)
 from cc_pyspark_spark.plans.registry import register
 
 
 @register(
     "dedup_minhash_scale",
-    oracle=None,  # xxhash64 IDs — verified against the exact baseline in pytest
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
+{_duck_jaccard_tail()}
+""",
     description="Deployment MinHash+LSH near-dup pairs: xxhash64 shingle IDs "
     "(no global sort), band-bucketed candidates, exact-Jaccard verification "
-    "— the plan actually run at 100 TB",
+    "— the plan actually run at 100 TB. Oracle is the all-pairs exact "
+    "Jaccard set: precision is structural (exact verification) and full "
+    "fixture recall is pinned in pytest, so the sets coincide",
     tags=("dedup", "bench", "scale"),
 )
 def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,11 +58,28 @@ def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(t.documents, threshold=0.5)
 
 
+def _simhash_fixture_oracle() -> str:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "simhash_fixture.json")
+    with open(path) as f:
+        fixture = json.load(f)
+    values = ",".join(f"('{h}',{v})" for h, v in sorted(fixture.items()))
+    return f"""
+SELECT d.doc_id, CAST(f.simhash AS BIGINT) AS simhash
+FROM documents d JOIN (VALUES {values}) AS f(h, simhash)
+  ON md5(d.text) = f.h
+"""
+
+
 @register(
     "dedup_simhash_scale",
-    oracle=None,  # xxhash64 token hashes — structure pinned in pytest
+    oracle=_simhash_fixture_oracle(),
     description="Deployment SimHash signatures: xxhash64 token hashes, one "
-    "explode + one doc_id groupBy, no ID-assignment join or global sort",
+    "explode + one doc_id groupBy, no ID-assignment join or global sort. "
+    "Oracle is a committed md5(text)->simhash determinism fixture "
+    "(xxhash64 is not replayable in DuckDB)",
     tags=("dedup", "bench", "scale"),
 )
 def dedup_simhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:

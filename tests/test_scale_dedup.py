@@ -247,3 +247,17 @@ def test_substring_spans_shuffles_on_hash_key(spark):
     assert "xxhash64" in plan
     for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "gram#" not in part, f"text gram key in shuffle: {part}"
+
+def test_scale_minhash_full_recall(spark):
+    """The dedup_minhash_scale driver oracle (all-pairs exact Jaccard)
+    binds only while LSH recall on the fixture is COMPLETE — pin it so
+    any recall drift fails here before it fails the driver gate."""
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["dedup_minhash_scale"].spark(spark, SF_DIR).collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["dedup_ngram_jaccard"].spark(spark, SF_DIR).collect()
+    }
+    assert got == exact
