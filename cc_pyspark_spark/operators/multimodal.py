@@ -10,10 +10,11 @@ Decode tiers:
 * dimensions — real pure-Python header parser for PNG / BMP / GIF /
   JPEG / WEBP / TIFF / netpbm (width/height live in fixed or token
   header fields; no codec library needed).
-* pixels — REAL numpy decode for the uncompressed formats
-  (24-bit BI_RGB BMP, binary PPM/PGM) plus a deterministic
-  nearest-neighbor resize; compressed formats would need a codec
-  library the container doesn't ship, so those rows degrade to null
+* pixels — REAL numpy decode for 24-bit BI_RGB BMP, binary PPM/PGM,
+  and (r6) non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA)
+  via stdlib zlib inflate + scanline unfiltering — no codec library.
+  Remaining compressed formats (JPEG/GIF/palette-PNG/video) would need
+  a codec the container doesn't ship, so those rows degrade to null
   (skip-and-count) or use the `fake=True` stub. The Spark-side
   plumbing — schema, batch shape, UDF signature, partition behavior —
   is identical either way; swapping in Pillow/ffmpeg is a
@@ -24,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -223,11 +225,13 @@ def decode_images(blobs_df: DataFrame, id_col: str = "blob_id",
 
 
 def decode_pixels(blob: bytes) -> "np.ndarray | None":
-    """Real pixel decode, pure numpy — no codec library.
+    """Real pixel decode, stdlib + numpy — no codec library.
 
-    Supported: uncompressed 24-bit BI_RGB BMP (top-down and bottom-up)
-    and binary netpbm (P6 PPM color, P5 PGM gray). Returns an HxWx3
-    uint8 RGB array, or None for anything else (compressed formats need
+    Supported: uncompressed 24-bit BI_RGB BMP (top-down and bottom-up),
+    binary netpbm (P6 PPM color, P5 PGM gray), and non-interlaced
+    8-bit-depth PNG (color types 0/2/4/6) via zlib inflate + scanline
+    unfilter. Returns an HxWx3 uint8 RGB array (alpha dropped, gray
+    replicated), or None for anything else (JPEG/GIF/palette-PNG need
     a codec library the container doesn't ship).
     """
     if blob is None or len(blob) < 12:
@@ -236,7 +240,105 @@ def decode_pixels(blob: bytes) -> "np.ndarray | None":
         return _decode_bmp(blob)
     if blob[:2] in (b"P5", b"P6"):
         return _decode_pnm(blob)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(blob)
     return None
+
+
+def _png_predictor(
+    ftype: int, line: "np.ndarray", prev: "np.ndarray", channels: int
+) -> "np.ndarray | None":
+    """Undo one PNG scanline filter (spec §9: None/Sub/Up/Average/Paeth).
+
+    Up is vectorized; Sub/Average/Paeth are sequential in the pixel
+    dimension by definition (each byte's predictor uses the just-
+    reconstructed left neighbor), so they loop — acceptable for a
+    fallback codec; a real deployment swaps in Pillow here.
+    """
+    stride = line.shape[0]
+    if ftype == 0:
+        return line.copy()
+    if ftype == 2:
+        return (line + prev) & 0xFF
+    if ftype not in (1, 3, 4):
+        return None
+    cur = np.zeros(stride, np.uint16)
+    for i in range(stride):
+        a = int(cur[i - channels]) if i >= channels else 0
+        if ftype == 1:
+            pred = a
+        elif ftype == 3:
+            pred = (a + int(prev[i])) >> 1
+        else:  # Paeth
+            b = int(prev[i])
+            c = int(prev[i - channels]) if i >= channels else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        cur[i] = (int(line[i]) + pred) & 0xFF
+    return cur
+
+
+def _decode_png(blob: bytes) -> "np.ndarray | None":
+    pos = 8
+    ihdr: bytes | None = None
+    idat = bytearray()
+    n = len(blob)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        if pos + 8 + ln > n:
+            return None
+        if ctype == b"IHDR":
+            ihdr = blob[pos + 8 : pos + 8 + ln]
+        elif ctype == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + ln]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if (
+        channels is None  # color type 3 (palette) unsupported
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0  # Adam7 unsupported
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        return None
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    at = 0
+    for y in range(h):
+        ftype = raw[at]
+        line = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.uint16)
+        at += stride + 1
+        cur = _png_predictor(ftype, line, prev, channels)
+        if cur is None:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(h, w, channels)
+    if channels == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif channels == 2:  # gray + alpha: replicate gray, drop alpha
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif channels == 4:
+        arr = arr[:, :, :3]
+    return np.ascontiguousarray(arr)
 
 
 def _decode_bmp(blob: bytes) -> "np.ndarray | None":

@@ -285,10 +285,15 @@ def test_decode_pixels_ppm_with_comment_and_pgm_gray():
 
 
 def test_decode_pixels_rejects_compressed_and_truncated():
+    import numpy as np
+
     from cc_pyspark_spark.operators.multimodal import decode_pixels
 
     assert decode_pixels(_make_jpeg(4, 4)) is None
-    assert decode_pixels(_make_png(4, 4)) is None
+    # PNG decodes for real since r6 (stdlib zlib + unfilter) — the
+    # all-zero fixture comes back as a 4x4 black RGB image.
+    png = decode_pixels(_make_png(4, 4))
+    assert png is not None and png.shape == (4, 4, 3) and not png.any()
     bmp = _make_bmp_pixels(PIX)
     assert decode_pixels(bmp[: len(bmp) - 5]) is None  # truncated raster
     assert decode_pixels(b"P6 3 2 255 ") is None
