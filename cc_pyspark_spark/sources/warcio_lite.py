@@ -4,8 +4,10 @@ The execution environment has neither `warcio` nor `fastwarc`, so the
 engine ships its own small parser. It covers what the reference's
 record model needs (SURVEY.md §1.1): WARC/WAT/WET containers, the five
 record types, gzip *member-per-record* files (the Common Crawl layout —
-non-splittable, so parallelism is per-file; sparkcc.py:53,213), and
-byte-range record access by (offset, length) (sparkcc.py:291-305).
+non-splittable, so parallelism is per-file; sparkcc.py:53,213),
+byte-range record access by (offset, length) (sparkcc.py:291-305), and
+legacy ARC containers auto-detected and surfaced as WARC records
+(`arc2warc=True` parity, sparkcc.py:385-387).
 
 This module is deliberately independent of Spark: it runs inside
 Arrow-batched `mapInPandas` workers (sources/warc.py) and in tests.
@@ -184,8 +186,130 @@ class _RecordAssembler:
         return out
 
 
+def _arc_date_iso(d14: str) -> str:
+    """ARC 14-digit timestamp (YYYYMMDDHHMMSS) → WARC ISO-8601."""
+    if len(d14) == 14 and d14.isdigit():
+        return (
+            f"{d14[0:4]}-{d14[4:6]}-{d14[6:8]}T"
+            f"{d14[8:10]}:{d14[10:12]}:{d14[12:14]}Z"
+        )
+    return d14
+
+
+class _ArcAssembler:
+    """Incremental parser for legacy ARC (v1/v2) containers, presenting
+    records in WARC terms — the engine's equivalent of the reference
+    reading ARC through `ArchiveIterator(..., arc2warc=True)`
+    (sparkcc.py:385-387).
+
+    ARC record = one space-separated header line
+    (v1: `url ip date content-type length`, v2: ten fields ending in
+    length) followed by `length` body bytes. Mapping: the leading
+    `filedesc://` record becomes `warcinfo`; URL records become
+    `response` with `application/http; msgtype=response` content (ARC
+    http bodies embed the HTTP headers, so the shared HTTP split in
+    `iter_warc_records` applies unchanged).
+    """
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._start = 0
+        self._abs = 0
+        self._dead = False
+
+    def feed(self, data: bytes) -> list[WarcRecord]:
+        if self._dead:
+            return []
+        self._buf += data
+        return self._drain()
+
+    def flush(self) -> list[WarcRecord]:
+        return [] if self._dead else self._drain()
+
+    def _drain(self) -> list[WarcRecord]:
+        out: list[WarcRecord] = []
+        buf = self._buf
+        while True:
+            s = self._start
+            # skip inter-record newline separators
+            while s < len(buf) and buf[s] in (0x0A, 0x0D):
+                s += 1
+            nl = buf.find(b"\n", s)
+            if nl < 0:
+                self._abs += s - self._start
+                self._start = s
+                break  # header line incomplete — wait
+            fields = bytes(buf[s:nl]).split(b" ")
+            if len(fields) not in (5, 10):
+                self._dead = True  # not an ARC header line: stop (tolerant)
+                break
+            # Garbage length raises ValueError → caller counts the
+            # archive failed (sparkcc.py:390-392 semantics).
+            length = int(fields[-1])
+            body_start = nl + 1
+            rec_end = body_start + length
+            if len(buf) < rec_end:
+                break  # body incomplete — wait
+            url = fields[0].decode("utf-8", "replace")
+            ctype = fields[3].decode("utf-8", "replace")
+            headers = {
+                "WARC-Type": (
+                    "warcinfo" if url.startswith("filedesc://") else "response"
+                ),
+                "WARC-Target-URI": url,
+                "WARC-Date": _arc_date_iso(fields[2].decode("ascii", "replace")),
+                "WARC-IP-Address": fields[1].decode("ascii", "replace"),
+                "Content-Length": str(length),
+                "Content-Type": (
+                    "application/http; msgtype=response"
+                    if url.startswith(("http://", "https://"))
+                    else ctype
+                ),
+                "ARC-Content-Type": ctype,
+            }
+            out.append(
+                WarcRecord(
+                    headers=headers,
+                    payload=bytes(buf[body_start:rec_end]),
+                    offset=self._abs + (s - self._start),
+                    length=rec_end - s,
+                )
+            )
+            self._abs += rec_end - self._start
+            self._start = rec_end
+            if self._start > _CHUNK:  # compact: keep the buffer small
+                del buf[: self._start]
+                self._start = 0
+        return out
+
+
+def _looks_like_arc(first_bytes: bytes) -> bool:
+    """A whole ARC file leads with `filedesc://`; a single ranged-fetch
+    member leads with a bare `url ip date content-type length` line."""
+    if first_bytes.startswith(b"filedesc://"):
+        return True
+    nl = first_bytes.find(b"\n", 0, 4096)
+    if nl < 0:
+        return False
+    fields = first_bytes[:nl].rstrip(b"\r").split(b" ")
+    return (
+        len(fields) in (5, 10)
+        and fields[-1].isdigit()
+        and b"://" in fields[0]
+    )
+
+
+def _pick_assembler(first_bytes: bytes):
+    """WARC vs legacy ARC, from the first payload bytes of the stream."""
+    if first_bytes.startswith(b"WARC/"):
+        return _RecordAssembler
+    if _looks_like_arc(first_bytes):
+        return _ArcAssembler
+    return _RecordAssembler
+
+
 def _iter_gzip_stream(src: _ChunkSource, pending: bytes):
-    """Yield raw records from a gzip WARC, one member at a time.
+    """Yield raw records from a gzip WARC/ARC, one member at a time.
 
     Peak memory is one decompressed member (+ one compressed chunk) —
     the Common Crawl layout is record-per-member, so that is one
@@ -193,13 +317,14 @@ def _iter_gzip_stream(src: _ChunkSource, pending: bytes):
     (offset, length), the addressable unit for ranged re-fetch.
     """
     offset = 0
+    asm_factory = None  # decided on the first member's first bytes
     while True:
         if not pending:
             pending = src.read()
             if not pending:
                 return  # clean EOF on a member boundary
         d = zlib.decompressobj(wbits=31)
-        asm = _RecordAssembler()
+        asm = None
         recs: list[WarcRecord] = []
         consumed = 0
         while True:
@@ -214,10 +339,16 @@ def _iter_gzip_stream(src: _ChunkSource, pending: bytes):
             else:
                 consumed += len(pending)
                 pending = b""
-            recs += asm.feed(data)
+            if data and asm is None:
+                if asm_factory is None:
+                    asm_factory = _pick_assembler(data)
+                asm = asm_factory()
+            if asm is not None and data:
+                recs += asm.feed(data)
             if d.eof:
                 break
-        recs += asm.flush()
+        if asm is not None:
+            recs += asm.flush()
         for rec in recs:
             rec.offset, rec.length = offset, consumed
             yield rec
@@ -225,7 +356,7 @@ def _iter_gzip_stream(src: _ChunkSource, pending: bytes):
 
 
 def _iter_plain_stream(src: _ChunkSource, pending: bytes):
-    asm = _RecordAssembler()
+    asm = _pick_assembler(pending)()
     yield from asm.feed(pending)
     while True:
         chunk = src.read()
@@ -240,7 +371,9 @@ def iter_warc_records(
     parse_http: bool = True,
     record_types: set[str] | None = None,
 ):
-    """Iterate records from a WARC file (plain or per-record gzip).
+    """Iterate records from a WARC or legacy ARC file (plain or
+    per-record gzip; ARC detected from the `filedesc://` lead record
+    and presented as WARC records — arc2warc parity).
 
     ``stream`` may be raw bytes or any binary file-like object; file
     objects are consumed in `_CHUNK` reads, gzip member by member, so
