@@ -80,7 +80,7 @@ def server_ip_address(records: DataFrame) -> DataFrame:
     resp = records.filter(F.col("record_type") == "response")
     return (
         resp.select(
-            F.lower(F.parse_url("target_uri", F.lit("HOST"))).alias("host"),
+            F.lower(F.try_parse_url("target_uri", F.lit("HOST"))).alias("host"),
             F.coalesce(F.col("warc_ip_address"), F.lit(NO_IP)).alias("ip"),
         )
         .filter(F.col("host").isNotNull())
@@ -89,30 +89,113 @@ def server_ip_address(records: DataFrame) -> DataFrame:
     )
 
 
+#: `Sitemap:` line pattern — leading whitespace allowed (the reference
+#: strips each line before matching, sitemaps_from_robotstxt.py:69-71).
+SITEMAP_PATTERN = r"(?i)^\s*sitemap:\s*(\S+)"
+
+
+def _robots_responses(records: DataFrame) -> DataFrame:
+    return records.filter(
+        (F.col("record_type") == "response")
+        & F.col("target_uri").endswith("/robots.txt")
+    )
+
+
 def sitemaps_from_robotstxt(records: DataFrame) -> DataFrame:
     """sitemaps_from_robotstxt.py:55-106: extract `Sitemap:` lines from
     robots.txt bodies, resolve relative URLs against the robots.txt URL
     (urljoin UDF — F6 has no builtin), aggregate announcing hosts per
-    sitemap. Host list sorted for deterministic compare (FIXTURES.md)."""
-    robots = records.filter(
-        (F.col("record_type") == "response")
-        & F.col("target_uri").endswith("/robots.txt")
-    )
+    sitemap. Host list sorted for deterministic compare (FIXTURES.md).
+
+    Reference skip semantics (test corpus :365-529): a sitemap URL whose
+    bytes are not strict-UTF-8 is dropped (the lenient decode marks it
+    with U+FFFD — the relational twin of `decode("utf-8","strict")`
+    raising, :76-80), and a robots.txt whose own URL has no parseable
+    host emits nothing (:85-89, parse_url NULL ↔ urlparse raising).
+    Accumulator-parity counts live in `sitemaps_metrics`.
+    """
+    robots = _robots_responses(records)
     lines = robots.select(
         "target_uri",
         F.explode(F.split(F.expr("" + PAYLOAD_TEXT + ""), "\r?\n")).alias("line"),
     )
-    sitemap_raw = F.regexp_extract(F.col("line"), r"(?i)^sitemap:\s*(\S+)", 1)
+    sitemap_raw = F.regexp_extract(F.col("line"), SITEMAP_PATTERN, 1)
     found = lines.select(
         "target_uri", sitemap_raw.alias("raw")
-    ).filter(F.col("raw") != "")
+    ).filter((F.col("raw") != "") & ~F.col("raw").contains("�"))
     resolved = found.select(
         urljoin_udf(F.col("target_uri"), F.col("raw")).alias("sitemap_url"),
-        F.lower(F.parse_url("target_uri", F.lit("HOST"))).alias("host"),
-    )
+        F.lower(F.try_parse_url("target_uri", F.lit("HOST"))).alias("host"),
+    ).filter(F.col("host").isNotNull())
     return resolved.groupBy("sitemap_url").agg(
         F.sort_array(F.collect_list("host")).alias("hosts")
     )
+
+
+def sitemaps_metrics(records: DataFrame) -> DataFrame:
+    """A8 accumulator parity for the sitemaps job
+    (sitemaps_from_robotstxt.py:44-52), computed relationally — one row:
+    (robots_txt_processed, sitemap_urls_found,
+    sitemap_url_invalid_encoding, robots_txt_announcing_sitemap,
+    robots_txt_with_more_than_50_sitemaps).
+
+    Replicates the reference's per-record control flow exactly,
+    including the early `return` when the robots.txt URL has no
+    parseable host (:85-89): that abort happens while processing the
+    FIRST strict-decodable sitemap line, so later matched lines are
+    never scanned — `found` counts only matches up to that line for
+    bad-host records.
+    """
+    robots = _robots_responses(records)
+    rid = [F.col("warc_filename"), F.col("warc_record_offset")]
+    lines = robots.select(
+        *rid,
+        "target_uri",
+        F.posexplode(F.split(F.expr("" + PAYLOAD_TEXT + ""), "\r?\n")).alias(
+            "pos", "line"
+        ),
+    )
+    raw = F.regexp_extract(F.col("line"), SITEMAP_PATTERN, 1)
+    matched = (
+        lines.select(
+            *rid,
+            "pos",
+            raw.alias("raw"),
+            F.lower(F.try_parse_url("target_uri", F.lit("HOST"))).alias("host"),
+        )
+        .filter(F.col("raw") != "")
+        .withColumn("invalid", F.col("raw").contains("�"))
+    )
+    fvp = matched.filter(~F.col("invalid")).groupBy(*rid).agg(
+        F.min("pos").alias("first_valid_pos")
+    )
+    m = matched.join(fvp, ["warc_filename", "warc_record_offset"], "left")
+    bad_host = F.col("host").isNull() & F.col("first_valid_pos").isNotNull()
+    counted = F.when(
+        bad_host, F.col("pos") <= F.col("first_valid_pos")
+    ).otherwise(F.lit(True))
+    per_rec = m.groupBy("warc_filename", "warc_record_offset").agg(
+        F.sum(counted.cast("bigint")).alias("n_found"),
+        F.sum((counted & F.col("invalid")).cast("bigint")).alias("n_invalid"),
+        F.sum(
+            (~F.col("invalid") & F.col("host").isNotNull()).cast("bigint")
+        ).alias("n_emitted"),
+    )
+    totals = per_rec.agg(
+        F.coalesce(F.sum("n_found"), F.lit(0)).alias("sitemap_urls_found"),
+        F.coalesce(F.sum("n_invalid"), F.lit(0)).alias(
+            "sitemap_url_invalid_encoding"
+        ),
+        F.coalesce(
+            F.sum((F.col("n_emitted") > 0).cast("bigint")), F.lit(0)
+        ).alias("robots_txt_announcing_sitemap"),
+        F.coalesce(
+            F.sum((F.col("n_emitted") > 50).cast("bigint")), F.lit(0)
+        ).alias("robots_txt_with_more_than_50_sitemaps"),
+    )
+    return robots.agg(
+        F.count("*").alias("robots_txt_processed")
+    ).crossJoin(totals)
 
 
 #: The WAT JSON envelope subtree the link extractor reads

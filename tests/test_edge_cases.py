@@ -100,10 +100,16 @@ def test_utf16_robots_body_degrades_without_failing(spark):
     assert out == []  # degraded, not crashed
 
 
-def test_latin1_sitemap_url_survives_lenient_decode(spark):
+def test_latin1_sitemap_url_strict_decode_skip(spark):
+    """Invalid-UTF-8 sitemap URLs are dropped and counted — reference
+    `decode("utf-8","strict")` skip semantics (r6; previously the
+    lenient-decode U+FFFD form was emitted)."""
     import pandas as pd
 
-    from cc_pyspark_spark.jobs.pipelines import sitemaps_from_robotstxt
+    from cc_pyspark_spark.jobs.pipelines import (
+        sitemaps_from_robotstxt,
+        sitemaps_metrics,
+    )
     from cc_pyspark_spark.sources.warc import WARC_RECORD_SCHEMA
 
     body = "Sitemap: http://h.example.com/sitemäp.xml\r\n".encode("latin-1")
@@ -120,10 +126,11 @@ def test_latin1_sitemap_url_survives_lenient_decode(spark):
         }
     ]
     df = spark.createDataFrame(pd.DataFrame(rows), WARC_RECORD_SCHEMA)
-    out = sitemaps_from_robotstxt(df).collect()
-    assert len(out) == 1
-    assert out[0]["sitemap_url"].startswith("http://h.example.com/sitem")
-    assert out[0]["hosts"] == ["h.example.com"]
+    assert sitemaps_from_robotstxt(df).collect() == []
+    m = sitemaps_metrics(df).collect()[0]
+    assert m["sitemap_urls_found"] == 1
+    assert m["sitemap_url_invalid_encoding"] == 1
+    assert m["robots_txt_announcing_sitemap"] == 0
 
 
 def test_many_sitemaps_in_one_robots(spark):
