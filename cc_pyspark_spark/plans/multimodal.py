@@ -42,15 +42,46 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resize_oracle() -> str:
+    """Independent SQL replay of the 4x3→8x6 nearest-neighbor resize:
+    the resized raster is a fixed byte REARRANGEMENT of the source
+    (yi = r*src_h//dst_h, xi = c*src_w//dst_w — resize_nearest's exact
+    index math), so the oracle concatenates the raster's hex pairs in
+    resize order. DuckDB recomputes the pixels from md5(text) itself —
+    nothing is fixture-pinned."""
+    yi = [(r * 3) // 6 for r in range(6)]
+    xi = [(c * 4) // 8 for c in range(8)]
+    idxs = [
+        (yi[r] * 4 + xi[c]) * 3 + ch
+        for r in range(6)
+        for c in range(8)
+        for ch in range(3)
+    ]
+    terms = ",".join(f"substr(rh, {2 * i + 1}, 2)" for i in idxs)
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         substr(md5(text)||md5(text||'x')||md5(text||'y'), 1, 72) AS rh
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS out_w,
+       CAST(6 AS BIGINT) AS out_h,
+       concat({terms}) AS resized_hex
+FROM r
+"""
+
+
 @register(
     "multimodal_decode_resize",
-    oracle=None,  # pixel decode/resize has no SQL twin: rows-only check;
-    # exact output bytes are pinned by tests/test_multimodal.py instead
+    oracle=_resize_oracle(),
     description="Real pixel pipeline over synthesized netpbm blobs: each "
     "doc's md5 bytes become a 4x3 P6 raster, decoded and nearest-"
     "neighbor-resized to 8x6 by numpy inside Arrow-batched mapInPandas "
     "(operators/multimodal.py decode_pixels/resize_nearest — no codec "
-    "library, no shuffle); output is the resized raster's md5",
+    "library, no shuffle); output is the resized raster as hex, which "
+    "the DuckDB oracle recomputes independently as a hex-pair "
+    "rearrangement of the md5-derived source raster",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +111,7 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("blob_id").alias("doc_id"),
         F.col("width").cast("bigint").alias("out_w"),
         F.col("height").cast("bigint").alias("out_h"),
-        F.md5("resized").alias("resized_md5"),
+        F.lower(F.hex("resized")).alias("resized_hex"),
     )
 
 
@@ -93,15 +124,62 @@ _WAV_HEADER_HEX = (
 )
 
 
+#: Independent SQL replay of the PCM16 decode + integer features: the
+#: 32 data bytes come from md5 hex, each little-endian int16 sample is
+#: rebuilt with nibble arithmetic (strpos over a hex alphabet), and
+#: peak/energy/zero-crossings are plain SQL aggregates — DuckDB
+#: recomputes everything from text, nothing fixture-pinned.
+_AUDIO_ORACLE = """
+WITH h AS (SELECT doc_id, md5(text)||md5(text||'x') AS hx FROM documents),
+s AS (
+  SELECT doc_id, i,
+    (strpos('0123456789abcdef', substr(hx, 4*i+1, 1))-1)*16
+      + (strpos('0123456789abcdef', substr(hx, 4*i+2, 1))-1)
+      + 256*((strpos('0123456789abcdef', substr(hx, 4*i+3, 1))-1)*16
+      + (strpos('0123456789abcdef', substr(hx, 4*i+4, 1))-1)) AS u
+  FROM h, (SELECT unnest(range(0, 16)) AS i)
+),
+v AS (
+  SELECT doc_id, i, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+  FROM s
+),
+nz AS (
+  SELECT doc_id, SIGN(x) AS sg,
+         LAG(SIGN(x)) OVER (PARTITION BY doc_id ORDER BY i) AS prev_sg
+  FROM v WHERE x <> 0
+),
+zc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN prev_sg IS NOT NULL AND sg <> prev_sg
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM nz GROUP BY doc_id
+),
+pe AS (
+  SELECT doc_id,
+         CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+         CAST(SUM(CAST(x AS BIGINT)*x) AS BIGINT) AS energy
+  FROM v GROUP BY doc_id
+)
+SELECT pe.doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(16 AS BIGINT) AS n_frames,
+       pe.peak,
+       COALESCE(zc.zero_crossings, 0) AS zero_crossings,
+       pe.energy
+FROM pe LEFT JOIN zc ON pe.doc_id = zc.doc_id
+"""
+
+
 @register(
     "multimodal_audio_features",
-    oracle=None,  # PCM decode has no SQL twin: rows-only check; values
-    # are pinned by a Python replay in tests/test_audio_query.py
+    oracle=_AUDIO_ORACLE,
     description="Real audio pipeline over synthesized WAV blobs: each "
     "doc's md5 bytes become 16 PCM16 frames behind a RIFF header, "
     "decoded by operators/audio.py inside Arrow-batched mapInPandas; "
     "integer features only (peak / zero crossings / energy) so results "
-    "are bit-exact with no float kernels",
+    "are bit-exact with no float kernels. The DuckDB oracle rebuilds "
+    "the int16 samples from md5 hex with nibble arithmetic and "
+    "re-aggregates — fully independent of the Python decoder",
     tags=("multimodal", "audio", "pandas-udf"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

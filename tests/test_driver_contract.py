@@ -58,11 +58,11 @@ def test_headliners_inside_driver_cap():
         "scan_filter_project",
         "sql_passthrough",
         # agg_collect_sorted_list / set_union_distinct / string_functions
-        # (r2) and project_computed / agg_distinct_pairs /
-        # window_dense_ids / topk_global / join_inner_dims /
-        # agg_count_by_key / window_topn_per_group (r3) earned their
-        # driver rows and ceded their slots to newer first-time queries.
-        "url_host_reverse",
+        # (r2), project_computed / agg_distinct_pairs / window_dense_ids /
+        # topk_global / join_inner_dims / agg_count_by_key /
+        # window_topn_per_group (r3), and url_host_reverse (r6) earned
+        # their driver rows and ceded their slots to first-time queries.
+        "text_bpe_token_count",
         # beyond-reference family representatives
         "sim_cosine_topk",
         "sim_ann_ivf",

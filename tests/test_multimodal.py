@@ -347,9 +347,9 @@ def test_resize_images_real_path_spark(spark):
 
 
 def test_multimodal_decode_resize_query_matches_python_replay(spark):
-    """The registry query is rows-only for the driver (no SQL twin), so
-    pin its values here: replay the blob synthesis + decode + resize in
-    plain Python/numpy and compare md5s."""
+    """Triple agreement: the registry query (numpy path) must match a
+    plain Python/numpy replay here, and (since r6) the driver also
+    checks it against an independent SQL rearrangement oracle."""
     import duckdb
 
     from cc_pyspark_spark.operators.multimodal import (
@@ -376,5 +376,5 @@ def test_multimodal_decode_resize_query_matches_python_replay(spark):
             + hashlib.md5(raw + b"y").digest()
         )[:36]
         arr = decode_pixels(b"P6 4 3 255 " + raster)
-        want = hashlib.md5(resize_nearest(arr, 8, 6).tobytes()).hexdigest()
-        assert out[doc_id]["resized_md5"] == want, doc_id
+        want = resize_nearest(arr, 8, 6).tobytes().hex()
+        assert out[doc_id]["resized_hex"] == want, doc_id
