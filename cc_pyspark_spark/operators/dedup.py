@@ -45,6 +45,28 @@ def _perm(a: int, b: int, col: Column) -> Column:
     return (F.lit(a) * col + F.lit(b)) % MINHASH_P
 
 
+def _band_structs(num_perms: int, bands: int) -> list[Column]:
+    """LSH band bucket entries over signature columns h0..h{n-1}.
+
+    Bucket key = xxhash64 of the band's signature slice: 8 fixed bytes
+    on the band self-join / index-probe shuffle instead of a ~40 B
+    concat string. A hash collision can only ADD a candidate pair, and
+    every candidate is exact-Jaccard-verified downstream — recall and
+    precision are unaffected. Shared by the full-corpus pairing and the
+    incremental band index so delta probes hit identical buckets.
+    """
+    rows_per_band = num_perms // bands
+    return [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for band in range(bands)
+    ]
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -73,17 +95,7 @@ def minhash_lsh_pairs(
             for j, (a, b) in enumerate(perms)
         ]
     )
-    rows_per_band = num_perms // bands
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ":",
-                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
-            ).alias("key"),
-        )
-        for band in range(bands)
-    ]
+    band_structs = _band_structs(num_perms, bands)
     band_rows = (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
         .select("doc_id", "bk.band", "bk.key")
@@ -457,17 +469,7 @@ def minhash_band_index(
             for j, (a, b) in enumerate(perms)
         ]
     )
-    rows_per_band = num_perms // bands
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                ":",
-                *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
-            ).alias("key"),
-        )
-        for band in range(bands)
-    ]
+    band_structs = _band_structs(num_perms, bands)
     return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "doc_id", "bk.band", "bk.key"
     )
