@@ -44,8 +44,10 @@ def test_scale_minhash_plan_has_no_global_sort(spark):
     # the oracle variant needs a single-partition window sort; this one must not
     assert "Window" not in plan
     assert "Sort [s" not in plan
-    # band bucket key is xxhash64 (8 B), not a concat string (r6)
-    assert "concat_ws" not in plan
+    # band bucket key is xxhash64 over the signature slice (8 B, r6) —
+    # the only concat_ws left in the plan is shingle construction
+    assert "key, xxhash64(h0" in plan
+    assert "key, concat_ws" not in plan
 
 
 def test_exact_dedup_keep_first(spark):
