@@ -87,10 +87,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_gopher_rules",
     "dedup_url_normalize",
     "curation_pack_sequences",
-    # LLM-pipeline: similarity / embeddings (fixed)
+    # LLM-pipeline: similarity / embeddings (fixed); r6:
+    # embedding_quantize_int8 (r3-r5 green, family covered by the two
+    # sim_* anchors) cedes its slot to the composed e2e pipeline, which
+    # is also benched
     "sim_cosine_topk",
     "sim_ann_ivf",
-    "embedding_quantize_int8",
+    "curation_pipeline_e2e",
     # events / time-series (fixed)
     "events_tumbling_hourly",
     "events_session_window",

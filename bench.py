@@ -60,6 +60,11 @@ HEADLINERS = [
     # pipeline spends its time in beyond dedup.
     "text_gopher_rules",
     "curation_pack_sequences",
+    # r6 additions: the BPE capacity unit (Arrow-batched pandas UDF with
+    # per-pretoken cache) and the composed end-to-end curation pipeline
+    # (gate -> dedup -> split -> pack in ONE Catalyst plan).
+    "text_bpe_token_count",
+    "curation_pipeline_e2e",
 ]
 
 

@@ -407,3 +407,96 @@ def pack_sequences_frame(
         schema="lang string, shard bigint, doc_id bigint, "
         "n_tokens bigint, pack_seq bigint, pack_offset bigint",
     )
+
+
+# ------------------------- end-to-end curation pipeline (composite)
+
+
+def _duck_pipeline_oracle() -> str:
+    """Chained replay of the full curation pipeline: gopher gate →
+    exact dedup (keep lowest doc_id per identical text) → hash split
+    (train only) → greedy packing — each stage the same SQL as its
+    standalone oracle, composed over the previous stage's survivors."""
+    from cc_pyspark_spark.plans.text import (  # noqa: PLC0415
+        GOPHER_GATE_SQL,
+        duck_gopher_stats_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {duck_gopher_stats_ctes('documents')},
+keep AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN s USING (doc_id)
+  WHERE {GOPHER_GATE_SQL}
+),
+ded AS (
+  SELECT * FROM keep
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+tr AS (
+  SELECT * FROM ded
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+),
+toks AS (
+  SELECT lang, doc_id,
+         CAST(doc_id // {PACK_SHARD} AS BIGINT) AS shard,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM tr
+),
+d AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT lang, shard, doc_id, n_tokens, rn,
+         n_tokens AS cum, CAST(1 AS BIGINT) AS pack_seq
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
+              THEN p.cum + d.n_tokens ELSE d.n_tokens END,
+         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
+              THEN p.pack_seq ELSE p.pack_seq + 1 END
+  FROM d JOIN packed p
+    ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT lang, shard, doc_id, n_tokens, pack_seq,
+       cum - n_tokens AS pack_offset
+FROM packed
+"""
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle=_duck_pipeline_oracle(),
+    description="The full training-data curation pipeline as ONE composed "
+    "plan: Gopher quality gate (codegen columns) -> exact content dedup "
+    "(md5 digest shuffle key, keep lowest doc_id) -> deterministic hash "
+    "train split -> greedy sequence packing (applyInPandas per "
+    "(lang, shard)). One Catalyst plan end to end — the gate and split "
+    "prune before the dedup shuffle and the packing state, which is the "
+    "composition order a 100 TB run needs; oracle chains the four "
+    "standalone stage oracles over each stage's survivors",
+    tags=("curation", "dedup", "pipeline"),
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import exact_dedup_keep_first  # noqa: PLC0415
+    from cc_pyspark_spark.plans.text import gopher_signals_frame  # noqa: PLC0415
+
+    docs = Catalog(spark, sf_dir).documents
+    passed = (
+        gopher_signals_frame(docs)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    keep = docs.join(passed, "doc_id").select("doc_id", "lang", "text")
+    ded = exact_dedup_keep_first(keep, ["text"], "doc_id")
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = ded.filter(first.isin(*"0123456789ab"))
+    packed = pack_sequences_frame(train)
+    return packed.select(
+        "lang", "shard", "doc_id", "n_tokens", "pack_seq", "pack_offset"
+    )

@@ -474,15 +474,17 @@ def url_tld_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_STOPWORDS = ("the", "and", "of", "to", "a", "in")
 
 
-def _duck_gopher_oracle() -> str:
+def duck_gopher_stats_ctes(source: str = "documents") -> str:
+    """The gopher w/s CTE bodies, parameterized by source relation —
+    shared by the text_gopher_rules oracle and the end-to-end curation
+    pipeline oracle (curation_pipeline_e2e)."""
     stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
          string_split(text, chr(10)) AS lines,
          text
-  FROM documents
+  FROM {source}
 ), s AS (
   SELECT doc_id,
          CAST(len(words) AS BIGINT) AS n_words,
@@ -505,7 +507,25 @@ WITH w AS (
               list_transform(words, x -> lower(x))),
               [{stop_list}])) AS BIGINT) AS n_stop
   FROM w
-)
+)"""
+
+
+#: The published gate thresholds as a predicate over the `s` CTE's
+#: columns — kept in one place so the standalone query and the e2e
+#: pipeline oracle can't drift apart.
+GOPHER_GATE_SQL = """n_words BETWEEN 50 AND 100000
+                  AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      BETWEEN 3.0 AND 10.0
+                  AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1
+                  AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
+                  AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9
+                  AND CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3
+                  AND n_stop >= 2"""
+
+
+def _duck_gopher_oracle() -> str:
+    return f"""
+WITH {duck_gopher_stats_ctes()}
 SELECT doc_id, n_words,
        CASE WHEN n_words > 0
             THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
@@ -520,14 +540,7 @@ SELECT doc_id, n_words,
        CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE)
          AS ellipsis_line_frac,
        n_stop AS n_stopwords,
-       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-                  AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
-                      BETWEEN 3.0 AND 10.0
-                  AND CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1
-                  AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
-                  AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9
-                  AND CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3
-                  AND n_stop >= 2
+       CAST(CASE WHEN {GOPHER_GATE_SQL}
             THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
 FROM s
 """
