@@ -500,3 +500,64 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "lang", "shard", "doc_id", "n_tokens", "pack_seq", "pack_offset"
     )
+
+
+def _duck_pack_bpe_oracle() -> str:
+    """Packing replay with the BPE capacity unit: per-doc token counts
+    come from the committed md5(text)->count fixture (DuckDB cannot run
+    BPE; see plans/text._bpe_fixture_oracle), then the same greedy
+    recursive fold as the regex-unit oracle."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "functions", "bpe_token_fixture.json"
+    )
+    with open(path) as f:
+        fixture = json.load(f)
+    values = ",".join(f"('{h}',{n})" for h, n in sorted(fixture.items()))
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT d.lang, d.doc_id,
+         CAST(d.doc_id // {PACK_SHARD} AS BIGINT) AS shard,
+         CAST(f.n_tokens AS BIGINT) AS n_tokens
+  FROM documents d JOIN (VALUES {values}) AS f(h, n_tokens)
+    ON md5(d.text) = f.h
+), d AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM toks
+), packed AS (
+  SELECT lang, shard, doc_id, n_tokens, rn,
+         n_tokens AS cum, CAST(1 AS BIGINT) AS pack_seq
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
+              THEN p.cum + d.n_tokens ELSE d.n_tokens END,
+         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
+              THEN p.pack_seq ELSE p.pack_seq + 1 END
+  FROM d JOIN packed p
+    ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT lang, shard, doc_id, n_tokens, pack_seq,
+       cum - n_tokens AS pack_offset
+FROM packed
+"""
+
+
+@register(
+    "curation_pack_sequences_bpe",
+    oracle=_duck_pack_bpe_oracle(),
+    description="Greedy sequence packing with the REAL capacity unit: "
+    "BPE token counts from the vendored tokenizer (functions/bpe.py, "
+    "Arrow-batched pandas UDF) instead of the regex-word proxy; same "
+    "applyInPandas-per-(lang, shard) fold. Oracle joins the committed "
+    "md5(text)->count fixture into the recursive pack CTE",
+    tags=("curation", "tokenizer", "pandas-udf"),
+)
+def curation_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences_frame(
+        Catalog(spark, sf_dir).documents, tokenizer="bpe"
+    )
