@@ -487,12 +487,13 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.plans.text import gopher_signals_frame  # noqa: PLC0415
 
     docs = Catalog(spark, sf_dir).documents
-    passed = (
-        gopher_signals_frame(docs)
+    # `carry` threads lang/text through the gate so the pipeline filters
+    # in the scan projection — ONE pass over the corpus, no join back.
+    keep = (
+        gopher_signals_frame(docs, carry=("lang", "text"))
         .filter(F.col("gopher_pass") == 1)
-        .select("doc_id")
+        .select("doc_id", "lang", "text")
     )
-    keep = docs.join(passed, "doc_id").select("doc_id", "lang", "text")
     ded = exact_dedup_keep_first(keep, ["text"], "doc_id")
     first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     train = ded.filter(first.isin(*"0123456789ab"))

@@ -561,7 +561,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gopher_signals_frame(
-    documents: DataFrame, tokenizer: str | None = None
+    documents: DataFrame,
+    tokenizer: str | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher signal columns over any frame with (doc_id, text) — the
     reusable form behind the text_gopher_rules query and the CLI
@@ -571,6 +573,11 @@ def gopher_signals_frame(
     appends an `n_bpe_tokens` column (vendored tokenizer,
     functions/bpe.py) so downstream capacity budgeting reads the same
     frame. Default output schema is unchanged (oracle compatibility).
+
+    `carry` passes extra source columns (e.g. ("lang", "text")) through
+    to the output so a downstream stage can filter on the gate WITHOUT
+    joining back to the source — one scan instead of two (the shape
+    curation_pipeline_e2e needs at 100 TB).
     """
     extra: list[F.Column] = []
     if tokenizer == "bpe":
@@ -585,6 +592,7 @@ def gopher_signals_frame(
     lines = F.split(F.col("text"), "\n")
     base = documents.select(
         "doc_id",
+        *carry,
         F.size(words).cast("bigint").alias("n_words"),
         F.aggregate(
             words,
@@ -664,6 +672,7 @@ def gopher_signals_frame(
     )
     out = base.select(
         "doc_id",
+        *carry,
         "n_words",
         mean_len.alias("mean_word_len"),
         alpha_frac.alias("alpha_word_frac"),

@@ -264,3 +264,16 @@ def test_token_rarity_no_body_shuffle(spark):
     # documents scan reads only doc_id + text (projection pruning)
     assert all("lang" not in ln for ln in read_schema)
     assert "HashAggregate" in plan
+
+
+def test_pipeline_e2e_single_scan(spark):
+    """curation_pipeline_e2e gates via carried columns, not a join back
+    to the source — exactly ONE documents scan in the plan (r6)."""
+    from cc_pyspark_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["curation_pipeline_e2e"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("documents.parquet") == 1
