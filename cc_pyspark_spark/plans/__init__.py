@@ -7,6 +7,7 @@ from cc_pyspark_spark.plans.registry import QUERIES, Query, register  # noqa: F4
 
 # Import for side effects: each module registers its queries.
 from cc_pyspark_spark.plans import (  # noqa: F401,E402
+    c4,
     curation,
     dedup,
     events,
