@@ -83,7 +83,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bpe_token_count",
     "dedup_cluster_canonical",
     "url_tld_validation_counts",
-    "curation_split_assign",
+    # r6: curation_split_assign (r3-r5 green; sampling family covered by
+    # reservoir, split logic re-checked inside curation_pipeline_e2e)
+    # cedes its slot to the BPE-capacity packing query (first row)
+    "curation_pack_sequences_bpe",
     "text_gopher_rules",
     "dedup_url_normalize",
     "curation_pack_sequences",
@@ -99,9 +102,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_session_window",
     "events_asof_join",
     "events_range_join",
-    # LLM-pipeline: curation — first driver rows for the three past r2's cap
+    # LLM-pipeline: curation; r6: curation_hash_sample (r3-r5 green,
+    # family covered by reservoir + split_assign) cedes its slot to the
+    # new C4 line-rules query (first driver row)
     "curation_pii_redact",
-    "curation_hash_sample",
+    "text_c4_line_rules",
     "curation_reservoir_per_lang",
     # window scale path — first driver row
     "window_distributed_ids",
