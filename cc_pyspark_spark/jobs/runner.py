@@ -53,6 +53,7 @@ DOC_JOBS = (
     "export_training_jsonl",
     "quality_gate",
     "pack_sequences",
+    "c4_clean",
 )
 
 
@@ -119,8 +120,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--gate_filter",
         action="store_true",
-        help="quality_gate: keep only gopher_pass=1 docs instead of "
-        "emitting the full signals frame",
+        help="quality_gate / c4_clean: keep only gate-passing docs "
+        "instead of emitting the full signals frame",
     )
     p.add_argument(
         "--pack_capacity",
@@ -128,6 +129,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="pack_sequences: max tokens per pack (default "
         "plans.curation.PACK_CAPACITY)",
+    )
+    p.add_argument(
+        "--tokenizer",
+        choices=["regex", "bpe"],
+        default="regex",
+        help="pack_sequences capacity unit: regex word proxy or the "
+        "vendored byte-level BPE tokenizer (functions/bpe.py)",
     )
     return p
 
@@ -183,10 +191,23 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         )
 
         df = pack_sequences_frame(
-            table, capacity=args.pack_capacity or PACK_CAPACITY
+            table,
+            capacity=args.pack_capacity or PACK_CAPACITY,
+            tokenizer=args.tokenizer,
         )
         write_output(df, args, ["lang", "shard", "doc_id"])
-        print(json.dumps({"job": args.job}))
+        print(json.dumps({"job": args.job, "tokenizer": args.tokenizer}))
+        return 0
+    if args.job == "c4_clean":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cc_pyspark_spark.plans.c4 import c4_clean_frame  # noqa: PLC0415
+
+        df = c4_clean_frame(table)
+        if args.gate_filter:
+            df = df.filter(F.col("c4_pass") == 1)
+        write_output(df, args, None)
+        print(json.dumps({"job": args.job, "gate_filter": args.gate_filter}))
         return 0
     if args.job == "export_training_jsonl":
         from cc_pyspark_spark.operators.export import export_training_jsonl  # noqa: PLC0415

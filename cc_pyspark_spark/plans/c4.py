@@ -137,6 +137,13 @@ def text_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", F.expr(_AUG_SPARK).alias("text")
     )
+    return c4_clean_frame(docs)
+
+
+def c4_clean_frame(docs: DataFrame) -> DataFrame:
+    """C4 line-rules over any frame with (doc_id, text) — the reusable
+    form behind the registered query (which feeds it the planted-line
+    fixture augmentation) and the CLI `c4_clean` doc job (raw text)."""
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split("text", "\n")).alias("ln0", "line"),
