@@ -143,61 +143,82 @@ def text_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c4_clean_frame(docs: DataFrame) -> DataFrame:
     """C4 line-rules over any frame with (doc_id, text) — the reusable
     form behind the registered query (which feeds it the planted-line
-    fixture augmentation) and the CLI `c4_clean` doc job (raw text)."""
+    fixture augmentation) and the CLI `c4_clean` doc job (raw text).
+
+    Scan budget: the classic two-pass frequency shape — one pruned pass
+    (tk, site only) builds the corpus line-frequency table, one full
+    pass rebuilds documents. There is NO third scan: `split` always
+    yields at least one line per document, so the doc-level fields
+    (line count, page poison flags) ride the exploded rows as two
+    narrow columns and the per-doc rebuild retains every document
+    without joining back to the source. Both wide shuffles (frequency
+    groupBy, frequency join) are keyed by 8-byte xxhash64(trim(line)).
+    """
     lines = docs.select(
         "doc_id",
+        F.size(F.split("text", "\n")).cast("bigint").alias("n_lines"),
+        (
+            ~F.col("text").contains("{")
+            & ~F.lower("text").contains("lorem ipsum")
+        ).alias("page_ok"),
         F.posexplode(F.split("text", "\n")).alias("ln0", "line"),
-    ).select("doc_id", (F.col("ln0") + 1).alias("ln"), "line")
+    ).select(
+        "doc_id",
+        "n_lines",
+        "page_ok",
+        (F.col("ln0") + 1).alias("ln"),
+        "line",
+    )
     flagged = lines.select(
         "doc_id",
+        "n_lines",
+        "page_ok",
         "ln",
         "line",
-        F.trim("line").alias("t"),
+        F.xxhash64(F.trim("line")).alias("tk"),
+        (F.col("doc_id") * 1000000 + F.col("ln")).alias("site"),
         _line_ok(F.col("line")).alias("ok"),
     )
-    ok = flagged.filter("ok")
-    # Corpus line-frequency table: shuffle keyed by xxhash64(t) (8 B);
-    # the raw normalized text never leaves the map side except inside
-    # the first-site struct. site = doc_id*1e6+ln gives a total order
-    # matching the oracle's MIN.
-    site = (F.col("doc_id") * 1000000 + F.col("ln")).alias("site")
+    # Corpus line-frequency table over OK lines only: shuffle keyed by
+    # xxhash64(trim(line)) (8 B); the raw line text never rides the
+    # frequency shuffle. site = doc_id*1e6+ln gives a total order
+    # matching the oracle's MIN (line numbers stay < 1e6).
     occ = (
-        ok.select(F.xxhash64("t").alias("tk"), site)
+        flagged.filter("ok")
         .groupBy("tk")
         .agg(F.count("*").alias("n"), F.min("site").alias("first_site"))
     )
-    kept = (
-        ok.withColumn("tk", F.xxhash64("t"))
-        .withColumn("site", F.col("doc_id") * 1000000 + F.col("ln"))
-        .join(occ, "tk")
-        .filter(
-            (F.col("n") < FREQ_CUTOFF) | (F.col("site") == F.col("first_site"))
+    joined = flagged.join(occ, "tk", "left")
+    kept_cond = (
+        F.col("ok")
+        & (
+            (F.col("n") < FREQ_CUTOFF)
+            | (F.col("site") == F.col("first_site"))
         )
     )
-    per_doc = kept.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_kept"),
+    # collect_list drops nulls, so the conditional struct keeps only
+    # surviving lines while the groupBy still sees every document.
+    per_doc = joined.groupBy("doc_id").agg(
+        F.first("n_lines").alias("n_lines"),
+        F.first("page_ok").alias("page_ok"),
+        F.sum(kept_cond.cast("bigint")).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("ln", "line"))
+                    F.collect_list(
+                        F.when(kept_cond, F.struct("ln", "line"))
+                    )
                 ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("cleaned_text"),
     )
-    gate = (
-        (F.coalesce("n_kept", F.lit(0)) >= MIN_KEPT_LINES)
-        & ~F.col("text").contains("{")
-        & ~F.lower("text").contains("lorem ipsum")
-    )
-    return (
-        docs.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size(F.split("text", "\n")).cast("bigint").alias("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-            F.when(gate, 1).otherwise(0).cast("bigint").alias("c4_pass"),
-        )
+    gate = (F.col("n_kept") >= MIN_KEPT_LINES) & F.col("page_ok")
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "cleaned_text",
+        F.when(gate, 1).otherwise(0).cast("bigint").alias("c4_pass"),
     )

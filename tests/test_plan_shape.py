@@ -277,3 +277,23 @@ def test_pipeline_e2e_single_scan(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert plan.count("documents.parquet") == 1
+
+
+def test_c4_line_rules_no_source_joinback(spark):
+    """C4 cleaning is the two-pass frequency shape: pruned frequency
+    pass + full rebuild pass, and NO third scan for a doc-level join
+    back (r6). Frequency shuffle keys are 8-byte xxhash64."""
+    import re
+
+    from cc_pyspark_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["text_c4_line_rules"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("documents.parquet") <= 2
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "line#" not in part and " t#" not in part, (
+            f"raw line text in shuffle key: {part}"
+        )
