@@ -119,7 +119,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_html_extract",
     "dedup_substring_spans",
     "dedup_semantic_clustered",
-    "text_token_rarity",
+    # r6: text_token_rarity (r3-r5 green; text family covered by
+    # word_count/gopher/bpe/c4) cedes its slot to the new guaranteed-
+    # recall SimHash pairing query (first driver row)
+    "dedup_simhash_pairs",
     # relational core — representatives (fixed); project_computed /
     # agg_distinct_pairs / window_dense_ids / topk_global (r1+r2 rows)
     # ceded slots to the late-r3 block, then join_inner_dims /

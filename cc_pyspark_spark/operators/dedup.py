@@ -524,3 +524,62 @@ def incremental_minhash_candidates(
         )
         .distinct()
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    chunks: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a_id, b_id, hamming) by SimHash — the pairing
+    stage that completes the signature operator.
+
+    Candidate generation is pigeonhole banding: the signature splits
+    into `chunks` equal bit-chunks, and any two signatures within
+    `max_distance` (< chunks) Hamming distance must agree on at least
+    one whole chunk — so the chunk-equality self-join has GUARANTEED
+    full recall, unlike probabilistic LSH. Verification is exact
+    `bit_count(a ^ b) <= max_distance`. Shuffles: signature groupBy
+    (doc-keyed), one chunk-keyed self-join (8-bit bucket values +
+    chunk id), verify join keyed by doc_id.
+    """
+    assert max_distance < chunks, "pigeonhole guarantee needs d < chunks"
+    sig = simhash_signatures(docs, id_col, text_col, bits).persist()
+    width = bits // chunks
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            (
+                (F.col("simhash") / F.lit(1 << (c * width))).cast("bigint")
+                % F.lit(1 << width)
+            ).alias("v"),
+        )
+        for c in range(chunks)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("doc_id", "ck.chunk", "ck.v")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    hamming = F.bit_count(
+        F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+    ).cast("bigint")
+    return (
+        cand.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -105,3 +105,46 @@ def window_distributed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_sequential_ids(
         t.customer.select("c_custkey"), "c_custkey", num_partitions=8
     )
+
+
+def _simhash_pairs_oracle() -> str:
+    """All-pairs Hamming over the committed signature fixture: the
+    banding in the Spark plan has GUARANTEED recall (pigeonhole: <4
+    differing bits cannot touch all 4 chunks), so the banded+verified
+    output must equal the brute-force set DuckDB computes here."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "simhash_fixture.json")
+    with open(path) as f:
+        fixture = json.load(f)
+    values = ",".join(f"('{h}',{v})" for h, v in sorted(fixture.items()))
+    return f"""
+WITH sigs AS (
+  SELECT d.doc_id, CAST(f.simhash AS BIGINT) AS sig
+  FROM documents d JOIN (VALUES {values}) AS f(h, simhash)
+    ON md5(d.text) = f.h
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    description="SimHash near-dup pairs: pigeonhole-banded candidates "
+    "(4 x 8-bit chunks — any pair within Hamming 3 must share a whole "
+    "chunk, so recall is GUARANTEED, not probabilistic) verified with "
+    "exact bit_count(xor). Oracle recomputes the all-pairs Hamming set "
+    "from the committed signature fixture — the banding must reproduce "
+    "brute force exactly",
+    tags=("dedup", "scale"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import simhash_pairs  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    return simhash_pairs(t.documents)
