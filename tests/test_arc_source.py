@@ -143,3 +143,49 @@ def test_truncated_arc_body_is_tolerant():
     recs = list(iter_warc_records(io.BytesIO(data)))
     # earlier records parse; the truncated tail is dropped, no raise
     assert 1 <= len(recs) < 1 + len(BODIES) + 1
+
+
+# ------------------------------------------------- hypothesis round-trip
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_uri = st.from_regex(
+    r"http://[a-z]{1,10}\.example\.com/[a-z0-9]{0,8}", fullmatch=True
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    payloads=st.lists(
+        st.tuples(_uri, st.binary(min_size=0, max_size=1024)),
+        min_size=1,
+        max_size=6,
+    ),
+    gz=st.booleans(),
+)
+def test_arc_roundtrip_property(payloads, gz):
+    """Synthesized ARC (v1 header lines + exact-length binary bodies,
+    plain or gzip-member) parses back to the same records — arbitrary
+    payload bytes including newlines and header-like content."""
+    filedesc_body = b"1 0 Test\nURL IP-address Archive-date Content-type Archive-length\n"
+    recs_bytes = [
+        b"filedesc://t.arc 0.0.0.0 20240101000000 text/plain "
+        + str(len(filedesc_body)).encode()
+        + b"\n"
+        + filedesc_body
+    ]
+    for url, body in payloads:
+        hdr = f"{url} 1.2.3.4 20240102030405 text/plain {len(body)}\n".encode()
+        recs_bytes.append(hdr + body)
+    if gz:
+        data = b"".join(gzip.compress(r + b"\n") for r in recs_bytes)
+    else:
+        data = b"\n".join(recs_bytes) + b"\n"
+    recs = list(iter_warc_records(io.BytesIO(data), parse_http=False))
+    assert len(recs) == 1 + len(payloads)
+    assert recs[0].rec_type == "warcinfo"
+    for rec, (url, body) in zip(recs[1:], payloads):
+        assert rec.rec_type == "response"
+        assert rec.target_uri == url
+        assert rec.payload == body
