@@ -562,3 +562,60 @@ def curation_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_frame(
         Catalog(spark, sf_dir).documents, tokenizer="bpe"
     )
+
+
+# --------------------------------------------- data-mixing weights
+
+#: Target language shares for the mixing demo: uniform over the five
+#: fixture languages. Production passes measured shares; the plan is
+#: identical (broadcast-sized per-stratum table).
+MIX_TARGET_SHARE = 0.2
+
+
+@register(
+    "curation_mix_weights",
+    oracle=f"""
+WITH lt AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total FROM lt)
+SELECT lang, n_docs, lang_tokens,
+       ({MIX_TARGET_SHARE} * CAST(total AS DOUBLE)) /
+         CAST(lang_tokens AS DOUBLE) AS mix_weight
+FROM lt, tot
+ORDER BY lang
+""",
+    description="Training-data mixing weights: per-language token mass -> "
+    "per-doc sampling weight that reshapes the corpus to a target "
+    "language share (uniform here; any target table works). One partial+ "
+    "final agg keyed by lang; the totals row broadcasts — the stats stage "
+    "every multi-source pre-training mix starts from",
+    tags=("curation", "sample"),
+)
+def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    lt = (
+        t.documents.select("lang", F.size(tokenize("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("lang_tokens"),
+        )
+    )
+    tot = lt.agg(F.sum("lang_tokens").cast("bigint").alias("total"))
+    return (
+        lt.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            (
+                (F.lit(MIX_TARGET_SHARE) * F.col("total").cast("double"))
+                / F.col("lang_tokens").cast("double")
+            ).alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )
