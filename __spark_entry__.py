@@ -88,7 +88,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # cedes its slot to the BPE-capacity packing query (first row)
     "curation_pack_sequences_bpe",
     "text_gopher_rules",
-    "dedup_url_normalize",
+    # r6: dedup_url_normalize (r3-r5 green; URL family anchored by
+    # url_tld_validation_counts) cedes its slot to the new data-mixing
+    # weights query (first driver row)
+    "curation_mix_weights",
     "curation_pack_sequences",
     # LLM-pipeline: similarity / embeddings (fixed); r6:
     # embedding_quantize_int8 (r3-r5 green, family covered by the two
