@@ -113,6 +113,12 @@ def sitemaps_from_robotstxt(records: DataFrame) -> DataFrame:
     raising, :76-80), and a robots.txt whose own URL has no parseable
     host emits nothing (:85-89, parse_url NULL ↔ urlparse raising).
     Accumulator-parity counts live in `sitemaps_metrics`.
+
+    Known limit of the post-decode marker: a URL whose bytes hold a
+    VALIDLY-encoded U+FFFD (EF BF BD) is indistinguishable from a
+    decode failure after the lenient decode, so it is dropped where the
+    reference would emit it — accepted; a replacement character inside
+    a sitemap URL is itself malformed input.
     """
     robots = _robots_responses(records)
     lines = robots.select(

@@ -547,6 +547,13 @@ def simhash_pairs(
     chunk id), verify join keyed by doc_id.
     """
     assert max_distance < chunks, "pigeonhole guarantee needs d < chunks"
+    assert bits % chunks == 0, (
+        "chunks must divide bits exactly — a remainder would leave the "
+        "top signature bits outside every band and silently void the "
+        "recall guarantee"
+    )
+    # Persisted: signatures feed banding AND verification (same
+    # caller-unpersists story as minhash_lsh_pairs above).
     sig = simhash_signatures(docs, id_col, text_col, bits).persist()
     width = bits // chunks
     chunk_structs = [

@@ -300,14 +300,12 @@ PACK_CAPACITY = 256
 PACK_SHARD = 100
 
 
-def _duck_pack_oracle() -> str:
-    return f"""
-WITH RECURSIVE toks AS (
-  SELECT lang, doc_id,
-         CAST(doc_id // {PACK_SHARD} AS BIGINT) AS shard,
-         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
-  FROM documents
-), d AS (
+def _duck_pack_tail() -> str:
+    """The greedy pack fold over a preceding `toks` CTE with columns
+    (lang, doc_id, shard, n_tokens) — shared by all three packing
+    oracles (regex unit, BPE unit, e2e pipeline) so the fold's
+    semantics cannot drift between them."""
+    return f"""d AS (
   SELECT lang, shard, doc_id, n_tokens,
          CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id)
               AS BIGINT) AS rn
@@ -327,7 +325,17 @@ WITH RECURSIVE toks AS (
 )
 SELECT lang, shard, doc_id, n_tokens, pack_seq,
        cum - n_tokens AS pack_offset
-FROM packed
+FROM packed"""
+
+
+def _duck_pack_oracle() -> str:
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CAST(doc_id // {PACK_SHARD} AS BIGINT) AS shard,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), {_duck_pack_tail()}
 """
 
 
@@ -443,29 +451,7 @@ toks AS (
          CAST(doc_id // {PACK_SHARD} AS BIGINT) AS shard,
          CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
   FROM tr
-),
-d AS (
-  SELECT lang, shard, doc_id, n_tokens,
-         CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id)
-              AS BIGINT) AS rn
-  FROM toks
-),
-packed AS (
-  SELECT lang, shard, doc_id, n_tokens, rn,
-         n_tokens AS cum, CAST(1 AS BIGINT) AS pack_seq
-  FROM d WHERE rn = 1
-  UNION ALL
-  SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
-         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
-              THEN p.cum + d.n_tokens ELSE d.n_tokens END,
-         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
-              THEN p.pack_seq ELSE p.pack_seq + 1 END
-  FROM d JOIN packed p
-    ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
-)
-SELECT lang, shard, doc_id, n_tokens, pack_seq,
-       cum - n_tokens AS pack_offset
-FROM packed
+), {_duck_pack_tail()}
 """
 
 
@@ -506,17 +492,18 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_pack_bpe_oracle() -> str:
     """Packing replay with the BPE capacity unit: per-doc token counts
     come from the committed md5(text)->count fixture (DuckDB cannot run
-    BPE; see plans/text._bpe_fixture_oracle), then the same greedy
-    recursive fold as the regex-unit oracle."""
-    import json
+    BPE; see plans/text._bpe_fixture_oracle), then the SAME greedy fold
+    as the regex-unit oracle (shared `_duck_pack_tail`)."""
     import os
 
-    path = os.path.join(
-        os.path.dirname(__file__), "..", "functions", "bpe_token_fixture.json"
+    from cc_pyspark_spark.plans.registry import fixture_values
+
+    values = fixture_values(
+        os.path.join(
+            os.path.dirname(__file__), "..", "functions",
+            "bpe_token_fixture.json",
+        )
     )
-    with open(path) as f:
-        fixture = json.load(f)
-    values = ",".join(f"('{h}',{n})" for h, n in sorted(fixture.items()))
     return f"""
 WITH RECURSIVE toks AS (
   SELECT d.lang, d.doc_id,
@@ -524,27 +511,7 @@ WITH RECURSIVE toks AS (
          CAST(f.n_tokens AS BIGINT) AS n_tokens
   FROM documents d JOIN (VALUES {values}) AS f(h, n_tokens)
     ON md5(d.text) = f.h
-), d AS (
-  SELECT lang, shard, doc_id, n_tokens,
-         CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id)
-              AS BIGINT) AS rn
-  FROM toks
-), packed AS (
-  SELECT lang, shard, doc_id, n_tokens, rn,
-         n_tokens AS cum, CAST(1 AS BIGINT) AS pack_seq
-  FROM d WHERE rn = 1
-  UNION ALL
-  SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
-         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
-              THEN p.cum + d.n_tokens ELSE d.n_tokens END,
-         CASE WHEN p.cum + d.n_tokens <= {PACK_CAPACITY}
-              THEN p.pack_seq ELSE p.pack_seq + 1 END
-  FROM d JOIN packed p
-    ON d.lang = p.lang AND d.shard = p.shard AND d.rn = p.rn + 1
-)
-SELECT lang, shard, doc_id, n_tokens, pack_seq,
-       cum - n_tokens AS pack_offset
-FROM packed
+), {_duck_pack_tail()}
 """
 
 

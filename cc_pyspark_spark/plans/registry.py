@@ -52,3 +52,14 @@ def register(
         return fn
 
     return deco
+
+
+def fixture_values(path: str) -> str:
+    """Load a committed {key: int} oracle fixture and render it as a
+    DuckDB VALUES list — shared by every fixture-join oracle builder
+    (BPE token counts, simhash signatures, BPE packing)."""
+    import json  # noqa: PLC0415
+
+    with open(path) as f:
+        fixture = json.load(f)
+    return ",".join(f"('{k}',{v})" for k, v in sorted(fixture.items()))

@@ -58,17 +58,24 @@ def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(t.documents, threshold=0.5)
 
 
-def _simhash_fixture_oracle() -> str:
-    import json
+def _simhash_values() -> str:
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "simhash_fixture.json")
-    with open(path) as f:
-        fixture = json.load(f)
-    values = ",".join(f"('{h}',{v})" for h, v in sorted(fixture.items()))
+    from cc_pyspark_spark.plans.registry import fixture_values
+
+    return fixture_values(
+        os.path.join(os.path.dirname(__file__), "simhash_fixture.json")
+    )
+
+
+#: Rendered once — both simhash oracle builders below share it.
+_SIMHASH_VALUES = _simhash_values()
+
+
+def _simhash_fixture_oracle() -> str:
     return f"""
 SELECT d.doc_id, CAST(f.simhash AS BIGINT) AS simhash
-FROM documents d JOIN (VALUES {values}) AS f(h, simhash)
+FROM documents d JOIN (VALUES {_SIMHASH_VALUES}) AS f(h, simhash)
   ON md5(d.text) = f.h
 """
 
@@ -112,17 +119,10 @@ def _simhash_pairs_oracle() -> str:
     banding in the Spark plan has GUARANTEED recall (pigeonhole: <4
     differing bits cannot touch all 4 chunks), so the banded+verified
     output must equal the brute-force set DuckDB computes here."""
-    import json
-    import os
-
-    path = os.path.join(os.path.dirname(__file__), "simhash_fixture.json")
-    with open(path) as f:
-        fixture = json.load(f)
-    values = ",".join(f"('{h}',{v})" for h, v in sorted(fixture.items()))
     return f"""
 WITH sigs AS (
   SELECT d.doc_id, CAST(f.simhash AS BIGINT) AS sig
-  FROM documents d JOIN (VALUES {values}) AS f(h, simhash)
+  FROM documents d JOIN (VALUES {_SIMHASH_VALUES}) AS f(h, simhash)
     ON md5(d.text) = f.h
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,

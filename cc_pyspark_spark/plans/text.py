@@ -834,15 +834,16 @@ def _bpe_fixture_oracle() -> str:
     sf0.01, so the same SQL adapts to whichever scale the caller's
     `documents` view holds. A driver-testdata regeneration breaks the
     join visibly (NULL counts) instead of silently passing."""
-    import json
     import os
 
-    path = os.path.join(
-        os.path.dirname(__file__), "..", "functions", "bpe_token_fixture.json"
+    from cc_pyspark_spark.plans.registry import fixture_values
+
+    values = fixture_values(
+        os.path.join(
+            os.path.dirname(__file__), "..", "functions",
+            "bpe_token_fixture.json",
+        )
     )
-    with open(path) as f:
-        fixture = json.load(f)
-    values = ",".join(f"('{h}',{n})" for h, n in sorted(fixture.items()))
     return f"""
 SELECT d.doc_id,
        CAST(f.n_tokens AS BIGINT) AS n_tokens

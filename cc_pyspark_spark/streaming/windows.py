@@ -21,6 +21,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
+#: Cold-start schema: what the current driver fixture carries. Used
+#: only when the input directory has no files yet (a file-source
+#: stream's normal cold start), where batch schema inference throws.
+DEFAULT_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """readStream over an events parquet directory.
 
@@ -29,10 +44,15 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     actually carry with a batch read, and only rebuild the timestamp
     when `ts` arrives as a long — the same branch catalog.py takes for
     the batch twins. (`nanosAsLong` is set for old nanos fixtures; it
-    is a no-op on PySpark ≥ 4.)
+    is a no-op on PySpark ≥ 4.) An empty landing directory falls back
+    to `DEFAULT_EVENT_SCHEMA` so the stream starts and waits for files
+    instead of failing at setup.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_dir).schema
+    try:
+        schema = spark.read.parquet(events_dir).schema
+    except Exception:  # noqa: BLE001 — no files yet: cold start
+        schema = DEFAULT_EVENT_SCHEMA
     raw = spark.readStream.schema(schema).parquet(events_dir)
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, T.LongType):

@@ -11,10 +11,13 @@ Run offline; outputs are committed as data:
 Training is classic BPE (Sennrich et al. 2016, "Neural Machine
 Translation of Rare Words with Subword Units"): count adjacent symbol
 pairs over the pre-tokenized corpus, repeatedly merge the most frequent
-pair. Deterministic: ties break on the lexicographically smallest
-(left_bytes, right_bytes); corpus order is fixed (sf ascending, doc_id
-ascending). Re-running this script after a driver testdata regeneration
-refreshes both files.
+pair. Deterministic: ties break by comparing the NEGATED byte tuples of
+(left, right) under max() — i.e. bytewise-smallest wins, except that
+when one candidate's bytes are a proper prefix of another's the LONGER
+token wins (negated-tuple ordering); corpus order is fixed (sf
+ascending, doc_id ascending). The committed vocab was produced by this
+exact rule — keep the rule and the data in sync. Re-running this
+script after a driver testdata regeneration refreshes both files.
 """
 
 from __future__ import annotations

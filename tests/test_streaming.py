@@ -109,3 +109,14 @@ def test_stateful_running_totals(spark, events_dir):
         for r in events.groupBy("user_id").count().collect()
     }
     assert final == want
+
+
+def test_stream_events_cold_start_empty_dir(spark, tmp_path):
+    """An empty landing directory must start (DEFAULT_EVENT_SCHEMA
+    fallback) and drain zero rows, not fail schema inference (r6)."""
+    stream = tumbling_counts(
+        stream_events(spark, str(tmp_path)), watermark="1 second"
+    )
+    q = run_available_now(stream, "cold_start_test", "append")
+    q.awaitTermination(60)
+    assert spark.sql("SELECT * FROM cold_start_test").count() == 0
