@@ -142,3 +142,29 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    length: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of plans/events.events_sliding: overlapping
+    windows multiply state by length/slide (bounded fan-out of 2 at
+    the defaults); the watermark bounds how many stay open."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -120,3 +120,28 @@ def test_stream_events_cold_start_empty_dir(spark, tmp_path):
     q = run_available_now(stream, "cold_start_test", "append")
     q.awaitTermination(60)
     assert spark.sql("SELECT * FROM cold_start_test").count() == 0
+
+
+def test_streaming_sliding_matches_batch(spark, events_dir, max_ts_epoch):
+    from cc_pyspark_spark.streaming.windows import sliding_counts
+
+    stream = sliding_counts(
+        stream_events(spark, events_dir), watermark="1 second"
+    )
+    q = run_available_now(stream, "sliding_test", "append")
+    _drain(q)
+    got = {
+        r["window_start"]: (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    want = {
+        r["window_start"]: (r["n"], r["sum_value"])
+        for r in QUERIES["events_sliding_10m_5m"].spark(spark, SF_DIR).collect()
+    }
+    assert got, "no windows emitted"
+    for k, v in got.items():
+        assert want[k] == v
+    # only watermark-tail windows (end beyond max_ts - 1s) may be missing
+    for ws in want:
+        if ws not in got:
+            assert ws + 600 > max_ts_epoch - 1
