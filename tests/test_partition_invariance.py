@@ -1,0 +1,75 @@
+"""Results must not depend on physical partitioning.
+
+The oracle compare runs at one fixed partitioning; these tests vary
+`spark.sql.shuffle.partitions` and the input's partition count and
+assert bit-identical results — catching accidental order-dependence
+(first/collect_list without sort, float fold order, id assignment) that
+a single-layout comparison cannot see. Queries chosen are the ones with
+ordering-sensitive internals: dedup keep-first (min-struct), greedy
+packing (applyInPandas state), distributed id assignment, C4 first-site
+keeps, substring-span joins, SimHash banding.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cc_pyspark_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+CHECK = [
+    "dedup_exact",
+    "window_distributed_ids",
+    "curation_pack_sequences",
+    "dedup_substring_spans",
+    "text_c4_line_rules",
+    "dedup_simhash_pairs",
+    "curation_pipeline_e2e",
+    "curation_mix_weights",
+]
+
+
+def _rows(spark, name):
+    df = QUERIES[name].spark(spark, SF_DIR)
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", CHECK)
+def test_shuffle_partition_invariance(spark, name):
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        a = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert a == b, f"{name} depends on shuffle partition count"
+
+
+def test_input_partitioning_invariance(spark):
+    """Operator frames fed differently-partitioned inputs agree."""
+    from cc_pyspark_spark.operators.dedup import (
+        exact_dedup_keep_first,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from cc_pyspark_spark.plans.c4 import c4_clean_frame
+    from cc_pyspark_spark.plans.curation import pack_sequences_frame
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    shuffled = docs.repartition(13)
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+    for fn in (
+        lambda d: exact_dedup_keep_first(d, ["text"], "doc_id"),
+        lambda d: minhash_lsh_pairs(d, threshold=0.5),
+        lambda d: simhash_pairs(d),
+        c4_clean_frame,
+        pack_sequences_frame,
+    ):
+        assert rows(fn(docs)) == rows(fn(shuffled)), fn
