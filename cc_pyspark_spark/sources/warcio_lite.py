@@ -47,17 +47,21 @@ class WarcRecord:
 
 
 def _parse_header_block(block: bytes) -> tuple[str, dict[str, str]]:
-    """Parse `WARC/1.x` + header lines → (version, headers)."""
-    lines = block.split(CRLF)
-    version = lines[0].decode("utf-8", "replace")
+    """Parse `WARC/1.x` + header lines → (version, headers).
+
+    One decode for the whole block (hot path: ~8 lines/record at
+    millions of records) — equivalent to per-line decodes because CRLF
+    bytes can never occur inside a multi-byte UTF-8 sequence, so
+    replacement-character placement is identical.
+    """
+    lines = block.decode("utf-8", "replace").split("\r\n")
+    version = lines[0]
     headers: dict[str, str] = {}
     for line in lines[1:]:
         if not line:
             continue
-        name, _, value = line.partition(b":")
-        headers[name.decode("utf-8", "replace").strip()] = value.decode(
-            "utf-8", "replace"
-        ).strip()
+        name, _, value = line.partition(":")
+        headers[name.strip()] = value.strip()
     return version, headers
 
 
@@ -70,24 +74,21 @@ def parse_http_response(body: bytes) -> tuple[int | None, list[tuple[str, str]],
     sep = body.find(b"\r\n\r\n")
     if sep < 0:
         return None, [], body
-    head, payload = body[:sep], body[sep + 4 :]
-    lines = head.split(CRLF)
+    # latin-1 is bytewise, so one decode of the head block is exactly
+    # equivalent to per-line decodes (hot path).
+    head, payload = body[:sep].decode("latin-1"), body[sep + 4 :]
+    lines = head.split("\r\n")
     status = None
-    first = lines[0].decode("latin-1", "replace")
+    first = lines[0]
     if first.startswith("HTTP/"):
         parts = first.split(None, 2)
         if len(parts) >= 2 and parts[1].isdigit():
             status = int(parts[1])
     headers = []
     for line in lines[1:]:
-        name, sep2, value = line.partition(b":")
+        name, sep2, value = line.partition(":")
         if sep2:
-            headers.append(
-                (
-                    name.decode("latin-1", "replace").strip().lower(),
-                    value.decode("latin-1", "replace").strip(),
-                )
-            )
+            headers.append((name.strip().lower(), value.strip()))
     return status, headers, payload
 
 
