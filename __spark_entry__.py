@@ -121,7 +121,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "merge_upsert",
     "text_html_extract",
     "dedup_substring_spans",
-    "dedup_semantic_clustered",
+    # r6: dedup_semantic_clustered (r3-r5 green; embedding-dedup family
+    # anchored by dedup_embedding_scale) cedes its slot to the new
+    # product-quantization query (first driver row)
+    "embedding_pq_codes",
     # r6: text_token_rarity (r3-r5 green; text family covered by
     # word_count/gopher/bpe/c4) cedes its slot to the new guaranteed-
     # recall SimHash pairing query (first driver row)

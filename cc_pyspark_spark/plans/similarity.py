@@ -245,3 +245,112 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q"),
     )
+
+
+# ------------------------------------------- product quantization (PQ)
+
+#: PQ layout: 64-dim vectors split into PQ_BLOCKS subvectors of
+#: PQ_SUBDIM dims; per-block codebooks are the corresponding slices of
+#: the seed vectors (vec_id PQ_SEED_BASE..+PQ_CODEBOOK-1) —
+#: deterministic and SQL-replayable, same discipline as the IVF seed
+#: centroids. Production swaps in k-means codebooks; the assignment
+#: plan (broadcast codebook, per-block argmin) is identical.
+PQ_BLOCKS = 4
+PQ_SUBDIM = 16
+PQ_CODEBOOK = 8
+PQ_SEED_BASE = 480
+PQ_MAX_ID = 200  # quantize the first 200 vectors (bounded driver output)
+
+
+def _duck_pq_oracle() -> str:
+    sq = (
+        "list_reduce(list_prepend(0.0, "
+        "list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    dist = sq.format(a="s.sv", b="c.cv", n=PQ_SUBDIM)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), blocks AS (
+  SELECT vec_id, b.b AS block,
+         list_slice(v, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS sv
+  FROM e, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
+  WHERE vec_id < {PQ_MAX_ID}
+), cb AS (
+  SELECT vec_id - {PQ_SEED_BASE} AS c_id, b.b AS block,
+         list_slice(v, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS cv
+  FROM e, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
+  WHERE vec_id >= {PQ_SEED_BASE} AND vec_id < {PQ_SEED_BASE + PQ_CODEBOOK}
+), scored AS (
+  SELECT s.vec_id, s.block, c.c_id, {dist} AS sq_err,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.block
+                            ORDER BY {dist}, c.c_id) AS rk
+  FROM blocks s JOIN cb c ON s.block = c.block
+)
+SELECT vec_id,
+       CAST(block AS BIGINT) AS block,
+       CAST(c_id AS BIGINT) AS code,
+       sq_err
+FROM scored WHERE rk = 1
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=_duck_pq_oracle(),
+    description="Product quantization: vectors split into "
+    f"{PQ_BLOCKS} x {PQ_SUBDIM}-dim subvectors, each assigned the "
+    "nearest of a per-block codebook (seed-sliced here; k-means in "
+    "production) by exact L2 with id tie-break. The ANN memory-"
+    "compression stage beyond int8: codebook broadcasts, assignment is "
+    "a narrow per-row argmin — zero shuffle at any corpus size",
+    tags=("similarity", "multimodal"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.slice("v", b * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for b in range(PQ_BLOCKS)
+    ]
+    blocks = (
+        e.filter(F.col("vec_id") < PQ_MAX_ID)
+        .select("vec_id", F.explode(F.array(*block_structs)).alias("bk"))
+        .select("vec_id", "bk.block", "bk.sv")
+    )
+    cb = (
+        e.filter(
+            (F.col("vec_id") >= PQ_SEED_BASE)
+            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODEBOOK)
+        )
+        .select(
+            (F.col("vec_id") - PQ_SEED_BASE).alias("c_id"),
+            F.explode(F.array(*block_structs)).alias("bk"),
+        )
+        .select("c_id", F.col("bk.block").alias("block"), F.col("bk.sv").alias("cv"))
+    )
+    sq_err = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, z) -> acc + z)"
+    )
+    w = W.partitionBy("vec_id", "block").orderBy(F.col("sq_err"), F.col("c_id"))
+    return (
+        blocks.join(F.broadcast(cb), "block")
+        .withColumn("sq_err", sq_err)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("block").cast("bigint").alias("block"),
+            F.col("c_id").cast("bigint").alias("code"),
+            "sq_err",
+        )
+    )
