@@ -303,9 +303,10 @@ FROM scored WHERE rk = 1
     description="Product quantization: vectors split into "
     f"{PQ_BLOCKS} x {PQ_SUBDIM}-dim subvectors, each assigned the "
     "nearest of a per-block codebook (seed-sliced here; k-means in "
-    "production) by exact L2 with id tie-break. The ANN memory-"
-    "compression stage beyond int8: codebook broadcasts, assignment is "
-    "a narrow per-row argmin — zero shuffle at any corpus size",
+    "production) by exact L2 with id tie-break (min-struct aggregation: "
+    "the argmin collapses map-side, so the one exchange carries a single "
+    "row per (vector, block)). The ANN memory-compression stage beyond "
+    "int8: codebook broadcasts, corpus never self-joins",
     tags=("similarity", "multimodal"),
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,16 +342,18 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
         "0D, (acc, z) -> acc + z)"
     )
-    w = W.partitionBy("vec_id", "block").orderBy(F.col("sq_err"), F.col("c_id"))
+    # argmin as min-of-struct: lexicographic (sq_err, c_id) ordering is
+    # exactly the oracle's ORDER BY dist, c_id tie-break, and partial
+    # aggregation collapses the 8 codebook candidates map-side.
     return (
         blocks.join(F.broadcast(cb), "block")
         .withColumn("sq_err", sq_err)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .groupBy("vec_id", "block")
+        .agg(F.min(F.struct("sq_err", "c_id")).alias("m"))
         .select(
             "vec_id",
             F.col("block").cast("bigint").alias("block"),
-            F.col("c_id").cast("bigint").alias("code"),
-            "sq_err",
+            F.col("m.c_id").cast("bigint").alias("code"),
+            F.col("m.sq_err").alias("sq_err"),
         )
     )
