@@ -59,13 +59,20 @@ def test_pagerank_no_per_iteration_driver_actions(spark):
 
     tracker = spark.sparkContext.statusTracker()
 
+    def max_job_id():
+        # job ids are monotonic; max is immune to the status tracker
+        # evicting old entries (spark.ui.retainedJobs) mid-measurement,
+        # which made len()-based deltas flaky in long shared sessions
+        ids = tracker.getJobIdsForGroup()
+        return max(ids) if ids else -1
+
     def jobs_to_build(n_iter):
-        before = len(tracker.getJobIdsForGroup())
+        before = max_job_id()
         # checkpoint_every > n_iter: no eager checkpoints, so the only
         # permitted actions while building are the fixed setup jobs
         # (vertices.count() + its AQE sub-jobs), independent of n_iter.
         ranks = pagerank(edges, n_iter=n_iter, checkpoint_every=99)
-        return ranks, len(tracker.getJobIdsForGroup()) - before
+        return ranks, max_job_id() - before
 
     # small iteration counts: without checkpoints the plan tree grows
     # ~3x per iteration (ranks feeds dangling + contribs + update), so
