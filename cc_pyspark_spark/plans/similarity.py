@@ -357,3 +357,124 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.sq_err").alias("sq_err"),
         )
     )
+
+
+def _duck_pq_adc_oracle() -> str:
+    sq = (
+        "list_reduce(list_prepend(0.0, "
+        "list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    d_assign = sq.format(a="s.sv", b="c.cv", n=PQ_SUBDIM)
+    d_lut = sq.format(a="q.sv", b="c.cv", n=PQ_SUBDIM)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), blocks AS (
+  SELECT vec_id, b.b AS block,
+         list_slice(v, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS sv
+  FROM e, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
+  WHERE vec_id < {PQ_MAX_ID}
+), cb AS (
+  SELECT vec_id - {PQ_SEED_BASE} AS c_id, b.b AS block,
+         list_slice(v, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS cv
+  FROM e, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
+  WHERE vec_id >= {PQ_SEED_BASE} AND vec_id < {PQ_SEED_BASE + PQ_CODEBOOK}
+), codes AS (
+  SELECT vec_id, block, c_id AS code FROM (
+    SELECT s.vec_id, s.block, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.block
+                              ORDER BY {d_assign}, c.c_id) AS rk
+    FROM blocks s JOIN cb c ON s.block = c.block) WHERE rk = 1
+), lut AS (
+  SELECT q.vec_id AS q_id, q.block, c.c_id, {d_lut} AS d
+  FROM blocks q JOIN cb c ON q.block = c.block
+  WHERE q.vec_id < {N_QUERIES}
+), adc AS (
+  SELECT l.q_id, x.vec_id AS n_id, SUM(l.d) AS adc_dist
+  FROM codes x JOIN lut l ON l.block = x.block AND l.c_id = x.code
+  WHERE x.vec_id <> l.q_id
+  GROUP BY l.q_id, x.vec_id
+), r AS (
+  SELECT q_id, n_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, n_id) AS rnk
+  FROM adc
+)
+SELECT q_id, n_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {IVF_TOP_K}
+"""
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=_duck_pq_adc_oracle(),
+    description="PQ asymmetric-distance (ADC) top-k search: per-query "
+    "lookup tables (query-subvector -> codebook distances, a "
+    "queries x blocks x codebook table that always broadcasts) joined to "
+    "the corpus PQ codes and summed — the corpus side never touches raw "
+    "floats, which is the whole point of PQ at billion-vector scale. "
+    "Exact arithmetic (explicit fold order), deterministic (dist, id) "
+    "tie-break",
+    tags=("similarity",),
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.slice("v", b * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for b in range(PQ_BLOCKS)
+    ]
+    blocks = (
+        e.filter(F.col("vec_id") < PQ_MAX_ID)
+        .select("vec_id", F.explode(F.array(*block_structs)).alias("bk"))
+        .select("vec_id", "bk.block", "bk.sv")
+    )
+    cb = (
+        e.filter(
+            (F.col("vec_id") >= PQ_SEED_BASE)
+            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODEBOOK)
+        )
+        .select(
+            (F.col("vec_id") - PQ_SEED_BASE).alias("c_id"),
+            F.explode(F.array(*block_structs)).alias("bk"),
+        )
+        .select("c_id", F.col("bk.block").alias("block"), F.col("bk.sv").alias("cv"))
+    )
+    sq_err = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, z) -> acc + z)"
+    )
+    codes = (
+        blocks.join(F.broadcast(cb), "block")
+        .withColumn("sq_err", sq_err)
+        .groupBy("vec_id", "block")
+        .agg(F.min(F.struct("sq_err", "c_id")).alias("m"))
+        .select("vec_id", "block", F.col("m.c_id").alias("code"))
+    )
+    lut = (
+        blocks.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb), "block")
+        .withColumn("d", sq_err)
+        .select("q_id", "block", "c_id", "d")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["block"])
+        .filter((F.col("c_id") == F.col("code")) & (F.col("vec_id") != F.col("q_id")))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("n_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("q_id", "n_id", "adc_dist", "rnk")
+    )
