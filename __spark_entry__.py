@@ -81,7 +81,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (r3+r4+r5 green rows; family still covered by
     # url_tld_validation_counts + dedup_url_normalize)
     "text_bpe_token_count",
-    "dedup_cluster_canonical",
+    # r6: dedup_cluster_canonical (r3-r5 green; clustering evidence
+    # stays in pytest + the dedup family anchors) cedes its slot to the
+    # new PQ-ADC search query (first driver row)
+    "sim_ann_pq_adc",
     "url_tld_validation_counts",
     # r6: curation_split_assign (r3-r5 green; sampling family covered by
     # reservoir, split logic re-checked inside curation_pipeline_e2e)
