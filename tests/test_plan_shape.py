@@ -297,3 +297,17 @@ def test_c4_line_rules_no_source_joinback(spark):
         assert "line#" not in part and " t#" not in part, (
             f"raw line text in shuffle key: {part}"
         )
+
+
+def test_pq_codes_broadcast_no_window(spark):
+    """PQ assignment must broadcast the codebook and fold the argmin as
+    an aggregation (map-side combine), never a window sort (r6)."""
+    from cc_pyspark_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["embedding_pq_codes"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
