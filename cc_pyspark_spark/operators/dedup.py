@@ -169,7 +169,7 @@ def simhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
 ) -> DataFrame:
     """SimHash signature per document, deployment flavor: token hashes come
     straight from `xxhash64` (no distinct-token ID assignment, no global
@@ -177,21 +177,27 @@ def simhash_signatures(
 
     One explode + one groupBy keyed by doc_id; the signature is a pure
     column expression, so the whole plan is two narrow stages at any scale.
+
+    Default is the full 64-bit xxhash64 value (stored signed; bit 63 is
+    the bigint sign bit, which is why every bit test below is bitwise —
+    `shiftrightunsigned` + AND — never arithmetic: float division would
+    lose bits past the 53-bit mantissa and mishandle negatives).
+    The signature assembles via bitwise OR of disjoint one-bit terms, so
+    there is no additive overflow at b=63.
     """
+    assert 1 <= bits <= 64
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize(text_col))).alias("w"),
     )
-    hashed = tok.select(
-        "doc_id", (F.abs(F.xxhash64("w")) % F.lit(1 << bits)).alias("h")
-    )
+    h = F.xxhash64("w")
+    if bits < 64:  # keep only the low `bits` (masked, not float-modded)
+        h = h.bitwiseAND(F.lit((1 << bits) - 1))
+    hashed = tok.select("doc_id", h.alias("h"))
+    bit = lambda b: F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
     sums = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    (F.col("h") / (1 << b)).cast("bigint") % 2 == 1, 1
-                ).otherwise(-1)
-            )
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1))
             .cast("bigint")
             .alias(f"s{b}")
             for b in range(bits)
@@ -199,10 +205,10 @@ def simhash_signatures(
     )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = term if sig is None else sig + term
+        term = F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig.bitwiseOR(term)
     return sums.select("doc_id", sig.alias("simhash"))
 
 
@@ -530,7 +536,7 @@ def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
     chunks: int = 4,
     max_distance: int = 3,
 ) -> DataFrame:
@@ -543,8 +549,17 @@ def simhash_pairs(
     one whole chunk — so the chunk-equality self-join has GUARANTEED
     full recall, unlike probabilistic LSH. Verification is exact
     `bit_count(a ^ b) <= max_distance`. Shuffles: signature groupBy
-    (doc-keyed), one chunk-keyed self-join (8-bit bucket values +
-    chunk id), verify join keyed by doc_id.
+    (doc-keyed), one chunk-keyed self-join (16-bit bucket values at the
+    64/4 default + chunk id), verify join keyed by doc_id.
+
+    Scale note (SCALING.md): expected random-collision candidates are
+    ~chunks * N^2 / 2^(bits/chunks) per corpus of N docs. The 64-bit /
+    16-bit-chunk default keeps that ratio 2^7 smaller per chunk than the
+    old 32-bit / 8-bit shape, which at web scale (N ~ 10^9) was the
+    difference between a bucket join and an accidental cross join.
+    Chunk values are extracted with shiftrightunsigned + AND mask —
+    bitwise, never float division, which would corrupt any signature
+    past the 53-bit mantissa or with the sign bit set.
     """
     assert max_distance < chunks, "pigeonhole guarantee needs d < chunks"
     assert bits % chunks == 0, (
@@ -559,10 +574,9 @@ def simhash_pairs(
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
-            (
-                (F.col("simhash") / F.lit(1 << (c * width))).cast("bigint")
-                % F.lit(1 << width)
-            ).alias("v"),
+            F.shiftrightunsigned(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("v"),
         )
         for c in range(chunks)
     ]

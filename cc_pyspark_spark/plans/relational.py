@@ -533,17 +533,34 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketches differ across engines by design → rows-only check
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS within_5pct
+FROM orders GROUP BY 1
+""",
     description="approx_count_distinct (HyperLogLog++) per order priority — "
-    "the sketch path for 100 TB COUNT(DISTINCT); no oracle because sketch "
-    "estimates are engine-specific",
+    "the sketch path for 100 TB COUNT(DISTINCT). The raw HLL estimate is "
+    "engine-specific so it cannot be hash-compared; instead the query "
+    "emits the exact distinct count plus a within_5pct boolean checking "
+    "the sketch against it, and the oracle asserts TRUE — the sketch "
+    "path stays exercised while every emitted column is deterministic. "
+    "(The exact count here is gate instrumentation; the deployment path "
+    "is the sketch alone.)",
     tags=("agg", "sketch"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    return t.orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+    agg = t.orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("__approx"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
         F.count("*").alias("n"),
+    )
+    tol = F.col("exact_custs").cast("double") * F.lit(0.05)
+    err = F.abs(F.col("__approx") - F.col("exact_custs")).cast("double")
+    return agg.select(
+        "o_orderpriority", "exact_custs", "n", (err <= tol).alias("within_5pct")
     )
 
 

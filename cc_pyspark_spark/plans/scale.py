@@ -136,11 +136,11 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
     "dedup_simhash_pairs",
     oracle=_simhash_pairs_oracle(),
     description="SimHash near-dup pairs: pigeonhole-banded candidates "
-    "(4 x 8-bit chunks — any pair within Hamming 3 must share a whole "
-    "chunk, so recall is GUARANTEED, not probabilistic) verified with "
-    "exact bit_count(xor). Oracle recomputes the all-pairs Hamming set "
-    "from the committed signature fixture — the banding must reproduce "
-    "brute force exactly",
+    "(64-bit signature, 4 x 16-bit chunks — any pair within Hamming 3 "
+    "must share a whole chunk, so recall is GUARANTEED, not "
+    "probabilistic) verified with exact bit_count(xor). Oracle "
+    "recomputes the all-pairs Hamming set from the committed signature "
+    "fixture — the banding must reproduce brute force exactly",
     tags=("dedup", "scale"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

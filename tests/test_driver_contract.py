@@ -81,13 +81,9 @@ def test_oracle_order_mirrors_query_order():
     assert [n for n in q if n in set(o)] == o
 
 
-def test_every_query_has_oracle_or_is_known_rows_only():
+def test_every_query_has_oracle():
+    # r7: 114/114 — the last rows-only query (agg_approx_count_distinct)
+    # gained a within-bound boolean oracle; a regression here reopens the
+    # driver window's one structural exception.
     rows_only = {n for n in e.queries() if n not in e.oracle_sql()}
-    # keep this list tiny and deliberate — rows-only means a weaker check
-    assert rows_only <= {
-        "agg_approx_count_distinct",  # HLL sketch: no exact SQL twin
-        "dedup_minhash_scale",  # xxhash64 IDs: pytest-pinned vs exact baseline
-        "dedup_simhash_scale",
-        "multimodal_decode_resize",  # pixel resize: python-replay-pinned
-        "multimodal_audio_features",  # PCM decode: python-replay-pinned
-    }, rows_only
+    assert rows_only == set(), rows_only

@@ -115,9 +115,9 @@ def test_minhash_pipeline_tolerates_short_docs(spark):
     assert all(p["a_id"] != p["b_id"] for p in pairs)
 
 def test_simhash_scale_signatures(spark):
-    """Deployment simhash: one row per doc, 32-bit range, no window/global
-    sort in the plan, and planted near-dups are closer in hamming distance
-    than random pairs."""
+    """Deployment simhash: one row per doc, full signed-64-bit range, no
+    window/global sort in the plan, and planted near-dups are closer in
+    hamming distance than random pairs."""
     from pyspark.sql import functions as F
 
     from cc_pyspark_spark.operators.dedup import simhash_signatures
@@ -132,10 +132,16 @@ def test_simhash_scale_signatures(spark):
 
     rows = {r["doc_id"]: r["simhash"] for r in sig.collect()}
     assert len(rows) == docs.count()
-    assert all(0 <= v < (1 << 32) for v in rows.values())
+    # 64-bit signatures live in the FULL signed bigint range (bit 63 is
+    # the sign bit) — a 32-bit ceiling here would mean the default
+    # silently regressed to the old narrow signature.
+    assert all(-(1 << 63) <= v < (1 << 63) for v in rows.values())
+    assert any(v < 0 or v >= (1 << 32) for v in rows.values()), (
+        "no signature uses the top 32 bits — 64-bit default regressed?"
+    )
 
     def ham(a, b):
-        return bin(a ^ b).count("1")
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     near = [
         ham(rows[r["a_id"]], rows[r["b_id"]])
@@ -265,3 +271,60 @@ def test_scale_minhash_full_recall(spark):
         for r in QUERIES["dedup_ngram_jaccard"].spark(spark, SF_DIR).collect()
     }
     assert got == exact
+
+
+def test_simhash_pairs_64bit_bucket_width(spark):
+    """The r6 scale-killer regression pin: simhash_pairs must band a
+    64-bit signature into 16-bit chunks. 8-bit buckets give only 2^8
+    values per chunk, i.e. ~chunks * N^2 / 2^8 random candidate pairs
+    at corpus scale — an accidental cross join at N ~ 10^9. Pins:
+
+    * chunk values span [0, 2^16) and the four shifted chunks
+      reassemble the exact 64-bit signature (no bit is outside every
+      band — that would break the pigeonhole recall guarantee);
+    * the banded+verified pair set equals brute-force all-pairs
+      Hamming <= 3 (recall is guaranteed, not probabilistic);
+    * band extraction is bitwise in the plan (shiftrightunsigned),
+      never float division, which corrupts signatures past the 53-bit
+      mantissa.
+    """
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+
+    width, chunks = 16, 4
+    for sig in sigs.values():
+        u = sig & ((1 << 64) - 1)  # two's complement view
+        parts = [(u >> (c * width)) & ((1 << width) - 1) for c in range(chunks)]
+        assert all(0 <= p < (1 << width) for p in parts)
+        rebuilt = 0
+        for c, p in enumerate(parts):
+            rebuilt |= p << (c * width)
+        assert rebuilt == u
+
+    pairs_df = simhash_pairs(docs)
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs_df.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(sigs)
+    brute = {
+        (a, b): ham(sigs[a], sigs[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sigs[a], sigs[b]) <= 3
+    }
+    assert got == brute
+    assert brute, "fixture has no simhash near-dups — recall untested"
+
+    plan = pairs_df._sc._jvm.PythonSQLUtils.explainString(
+        pairs_df._jdf.queryExecution(), "formatted"
+    )
+    assert "shiftrightunsigned" in plan
