@@ -65,6 +65,10 @@ HEADLINERS = [
     # (gate -> dedup -> split -> pack in ONE Catalyst plan).
     "text_bpe_token_count",
     "curation_pipeline_e2e",
+    # r7 additions: the PQ pair, so the whole ANN story (IVF + PQ encode
+    # + ADC search) sits under the regression gate.
+    "embedding_pq_codes",
+    "sim_ann_pq_adc",
 ]
 
 

@@ -392,7 +392,11 @@ WITH e AS (
   FROM blocks q JOIN cb c ON q.block = c.block
   WHERE q.vec_id < {N_QUERIES}
 ), adc AS (
-  SELECT l.q_id, x.vec_id AS n_id, SUM(l.d) AS adc_dist
+  -- block-ordered left fold, matching Spark's aggregate(array_sort(...))
+  -- — a plain SUM folds doubles in unspecified order on both engines
+  SELECT l.q_id, x.vec_id AS n_id,
+         list_reduce(list(l.d ORDER BY l.block), (acc, x) -> acc + x)
+           AS adc_dist
   FROM codes x JOIN lut l ON l.block = x.block AND l.c_id = x.code
   WHERE x.vec_id <> l.q_id
   GROUP BY l.q_id, x.vec_id
@@ -415,8 +419,9 @@ FROM r WHERE rnk <= {IVF_TOP_K}
     "queries x blocks x codebook table that always broadcasts) joined to "
     "the corpus PQ codes and summed — the corpus side never touches raw "
     "floats, which is the whole point of PQ at billion-vector scale. "
-    "Exact arithmetic (explicit fold order), deterministic (dist, id) "
-    "tie-break",
+    "Exact arithmetic — every float reduction, INCLUDING the final "
+    "distance sum, folds in an explicit order (block id), so the result "
+    "is partition-layout invariant; deterministic (dist, id) tie-break",
     tags=("similarity",),
 )
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,11 +471,24 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d", sq_err)
         .select("q_id", "block", "c_id", "d")
     )
+    # Deterministic distance sum (ADVICE r6): F.sum over doubles folds in
+    # partition-dependent order, so the last-ulp result could drift with
+    # layout and diverge from the oracle's fold. Instead collect the
+    # per-block distances, sort by block id (unique per group — struct
+    # comparison orders on its first field), and LEFT-FOLD in that fixed
+    # order. The DuckDB twin folds list(d ORDER BY block) identically;
+    # 0D + d0 == d0 bit-exact (d >= +0.0), so both engines compute
+    # ((d0 + d1) + d2) ... in block order.
     adc = (
         codes.join(F.broadcast(lut), ["block"])
         .filter((F.col("c_id") == F.col("code")) & (F.col("vec_id") != F.col("q_id")))
         .groupBy("q_id", F.col("vec_id").alias("n_id"))
-        .agg(F.sum("d").alias("adc_dist"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(block, d))), "
+                "0D, (acc, z) -> acc + z.d)"
+            ).alias("adc_dist")
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("n_id"))
     return (

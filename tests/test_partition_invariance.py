@@ -26,6 +26,9 @@ CHECK = [
     "dedup_simhash_pairs",
     "curation_pipeline_e2e",
     "curation_mix_weights",
+    # r7 (ADVICE r6): the ADC distance sum now folds per-block distances
+    # in block order — pin that the last-ulp result survives re-layout.
+    "sim_ann_pq_adc",
 ]
 
 
