@@ -75,15 +75,16 @@ def _line_ok(line) -> F.Column:
     )
 
 
-@register(
-    "text_c4_line_rules",
-    oracle=f"""
-WITH aug AS (SELECT doc_id, {_AUG_DUCK} AS text FROM documents),
-l AS (
+def duck_c4_ctes(source: str) -> str:
+    """The C4 line-rule CTE bodies (explode → line flags → corpus line
+    frequency → kept lines → per-doc rebuild) over any `source` with
+    (doc_id, text) — shared by the text_c4_line_rules oracle and the
+    curation_pipeline_full oracle so the rules cannot drift apart."""
+    return f"""l AS (
   SELECT doc_id, text,
          unnest(string_split(text, chr(10))) AS line,
          generate_subscripts(string_split(text, chr(10)), 1) AS ln
-  FROM aug
+  FROM {source}
 ),
 f AS (
   SELECT doc_id, ln, line, trim(line) AS t,
@@ -113,8 +114,15 @@ per_doc AS (
          CAST(COUNT(*) AS BIGINT) AS n_kept,
          string_agg(line, chr(10) ORDER BY ln) AS cleaned_text
   FROM kept GROUP BY doc_id
-)
-SELECT d.doc_id,
+)"""
+
+
+def duck_c4_doc_sql(source: str, extra_cols: str = "") -> str:
+    """The per-document rebuild SELECT over `source` joined to the
+    per_doc CTE from duck_c4_ctes — (doc_id[, extra_cols], n_lines,
+    n_kept, cleaned_text, c4_pass). `extra_cols` is a raw column list
+    fragment like " d.lang," for pass-through columns."""
+    return f"""SELECT d.doc_id,{extra_cols}
        CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
        CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
        COALESCE(p.cleaned_text, '') AS cleaned_text,
@@ -122,7 +130,15 @@ SELECT d.doc_id,
                   AND NOT contains(d.text, '{{')
                   AND NOT contains(lower(d.text), 'lorem ipsum')
             THEN 1 ELSE 0 END AS BIGINT) AS c4_pass
-FROM aug d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+FROM {source} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+
+
+@register(
+    "text_c4_line_rules",
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_AUG_DUCK} AS text FROM documents),
+{duck_c4_ctes('aug')}
+{duck_c4_doc_sql('aug')}
 """,
     description="C4-style line-level cleaning (Raffel et al. 2020 §2.2): "
     "keep lines ending in terminal punctuation with >=3 words and no "
@@ -140,10 +156,15 @@ def text_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean_frame(docs)
 
 
-def c4_clean_frame(docs: DataFrame) -> DataFrame:
+def c4_clean_frame(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """C4 line-rules over any frame with (doc_id, text) — the reusable
     form behind the registered query (which feeds it the planted-line
     fixture augmentation) and the CLI `c4_clean` doc job (raw text).
+
+    `carry` threads extra source columns (e.g. ("lang",)) through the
+    explode/rebuild so a downstream pipeline stage can keep them
+    WITHOUT joining back to the source (the curation_pipeline_full
+    shape — same contract as gopher_signals_frame's carry).
 
     Scan budget: the classic two-pass frequency shape — one pruned pass
     (tk, site only) builds the corpus line-frequency table, one full
@@ -156,6 +177,7 @@ def c4_clean_frame(docs: DataFrame) -> DataFrame:
     """
     lines = docs.select(
         "doc_id",
+        *carry,
         F.size(F.split("text", "\n")).cast("bigint").alias("n_lines"),
         (
             ~F.col("text").contains("{")
@@ -164,6 +186,7 @@ def c4_clean_frame(docs: DataFrame) -> DataFrame:
         F.posexplode(F.split("text", "\n")).alias("ln0", "line"),
     ).select(
         "doc_id",
+        *carry,
         "n_lines",
         "page_ok",
         (F.col("ln0") + 1).alias("ln"),
@@ -171,6 +194,7 @@ def c4_clean_frame(docs: DataFrame) -> DataFrame:
     )
     flagged = lines.select(
         "doc_id",
+        *carry,
         "n_lines",
         "page_ok",
         "ln",
@@ -199,6 +223,7 @@ def c4_clean_frame(docs: DataFrame) -> DataFrame:
     # collect_list drops nulls, so the conditional struct keeps only
     # surviving lines while the groupBy still sees every document.
     per_doc = joined.groupBy("doc_id").agg(
+        *[F.first(c).alias(c) for c in carry],
         F.first("n_lines").alias("n_lines"),
         F.first("page_ok").alias("page_ok"),
         F.sum(kept_cond.cast("bigint")).alias("n_kept"),
@@ -217,6 +242,7 @@ def c4_clean_frame(docs: DataFrame) -> DataFrame:
     gate = (F.col("n_kept") >= MIN_KEPT_LINES) & F.col("page_ok")
     return per_doc.select(
         "doc_id",
+        *carry,
         "n_lines",
         F.col("n_kept").cast("bigint").alias("n_kept"),
         "cleaned_text",

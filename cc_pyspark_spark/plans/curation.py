@@ -586,3 +586,161 @@ def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------- full curation pipeline: gate → C4 → near-dedup → pack
+
+
+def _duck_pipeline_full_oracle() -> str:
+    """Chained replay of the FULL curation pipeline: Gopher gate (raw
+    text) → planted-line C4 cleaning → exact-Jaccard near-dup pairs
+    over the CLEANED text → recursive-CTE connected components → keep
+    each cluster's min-doc_id survivor → hash train split → greedy
+    packing. The near-dup stage takes the all-pairs exact-Jaccard set
+    as its twin (the dedup_minhash_scale precedent: LSH recall on the
+    fixture is complete — pinned by
+    tests/test_curation_pipeline_full.py::test_pipeline_full_minhash_recall
+    — and verification is exact, so the sets coincide; re-verify before
+    committing regenerated testdata)."""
+    from cc_pyspark_spark.plans.c4 import (  # noqa: PLC0415
+        _AUG_DUCK as C4_AUG_DUCK,
+        duck_c4_ctes,
+        duck_c4_doc_sql,
+    )
+    from cc_pyspark_spark.plans.dedup import (  # noqa: PLC0415
+        _DUCK_SHINGLES,
+        JACCARD_THRESHOLD,
+    )
+    from cc_pyspark_spark.plans.text import (  # noqa: PLC0415
+        GOPHER_GATE_SQL,
+        duck_gopher_stats_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {duck_gopher_stats_ctes('documents')},
+keep AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN s USING (doc_id)
+  WHERE {GOPHER_GATE_SQL}
+),
+aug AS (SELECT doc_id, lang, {C4_AUG_DUCK} AS text FROM keep),
+{duck_c4_ctes('aug')},
+c4doc AS (
+  {duck_c4_doc_sql('aug', ' d.lang,')}
+),
+docs2 AS (
+  SELECT doc_id, lang, cleaned_text AS text FROM c4doc WHERE c4_pass = 1
+),
+t2 AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM docs2),
+sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS s, b_id AS t FROM prs
+  UNION
+  SELECT b_id AS s, a_id AS t FROM prs
+),
+reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.s AS id, re.r AS r FROM edges e JOIN reach re ON re.id = e.t
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+surv AS (
+  SELECT d2.doc_id, d2.lang, d2.text
+  FROM docs2 d2 LEFT JOIN comp c ON d2.doc_id = c.id
+  WHERE c.comp IS NULL OR c.comp = d2.doc_id
+),
+tr AS (
+  SELECT * FROM surv
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+),
+toks AS (
+  SELECT lang, doc_id,
+         CAST(doc_id // {PACK_SHARD} AS BIGINT) AS shard,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM tr
+), {_duck_pack_tail()}
+"""
+
+
+@register(
+    "curation_pipeline_full",
+    oracle=_duck_pipeline_full_oracle(),
+    description="The FULL training-data curation pipeline: Gopher doc gate "
+    "(codegen columns, raw text) -> C4 line cleaning (planted line "
+    "fixture; 8-byte line-frequency shuffle) -> MinHash+LSH near-dedup "
+    "over the CLEANED text (band-bucketed candidates, exact-Jaccard "
+    "verify) -> connected components (min-label propagation) keeping each "
+    "cluster's min-doc_id survivor -> deterministic hash train split -> "
+    "greedy sequence packing. The cleaned corpus is persisted once and "
+    "feeds banding, survivor filter, and packing — two corpus scans total "
+    "(C4's frequency pass + rebuild pass), everything downstream works on "
+    "the gated remnant, which is the composition order a 100 TB run "
+    "needs. Oracle chains the stage oracles with a recursive CTE for the "
+    "clustering",
+    tags=("curation", "dedup", "pipeline"),
+)
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import minhash_lsh_pairs  # noqa: PLC0415
+    from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
+        connected_components,
+    )
+    from cc_pyspark_spark.plans.c4 import (  # noqa: PLC0415
+        _AUG_SPARK as C4_AUG_SPARK,
+        c4_clean_frame,
+    )
+    from cc_pyspark_spark.plans.text import gopher_signals_frame  # noqa: PLC0415
+
+    docs = Catalog(spark, sf_dir).documents
+    # Gate on the RAW text (doc-level quality), then plant the line
+    # fixture on survivors only — the C4 stage and everything after it
+    # never see gated-out documents. `carry` threads lang/text through
+    # both stages so no stage joins back to the source.
+    keep = (
+        gopher_signals_frame(docs, carry=("lang", "text"))
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    aug = keep.select("doc_id", "lang", F.expr(C4_AUG_SPARK).alias("text"))
+    # Persisted: the cleaned corpus feeds minhash banding, the survivor
+    # anti-filter, and packing — at 100 TB this materialization is the
+    # natural checkpoint (it is the post-gate remnant, a fraction of the
+    # input).
+    cleaned = (
+        c4_clean_frame(aug, carry=("lang",))
+        .filter(F.col("c4_pass") == 1)
+        .select("doc_id", "lang", F.col("cleaned_text").alias("text"))
+        .persist()
+    )
+    pairs = minhash_lsh_pairs(cleaned, threshold=0.5)
+    edges = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("t"))
+    # Near-dup clusters are near-cliques (diameter ~1-2) — probe early.
+    comp = connected_components(
+        edges, max_iter=12, probe_every=2, checkpoint_every=2
+    )
+    surv = (
+        cleaned.join(comp, cleaned.doc_id == comp.id, "left")
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "text")
+    )
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = surv.filter(first.isin(*"0123456789ab"))
+    packed = pack_sequences_frame(train)
+    return packed.select(
+        "lang", "shard", "doc_id", "n_tokens", "pack_seq", "pack_offset"
+    )
