@@ -17,4 +17,5 @@ from cc_pyspark_spark.plans import (  # noqa: F401,E402
     similarity,
     text,
     tpch,
+    warcq,
 )

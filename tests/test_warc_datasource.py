@@ -107,3 +107,16 @@ def test_warc_stream_reader_incremental_manifest(spark, corpus, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_registered_warcq_partitioning(spark):
+    """The registered warc_source_payload_digest query reads one
+    InputPartition per derived archive and covers every document."""
+    from cc_pyspark_spark.plans import QUERIES
+    from cc_pyspark_spark.plans.warcq import _N_FILES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["warc_source_payload_digest"].spark(spark, SF_DIR)
+    assert df.rdd.getNumPartitions() == _N_FILES
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert df.count() == docs.count()
