@@ -24,31 +24,25 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
-#: Round-6 delta: dedup_minhash_scale / dedup_simhash_scale now carry
-#: full oracles (plans/scale.py) — their driver rows upgrade from
-#: rows-only to hash-checked in place; text_bpe_token_count (new)
-#: rotates in for url_host_reverse (3 green rows r3-r5).
-#:
-#: Round-3 rotation (VERDICT r2 ask #1): the driver only checks the
-#: first 50 entries, so the list keeps the bench headliners + one
-#: §2-anchor per operator family FIXED and cycles the remaining slots
-#: to names that have never had a driver row. This round's first-time
-#: block (21 names): tpch q7/q8/q9/q11/q12/q15/q16/q20, the three
-#: curation queries past r2's cap, window_distributed_ids, the three
-#: deployment-path dedup twins (minhash/simhash scale rows-only,
-#: embedding_scale fully oracled), and the six r3-new queries
-#: (dedup_cluster_canonical, url_tld_validation_counts,
-#: curation_split_assign, text_gopher_rules, dedup_url_normalize,
-#: curation_pack_sequences) — plus the four late-r3 additions
-#: (merge_upsert, text_html_extract, multimodal_decode_resize,
-#: multimodal_audio_features), which take the slots of four relational
-#: family reps that already hold TWO green driver rows (r1+r2):
-#: project_computed, agg_distinct_pairs, window_dense_ids, topk_global.
-#: After this round ZERO registered queries have never had a driver
-#: row. Every displaced name keeps its green local DuckDB-parity
-#: pytest and its prior driver rows.
+#: Round-7 rotation (VERDICT r6 ask #3): 56 queries were last
+#: driver-checked in r1/r2; this round rotates 23 of the oldest back
+#: through the window — the five r2 TPC-H stragglers plus the
+#: relational agg/join/set-op/window families — displacing r6-green
+#: rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the multimodal trio, the
+#: events join pair, merge_upsert, text_html_extract,
+#: dedup_substring_spans, window_distributed_ids, four curation
+#: micro-queries, url_tld_validation_counts, scan_filter_project,
+#: sql_passthrough). Still-stale residue for r8/r9 (32 names): the r1
+#: function suites (array/conditional/date/filter_in_like/
+#: json_extract/subquery_correlated, join_merge_hint, events_sliding,
+#: events_user_trend) and the 23 non-TPC-H r2 names. The fixed block
+#: is exactly bench.HEADLINERS (24 after the r7 PQ additions) plus the
+#: three queries changed this round, which need fresh rows: the 64-bit
+#: dedup_simhash_pairs, curation_pipeline_full, and the
+#: format("warc") DataSource query. Every displaced name keeps its
+#: green local DuckDB-parity pytest and its prior driver rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # TPC-H bench headliners (fixed)
+    # -- bench headliners (fixed; must stay inside the driver cap) --
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q4_late_shipments",
@@ -58,89 +52,53 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q14_promo_revenue",
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive",
-    # TPC-H first-time-checked rotation block
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_potential_promotion",
-    # LLM-pipeline: dedup — deployment twins, first driver rows
+    "text_word_count_tfdf",
     "dedup_exact",
     "dedup_minhash_scale",
     "dedup_simhash_scale",
     "dedup_embedding_scale",
-    # LLM-pipeline: text analysis (word count is the benched anchor; the
-    # token/quality/tfidf micro-queries earned their r2 driver rows and
-    # cede three slots to the r3-new queries below, leaving ZERO
-    # registered queries that have never had a driver row)
-    "text_word_count_tfdf",
-    # r6: the new BPE-tokenizer query takes url_host_reverse's slot
-    # (r3+r4+r5 green rows; family still covered by
-    # url_tld_validation_counts + dedup_url_normalize)
-    "text_bpe_token_count",
-    # r6: dedup_cluster_canonical (r3-r5 green; clustering evidence
-    # stays in pytest + the dedup family anchors) cedes its slot to the
-    # new PQ-ADC search query (first driver row)
-    "sim_ann_pq_adc",
-    "url_tld_validation_counts",
-    # r6: curation_split_assign (r3-r5 green; sampling family covered by
-    # reservoir, split logic re-checked inside curation_pipeline_e2e)
-    # cedes its slot to the BPE-capacity packing query (first row)
-    "curation_pack_sequences_bpe",
-    "text_gopher_rules",
-    # r6: dedup_url_normalize (r3-r5 green; URL family anchored by
-    # url_tld_validation_counts) cedes its slot to the new data-mixing
-    # weights query (first driver row)
-    "curation_mix_weights",
-    "curation_pack_sequences",
-    # LLM-pipeline: similarity / embeddings (fixed); r6:
-    # embedding_quantize_int8 (r3-r5 green, family covered by the two
-    # sim_* anchors) cedes its slot to the composed e2e pipeline, which
-    # is also benched
     "sim_cosine_topk",
     "sim_ann_ivf",
-    "curation_pipeline_e2e",
-    # events / time-series (fixed)
     "events_tumbling_hourly",
     "events_session_window",
-    "events_asof_join",
-    "events_range_join",
-    # LLM-pipeline: curation; r6: curation_hash_sample (r3-r5 green,
-    # family covered by reservoir + split_assign) cedes its slot to the
-    # new C4 line-rules query (first driver row)
-    "curation_pii_redact",
-    "text_c4_line_rules",
-    "curation_reservoir_per_lang",
-    # window scale path — first driver row
-    "window_distributed_ids",
-    # multimodal (blob stats fixed; decode/audio are late-r3 first rows)
-    "multimodal_blob_stats",
-    "multimodal_decode_resize",
-    "multimodal_audio_features",
-    # late-r3 additions — first driver rows
-    "merge_upsert",
-    "text_html_extract",
-    "dedup_substring_spans",
-    # r6: dedup_semantic_clustered (r3-r5 green; embedding-dedup family
-    # anchored by dedup_embedding_scale) cedes its slot to the new
-    # product-quantization query (first driver row)
+    "text_gopher_rules",
+    "curation_pack_sequences",
+    "text_bpe_token_count",
+    "curation_pipeline_e2e",
     "embedding_pq_codes",
-    # r6: text_token_rarity (r3-r5 green; text family covered by
-    # word_count/gopher/bpe/c4) cedes its slot to the new guaranteed-
-    # recall SimHash pairing query (first driver row)
+    "sim_ann_pq_adc",
+    # -- changed this round: need fresh driver rows --
+    # 64-bit signatures + 16-bit pigeonhole chunks (r6 ask #1)
     "dedup_simhash_pairs",
-    # relational core — representatives (fixed); project_computed /
-    # agg_distinct_pairs / window_dense_ids / topk_global (r1+r2 rows)
-    # ceded slots to the late-r3 block, then join_inner_dims /
-    # agg_count_by_key / window_topn_per_group (also r1+r2 green, and
-    # their families stay covered by merge_upsert / events joins /
-    # word-count aggs / window_distributed_ids) ceded to the three
-    # newest LLM-pipeline queries above
-    "scan_filter_project",
-    "sql_passthrough",
+    # gate -> C4 -> minhash-dedup -> split -> pack (r6 ask #4)
+    "curation_pipeline_full",
+    # Spark-4 Python Data Source API path (r6 ask #7)
+    "warc_source_payload_digest",
+    # -- r7 rotation block: oldest driver rows (r1/r2) re-checked --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # first row on the new within-bound oracle (r6 ask #2)
+    "agg_approx_count_distinct",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_pivot_status",
+    "agg_rollup",
+    "join_anti",
+    "join_full_outer",
+    "join_left_outer_count",
+    "join_semi",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "window_lag_delta",
+    "window_range_frame",
+    "window_rank_suite",
+    "window_running_sum",
 )
 
 

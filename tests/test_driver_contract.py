@@ -47,30 +47,33 @@ def test_rotation_brings_first_time_names():
 
 
 def test_headliners_inside_driver_cap():
-    """Fixed anchors: every benched query + one per §2 family keeps a
-    permanent driver slot; rotation only cycles the remaining slots."""
+    """Fixed anchors: every benched query keeps a permanent driver
+    slot, and queries whose semantics changed this round must get a
+    fresh driver row; rotation only cycles the remaining slots.
+
+    r7: the former §2-family anchors (scan_filter_project,
+    sql_passthrough, multimodal_blob_stats, events_asof_join,
+    events_range_join) hold r6-green rows and ceded their slots to the
+    r1/r2 rotation block (VERDICT r6 ask #3); their families stay
+    covered by the benched headliners + pytest."""
     first = set(list(e.queries())[:DRIVER_CAP])
     import bench
 
     must_have = set(bench.HEADLINERS)
     must_have |= {
-        # §2 family representatives
-        "scan_filter_project",
-        "sql_passthrough",
-        # agg_collect_sorted_list / set_union_distinct / string_functions
-        # (r2), project_computed / agg_distinct_pairs / window_dense_ids /
-        # topk_global / join_inner_dims / agg_count_by_key /
-        # window_topn_per_group (r3), and url_host_reverse (r6) earned
-        # their driver rows and ceded their slots to first-time queries.
-        "text_bpe_token_count",
-        # beyond-reference family representatives (r6:
-        # embedding_quantize_int8 earned r3-r5 rows and ceded its slot
-        # to the benched curation_pipeline_e2e)
-        "sim_cosine_topk",
-        "sim_ann_ivf",
-        "multimodal_blob_stats",
-        "events_asof_join",
-        "events_range_join",
+        # changed in r7 — 64-bit SimHash banding, the composed full
+        # pipeline, the format("warc") DataSource path, and the new
+        # within-bound HLL oracle all need fresh driver rows
+        "dedup_simhash_pairs",
+        "curation_pipeline_full",
+        "warc_source_payload_digest",
+        "agg_approx_count_distinct",
+        # r7 rotation block representatives (stalest rows: r1/r2)
+        "tpch_q2_min_cost_supplier",
+        "tpch_q13_customer_distribution",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q21_waiting_supplier",
+        "tpch_q22_global_sales_opportunity",
     }
     assert must_have <= first, sorted(must_have - first)
 
