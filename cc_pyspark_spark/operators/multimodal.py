@@ -11,10 +11,14 @@ Decode tiers:
   JPEG / WEBP / TIFF / netpbm (width/height live in fixed or token
   header fields; no codec library needed).
 * pixels — REAL numpy decode for 24-bit BI_RGB BMP, binary PPM/PGM,
-  and (r6) non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA)
-  via stdlib zlib inflate + scanline unfiltering — no codec library.
-  Remaining compressed formats (JPEG/GIF/palette-PNG/video) would need
-  a codec the container doesn't ship, so those rows degrade to null
+  non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) via stdlib
+  zlib inflate + scanline unfiltering, and (r7) non-interlaced GIF via
+  a pure-Python GIF-flavor LZW decoder (variable code width, clear /
+  EOI handling, global or local color table) — no codec library.
+  JPEG stays header-only: baseline JPEG needs Huffman + IDCT, for
+  which the stdlib has no route (zlib is DEFLATE-only) — a pure-Python
+  IDCT would be a codec re-implementation, not plumbing; a real
+  deployment swaps in Pillow here. JPEG/video rows degrade to null
   (skip-and-count) or use the `fake=True` stub. The Spark-side
   plumbing — schema, batch shape, UDF signature, partition behavior —
   is identical either way; swapping in Pillow/ffmpeg is a
@@ -228,11 +232,12 @@ def decode_pixels(blob: bytes) -> "np.ndarray | None":
     """Real pixel decode, stdlib + numpy — no codec library.
 
     Supported: uncompressed 24-bit BI_RGB BMP (top-down and bottom-up),
-    binary netpbm (P6 PPM color, P5 PGM gray), and non-interlaced
+    binary netpbm (P6 PPM color, P5 PGM gray), non-interlaced
     8-bit-depth PNG (color types 0/2/4/6) via zlib inflate + scanline
-    unfilter. Returns an HxWx3 uint8 RGB array (alpha dropped, gray
-    replicated), or None for anything else (JPEG/GIF/palette-PNG need
-    a codec library the container doesn't ship).
+    unfilter, and non-interlaced GIF (first frame, global or local
+    color table) via pure-Python LZW. Returns an HxWx3 uint8 RGB array
+    (alpha dropped, gray replicated, palette applied), or None for
+    anything else (JPEG needs Huffman+IDCT — no stdlib route).
     """
     if blob is None or len(blob) < 12:
         return None
@@ -242,6 +247,123 @@ def decode_pixels(blob: bytes) -> "np.ndarray | None":
         return _decode_pnm(blob)
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(blob)
+    return None
+
+
+def _gif_lzw(data: bytes, mcs: int, expected: int) -> "list[int] | None":
+    """GIF-flavor LZW decode → `expected` palette indices, or None.
+
+    Variable code width starting at mcs+1 and growing to 12 bits as
+    the dictionary fills; CLEAR resets the dictionary, EOI ends the
+    stream (a stream that fills `expected` without an explicit EOI is
+    accepted — some writers omit it). Codes are packed LSB-first
+    (GIF Appendix F), the opposite bit order of TIFF LZW.
+    """
+    if not (2 <= mcs <= 11):
+        return None
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base: list[tuple[int, ...] | None] = [(i,) for i in range(clear)]
+    base += [None, None]  # clear / eoi slots
+    table = list(base)
+    width = mcs + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out if len(out) == expected else None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # the KwKwK case
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            return None
+        # grow when the next code would not fit (deferred-clear safe:
+        # at 12 bits the width pins and the encoder must emit CLEAR)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)  # type: ignore[arg-type]
+        prev = entry
+        if len(out) > expected:
+            return None
+    return out if len(out) == expected else None
+
+
+def _decode_gif(blob: bytes) -> "np.ndarray | None":
+    """First image frame of a non-interlaced GIF87a/89a as HxWx3 RGB."""
+    if len(blob) < 13:
+        return None
+    packed = blob[10]
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 3 * (1 << ((packed & 7) + 1))
+        gct = blob[pos : pos + n]
+        if len(gct) < n:
+            return None
+        pos += n
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: introducer + label + sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(blob):
+                return None
+            w, h, ipacked = struct.unpack("<HHB", blob[pos + 5 : pos + 10])
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 3 * (1 << ((ipacked & 7) + 1))
+                ct = blob[pos : pos + n]
+                if len(ct) < n:
+                    return None
+                pos += n
+            if ipacked & 0x40:  # Adam-style interlace row order: out of scope
+                return None
+            if ct is None or w <= 0 or h <= 0 or pos >= len(blob):
+                return None
+            mcs = blob[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw(bytes(data), mcs, w * h)
+            if idx is None:
+                return None
+            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+            ia = np.asarray(idx, np.int64).reshape(h, w)
+            if int(ia.max(initial=0)) >= pal.shape[0]:
+                return None
+            return np.ascontiguousarray(pal[ia])
+        else:  # trailer (0x3B) or junk before any image frame
+            return None
     return None
 
 

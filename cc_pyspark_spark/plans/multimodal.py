@@ -72,16 +72,38 @@ FROM r
 """
 
 
+#: Fixed GIF scaffolding for the decode_resize fixture: a 4x3 GIF89a
+#: whose 16-entry global color table starts with the 36 raster bytes
+#: (entries 12-15 pad with zeros) and whose pixel indices are the
+#: constant sequence 0..11 — so decoded RGB == the raster bytes, the
+#: same pixels the P6 branch yields, and the oracle is format-blind.
+#: The LZW data block is the constant code stream
+#: [CLEAR, 0..11, EOI] packed LSB-first at 5-bit width (table stays
+#: below 32 entries, so the width never grows): 9 bytes.
+_GIF_PREFIX = b"GIF89a" + bytes.fromhex("04000300830000")  # 4x3, GCT 16
+_GIF_LZW_TAIL = bytes.fromhex("10043148310725b522")
+_GIF_SUFFIX = (
+    b"\x00" * 12  # color-table entries 12..15 (unused)
+    + b"\x2c" + bytes.fromhex("000000000400030000")  # descriptor 4x3
+    + bytes([4])  # LZW min code size
+    + bytes([len(_GIF_LZW_TAIL)]) + _GIF_LZW_TAIL
+    + b"\x00\x3b"  # block terminator + trailer
+)
+
+
 @register(
     "multimodal_decode_resize",
     oracle=_resize_oracle(),
-    description="Real pixel pipeline over synthesized netpbm blobs: each "
-    "doc's md5 bytes become a 4x3 P6 raster, decoded and nearest-"
-    "neighbor-resized to 8x6 by numpy inside Arrow-batched mapInPandas "
-    "(operators/multimodal.py decode_pixels/resize_nearest — no codec "
-    "library, no shuffle); output is the resized raster as hex, which "
-    "the DuckDB oracle recomputes independently as a hex-pair "
-    "rearrangement of the md5-derived source raster",
+    description="Real pixel pipeline over synthesized image blobs: each "
+    "doc's md5 bytes become a 4x3 raster, shipped as a P6 netpbm blob "
+    "(even doc_id) or an LZW-compressed GIF89a whose palette carries the "
+    "raster (odd doc_id) — decoded (incl. real pure-Python GIF LZW) and "
+    "nearest-neighbor-resized to 8x6 by numpy inside Arrow-batched "
+    "mapInPandas (operators/multimodal.py decode_pixels/resize_nearest — "
+    "no codec library, no shuffle); output is the resized raster as hex, "
+    "which the DuckDB oracle recomputes independently as a hex-pair "
+    "rearrangement of the md5-derived source raster, identical for both "
+    "container formats",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,11 +122,11 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         36,
     )
+    p6 = F.concat(F.expr("encode('P6 4 3 255 ', 'UTF-8')"), raster)
+    gif = F.concat(F.lit(_GIF_PREFIX), raster, F.lit(_GIF_SUFFIX))
     blobs = t.documents.select(
         F.col("doc_id").alias("blob_id"),
-        F.concat(F.expr("encode('P6 4 3 255 ', 'UTF-8')"), raster).alias(
-            "blob"
-        ),
+        F.when(F.col("doc_id") % 2 == 1, gif).otherwise(p6).alias("blob"),
     )
     resized = resize_images(blobs, 8, 6)
     return resized.select(
