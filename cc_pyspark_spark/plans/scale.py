@@ -17,6 +17,16 @@ Oracle status (r6, previously rows-only):
   asserted by tests/test_scale_dedup.py::test_scale_minhash_full_recall
   so drift fails locally first). Under full recall the output *equals*
   the all-pairs exact-Jaccard set, which IS ANSI-SQL-expressible.
+
+  TESTDATA REGENERATION PROCEDURE (this oracle is a pinned invariant,
+  not a theorem): a regenerated documents fixture could plant a
+  borderline pair just above Jaccard 0.5 that banding misses. Before
+  committing new testdata: (1) run test_scale_minhash_full_recall and
+  test_curation_pipeline_full.py::test_pipeline_full_minhash_recall at
+  BOTH driver SFs — if either fails, the fixture has a borderline pair
+  and either the banding parameters or this oracle must change;
+  (2) re-run scripts/gen_simhash_fixture.py (the simhash oracles pin
+  that committed fixture).
 * ``dedup_simhash_scale`` — determinism-pin oracle: the signature bits
   come from Spark's xxhash64, which DuckDB cannot replay, so the oracle
   joins md5(text) to a committed fixture generated once by

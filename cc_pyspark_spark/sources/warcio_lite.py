@@ -240,7 +240,10 @@ class _ArcAssembler:
                 self._abs += s - self._start
                 self._start = s
                 break  # header line incomplete — wait
-            fields = bytes(buf[s:nl]).split(b" ")
+            # CRLF-terminated ARC header lines occur in the wild (and
+            # warcio tolerates them) — strip the \r or int(fields[-1])
+            # below rejects the whole archive (ADVICE r6).
+            fields = bytes(buf[s:nl]).rstrip(b"\r").split(b" ")
             if len(fields) not in (5, 10):
                 self._dead = True  # not an ARC header line: stop (tolerant)
                 break

@@ -51,7 +51,18 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         schema = spark.read.parquet(events_dir).schema
-    except Exception:  # noqa: BLE001 — no files yet: cold start
+    except Exception as ex:  # noqa: BLE001
+        # Only the genuine cold-start cases fall back to the default
+        # schema: a missing landing directory or one with no readable
+        # footers yet. Anything else (corrupt files, mixed schemas)
+        # must fail HERE, at setup — not later, mid-stream, far from
+        # the root cause (ADVICE r6).
+        marker = getattr(ex, "getErrorClass", lambda: None)() or str(ex)
+        if not any(
+            tag in str(marker)
+            for tag in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        ):
+            raise
         schema = DEFAULT_EVENT_SCHEMA
     raw = spark.readStream.schema(schema).parquet(events_dir)
     ts_type = schema["ts"].dataType

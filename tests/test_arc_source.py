@@ -189,3 +189,28 @@ def test_arc_roundtrip_property(payloads, gz):
         assert rec.rec_type == "response"
         assert rec.target_uri == url
         assert rec.payload == body
+
+
+def test_arc_crlf_header_lines():
+    """CRLF-terminated ARC header lines parse like warcio's reader does
+    (ADVICE r6): the trailing \\r must not corrupt the length field or
+    fail the whole archive."""
+    filedesc_body = b"1 0 TestOrg\nURL IP Date CT AL\n"
+    recs_bytes = [
+        b"filedesc://t.arc 0.0.0.0 20240101000000 text/plain "
+        + str(len(filedesc_body)).encode()
+        + b"\r\n"
+        + filedesc_body
+    ]
+    for url, body in BODIES:
+        hdr = (
+            f"{url} 1.2.3.4 20240102030405 text/html {len(body)}\r\n"
+        ).encode()
+        recs_bytes.append(hdr + body)
+    data = b"\n".join(recs_bytes) + b"\n"
+    recs = list(iter_warc_records(io.BytesIO(data), parse_http=False))
+    assert len(recs) == 1 + len(BODIES)
+    for rec, (url, body) in zip(recs[1:], BODIES):
+        assert rec.rec_type == "response"
+        assert rec.target_uri == url
+        assert rec.payload == body

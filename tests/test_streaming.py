@@ -122,6 +122,16 @@ def test_stream_events_cold_start_empty_dir(spark, tmp_path):
     assert spark.sql("SELECT * FROM cold_start_test").count() == 0
 
 
+def test_stream_events_corrupt_file_fails_at_setup(spark, tmp_path):
+    """A landing directory with an unreadable file must fail schema
+    inference AT SETUP — not silently fall back to the default schema
+    and surface the mismatch mid-stream (ADVICE r6)."""
+    (tmp_path / "junk.parquet").write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception) as exc:
+        stream_events(spark, str(tmp_path))
+    assert "PATH_NOT_FOUND" not in str(exc.value)
+
+
 def test_streaming_sliding_matches_batch(spark, events_dir, max_ts_epoch):
     from cc_pyspark_spark.streaming.windows import sliding_counts
 
