@@ -25,7 +25,7 @@ from cc_pyspark_spark.plans import QUERIES
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
 #: Round-7 rotation (VERDICT r6 ask #3): 56 queries were last
-#: driver-checked in r1/r2; this round rotates 23 of the oldest back
+#: driver-checked in r1/r2; this round rotates 21 of the oldest back
 #: through the window — the five r2 TPC-H stragglers plus the
 #: relational agg/join/set-op/window families — displacing r6-green
 #: rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the multimodal trio, the
@@ -37,9 +37,12 @@ from cc_pyspark_spark.plans import QUERIES
 #: json_extract/subquery_correlated, join_merge_hint, events_sliding,
 #: events_user_trend) and the 23 non-TPC-H r2 names. The fixed block
 #: is exactly bench.HEADLINERS (24 after the r7 PQ additions) plus the
-#: three queries changed this round, which need fresh rows: the 64-bit
-#: dedup_simhash_pairs, curation_pipeline_full, and the
-#: format("warc") DataSource query. Every displaced name keeps its
+#: queries changed or added this round, which need fresh rows: the
+#: 64-bit dedup_simhash_pairs, curation_pipeline_full, the
+#: format("warc") DataSource query, and the new mergeable-sketch pair
+#: (agg_hll_sketch_union / agg_count_min_heavy_hitters — displacing the
+#: agg_count_distinct and set_union_all twins, whose families keep
+#: window slots). Every displaced name keeps its
 #: green local DuckDB-parity pytest and its prior driver rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- bench headliners (fixed; must stay inside the driver cap) --
@@ -82,7 +85,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q22_global_sales_opportunity",
     # first row on the new within-bound oracle (r6 ask #2)
     "agg_approx_count_distinct",
-    "agg_count_distinct",
+    # -- new in r7: mergeable sketches (first driver rows) --
+    "agg_hll_sketch_union",
+    "agg_count_min_heavy_hitters",
     "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
@@ -94,7 +99,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_semi",
     "set_except",
     "set_intersect",
-    "set_union_all",
     "window_lag_delta",
     "window_range_frame",
     "window_rank_suite",

@@ -15,6 +15,7 @@ from cc_pyspark_spark.plans import (  # noqa: F401,E402
     relational,
     scale,
     similarity,
+    sketches,
     text,
     tpch,
     warcq,

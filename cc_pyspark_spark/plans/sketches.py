@@ -1,0 +1,196 @@
+"""Mergeable-sketch operators — the re-aggregation story at 100 TB.
+
+Beyond-reference: the reference (word_count.py, server_count.py) always
+re-scans raw records to answer cardinality/frequency questions. At
+100 TB the deployment pattern is *pre-aggregated mergeable sketches*:
+each ingest shard persists a small sketch, and any later rollup merges
+sketches without touching raw data. Two families:
+
+* ``agg_hll_sketch_union`` — HyperLogLog (Apache DataSketches HLL via
+  Spark's ``hll_sketch_agg``/``hll_union_agg``): per-(lang, source)
+  shard sketches are built in one partial aggregation, then *merged*
+  per lang — the union path a warehouse rollup would run daily over
+  stored shard sketches. The raw estimate is engine-specific, so the
+  oracle follows the ``agg_approx_count_distinct`` convention: emit the
+  exact distinct count plus a within-bound boolean and assert TRUE.
+
+* ``agg_count_min_heavy_hitters`` — a count-min sketch built as pure
+  DataFrame algebra (polynomial row hashes in Catalyst higher-order
+  functions, one (row, bucket) hash aggregation). Because every step is
+  exact integer arithmetic, DuckDB replays the *identical* sketch and
+  the estimates themselves are hash-compared — a full-value oracle for
+  an approximate structure. depth×width is the scale knob: the sketch
+  is 4×1024 longs regardless of corpus size, and merging shard sketches
+  is elementwise addition (the same groupBy(i, b) SUM that builds it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.catalog import Catalog
+from cc_pyspark_spark.functions.text import TOKEN_PATTERN, tokenize
+from cc_pyspark_spark.plans.registry import register
+
+_DUCK_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+#: Count-min parameters. P is the shared polynomial-hash modulus
+#: (matches ROLL_P in plans/text.py); W buckets per row, D hash rows.
+#: Row-i hash is ((base * (131 + 2i) + 17 + 31i) mod P) mod W — all
+#: intermediates < 1.4e11, safe under ANSI bigint arithmetic in both
+#: engines.
+CM_P = 1_000_000_007
+CM_W = 1024
+CM_D = 4
+CM_TOP = 20
+
+
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_shards,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_fps,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS within_2pct
+FROM documents GROUP BY 1
+""",
+    description="Mergeable HLL rollup (beyond-reference): per-(lang, source) "
+    "shard sketches over md5 content fingerprints, merged per lang with "
+    "hll_union_agg — the persist-shard-sketches / merge-later pattern for "
+    "100 TB distinct counts. Estimate is engine-specific, so the gate "
+    "follows the approx_count_distinct convention: exact count + "
+    "within-bound boolean (lgConfigK=14 → ~0.8% rsd, asserted at 2%)",
+    tags=("agg", "sketch"),
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    base = t.documents.select(
+        "lang", "source", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    # Stage 1: one sketch per ingest shard (what each writer would
+    # persist); stage 2: merge per lang (what the rollup would run).
+    shard = base.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("fp", F.lit(14)).alias("sk")
+    )
+    merged = shard.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("__approx"),
+        F.count("*").alias("n_shards"),
+    )
+    exact = base.groupBy("lang").agg(
+        F.count_distinct("fp").alias("exact_fps"),
+        F.count("*").alias("n_docs"),
+    )
+    tol = F.col("exact_fps").cast("double") * F.lit(0.02)
+    err = F.abs(F.col("__approx") - F.col("exact_fps")).cast("double")
+    return merged.join(exact, "lang").select(
+        "lang", "n_shards", "exact_fps", "n_docs", (err <= tol).alias("within_2pct")
+    )
+
+
+def _char_hash_spark(col: str) -> str:
+    """SQL expr: polynomial char fold of ``col`` mod CM_P (Catalyst
+    higher-order functions; same fold as text_rolling_fingerprint)."""
+    return (
+        f"aggregate(sequence(1, length({col})), 0L, "
+        f"(a, i) -> (a * 131 + ascii(substr({col}, i, 1))) % {CM_P})"
+    )
+
+
+_DUCK_CHAR_HASH = f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(token) + 1),
+                   i -> ascii(substr(token, i, 1)))),
+    (a, c) -> (a * 131 + c) % {CM_P})"""
+
+
+@register(
+    "agg_count_min_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+), tc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc),
+hb AS (
+  SELECT token, c, {_DUCK_CHAR_HASH} AS h FROM tc
+), buckets AS (
+  SELECT token, c, i,
+         ((h * (131 + 2 * i) + 17 + 31 * i) % {CM_P}) % {CM_W} AS b
+  FROM hb CROSS JOIN (SELECT unnest(range(0, {CM_D})) AS i)
+), sketch AS (
+  SELECT i, b, CAST(SUM(c) AS BIGINT) AS cnt FROM buckets GROUP BY 1, 2
+), top AS (
+  SELECT token, c AS exact FROM tc ORDER BY c DESC, token LIMIT {CM_TOP}
+), probed AS (
+  SELECT t.token, t.exact, MIN(s.cnt) AS est
+  FROM top t
+  JOIN buckets bk ON bk.token = t.token
+  JOIN sketch s ON s.i = bk.i AND s.b = bk.b
+  GROUP BY 1, 2
+)
+SELECT token, exact, est,
+       est >= exact AND est <= exact + (SELECT 2 * n // {CM_W} FROM tot)
+         AS bound_ok
+FROM probed
+""",
+    description="Count-min sketch heavy hitters (beyond-reference): depth-4 × "
+    "width-1024 sketch built as one hash aggregation over deterministic "
+    "polynomial row hashes; top-20 exact tokens probed back (min over rows). "
+    "Every step is exact integer algebra, so the oracle replays the "
+    "IDENTICAL sketch in DuckDB and the estimates are hash-compared — a "
+    "full-value gate on an approximate structure. Sketch size is 4×1024 "
+    "longs independent of corpus size; shard merge = elementwise addition",
+    tags=("agg", "sketch"),
+)
+def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    tc = (
+        t.documents.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    hb = tc.withColumn("h", F.expr(_char_hash_spark("token")))
+    buckets = hb.select(
+        "token",
+        "c",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.col("h") * (131 + 2 * i) + (17 + 31 * i)) % CM_P) % CM_W
+                    for i in range(CM_D)
+                ]
+            )
+        ).alias("i", "b"),
+    )
+    sketch = buckets.groupBy("i", "b").agg(F.sum("c").alias("cnt"))
+    top = (
+        tc.orderBy(F.desc("c"), "token")
+        .limit(CM_TOP)
+        .select("token", F.col("c").alias("exact"))
+    )
+    # Probe: each (token, i) hits exactly one bucket; the sketch is
+    # 4×1024 rows → broadcast both small sides of the probe join.
+    probe = (
+        F.broadcast(top)
+        .join(buckets.select("token", "i", "b"), "token")
+        .join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("token", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    total = tc.agg(F.sum("c").alias("n"))
+    return (
+        probe.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "exact",
+            "est",
+            (
+                (F.col("est") >= F.col("exact"))
+                & (
+                    F.col("est")
+                    <= F.col("exact") + F.expr(f"2 * n div {CM_W}")
+                )
+            ).alias("bound_ok"),
+        )
+    )
