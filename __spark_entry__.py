@@ -85,9 +85,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q22_global_sales_opportunity",
     # first row on the new within-bound oracle (r6 ask #2)
     "agg_approx_count_distinct",
-    # -- new in r7: mergeable sketches (first driver rows) --
+    # -- new in r7: mergeable sketches + hypertable rollup (first rows) --
     "agg_hll_sketch_union",
     "agg_count_min_heavy_hitters",
+    "events_hypertable_rollup",
     "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
@@ -102,7 +103,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_lag_delta",
     "window_range_frame",
     "window_rank_suite",
-    "window_running_sum",
 )
 
 

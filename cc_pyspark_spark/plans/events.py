@@ -301,3 +301,80 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_10m"),
         F.count("*").over(w).cast("bigint").alias("n_10m"),
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+WITH m AS (
+  SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS bucket_start,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT '1m' AS resolution, bucket_start, event_type, n,
+       CAST(s AS DOUBLE) AS sum_value
+FROM m
+UNION ALL
+SELECT '1h', CAST(bucket_start // 3600 * 3600 AS BIGINT), event_type,
+       CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS DOUBLE)
+FROM m GROUP BY 2, 3
+UNION ALL
+SELECT '1d', CAST(bucket_start // 86400 * 86400 AS BIGINT), event_type,
+       CAST(SUM(n) AS BIGINT), CAST(SUM(s) AS DOUBLE)
+FROM m GROUP BY 2, 3
+""",
+    description="Hypertable-style multi-resolution rollup (beyond-reference, "
+    "TimescaleDB continuous-aggregate shape): the minute grain is aggregated "
+    "ONCE from raw events; hour and day grains re-aggregate the minute "
+    "rollup, never the raw table. Counts and exact DECIMAL sums are "
+    "re-aggregable monoids, so the hierarchy is bit-identical to direct "
+    "grouping — the oracle's coarse grains likewise fold the minute CTE. "
+    "At 100 TB each grain is a stored table refreshed incrementally; here "
+    "the three grains share one scan via Spark exchange reuse (plan-pinned)",
+    tags=("events", "window", "rollup"),
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    minute = (
+        t.events.groupBy(
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias(
+                "bucket_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+    )
+
+    def _coarsen(df: DataFrame, seconds: int, tag: str) -> DataFrame:
+        return (
+            df.groupBy(
+                (F.col("bucket_start") - F.col("bucket_start") % seconds).alias(
+                    "bucket_start"
+                ),
+                "event_type",
+            )
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+            .select(
+                F.lit(tag).alias("resolution"),
+                "bucket_start",
+                "event_type",
+                "n",
+                F.col("s").cast("double").alias("sum_value"),
+            )
+        )
+
+    fine = minute.select(
+        F.lit("1m").alias("resolution"),
+        "bucket_start",
+        "event_type",
+        "n",
+        F.col("s").cast("double").alias("sum_value"),
+    )
+    hour = _coarsen(minute, 3600, "1h")
+    day = _coarsen(minute, 86400, "1d")
+    return fine.unionByName(hour).unionByName(day)

@@ -311,3 +311,14 @@ def test_pq_codes_broadcast_no_window(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_hypertable_rollup_reuses_minute_exchange(spark):
+    """The hour/day grains must re-aggregate the minute rollup's
+    shuffle output, not re-scan raw events: after AQE finalizes, the
+    two coarse branches show ReusedExchange over the minute agg's
+    exchange (one raw-events scan powers all three grains)."""
+    df = QUERIES["events_hypertable_rollup"].spark(spark, SF_DIR)
+    df.collect()  # AQE decides reuse at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") == 2, plan
