@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_hll_sketch_union",
     "agg_count_min_heavy_hitters",
     "events_hypertable_rollup",
+    "text_bigram_lm_score",
     "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
@@ -96,7 +97,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "join_anti",
     "join_full_outer",
-    "join_left_outer_count",
     "join_semi",
     "set_except",
     "set_intersect",

@@ -870,3 +870,98 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select(
         "doc_id", token_count_udf()(F.col("text")).alias("n_tokens")
     ).orderBy("doc_id")
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tok
+), bg AS (
+  SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+), scored AS (
+  SELECT bg.doc_id, bg.pos,
+         CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE) AS p
+  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+          JOIN c1 ON bg.w1 = c1.w1
+          CROSS JOIN vocab
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(p ORDER BY pos)),
+                     (a, x) -> a + x) AS sum_p
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams,
+       sum_p / CAST(n_bigrams AS DOUBLE) AS mean_p
+FROM agg
+""",
+    description="Corpus-trained bigram LM scoring (beyond-reference, "
+    "CCNet-style quality signal): Laplace-smoothed conditional "
+    "probabilities P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) trained in two hash "
+    "aggregations, scored back onto every document as the mean next-token "
+    "probability. Determinism contract: probabilities use only "
+    "exactly-specified IEEE ops (integer casts + one division — ln() is "
+    "NOT bit-stable across engines), and the per-doc sum folds a "
+    "position-sorted array (F.aggregate / list_reduce) so partial-agg "
+    "order can never perturb the double. Train+score is two shuffles on "
+    "(w1,w2)/(w1) plus a scalar vocab broadcast",
+    tags=("text", "lm"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    docs = t.documents.select("doc_id", tokenize("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("pos", "s"),
+    ).select("doc_id", "pos", "s.w1", "s.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # Full-corpus vocabulary (including <2-token docs, as the oracle's
+    # `tok` CTE does) — V is the Laplace denominator offset.
+    vocab = (
+        t.documents.select(F.explode(tokenize("text")).alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("sum_p"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("sum_p") / F.col("n_bigrams").cast("double")).alias("mean_p"),
+    )

@@ -1,0 +1,79 @@
+"""Bigram-LM scoring invariants (plans/text.py text_bigram_lm_score).
+
+Oracle parity (bit-identical doubles) is covered by
+test_oracle_parity.py; partition invariance of the sorted float fold by
+test_partition_invariance.py. Here: the probabilistic structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.catalog import Catalog
+from cc_pyspark_spark.functions.text import tokenize
+from cc_pyspark_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_lm_scores_are_probabilities(spark):
+    rows = QUERIES["text_bigram_lm_score"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.mean_p <= 1.0, (r.doc_id, r.mean_p)
+        assert r.n_bigrams >= 1
+
+
+def test_lm_bigram_count_matches_token_count(spark):
+    t = Catalog(spark, SF_DIR)
+    ntok = {
+        r.doc_id: r.n
+        for r in t.documents.select(
+            "doc_id", F.size(tokenize("text")).alias("n")
+        ).collect()
+    }
+    out = QUERIES["text_bigram_lm_score"].spark(spark, SF_DIR).collect()
+    # every scored doc has exactly len(tokens)-1 bigrams; <2-token docs
+    # are absent from the output entirely
+    assert {r.doc_id: r.n_bigrams for r in out} == {
+        d: n - 1 for d, n in ntok.items() if n >= 2
+    }
+
+
+def test_lm_one_doc_recomputed_in_python(spark):
+    """Recompute one document's mean Laplace probability from raw
+    corpus counts in plain Python and match the query's value."""
+    import collections
+    import re
+
+    t = Catalog(spark, SF_DIR)
+    texts = {
+        r.doc_id: r.text for r in t.documents.select("doc_id", "text").collect()
+    }
+    from cc_pyspark_spark.functions.text import TOKEN_PATTERN
+
+    toks = {d: re.findall(TOKEN_PATTERN, s.lower()) for d, s in texts.items()}
+    c2: collections.Counter = collections.Counter()
+    for seq in toks.values():
+        c2.update(zip(seq, seq[1:]))
+    c1: collections.Counter = collections.Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    v = len({w for seq in toks.values() for w in seq})
+
+    doc_id, seq = min(
+        ((d, s) for d, s in toks.items() if len(s) >= 2), key=lambda kv: kv[0]
+    )
+    ps = [(c2[(a, b)] + 1) / (c1[a] + v) for a, b in zip(seq, seq[1:])]
+    acc = 0.0
+    for p in ps:  # same fold order as the query's sorted aggregate
+        acc += p
+    expected = acc / float(len(ps))
+
+    got = (
+        QUERIES["text_bigram_lm_score"]
+        .spark(spark, SF_DIR)
+        .filter(F.col("doc_id") == doc_id)
+        .first()
+    )
+    assert got.n_bigrams == len(ps)
+    assert got.mean_p == expected, (got.mean_p, expected)

@@ -29,6 +29,9 @@ CHECK = [
     # r7 (ADVICE r6): the ADC distance sum now folds per-block distances
     # in block order — pin that the last-ulp result survives re-layout.
     "sim_ann_pq_adc",
+    # r7: per-doc mean probability folds a position-sorted array — the
+    # only float aggregation in the LM scorer.
+    "text_bigram_lm_score",
 ]
 
 
