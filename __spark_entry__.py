@@ -90,10 +90,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_count_min_heavy_hitters",
     "events_hypertable_rollup",
     "text_bigram_lm_score",
+    "sim_ann_pq_rerank",
     "agg_cube",
     "agg_grouping_sets",
     "agg_percentiles",
-    "agg_pivot_status",
     "agg_rollup",
     "join_anti",
     "join_full_outer",

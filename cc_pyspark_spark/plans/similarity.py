@@ -496,3 +496,179 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVF_TOP_K)
         .select("q_id", "n_id", "adc_dist", "rnk")
     )
+
+
+# ----------------------------------- two-stage ANN: ADC -> exact rerank
+
+PQ_SHORTLIST = 10  # ADC candidates per query fed to the exact stage
+RERANK_K = 3
+
+
+def _duck_pq_rerank_oracle() -> str:
+    sq = (
+        "list_reduce(list_prepend(0.0, "
+        "list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    d_assign = sq.format(a="s.sv", b="c.cv", n=PQ_SUBDIM)
+    d_lut = sq.format(a="q.sv", b="c.cv", n=PQ_SUBDIM)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, v,
+         sqrt({dot.format(a='v', b='v')}) AS nrm
+  FROM e
+), blocks AS (
+  SELECT vec_id, b.b AS block,
+         list_slice(v, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS sv
+  FROM e, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
+  WHERE vec_id < {PQ_MAX_ID}
+), cb AS (
+  SELECT vec_id - {PQ_SEED_BASE} AS c_id, b.b AS block,
+         list_slice(v, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS cv
+  FROM e, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
+  WHERE vec_id >= {PQ_SEED_BASE} AND vec_id < {PQ_SEED_BASE + PQ_CODEBOOK}
+), codes AS (
+  SELECT vec_id, block, c_id AS code FROM (
+    SELECT s.vec_id, s.block, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.block
+                              ORDER BY {d_assign}, c.c_id) AS rk
+    FROM blocks s JOIN cb c ON s.block = c.block) WHERE rk = 1
+), lut AS (
+  SELECT q.vec_id AS q_id, q.block, c.c_id, {d_lut} AS d
+  FROM blocks q JOIN cb c ON q.block = c.block
+  WHERE q.vec_id < {N_QUERIES}
+), adc AS (
+  SELECT l.q_id, x.vec_id AS n_id,
+         list_reduce(list(l.d ORDER BY l.block), (acc, x) -> acc + x)
+           AS adc_dist
+  FROM codes x JOIN lut l ON l.block = x.block AND l.c_id = x.code
+  WHERE x.vec_id <> l.q_id
+  GROUP BY l.q_id, x.vec_id
+), short AS (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, n_id) AS adc_rnk
+  FROM adc QUALIFY adc_rnk <= {PQ_SHORTLIST}
+), exact AS (
+  SELECT s.q_id, s.n_id, s.adc_rnk,
+         {dot.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) AS cos
+  FROM short s
+  JOIN nrm q ON q.vec_id = s.q_id
+  JOIN nrm n ON n.vec_id = s.n_id
+)
+SELECT q_id, n_id, cos, CAST(adc_rnk AS BIGINT) AS adc_rnk,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+FROM exact QUALIFY rnk <= {RERANK_K}
+"""
+
+
+@register(
+    "sim_ann_pq_rerank",
+    oracle=_duck_pq_rerank_oracle(),
+    description="Two-stage ANN (beyond-reference, the production serving "
+    f"shape): PQ-ADC scores the whole corpus in the compressed domain, a "
+    f"{PQ_SHORTLIST}-deep shortlist per query is re-ranked by EXACT cosine "
+    "against raw vectors, emitting both the ADC position and the exact "
+    "rank (their disagreement is the measured quantization error). Raw "
+    "floats are touched for only |queries|x shortlist rows — the broadcast "
+    "shortlist join prunes the corpus scan; all float folds are "
+    "explicit-order (block id / left-to-right), deterministic tie-breaks "
+    "throughout",
+    tags=("similarity",),
+)
+def sim_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dot_self = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    nrm = e.withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.slice("v", b * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for b in range(PQ_BLOCKS)
+    ]
+    blocks = (
+        e.filter(F.col("vec_id") < PQ_MAX_ID)
+        .select("vec_id", F.explode(F.array(*block_structs)).alias("bk"))
+        .select("vec_id", "bk.block", "bk.sv")
+    )
+    cb = (
+        e.filter(
+            (F.col("vec_id") >= PQ_SEED_BASE)
+            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODEBOOK)
+        )
+        .select(
+            (F.col("vec_id") - PQ_SEED_BASE).alias("c_id"),
+            F.explode(F.array(*block_structs)).alias("bk"),
+        )
+        .select("c_id", F.col("bk.block").alias("block"), F.col("bk.sv").alias("cv"))
+    )
+    sq_err = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, z) -> acc + z)"
+    )
+    codes = (
+        blocks.join(F.broadcast(cb), "block")
+        .withColumn("sq_err", sq_err)
+        .groupBy("vec_id", "block")
+        .agg(F.min(F.struct("sq_err", "c_id")).alias("m"))
+        .select("vec_id", "block", F.col("m.c_id").alias("code"))
+    )
+    lut = (
+        blocks.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb), "block")
+        .withColumn("d", sq_err)
+        .select("q_id", "block", "c_id", "d")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["block"])
+        .filter((F.col("c_id") == F.col("code")) & (F.col("vec_id") != F.col("q_id")))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(block, d))), "
+                "0D, (acc, z) -> acc + z.d)"
+            ).alias("adc_dist")
+        )
+    )
+    w_adc = W.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("n_id"))
+    short = (
+        adc.withColumn("adc_rnk", F.row_number().over(w_adc).cast("bigint"))
+        .filter(F.col("adc_rnk") <= PQ_SHORTLIST)
+        .select("q_id", "n_id", "adc_rnk")
+    )
+    qv = nrm.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # The shortlist (|queries| x PQ_SHORTLIST rows) broadcasts into the
+    # corpus scan — the exact stage reads raw floats for those ids only.
+    nv = nrm.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nnrm"),
+    ).join(F.broadcast(short), "n_id")
+    dot_qn = "aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    exact = nv.join(F.broadcast(qv), "q_id").withColumn(
+        "cos", F.expr(dot_qn) / (F.col("qnrm") * F.col("nnrm"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= RERANK_K)
+        .select("q_id", "n_id", "cos", "adc_rnk", "rnk")
+    )

@@ -32,6 +32,9 @@ CHECK = [
     # r7: per-doc mean probability folds a position-sorted array — the
     # only float aggregation in the LM scorer.
     "text_bigram_lm_score",
+    # r7: ADC fold + exact-cosine rerank — two float stages, both
+    # explicit-order.
+    "sim_ann_pq_rerank",
 ]
 
 

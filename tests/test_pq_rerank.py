@@ -1,0 +1,91 @@
+"""Two-stage ANN (plans/similarity.py sim_ann_pq_rerank).
+
+Oracle parity is covered by test_oracle_parity.py; here the structural
+theorems of the shortlist→rerank composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.catalog import Catalog
+from cc_pyspark_spark.plans import QUERIES
+from cc_pyspark_spark.plans.similarity import (
+    N_QUERIES,
+    PQ_MAX_ID,
+    PQ_SHORTLIST,
+    RERANK_K,
+)
+from tests.conftest import SF_DIR
+
+
+def _exact_topk(spark, k: int):
+    """Brute-force exact cosine top-k over the PQ-covered corpus."""
+    t = Catalog(spark, SF_DIR)
+    e = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), "
+            "0D, (acc, z) -> acc + z))"
+        ),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.filter(F.col("vec_id") < PQ_MAX_ID).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("n_id") != F.col("q_id")).withColumn(
+        "cos",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y), "
+            "0D, (acc, z) -> acc + z)"
+        )
+        / (F.col("qnrm") * F.col("cnrm")),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id")
+        .collect()
+    )
+
+
+def test_rerank_output_shape_and_ordering(spark):
+    rows = QUERIES["sim_ann_pq_rerank"].spark(spark, SF_DIR).collect()
+    assert len(rows) == N_QUERIES * RERANK_K
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.adc_rnk <= PQ_SHORTLIST
+        by_q.setdefault(r.q_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, RERANK_K + 1))
+        # exact-cosine order is what the final rank reflects
+        assert all(a.cos >= b.cos for a, b in zip(rs, rs[1:]))
+
+
+def test_rerank_never_worse_than_adc_only(spark):
+    """Theorem: the rerank stage returns the exact-cosine-optimal
+    subset of the shortlist, so every true top-k neighbor that the
+    shortlist caught survives — recall(rerank) >= recall(ADC top-k)."""
+    exact = {(r.q_id, r.n_id) for r in _exact_topk(spark, RERANK_K)}
+    rows = QUERIES["sim_ann_pq_rerank"].spark(spark, SF_DIR).collect()
+    rerank = {(r.q_id, r.n_id) for r in rows}
+    # the ADC-only answer is sim_ann_pq_adc's top-k (same k)
+    adc_only = {
+        (r.q_id, r.n_id)
+        for r in QUERIES["sim_ann_pq_adc"].spark(spark, SF_DIR).collect()
+    }
+    assert len(rerank & exact) >= len(adc_only & exact)
+    # and the exact stage genuinely reorders the compressed-domain rank
+    assert any(r.rnk != r.adc_rnk for r in rows)
