@@ -25,25 +25,28 @@ from cc_pyspark_spark.plans import QUERIES
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
 #: Round-7 rotation (VERDICT r6 ask #3): 56 queries were last
-#: driver-checked in r1/r2; this round rotates 21 of the oldest back
-#: through the window — the five r2 TPC-H stragglers plus the
-#: relational agg/join/set-op/window families — displacing r6-green
-#: rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the multimodal trio, the
-#: events join pair, merge_upsert, text_html_extract,
-#: dedup_substring_spans, window_distributed_ids, four curation
-#: micro-queries, url_tld_validation_counts, scan_filter_project,
-#: sql_passthrough). Still-stale residue for r8/r9 (32 names): the r1
-#: function suites (array/conditional/date/filter_in_like/
-#: json_extract/subquery_correlated, join_merge_hint, events_sliding,
-#: events_user_trend) and the 23 non-TPC-H r2 names. The fixed block
-#: is exactly bench.HEADLINERS (24 after the r7 PQ additions) plus the
-#: queries changed or added this round, which need fresh rows: the
-#: 64-bit dedup_simhash_pairs, curation_pipeline_full, the
-#: format("warc") DataSource query, and the new mergeable-sketch pair
-#: (agg_hll_sketch_union / agg_count_min_heavy_hitters — displacing the
-#: agg_count_distinct and set_union_all twins, whose families keep
-#: window slots). Every displaced name keeps its
-#: green local DuckDB-parity pytest and its prior driver rows.
+#: driver-checked in r1/r2; this round rotates 17 of the oldest back
+#: through the window — the five r2 TPC-H stragglers plus
+#: representatives of the relational agg/join/set-op/window families —
+#: displacing r6-green rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the
+#: multimodal trio, the events join pair, merge_upsert,
+#: text_html_extract, dedup_substring_spans, window_distributed_ids,
+#: four curation micro-queries, url_tld_validation_counts,
+#: scan_filter_project, sql_passthrough). The fixed block is exactly
+#: bench.HEADLINERS plus queries changed or added this round, which
+#: need first/fresh rows: the 64-bit dedup_simhash_pairs,
+#: curation_pipeline_full, the format("warc") DataSource query, and
+#: the six NEW r7 operators (mergeable sketches, hypertable rollup,
+#: bigram LM scoring, PQ rerank, approx-percentile gate) — those six
+#: took the slots of same-family twins (agg_count_distinct,
+#: agg_grouping_sets, agg_pivot_status, set_union_all,
+#: window_running_sum, join_left_outer_count), each of which keeps a
+#: sibling in the window and its green parity pytest. Still-stale
+#: residue for r8/r9: the r1 function suites
+#: (array/conditional/date/filter_in_like/json_extract/
+#: subquery_correlated, join_merge_hint, events_sliding,
+#: events_user_trend), the remaining non-TPC-H r2 names, and the six
+#: twins displaced this round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- bench headliners (fixed; must stay inside the driver cap) --
     "tpch_q1_pricing_summary",
@@ -91,8 +94,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hypertable_rollup",
     "text_bigram_lm_score",
     "sim_ann_pq_rerank",
+    "agg_approx_percentile_bound",
     "agg_cube",
-    "agg_grouping_sets",
     "agg_percentiles",
     "agg_rollup",
     "join_anti",

@@ -194,3 +194,50 @@ def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bound_ok"),
         )
     )
+
+
+@register(
+    "agg_approx_percentile_bound",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.9) AS p90,
+       TRUE AS ok50,
+       TRUE AS ok90
+FROM lineitem GROUP BY 1
+""",
+    description="Quantile sketch gate (beyond-reference): percentile_approx "
+    "(Greenwald-Khanna, rank error <= 1/accuracy) is the 100 TB quantile "
+    "path — mergeable partial summaries, no global sort. Its raw output is "
+    "engine-specific, so per the approx_count_distinct convention the gate "
+    "emits the exact interpolated percentiles plus booleans pinning the "
+    "sketch value inside the exact [q-0.02, q+0.02] quantile envelope "
+    "(accuracy=10000 -> rank error 1e-4, two orders inside the envelope)",
+    tags=("agg", "sketch"),
+)
+def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    agg = t.lineitem.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_approx(l_quantity, array(0.5D, 0.9D), 10000)"
+        ).alias("__a"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        F.expr("percentile(l_quantity, 0.48)").alias("__lo50"),
+        F.expr("percentile(l_quantity, 0.52)").alias("__hi50"),
+        F.expr("percentile(l_quantity, 0.88)").alias("__lo90"),
+        F.expr("percentile(l_quantity, 0.92)").alias("__hi90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50",
+        "p90",
+        (
+            (F.col("__a")[0] >= F.col("__lo50"))
+            & (F.col("__a")[0] <= F.col("__hi50"))
+        ).alias("ok50"),
+        (
+            (F.col("__a")[1] >= F.col("__lo90"))
+            & (F.col("__a")[1] <= F.col("__hi90"))
+        ).alias("ok90"),
+    )
