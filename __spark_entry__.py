@@ -36,12 +36,13 @@ from cc_pyspark_spark.plans import QUERIES
 #: bench.HEADLINERS plus queries changed or added this round, which
 #: need first/fresh rows: the 64-bit dedup_simhash_pairs,
 #: curation_pipeline_full, the format("warc") DataSource query, and
-#: the six NEW r7 operators (mergeable sketches, hypertable rollup,
-#: bigram LM scoring, PQ rerank, approx-percentile gate) — those six
-#: took the slots of same-family twins (agg_count_distinct,
-#: agg_grouping_sets, agg_pivot_status, set_union_all,
-#: window_running_sum, join_left_outer_count), each of which keeps a
-#: sibling in the window and its green parity pytest. Still-stale
+#: the seven NEW r7 operators (mergeable sketches, hypertable rollup,
+#: bigram LM scoring, PQ rerank, approx-percentile gate, sparse TF-IDF
+#: similarity) — those seven took the slots of same-family twins
+#: (agg_count_distinct, agg_grouping_sets, agg_pivot_status,
+#: set_union_all, set_intersect, window_running_sum,
+#: join_left_outer_count), each of which keeps a sibling in the window
+#: and its green parity pytest. Still-stale
 #: residue for r8/r9: the r1 function suites
 #: (array/conditional/date/filter_in_like/json_extract/
 #: subquery_correlated, join_merge_hint, events_sliding,
@@ -95,6 +96,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bigram_lm_score",
     "sim_ann_pq_rerank",
     "agg_approx_percentile_bound",
+    "sim_sparse_tfidf_topk",
     "agg_cube",
     "agg_percentiles",
     "agg_rollup",
@@ -102,7 +104,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_full_outer",
     "join_semi",
     "set_except",
-    "set_intersect",
     "window_lag_delta",
     "window_range_frame",
     "window_rank_suite",

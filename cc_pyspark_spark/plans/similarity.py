@@ -672,3 +672,152 @@ def sim_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RERANK_K)
         .select("q_id", "n_id", "cos", "adc_rnk", "rnk")
     )
+
+
+# --------------------------- sparse TF-IDF document similarity (text)
+
+SPARSE_TOPK = 3
+#: Tokens present in more than half the corpus carry no discriminative
+#: weight and quadratically dominate the inverted-index join — prune
+#: them. THE scale lever: posting-list length caps the join fan-out.
+SPARSE_DF_CAP_NUM = 1
+SPARSE_DF_CAP_DEN = 2
+
+
+def _duck_sparse_tfidf_oracle() -> str:
+    from cc_pyspark_spark.functions.text import TOKEN_PATTERN
+
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS DOUBLE) * ((CAST(nd.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                                  / (CAST(df.df AS DOUBLE) + 0.5)) AS w
+  FROM tf JOIN df USING (token) CROSS JOIN nd
+  WHERE df.df * {SPARSE_DF_CAP_DEN} <= nd.n_docs * {SPARSE_DF_CAP_NUM}
+), nrm AS (
+  SELECT doc_id,
+         sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY token)),
+                          (a, x) -> a + x)) AS nrm
+  FROM w GROUP BY 1
+), contrib AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.token, a.w * b.w AS p
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id <> b.doc_id
+), dots AS (
+  SELECT a_id, b_id,
+         list_reduce(list_prepend(0.0, list(p ORDER BY token)),
+                     (a, x) -> a + x) AS dot
+  FROM contrib GROUP BY 1, 2
+), cosd AS (
+  SELECT d.a_id, d.b_id, d.dot / (na.nrm * nb.nrm) AS cos
+  FROM dots d JOIN nrm na ON na.doc_id = d.a_id
+              JOIN nrm nb ON nb.doc_id = d.b_id
+)
+SELECT a_id, b_id, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+                               ORDER BY cos DESC, b_id) AS BIGINT) AS rnk
+FROM cosd QUALIFY rnk <= {SPARSE_TOPK}
+"""
+
+
+@register(
+    "sim_sparse_tfidf_topk",
+    oracle=_duck_sparse_tfidf_oracle(),
+    description="Sparse TF-IDF document similarity (beyond-reference): "
+    "inverted-index self-join on tokens with a df <= n/2 posting-list cap "
+    "(the scale lever — join fan-out is bounded by posting length, and "
+    "ubiquitous tokens carry no signal anyway), BM25-ish rational idf "
+    "(no ln — bit-stable), cosine over shared tokens, top-k similar docs "
+    "per doc. Every float fold is token-ordered, so the full-value oracle "
+    "and partition invariance hold. The dense-embedding twin is "
+    "sim_cosine_topk; this is the lexical half of hybrid retrieval",
+    tags=("similarity", "text"),
+)
+def sim_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.functions.text import tokenize
+
+    t = Catalog(spark, sf_dir)
+    tf = (
+        t.documents.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = t.documents.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df") * SPARSE_DF_CAP_DEN
+            <= F.col("n_docs") * SPARSE_DF_CAP_NUM
+        )
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+            ).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("token", (F.col("w") * F.col("w")).alias("w2")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w2"],
+            )
+        ).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("a_id"), "token", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("b_id"), "token", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("token", (F.col("wa") * F.col("wb")).alias("p"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["p"],
+            ).alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    cosd = (
+        dots.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select("a_id", "b_id", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"))
+    )
+    win = W.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    return (
+        cosd.withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= SPARSE_TOPK)
+        .select("a_id", "b_id", "cos", "rnk")
+    )

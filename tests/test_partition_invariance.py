@@ -35,6 +35,8 @@ CHECK = [
     # r7: ADC fold + exact-cosine rerank — two float stages, both
     # explicit-order.
     "sim_ann_pq_rerank",
+    # r7: token-ordered folds for norms and dots in the sparse scorer.
+    "sim_sparse_tfidf_topk",
 ]
 
 
