@@ -36,11 +36,11 @@ from cc_pyspark_spark.plans import QUERIES
 #: bench.HEADLINERS plus queries changed or added this round, which
 #: need first/fresh rows: the 64-bit dedup_simhash_pairs,
 #: curation_pipeline_full, the format("warc") DataSource query, and
-#: the seven NEW r7 operators (mergeable sketches, hypertable rollup,
+#: the eight NEW r7 operators (mergeable sketches, hypertable rollup,
 #: bigram LM scoring, PQ rerank, approx-percentile gate, sparse TF-IDF
-#: similarity) — those seven took the slots of same-family twins
-#: (agg_count_distinct, agg_grouping_sets, agg_pivot_status,
-#: set_union_all, set_intersect, window_running_sum,
+#: similarity, triangle counting) — those eight took the slots of
+#: same-family twins (agg_count_distinct, agg_cube, agg_grouping_sets,
+#: agg_pivot_status, set_union_all, set_intersect, window_running_sum,
 #: join_left_outer_count), each of which keeps a sibling in the window
 #: and its green parity pytest. Still-stale
 #: residue for r8/r9: the r1 function suites
@@ -97,7 +97,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_pq_rerank",
     "agg_approx_percentile_bound",
     "sim_sparse_tfidf_topk",
-    "agg_cube",
+    "graph_triangle_stats",
     "agg_percentiles",
     "agg_rollup",
     "join_anti",

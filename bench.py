@@ -69,6 +69,16 @@ HEADLINERS = [
     # + ADC search) sits under the regression gate.
     "embedding_pq_codes",
     "sim_ann_pq_adc",
+    # r7 new operators: mergeable sketches, the single-scan hypertable
+    # rollup, bigram LM scoring, two-stage ANN serving, the sparse
+    # (lexical) similarity twin, and the quantile-sketch gate.
+    "agg_hll_sketch_union",
+    "agg_count_min_heavy_hitters",
+    "events_hypertable_rollup",
+    "text_bigram_lm_score",
+    "sim_ann_pq_rerank",
+    "sim_sparse_tfidf_topk",
+    "agg_approx_percentile_bound",
 ]
 
 

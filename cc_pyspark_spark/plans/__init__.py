@@ -11,6 +11,7 @@ from cc_pyspark_spark.plans import (  # noqa: F401,E402
     curation,
     dedup,
     events,
+    graphq,
     multimodal,
     relational,
     scale,
