@@ -131,3 +131,82 @@ def connected_components(
         else:
             labels = new_labels
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Undirected-graph triangle count + clustering coefficient.
+
+    ``edges``: canonical undirected edges (a, b) with a != b, each pair
+    listed once. Degree-ordered orientation (Schank node-iterator++):
+    every edge is directed from its lower-(degree, id) endpoint, wedges
+    are generated only at tails, and a triangle closes iff the wedge's
+    two heads are themselves an oriented edge. Per-vertex wedge fan-out
+    is bounded by out-degree <= O(sqrt(|E|)), which is what survives
+    celebrity-vertex skew at scale; correctness is independent of the
+    orientation order (any total order counts each triangle once).
+
+    Returns one row: n_vertices, n_edges, n_wedges (unordered paths of
+    length 2), n_triangles, clustering (= 3*triangles/wedges).
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+                "deg_head"
+            ),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("head_id"),
+        )
+    )
+    w1 = oriented.select(
+        "u",
+        F.col("v").alias("v1"),
+        F.col("deg_head").alias("dh1"),
+        F.col("head_id").alias("h1"),
+    )
+    w2 = oriented.select(
+        "u",
+        F.col("v").alias("v2"),
+        F.col("deg_head").alias("dh2"),
+        F.col("head_id").alias("h2"),
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dh1") < F.col("dh2"))
+        | ((F.col("dh1") == F.col("dh2")) & (F.col("h1") < F.col("h2")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    return (
+        deg.agg(
+            F.count("*").alias("n_vertices"),
+            F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("clustering"),
+        )
+    )

@@ -90,70 +90,6 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c").cast("double") > F.col("thr"))
         .select("a", "b")
     )
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("deg"))
-    )
-    # Orient each edge from its lower-(deg, id) endpoint to the higher:
-    # a total order, so every undirected edge appears exactly once.
-    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        e.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
-                "deg_head"
-            ),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("head_id"),
-        )
-    )
-    # Wedges at the tail u: (u -> v1), (u -> v2) with v1 ≺ v2 in the
-    # same (deg, id) order; the triangle closes iff (v1 -> v2) is an
-    # oriented edge (v1 ≺ v2 holds by construction, so one probe).
-    w1 = oriented.select(
-        "u",
-        F.col("v").alias("v1"),
-        F.col("deg_head").alias("dh1"),
-        F.col("head_id").alias("h1"),
-    )
-    w2 = oriented.select(
-        "u",
-        F.col("v").alias("v2"),
-        F.col("deg_head").alias("dh2"),
-        F.col("head_id").alias("h2"),
-    )
-    wedges = w1.join(w2, "u").filter(
-        (F.col("dh1") < F.col("dh2"))
-        | ((F.col("dh1") == F.col("dh2")) & (F.col("h1") < F.col("h2")))
-    )
-    closed = wedges.join(
-        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
-        ["v1", "v2"],
-    )
-    tri = closed.agg(F.count("*").alias("n_triangles"))
-    stats = (
-        deg.agg(
-            F.count("*").alias("n_vertices"),
-            F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
-        )
-        .crossJoin(e.agg(F.count("*").alias("n_edges")))
-        .crossJoin(F.broadcast(tri))
-    )
-    return stats.select(
-        "n_vertices",
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        (
-            (F.lit(3) * F.col("n_triangles")).cast("double")
-            / F.col("n_wedges").cast("double")
-        ).alias("clustering"),
-    )
+    from cc_pyspark_spark.operators.pagerank import triangle_stats  # noqa: PLC0415
+
+    return triangle_stats(e)

@@ -85,3 +85,37 @@ def test_pagerank_no_per_iteration_driver_actions(spark):
     # iterations = two extra jobs), which is what this pins against
     assert d4 <= d2 + 1, f"driver jobs scale with iterations: {d2} -> {d4}"
     assert len(ranks.collect()) == 5  # still computes correctly
+
+
+def test_triangle_stats_hand_built_graph(spark):
+    """Known graph: a 4-clique (4 triangles) plus a pendant path.
+
+    Vertices 1-4 fully connected; 5 attached to 4; 6 attached to 5.
+    Triangles: C(4,3) = 4. Wedges: deg [3,3,3,4,2,1] -> 3+3+3+6+1+0=16.
+    Degree orientation must not over- or under-count any of them.
+    """
+    from cc_pyspark_spark.operators.pagerank import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "a long, b long",
+    )
+    row = triangle_stats(edges).first()
+    assert row.n_vertices == 6
+    assert row.n_edges == 8
+    assert row.n_wedges == 16
+    assert row.n_triangles == 4
+    assert row.clustering == 12 / 16
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A star has wedges but no triangles (clustering = 0)."""
+    from cc_pyspark_spark.operators.pagerank import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a long, b long"
+    )
+    row = triangle_stats(edges).first()
+    assert row.n_triangles == 0
+    assert row.n_wedges == 10
+    assert row.clustering == 0.0
