@@ -179,3 +179,31 @@ def sliding_counts(
             "sum_value",
         )
     )
+
+
+def minute_rollup_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming half of the hypertable rollup (plans/events.py
+    `events_hypertable_rollup`): maintain the MINUTE grain
+    incrementally under a watermark. In the continuous-aggregate
+    deployment this appends to the stored minute table; the hour/day
+    grains re-aggregate that table in batch (count + exact DECIMAL sum
+    are monoids) and never see raw events — so refresh cost tracks the
+    changed minute buckets, not the stream's history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

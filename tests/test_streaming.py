@@ -155,3 +155,49 @@ def test_streaming_sliding_matches_batch(spark, events_dir, max_ts_epoch):
     for ws in want:
         if ws not in got:
             assert ws + 600 > max_ts_epoch - 1
+
+
+def test_streaming_minute_rollup_matches_batch_grain(
+    spark, events_dir, max_ts_epoch
+):
+    """The streamed minute grain must equal the batch hypertable's '1m'
+    slice (late-data tail excepted), and re-aggregating the streamed
+    grain to hours must reproduce the batch '1h' counts for complete
+    hours — the continuous-aggregate refresh path."""
+    from cc_pyspark_spark.streaming.windows import minute_rollup_counts
+
+    stream = minute_rollup_counts(
+        stream_events(spark, events_dir), watermark="1 second"
+    )
+    q = run_available_now(stream, "minute_rollup_test", "append")
+    _drain(q)
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM minute_rollup_test").collect()
+    }
+    batch = QUERIES["events_hypertable_rollup"].spark(spark, SF_DIR).collect()
+    want_1m = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in batch
+        if r["resolution"] == "1m"
+    }
+    assert got, "no minute buckets emitted"
+    for k, v in got.items():
+        assert want_1m[k] == v
+    for k in want_1m:
+        if k not in got:  # only the watermark tail may be missing
+            assert k[0] + 60 > max_ts_epoch - 1
+
+    # coarsen streamed minutes -> hour counts; compare complete hours
+    hours: dict[tuple[int, str], int] = {}
+    for (bs, et), (n, _) in got.items():
+        hours[(bs - bs % 3600, et)] = hours.get((bs - bs % 3600, et), 0) + n
+    want_1h = {
+        (r["bucket_start"], r["event_type"]): r["n"]
+        for r in batch
+        if r["resolution"] == "1h"
+    }
+    complete = {k: v for k, v in want_1h.items() if k[0] + 3600 <= max_ts_epoch - 1}
+    assert complete, "no complete hours in fixture"
+    for k, n in complete.items():
+        assert hours.get(k) == n
