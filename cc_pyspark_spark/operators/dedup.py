@@ -604,3 +604,105 @@ def simhash_pairs(
         .select("a_id", "b_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (AllPairs /
+    PPJoin family) — the deterministic-recall counterpart to MinHash.
+
+    Tokens are globally ordered by (document frequency, token); each
+    doc emits only its first |x| - ceil(t*|x|) + 1 tokens in that order
+    (the prefix). Theorem: J(x, y) >= t implies the two prefixes share
+    a token — so candidate recall is 100% BY CONSTRUCTION, not with
+    LSH's probabilistic recall. Rare tokens lead the order, so prefix
+    posting lists are the short ones: the join fan-out concentrates
+    where df is smallest. A (min-size >= t * max-size) length filter
+    prunes before verification; verification is exact Jaccard, so the
+    output *provably equals* the all-pairs result.
+
+    Set elements are k-token shingles (same universe as MinHash-LSH, so
+    the two candidate generators are directly comparable); rare
+    shingles lead the global order, which is exactly where posting
+    lists are shortest.
+
+    Shuffles: shingle df groupBy, per-doc sort-collect (keyed by
+    doc_id), prefix self-join keyed by shingle, verification keyed by
+    the pair.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("toks", 3))).alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    arr = (
+        tok.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("toks")
+        )
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + F.lit(1)
+    )
+    prefix = arr.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("toks", 1, prefix_len)).alias("token"),
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "token"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "token"
+    )
+    cand = (
+        pa.join(pb, "token")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                F.least("na", "nb").cast("double")
+                >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+            )
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("a_id"), "token")
+    tb = tok.select(
+        F.col("doc_id").alias("b_id2"), F.col("token").alias("tb_tok")
+    )
+    inter = (
+        cand.join(ta, "a_id")
+        .join(
+            tb,
+            (F.col("b_id") == F.col("b_id2"))
+            & (F.col("token") == F.col("tb_tok")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    sz = arr.select("doc_id", "n")
+    sa = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = (
+        F.col("i").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+    )
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )

@@ -328,3 +328,25 @@ def test_simhash_pairs_64bit_bucket_width(spark):
         pairs_df._jdf.queryExecution(), "formatted"
     )
     assert "shiftrightunsigned" in plan
+
+
+def test_prefix_jaccard_contains_minhash_pairs(spark):
+    """Prefix filtering's recall is a theorem (J>=t pairs share a
+    prefix shingle), so its output IS the all-pairs truth; MinHash-LSH
+    over the same shingle universe can only ever find a subset. This
+    turns the minhash full-recall *pin* into a structurally-checked
+    equality each run."""
+    from cc_pyspark_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r.a_id, r.b_id)
+        for r in QUERIES["dedup_prefix_jaccard"].spark(spark, SF_DIR).collect()
+    }
+    mh = {
+        tuple(sorted((r[0], r[1])))
+        for r in QUERIES["dedup_minhash_scale"].spark(spark, SF_DIR).collect()
+    }
+    assert mh <= exact
+    # on the planted fixture minhash recall is complete -> equality
+    assert mh == exact
