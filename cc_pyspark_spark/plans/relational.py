@@ -986,3 +986,28 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.unionAll(ins)
+
+
+@register(
+    "agg_salted_distinct_count",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_count
+FROM lineitem GROUP BY 1
+""",
+    description="Skew-proof exact COUNT(DISTINCT) (operators/skew.py "
+    "salted_distinct_count): hot-key distinct sets cannot partial-aggregate, "
+    "so a plain per-key distinct drowns one reducer; salting by "
+    "hash(value) makes stage-1 distinct sets disjoint per salt bucket and "
+    "stage-2 a plain SUM. Three giant groups over the whole fact table is "
+    "exactly that shape. Result is provably identical to the unsalted "
+    "count — the oracle is the plain COUNT(DISTINCT)",
+    tags=("agg", "skew", "scale"),
+)
+def agg_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.skew import salted_distinct_count
+
+    t = Catalog(spark, sf_dir)
+    return salted_distinct_count(
+        t.lineitem, ["l_returnflag"], "l_partkey", n_salts=16
+    )
