@@ -36,13 +36,14 @@ from cc_pyspark_spark.plans import QUERIES
 #: bench.HEADLINERS plus queries changed or added this round, which
 #: need first/fresh rows: the 64-bit dedup_simhash_pairs,
 #: curation_pipeline_full, the format("warc") DataSource query, and
-#: the eleven NEW r7 operators (mergeable sketches, hypertable rollup
-#: + gap-fill/LOCF, bigram LM scoring, PQ rerank, approx-percentile
-#: gate, sparse TF-IDF similarity, triangle counting, prefix-filter
-#: exact Jaccard join, salted distinct-count) — those eleven took the
-#: slots of same-family twins (agg_count_distinct, agg_cube,
-#: agg_grouping_sets, agg_pivot_status, set_union_all, set_intersect,
-#: window_running_sum, window_range_frame, join_left_outer_count,
+#: the twelve NEW r7 operators (mergeable sketches, hypertable rollup
+#: + gap-fill/LOCF, bigram LM scoring, PQ rerank + RRF hybrid fusion,
+#: approx-percentile gate, sparse TF-IDF similarity, triangle
+#: counting, prefix-filter exact Jaccard join, salted distinct-count)
+#: — those twelve took the slots of same-family twins
+#: (agg_count_distinct, agg_cube, agg_grouping_sets, agg_pivot_status,
+#: set_union_all, set_intersect, window_running_sum,
+#: window_range_frame, window_lag_delta, join_left_outer_count,
 #: join_full_outer, join_anti), each of which keeps a sibling in the
 #: window and its green parity pytest. Still-stale
 #: residue for r8/r9: the r1 function suites
@@ -103,11 +104,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_prefix_jaccard",
     "agg_salted_distinct_count",
     "events_gapfill_locf",
+    "sim_hybrid_rrf",
     "agg_percentiles",
     "agg_rollup",
     "join_semi",
     "set_except",
-    "window_lag_delta",
     "window_rank_suite",
 )
 

@@ -821,3 +821,70 @@ def sim_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= SPARSE_TOPK)
         .select("a_id", "b_id", "cos", "rnk")
     )
+
+
+# ------------------------------ hybrid fusion: reciprocal-rank fusion
+
+RRF_K = 60  # standard RRF damping constant
+RRF_TOP = 3
+
+
+def _duck_rrf_oracle() -> str:
+    ivf = _duck_ivf_oracle()
+    adc = _duck_pq_adc_oracle()
+    return f"""
+WITH ivf AS ({ivf}), adc AS ({adc}),
+fused AS (
+  SELECT COALESCE(ivf.q_id, adc.q_id) AS q_id,
+         COALESCE(ivf.n_id, adc.n_id) AS n_id,
+         COALESCE(1.0 / ({RRF_K} + ivf.rnk), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + adc.rnk), 0.0) AS rrf
+  FROM ivf FULL OUTER JOIN adc
+    ON ivf.q_id = adc.q_id AND ivf.n_id = adc.n_id
+)
+SELECT q_id, n_id, rrf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY rrf DESC, n_id) AS BIGINT) AS rnk
+FROM fused QUALIFY rnk <= {RRF_TOP}
+"""
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=_duck_rrf_oracle(),
+    description="Reciprocal-rank fusion (beyond-reference, the hybrid-"
+    "retrieval merge): the IVF and PQ-ADC rankings for the same queries "
+    "are full-outer-joined on (q_id, n_id) and fused with "
+    f"score = sum 1/({RRF_K}+rank) — rank-only fusion needs no score "
+    "calibration between retrievers, which is why RRF is the standard "
+    "hybrid merge. Two fixed-position rational terms, so the double is "
+    "bit-stable; deterministic (score, n_id) tie-break. At scale each "
+    "retriever emits k rows per query, so fusion joins two tiny rank "
+    "tables — cost is independent of corpus size",
+    tags=("similarity",),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = sim_ann_ivf(spark, sf_dir).select(
+        "q_id", "n_id", F.col("rnk").alias("rnk_ivf")
+    )
+    adc = sim_ann_pq_adc(spark, sf_dir).select(
+        "q_id", "n_id", F.col("rnk").alias("rnk_adc")
+    )
+    fused = ivf.join(adc, ["q_id", "n_id"], "full_outer").select(
+        "q_id",
+        "n_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rnk_ivf")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rnk_adc")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col("n_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= RRF_TOP)
+        .select("q_id", "n_id", "rrf", "rnk")
+    )
