@@ -79,6 +79,14 @@ HEADLINERS = [
     "sim_ann_pq_rerank",
     "sim_sparse_tfidf_topk",
     "agg_approx_percentile_bound",
+    "dedup_prefix_jaccard",
+    "agg_salted_distinct_count",
+    "events_gapfill_locf",
+    "sim_hybrid_rrf",
+    # graph_triangle_stats stays OUT of the bench: its cost is the
+    # graph's (~E^1.5 wedge work on the dense sf0.1 co-order graph,
+    # ~11 s), which would drown the pipeline-operator signal this
+    # harness tracks. It remains driver-gated at sf0.01 every round.
 ]
 
 

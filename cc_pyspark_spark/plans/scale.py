@@ -182,7 +182,7 @@ SELECT a_id, b_id,
        CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jac
 FROM i JOIN sz sa ON sa.doc_id = i.a_id
        JOIN sz sb ON sb.doc_id = i.b_id
-WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
 """,
     description="EXACT similarity join via prefix filtering (AllPairs/PPJoin "
     "family) over 3-token shingle sets: docs emit only their "
@@ -191,11 +191,13 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
     "THEOREM — the deterministic counterpart to MinHash's probabilistic "
     "recall, at the cost of exact-verifying more candidates. Oracle is "
     "the quadratic all-pairs formulation; equality is guaranteed, not a "
-    "pinned fixture invariant",
+    "pinned fixture invariant. t=0.8 is the regime prefix filtering is "
+    "built for: prefix length ~0.2|x|, so only the rarest fifth of each "
+    "doc's shingles ever enters the join",
     tags=("dedup", "scale"),
 )
 def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.operators.dedup import prefix_filter_jaccard_pairs
 
     t = Catalog(spark, sf_dir)
-    return prefix_filter_jaccard_pairs(t.documents, threshold=0.5)
+    return prefix_filter_jaccard_pairs(t.documents, threshold=0.8)

@@ -335,7 +335,13 @@ def test_prefix_jaccard_contains_minhash_pairs(spark):
     prefix shingle), so its output IS the all-pairs truth; MinHash-LSH
     over the same shingle universe can only ever find a subset. This
     turns the minhash full-recall *pin* into a structurally-checked
-    equality each run."""
+    equality each run.
+
+    NOTE: the registered prefix query runs at t=0.8 while minhash runs
+    at t=0.5 — equality relies on the fixture planting no pair in
+    [0.5, 0.8) (verified for all three SFs when t was raised). A
+    regenerated fixture that adds a mid-band pair fails HERE first;
+    then either lower the prefix threshold or update this test."""
     from cc_pyspark_spark.plans import QUERIES
     from tests.conftest import SF_DIR
 
