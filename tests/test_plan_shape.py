@@ -322,3 +322,25 @@ def test_hypertable_rollup_reuses_minute_exchange(spark):
     df.collect()  # AQE decides reuse at runtime
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") == 2, plan
+
+
+def test_count_min_probe_broadcasts(spark):
+    """The CMS probe joins a 20-row top-k and a <=4096-row sketch —
+    both must broadcast; a sort-merge join here means the tiny sides
+    got shuffled with the corpus."""
+    plan = plan_of(spark, "agg_count_min_heavy_hitters")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_salted_distinct_three_stage_exchange(spark):
+    """Salted COUNT(DISTINCT): stage-1 keys must include the salt
+    (disjoint distinct sets), the final exchange only the group key —
+    three exchanges, salt present in exactly the middle ones."""
+    plan = plan_of(spark, "agg_salted_distinct_count")
+    assert plan.count("+- Exchange") == 3  # tree nodes, not detail lines
+    assert "__salt" in plan
+    import re
+
+    final = re.findall(r"hashpartitioning\(l_returnflag#\d+, 16\)", plan)
+    assert final, "final exchange must key on the group column alone"
