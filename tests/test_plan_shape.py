@@ -342,5 +342,5 @@ def test_salted_distinct_three_stage_exchange(spark):
     assert "__salt" in plan
     import re
 
-    final = re.findall(r"hashpartitioning\(l_returnflag#\d+, 16\)", plan)
+    final = re.findall(r"hashpartitioning\(l_returnflag#\d+, \d+\)", plan)
     assert final, "final exchange must key on the group column alone"
