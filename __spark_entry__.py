@@ -36,20 +36,21 @@ from cc_pyspark_spark.plans import QUERIES
 #: bench.HEADLINERS plus queries changed or added this round, which
 #: need first/fresh rows: the 64-bit dedup_simhash_pairs,
 #: curation_pipeline_full, the format("warc") DataSource query, and
-#: the twelve NEW r7 operators (mergeable sketches, hypertable rollup
+#: the thirteen NEW r7 operators (mergeable sketches, exact
+#: histogram-percentiles, hypertable rollup
 #: + gap-fill/LOCF, bigram LM scoring, PQ rerank + RRF hybrid fusion,
 #: approx-percentile gate, sparse TF-IDF similarity, triangle
 #: counting, prefix-filter exact Jaccard join, salted distinct-count)
-#: — those twelve took the slots of same-family twins
+#: — those thirteen took the slots of same-family twins
 #: (agg_count_distinct, agg_cube, agg_grouping_sets, agg_pivot_status,
-#: set_union_all, set_intersect, window_running_sum,
+#: agg_percentiles, set_union_all, set_intersect, window_running_sum,
 #: window_range_frame, window_lag_delta, join_left_outer_count,
 #: join_full_outer, join_anti), each of which keeps a sibling in the
 #: window and its green parity pytest. Still-stale
 #: residue for r8/r9: the r1 function suites
 #: (array/conditional/date/filter_in_like/json_extract/
 #: subquery_correlated, join_merge_hint, events_sliding,
-#: events_user_trend), the remaining non-TPC-H r2 names, and the six
+#: events_user_trend), the remaining non-TPC-H r2 names, and the thirteen
 #: twins displaced this round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- bench headliners (fixed; must stay inside the driver cap) --
@@ -105,7 +106,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_salted_distinct_count",
     "events_gapfill_locf",
     "sim_hybrid_rrf",
-    "agg_percentiles",
+    "agg_exact_median_histogram",
     "agg_rollup",
     "join_semi",
     "set_except",

@@ -83,6 +83,7 @@ HEADLINERS = [
     "agg_salted_distinct_count",
     "events_gapfill_locf",
     "sim_hybrid_rrf",
+    "agg_exact_median_histogram",
     # graph_triangle_stats stays OUT of the bench: its cost is the
     # graph's (~E^1.5 wedge work on the dense sf0.1 co-order graph,
     # ~11 s), which would drown the pipeline-operator signal this

@@ -241,3 +241,64 @@ def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__a")[1] <= F.col("__hi90"))
         ).alias("ok90"),
     )
+
+
+@register(
+    "agg_exact_median_histogram",
+    oracle="""
+WITH h AS (
+  SELECT l_returnflag, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v, c,
+         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM h
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50,
+       MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM cum GROUP BY 1
+""",
+    description="EXACT distributed percentiles via value histogram "
+    "(beyond-reference): for bounded-cardinality columns the scale path to "
+    "an exact median is groupBy(value) counts + one cumulative window over "
+    "the (group, distinct-value) histogram — state is O(distinct values), "
+    "never O(rows), unlike percentile()'s in-memory value buffer. Lower "
+    "discrete percentile: smallest v whose cumulative count reaches "
+    "ceil(q(n+1))-ish rank, same integer formula in both engines",
+    tags=("agg", "scale"),
+)
+def agg_exact_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = Catalog(spark, sf_dir)
+    h = t.lineitem.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = h.select(
+        "l_returnflag",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v"))
+            ).alias("p50"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("v"))
+            ).alias("p90"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
