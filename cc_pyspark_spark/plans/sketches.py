@@ -4,7 +4,7 @@ Beyond-reference: the reference (word_count.py, server_count.py) always
 re-scans raw records to answer cardinality/frequency questions. At
 100 TB the deployment pattern is *pre-aggregated mergeable sketches*:
 each ingest shard persists a small sketch, and any later rollup merges
-sketches without touching raw data. Two families:
+sketches without touching raw data. Families:
 
 * ``agg_hll_sketch_union`` — HyperLogLog (Apache DataSketches HLL via
   Spark's ``hll_sketch_agg``/``hll_union_agg``): per-(lang, source)
