@@ -25,9 +25,11 @@ from cc_pyspark_spark.plans import QUERIES
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
 #: Round-7 rotation (VERDICT r6 ask #3): 56 queries were last
-#: driver-checked in r1/r2; this round rotates 17 of the oldest back
-#: through the window — the five r2 TPC-H stragglers plus
-#: representatives of the relational agg/join/set-op/window families —
+#: driver-checked in r1/r2; this round rotates 10 of the oldest back
+#: through the window — the five r2 TPC-H stragglers plus one
+#: representative each of the relational agg/join/set-op/window
+#: families (agg_approx_count_distinct on its new oracle, agg_rollup,
+#: join_semi, set_except, window_rank_suite) —
 #: displacing r6-green rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the
 #: multimodal trio, the events join pair, merge_upsert,
 #: text_html_extract, dedup_substring_spans, window_distributed_ids,

@@ -168,24 +168,19 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
                 "deg_head"
             ),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("head_id"),
         )
     )
     w1 = oriented.select(
-        "u",
-        F.col("v").alias("v1"),
-        F.col("deg_head").alias("dh1"),
-        F.col("head_id").alias("h1"),
+        "u", F.col("v").alias("v1"), F.col("deg_head").alias("dh1")
     )
     w2 = oriented.select(
-        "u",
-        F.col("v").alias("v2"),
-        F.col("deg_head").alias("dh2"),
-        F.col("head_id").alias("h2"),
+        "u", F.col("v").alias("v2"), F.col("deg_head").alias("dh2")
     )
+    # v1 ≺ v2 in the same (deg, id) total order the orientation used —
+    # the head id doubles as the tie-break, no extra column shuffled.
     wedges = w1.join(w2, "u").filter(
         (F.col("dh1") < F.col("dh2"))
-        | ((F.col("dh1") == F.col("dh2")) & (F.col("h1") < F.col("h2")))
+        | ((F.col("dh1") == F.col("dh2")) & (F.col("v1") < F.col("v2")))
     )
     closed = wedges.join(
         oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),

@@ -262,6 +262,83 @@ PQ_SEED_BASE = 480
 PQ_MAX_ID = 200  # quantize the first 200 vectors (bounded driver output)
 
 
+def _pq_blocks_cb(e):
+    """Shared PQ fragments: corpus subvector blocks + per-block codebook
+    (seed-sliced). ONE definition feeds embedding_pq_codes, the ADC
+    search, and the rerank pipeline — the r6 deterministic-fold lesson:
+    twin plan fragments must not be maintained in duplicate."""
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.slice("v", b * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for b in range(PQ_BLOCKS)
+    ]
+    blocks = (
+        e.filter(F.col("vec_id") < PQ_MAX_ID)
+        .select("vec_id", F.explode(F.array(*block_structs)).alias("bk"))
+        .select("vec_id", "bk.block", "bk.sv")
+    )
+    cb = (
+        e.filter(
+            (F.col("vec_id") >= PQ_SEED_BASE)
+            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODEBOOK)
+        )
+        .select(
+            (F.col("vec_id") - PQ_SEED_BASE).alias("c_id"),
+            F.explode(F.array(*block_structs)).alias("bk"),
+        )
+        .select("c_id", F.col("bk.block").alias("block"), F.col("bk.sv").alias("cv"))
+    )
+    return blocks, cb
+
+
+_PQ_SQ_ERR = (
+    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+    "0D, (acc, z) -> acc + z)"
+)
+
+
+def _pq_adc_distances(t: Catalog):
+    """(q_id, n_id, adc_dist) for every query x corpus pair, computed
+    entirely in the compressed domain. Deterministic distance sum
+    (ADVICE r6): F.sum over doubles folds in partition-dependent order,
+    so the per-block distances are collected, sorted by block id, and
+    LEFT-FOLDED in that fixed order; the DuckDB twin folds
+    list(d ORDER BY block) identically (0D + d0 == d0 bit-exact)."""
+    e = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    blocks, cb = _pq_blocks_cb(e)
+    sq_err = F.expr(_PQ_SQ_ERR)
+    codes = (
+        blocks.join(F.broadcast(cb), "block")
+        .withColumn("sq_err", sq_err)
+        .groupBy("vec_id", "block")
+        .agg(F.min(F.struct("sq_err", "c_id")).alias("m"))
+        .select("vec_id", "block", F.col("m.c_id").alias("code"))
+    )
+    lut = (
+        blocks.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb), "block")
+        .withColumn("d", sq_err)
+        .select("q_id", "block", "c_id", "d")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["block"])
+        .filter((F.col("c_id") == F.col("code")) & (F.col("vec_id") != F.col("q_id")))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(block, d))), "
+                "0D, (acc, z) -> acc + z.d)"
+            ).alias("adc_dist")
+        )
+    )
+
+
 def _duck_pq_oracle() -> str:
     sq = (
         "list_reduce(list_prepend(0.0, "
@@ -315,33 +392,8 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    block_structs = [
-        F.struct(
-            F.lit(b).alias("block"),
-            F.slice("v", b * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-        )
-        for b in range(PQ_BLOCKS)
-    ]
-    blocks = (
-        e.filter(F.col("vec_id") < PQ_MAX_ID)
-        .select("vec_id", F.explode(F.array(*block_structs)).alias("bk"))
-        .select("vec_id", "bk.block", "bk.sv")
-    )
-    cb = (
-        e.filter(
-            (F.col("vec_id") >= PQ_SEED_BASE)
-            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODEBOOK)
-        )
-        .select(
-            (F.col("vec_id") - PQ_SEED_BASE).alias("c_id"),
-            F.explode(F.array(*block_structs)).alias("bk"),
-        )
-        .select("c_id", F.col("bk.block").alias("block"), F.col("bk.sv").alias("cv"))
-    )
-    sq_err = F.expr(
-        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
-        "0D, (acc, z) -> acc + z)"
-    )
+    blocks, cb = _pq_blocks_cb(e)
+    sq_err = F.expr(_PQ_SQ_ERR)
     # argmin as min-of-struct: lexicographic (sq_err, c_id) ordering is
     # exactly the oracle's ORDER BY dist, c_id tie-break, and partial
     # aggregation collapses the 8 codebook candidates map-side.
@@ -359,7 +411,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_pq_adc_oracle() -> str:
+def _duck_pq_adc_core() -> str:
+    """Shared CTE chain ending in `adc`(q_id, n_id, adc_dist) — the
+    SQL twin of _pq_adc_distances. Both the ADC top-k oracle and the
+    rerank oracle compose this text, so the deterministic block-ordered
+    fold lives in exactly one place on each engine side."""
     sq = (
         "list_reduce(list_prepend(0.0, "
         "list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
@@ -368,7 +424,7 @@ def _duck_pq_adc_oracle() -> str:
     d_assign = sq.format(a="s.sv", b="c.cv", n=PQ_SUBDIM)
     d_lut = sq.format(a="q.sv", b="c.cv", n=PQ_SUBDIM)
     return f"""
-WITH e AS (
+e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), blocks AS (
@@ -400,7 +456,13 @@ WITH e AS (
   FROM codes x JOIN lut l ON l.block = x.block AND l.c_id = x.code
   WHERE x.vec_id <> l.q_id
   GROUP BY l.q_id, x.vec_id
-), r AS (
+)"""
+
+
+def _duck_pq_adc_oracle() -> str:
+    return f"""
+WITH {_duck_pq_adc_core()},
+r AS (
   SELECT q_id, n_id, adc_dist,
          ROW_NUMBER() OVER (PARTITION BY q_id
                             ORDER BY adc_dist, n_id) AS rnk
@@ -425,71 +487,7 @@ FROM r WHERE rnk <= {IVF_TOP_K}
     tags=("similarity",),
 )
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Catalog(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    )
-    block_structs = [
-        F.struct(
-            F.lit(b).alias("block"),
-            F.slice("v", b * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-        )
-        for b in range(PQ_BLOCKS)
-    ]
-    blocks = (
-        e.filter(F.col("vec_id") < PQ_MAX_ID)
-        .select("vec_id", F.explode(F.array(*block_structs)).alias("bk"))
-        .select("vec_id", "bk.block", "bk.sv")
-    )
-    cb = (
-        e.filter(
-            (F.col("vec_id") >= PQ_SEED_BASE)
-            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODEBOOK)
-        )
-        .select(
-            (F.col("vec_id") - PQ_SEED_BASE).alias("c_id"),
-            F.explode(F.array(*block_structs)).alias("bk"),
-        )
-        .select("c_id", F.col("bk.block").alias("block"), F.col("bk.sv").alias("cv"))
-    )
-    sq_err = F.expr(
-        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
-        "0D, (acc, z) -> acc + z)"
-    )
-    codes = (
-        blocks.join(F.broadcast(cb), "block")
-        .withColumn("sq_err", sq_err)
-        .groupBy("vec_id", "block")
-        .agg(F.min(F.struct("sq_err", "c_id")).alias("m"))
-        .select("vec_id", "block", F.col("m.c_id").alias("code"))
-    )
-    lut = (
-        blocks.filter(F.col("vec_id") < N_QUERIES)
-        .withColumnRenamed("vec_id", "q_id")
-        .join(F.broadcast(cb), "block")
-        .withColumn("d", sq_err)
-        .select("q_id", "block", "c_id", "d")
-    )
-    # Deterministic distance sum (ADVICE r6): F.sum over doubles folds in
-    # partition-dependent order, so the last-ulp result could drift with
-    # layout and diverge from the oracle's fold. Instead collect the
-    # per-block distances, sort by block id (unique per group — struct
-    # comparison orders on its first field), and LEFT-FOLD in that fixed
-    # order. The DuckDB twin folds list(d ORDER BY block) identically;
-    # 0D + d0 == d0 bit-exact (d >= +0.0), so both engines compute
-    # ((d0 + d1) + d2) ... in block order.
-    adc = (
-        codes.join(F.broadcast(lut), ["block"])
-        .filter((F.col("c_id") == F.col("code")) & (F.col("vec_id") != F.col("q_id")))
-        .groupBy("q_id", F.col("vec_id").alias("n_id"))
-        .agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(block, d))), "
-                "0D, (acc, z) -> acc + z.d)"
-            ).alias("adc_dist")
-        )
-    )
+    adc = _pq_adc_distances(Catalog(spark, sf_dir))
     w = W.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("n_id"))
     return (
         adc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
@@ -505,52 +503,16 @@ RERANK_K = 3
 
 
 def _duck_pq_rerank_oracle() -> str:
-    sq = (
-        "list_reduce(list_prepend(0.0, "
-        "list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
-        "(x, y) -> x + y)"
-    )
     dot = (
         "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
         "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
     )
-    d_assign = sq.format(a="s.sv", b="c.cv", n=PQ_SUBDIM)
-    d_lut = sq.format(a="q.sv", b="c.cv", n=PQ_SUBDIM)
     return f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-), nrm AS (
+WITH {_duck_pq_adc_core()},
+nrm AS (
   SELECT vec_id, v,
          sqrt({dot.format(a='v', b='v')}) AS nrm
   FROM e
-), blocks AS (
-  SELECT vec_id, b.b AS block,
-         list_slice(v, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS sv
-  FROM e, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
-  WHERE vec_id < {PQ_MAX_ID}
-), cb AS (
-  SELECT vec_id - {PQ_SEED_BASE} AS c_id, b.b AS block,
-         list_slice(v, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS cv
-  FROM e, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
-  WHERE vec_id >= {PQ_SEED_BASE} AND vec_id < {PQ_SEED_BASE + PQ_CODEBOOK}
-), codes AS (
-  SELECT vec_id, block, c_id AS code FROM (
-    SELECT s.vec_id, s.block, c.c_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.block
-                              ORDER BY {d_assign}, c.c_id) AS rk
-    FROM blocks s JOIN cb c ON s.block = c.block) WHERE rk = 1
-), lut AS (
-  SELECT q.vec_id AS q_id, q.block, c.c_id, {d_lut} AS d
-  FROM blocks q JOIN cb c ON q.block = c.block
-  WHERE q.vec_id < {N_QUERIES}
-), adc AS (
-  SELECT l.q_id, x.vec_id AS n_id,
-         list_reduce(list(l.d ORDER BY l.block), (acc, x) -> acc + x)
-           AS adc_dist
-  FROM codes x JOIN lut l ON l.block = x.block AND l.c_id = x.code
-  WHERE x.vec_id <> l.q_id
-  GROUP BY l.q_id, x.vec_id
 ), short AS (
   SELECT q_id, n_id,
          ROW_NUMBER() OVER (PARTITION BY q_id
@@ -586,74 +548,29 @@ FROM exact QUALIFY rnk <= {RERANK_K}
 )
 def sim_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-    )
-    dot_self = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
-    nrm = e.withColumn("nrm", F.expr(f"sqrt({dot_self})"))
-    block_structs = [
-        F.struct(
-            F.lit(b).alias("block"),
-            F.slice("v", b * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-        )
-        for b in range(PQ_BLOCKS)
-    ]
-    blocks = (
-        e.filter(F.col("vec_id") < PQ_MAX_ID)
-        .select("vec_id", F.explode(F.array(*block_structs)).alias("bk"))
-        .select("vec_id", "bk.block", "bk.sv")
-    )
-    cb = (
-        e.filter(
-            (F.col("vec_id") >= PQ_SEED_BASE)
-            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODEBOOK)
-        )
-        .select(
-            (F.col("vec_id") - PQ_SEED_BASE).alias("c_id"),
-            F.explode(F.array(*block_structs)).alias("bk"),
-        )
-        .select("c_id", F.col("bk.block").alias("block"), F.col("bk.sv").alias("cv"))
-    )
-    sq_err = F.expr(
-        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
-        "0D, (acc, z) -> acc + z)"
-    )
-    codes = (
-        blocks.join(F.broadcast(cb), "block")
-        .withColumn("sq_err", sq_err)
-        .groupBy("vec_id", "block")
-        .agg(F.min(F.struct("sq_err", "c_id")).alias("m"))
-        .select("vec_id", "block", F.col("m.c_id").alias("code"))
-    )
-    lut = (
-        blocks.filter(F.col("vec_id") < N_QUERIES)
-        .withColumnRenamed("vec_id", "q_id")
-        .join(F.broadcast(cb), "block")
-        .withColumn("d", sq_err)
-        .select("q_id", "block", "c_id", "d")
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["block"])
-        .filter((F.col("c_id") == F.col("code")) & (F.col("vec_id") != F.col("q_id")))
-        .groupBy("q_id", F.col("vec_id").alias("n_id"))
-        .agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(block, d))), "
-                "0D, (acc, z) -> acc + z.d)"
-            ).alias("adc_dist")
-        )
-    )
+    adc = _pq_adc_distances(t)
     w_adc = W.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("n_id"))
     short = (
         adc.withColumn("adc_rnk", F.row_number().over(w_adc).cast("bigint"))
         .filter(F.col("adc_rnk") <= PQ_SHORTLIST)
         .select("q_id", "n_id", "adc_rnk")
     )
-    qv = nrm.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    e = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dot_self = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    nrm = e.withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    # Only the N_QUERIES query vectors broadcast — the filter must come
+    # BEFORE the hint, or the whole corpus's raw floats ship to every
+    # executor (code-review r7).
+    qv = (
+        nrm.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
     )
     # The shortlist (|queries| x PQ_SHORTLIST rows) broadcasts into the
     # corpus scan — the exact stage reads raw floats for those ids only.
@@ -810,9 +727,12 @@ def sim_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    # na/nb are O(|docs|) — unlike the scalar n_docs above they must
+    # NOT broadcast; a plain shuffled join on the pair ids is the
+    # scale-safe shape.
     cosd = (
-        dots.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
         .select("a_id", "b_id", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"))
     )
     win = W.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))

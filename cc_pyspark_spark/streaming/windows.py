@@ -190,20 +190,22 @@ def minute_rollup_counts(
     deployment this appends to the stored minute table; the hour/day
     grains re-aggregate that table in batch (count + exact DECIMAL sum
     are monoids) and never see raw events — so refresh cost tracks the
-    changed minute buckets, not the stream's history."""
+    changed minute buckets, not the stream's history. The stored grain
+    keeps the EXACT decimal (`sum_value_dec`) — that is what makes the
+    hour/day re-aggregation bit-identical to direct grouping; the
+    double `sum_value` is presentation only (code-review r7)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 minute"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
             "event_type",
             "n",
-            "sum_value",
+            F.col("s").alias("sum_value_dec"),
+            F.col("s").cast("double").alias("sum_value"),
         )
     )

@@ -188,16 +188,26 @@ def test_streaming_minute_rollup_matches_batch_grain(
         if k not in got:  # only the watermark tail may be missing
             assert k[0] + 60 > max_ts_epoch - 1
 
-    # coarsen streamed minutes -> hour counts; compare complete hours
+    # coarsen streamed minutes -> hour grains from the STORED decimal
+    # (the continuous-aggregate refresh path); complete hours must be
+    # bit-identical to the batch '1h' slice, sums included
+    decs = {
+        (r["bucket_start"], r["event_type"]): r["sum_value_dec"]
+        for r in spark.sql("SELECT * FROM minute_rollup_test").collect()
+    }
     hours: dict[tuple[int, str], int] = {}
+    hsum: dict[tuple[int, str], object] = {}
     for (bs, et), (n, _) in got.items():
-        hours[(bs - bs % 3600, et)] = hours.get((bs - bs % 3600, et), 0) + n
+        hk = (bs - bs % 3600, et)
+        hours[hk] = hours.get(hk, 0) + n
+        hsum[hk] = (hsum.get(hk) or 0) + decs[(bs, et)]
     want_1h = {
-        (r["bucket_start"], r["event_type"]): r["n"]
+        (r["bucket_start"], r["event_type"]): (r["n"], r["sum_value"])
         for r in batch
         if r["resolution"] == "1h"
     }
     complete = {k: v for k, v in want_1h.items() if k[0] + 3600 <= max_ts_epoch - 1}
     assert complete, "no complete hours in fixture"
-    for k, n in complete.items():
+    for k, (n, sv) in complete.items():
         assert hours.get(k) == n
+        assert float(hsum[k]) == sv, (k, hsum[k], sv)
