@@ -94,3 +94,42 @@ def test_hll_within_bound_column_true(spark):
         .collect()
     }
     assert {r.lang: r.n_shards for r in out} == exp
+
+
+def test_cms_shard_merge_is_elementwise_addition(spark):
+    """The mergeability claim: building per-shard sketches and adding
+    them cell-wise equals the whole-corpus sketch — the groupBy(i, b)
+    SUM is both the build and the merge."""
+    t = Catalog(spark, SF_DIR)
+
+    def sketch_of(df):
+        tc = (
+            df.select(F.explode(tokenize("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("c"))
+        )
+        hb = tc.withColumn("h", F.expr(_char_hash_spark("token")))
+        return (
+            hb.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            ((F.col("h") * (131 + 2 * i) + (17 + 31 * i)) % CM_P)
+                            % CM_W
+                            for i in range(CM_D)
+                        ]
+                    )
+                ).alias("i", "b"),
+                "c",
+            )
+            .groupBy("i", "b")
+            .agg(F.sum("c").alias("cnt"))
+        )
+
+    whole = {(r.i, r.b): r.cnt for r in sketch_of(t.documents).collect()}
+    sa = sketch_of(t.documents.filter(F.col("doc_id") % 2 == 0)).collect()
+    sb = sketch_of(t.documents.filter(F.col("doc_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in [*sa, *sb]:
+        merged[(r.i, r.b)] = merged.get((r.i, r.b), 0) + r.cnt
+    assert merged == whole
