@@ -209,3 +209,36 @@ def minute_rollup_counts(
             F.col("s").cast("double").alias("sum_value"),
         )
     )
+
+
+def purchase_click_stream_join(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join — the batch twin is
+    plans/events.events_range_join's inner core: each purchase joined
+    to the same user's clicks from the preceding 10 minutes.
+
+    Both sides carry watermarks and the join condition bounds c_ts
+    within [p_ts - 10 min, p_ts), so Spark can size the join state and
+    expire rows: click state is held for watermark + 10 minutes, then
+    dropped — the state-bound that makes an unbounded two-stream join
+    runnable forever. Inner join (streaming outer needs both
+    watermarks anyway and emits on expiry); the batch parity test
+    derives the per-purchase click counts from these pairs."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTE"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id")

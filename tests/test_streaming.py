@@ -211,3 +211,47 @@ def test_streaming_minute_rollup_matches_batch_grain(
     for k, (n, sv) in complete.items():
         assert hours.get(k) == n
         assert float(hsum[k]) == sv, (k, hsum[k], sv)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Stream-stream join twin: the streamed (purchase, click) pairs
+    must equal the batch range join's inner pairs (watermark 1 hour
+    covers the whole fixture, so nothing is dropped)."""
+    from cc_pyspark_spark.streaming.windows import purchase_click_stream_join
+
+    stream = purchase_click_stream_join(
+        stream_events(spark, events_dir), watermark="1 hour"
+    )
+    q = run_available_now(stream, "ss_join_test", "append")
+    _drain(q)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(events_dir)
+    from pyspark.sql import functions as F
+
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTE"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        ).collect()
+    }
+    assert want, "fixture has no purchase/click pairs"
+    assert got == want
