@@ -965,3 +965,100 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         (F.col("sum_p") / F.col("n_bigrams").cast("double")).alias("mean_p"),
     )
+
+
+DRIFT_TOP_K = 50
+
+
+@register(
+    "text_drift_chi2",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS token FROM documents
+), top AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS g FROM tok
+  GROUP BY 1 ORDER BY g DESC, token LIMIT {DRIFT_TOP_K}
+), gt AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS gtot FROM top
+), sc AS (
+  SELECT tok.source, tok.token, CAST(COUNT(*) AS BIGINT) AS o
+  FROM tok JOIN top ON top.token = tok.token
+  GROUP BY 1, 2
+), st AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS s FROM sc GROUP BY 1
+), grid AS (
+  SELECT st.source, st.s, top.token, top.g, gt.gtot,
+         COALESCE(sc.o, 0) AS o
+  FROM st CROSS JOIN top CROSS JOIN gt
+  LEFT JOIN sc ON sc.source = st.source AND sc.token = top.token
+), cells AS (
+  SELECT source, s, token,
+         (CAST(o AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(g AS DOUBLE) / CAST(gtot AS DOUBLE))
+         * (CAST(o AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(g AS DOUBLE) / CAST(gtot AS DOUBLE))
+         / (CAST(s AS DOUBLE) * CAST(g AS DOUBLE) / CAST(gtot AS DOUBLE))
+           AS cell
+  FROM grid
+)
+SELECT source, CAST(MAX(s) AS BIGINT) AS n_top_tokens,
+       list_reduce(list_prepend(0.0, list(cell ORDER BY token)),
+                   (a, x) -> a + x) AS chi2
+FROM cells GROUP BY source
+""",
+    description="Token-distribution drift per source (beyond-reference data "
+    "quality): chi-square of each source's top-K token counts against the "
+    "corpus-wide distribution — the standard detector for a source whose "
+    "content shifted between crawls. Expected counts are rational "
+    "(s*g/gtot, no transcendental functions) and the per-source sum folds "
+    "token-ordered, so the statistic is bit-stable and fully hash-checked. "
+    "One explode + two bounded aggregations; the (source x K) grid is "
+    "tiny at any corpus size",
+    tags=("text", "quality"),
+)
+def text_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    tok = t.documents.select(
+        "source", F.explode(tokenize("text")).alias("token")
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("g"))
+        .orderBy(F.desc("g"), "token")
+        .limit(DRIFT_TOP_K)
+    )
+    gt = top.agg(F.sum("g").alias("gtot"))
+    sc = (
+        tok.join(F.broadcast(top.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("o"))
+    )
+    st = sc.groupBy("source").agg(F.sum("o").alias("s"))
+    grid = (
+        st.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(gt))
+        .join(sc, ["source", "token"], "left")
+        .select(
+            "source",
+            "s",
+            "token",
+            "g",
+            "gtot",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("s").cast("double") * F.col("g").cast("double") / F.col(
+        "gtot"
+    ).cast("double")
+    cell = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    cells = grid.select("source", "s", "token", cell.alias("cell"))
+    return cells.groupBy("source").agg(
+        F.max("s").cast("bigint").alias("n_top_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "cell"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["cell"],
+        ).alias("chi2"),
+    )
