@@ -25,11 +25,11 @@ from cc_pyspark_spark.plans import QUERIES
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
 #: Round-7 rotation (VERDICT r6 ask #3): 56 queries were last
-#: driver-checked in r1/r2; this round rotates 9 of the oldest back
+#: driver-checked in r1/r2; this round rotates 7 of the oldest back
 #: through the window — the five r2 TPC-H stragglers plus one
 #: representative each of the relational agg/join/set-op/window
-#: families (agg_approx_count_distinct on its new oracle, agg_rollup,
-#: join_semi, window_rank_suite) —
+#: families (agg_approx_count_distinct on its new oracle,
+#: window_rank_suite) —
 #: displacing r6-green rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the
 #: multimodal trio, the events join pair, merge_upsert,
 #: text_html_extract, dedup_substring_spans, window_distributed_ids,
@@ -38,14 +38,16 @@ from cc_pyspark_spark.plans import QUERIES
 #: bench.HEADLINERS plus queries changed or added this round, which
 #: need first/fresh rows: the 64-bit dedup_simhash_pairs,
 #: curation_pipeline_full, the format("warc") DataSource query, and
-#: the fourteen NEW r7 operators (mergeable sketches, exact
+#: the sixteen NEW r7 operators (funnel/retention analytics,
+#: mergeable sketches, exact
 #: histogram-percentiles, chi-square drift, hypertable rollup
 #: + gap-fill/LOCF, bigram LM scoring, PQ rerank + RRF hybrid fusion,
 #: approx-percentile gate, sparse TF-IDF similarity, triangle
 #: counting, prefix-filter exact Jaccard join, salted distinct-count)
-#: — those fourteen took the slots of same-family twins
+#: — those sixteen took the slots of same-family twins
 #: (agg_count_distinct, agg_cube, agg_grouping_sets, agg_pivot_status,
-#: agg_percentiles, set_union_all, set_intersect, set_except,
+#: agg_percentiles, agg_rollup, join_semi, set_union_all,
+#: set_intersect, set_except,
 #: window_running_sum,
 #: window_range_frame, window_lag_delta, join_left_outer_count,
 #: join_full_outer, join_anti), each of which keeps a sibling in the
@@ -111,8 +113,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_hybrid_rrf",
     "agg_exact_median_histogram",
     "text_drift_chi2",
-    "agg_rollup",
-    "join_semi",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
     "window_rank_suite",
 )
 

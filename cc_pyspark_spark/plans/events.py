@@ -465,3 +465,113 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value_locf"),
         "filled",
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH fc AS (
+  SELECT user_id, MIN(ts) AS click_ts FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), conv AS (
+  SELECT fc.user_id, fc.click_ts,
+         MIN(e.ts) AS purchase_ts
+  FROM fc LEFT JOIN events e
+    ON e.user_id = fc.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts > fc.click_ts
+   AND e.ts <= fc.click_ts + INTERVAL 30 MINUTE
+  GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(date_trunc('hour', click_ts))) AS BIGINT) AS cohort_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM conv GROUP BY 1
+""",
+    description="Funnel conversion (beyond-reference event analytics): per "
+    "user, first click -> earliest purchase within 30 minutes; conversion "
+    "counts by first-click hour cohort. Two hash aggregations and one "
+    "time-banded left join keyed by user_id — the as-of/range-join family "
+    "shape, all integers, fully hash-checked",
+    tags=("events", "analytics"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    fc = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        fc.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+            "left",
+        )
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return (
+        conv.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("click_ts"))).alias(
+                "cohort_hour"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(
+                F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+            ).alias("n_converted"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH fs AS (
+  -- floor to integer seconds BEFORE the day division: epoch() is a
+  -- DOUBLE and double '//' does not floor in DuckDB
+  SELECT user_id,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) // 86400 AS cohort_day
+  FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT e.user_id,
+         CAST(floor(epoch(e.ts)) AS BIGINT) // 86400 AS day
+  FROM events e
+)
+SELECT fs.cohort_day,
+       CAST(act.day - fs.cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT fs.user_id) AS BIGINT) AS n_active
+FROM fs JOIN act ON act.user_id = fs.user_id
+WHERE act.day - fs.cohort_day <= 7
+GROUP BY 1, 2
+""",
+    description="Cohort retention (beyond-reference event analytics): users "
+    "bucketed by first-seen day, activity counted at day offsets 0..7 — "
+    "the standard DAU retention triangle. One distinct-activity "
+    "aggregation + one join keyed by user_id; integers only",
+    tags=("events", "analytics"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    fs = t.events.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("first_ts")
+    ).select(
+        "user_id", F.expr("first_ts div 86400").alias("cohort_day")
+    )
+    act = t.events.select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).distinct()
+    return (
+        fs.join(act, "user_id")
+        .filter(F.col("day") - F.col("cohort_day") <= 7)
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
