@@ -659,13 +659,28 @@ def prefix_filter_jaccard_pairs(
     prefix = arr.select(
         "doc_id",
         "n",
-        F.explode(F.slice("toks", 1, prefix_len)).alias("token"),
-    )
+        F.posexplode(F.slice("toks", 1, prefix_len)).alias("pos0", "token"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "token")
     pa = prefix.select(
-        F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "token"
+        F.col("doc_id").alias("a_id"),
+        F.col("n").alias("na"),
+        F.col("pos").alias("ia"),
+        "token",
     )
     pb = prefix.select(
-        F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "token"
+        F.col("doc_id").alias("b_id"),
+        F.col("n").alias("nb"),
+        F.col("pos").alias("ib"),
+        "token",
+    )
+    # Positional filter (PPJoin): a pair matching at positions (ia, ib)
+    # of the sorted sets can reach overlap at most
+    # 1 + min(na - ia, nb - ib); J >= t needs overlap >=
+    # ceil(t/(1+t) * (na+nb)), so pairs below the bound are pruned with
+    # ZERO recall loss — exactness is what the all-pairs oracle checks.
+    alpha = F.ceil(
+        F.lit(threshold) / F.lit(1.0 + threshold)
+        * (F.col("na") + F.col("nb")).cast("double")
     )
     cand = (
         pa.join(pb, "token")
@@ -674,6 +689,13 @@ def prefix_filter_jaccard_pairs(
             & (
                 F.least("na", "nb").cast("double")
                 >= F.lit(threshold) * F.greatest("na", "nb").cast("double")
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+                )
+                >= alpha
             )
         )
         .select("a_id", "b_id")
