@@ -25,11 +25,10 @@ from cc_pyspark_spark.plans import QUERIES
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
 #: Round-7 rotation (VERDICT r6 ask #3): 56 queries were last
-#: driver-checked in r1/r2; this round rotates 7 of the oldest back
+#: driver-checked in r1/r2; this round rotates 6 of the oldest back
 #: through the window — the five r2 TPC-H stragglers plus one
 #: representative each of the relational agg/join/set-op/window
-#: families (agg_approx_count_distinct on its new oracle,
-#: window_rank_suite) —
+#: families (agg_approx_count_distinct on its new oracle) —
 #: displacing r6-green rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the
 #: multimodal trio, the events join pair, merge_upsert,
 #: text_html_extract, dedup_substring_spans, window_distributed_ids,
@@ -38,25 +37,27 @@ from cc_pyspark_spark.plans import QUERIES
 #: bench.HEADLINERS plus queries changed or added this round, which
 #: need first/fresh rows: the 64-bit dedup_simhash_pairs,
 #: curation_pipeline_full, the format("warc") DataSource query, and
-#: the sixteen NEW r7 operators (funnel/retention analytics,
+#: the seventeen NEW r7 operators (funnel/retention/rolling-z-score
+#: analytics,
 #: mergeable sketches, exact
 #: histogram-percentiles, chi-square drift, hypertable rollup
 #: + gap-fill/LOCF, bigram LM scoring, PQ rerank + RRF hybrid fusion,
 #: approx-percentile gate, sparse TF-IDF similarity, triangle
 #: counting, prefix-filter exact Jaccard join, salted distinct-count)
-#: — those sixteen took the slots of same-family twins
+#: — those seventeen took the slots of same-family twins
 #: (agg_count_distinct, agg_cube, agg_grouping_sets, agg_pivot_status,
 #: agg_percentiles, agg_rollup, join_semi, set_union_all,
 #: set_intersect, set_except,
 #: window_running_sum,
-#: window_range_frame, window_lag_delta, join_left_outer_count,
+#: window_range_frame, window_lag_delta, window_rank_suite,
+#: join_left_outer_count,
 #: join_full_outer, join_anti), each of which keeps a sibling in the
 #: window and its green parity pytest. Still-stale
-#: residue for r8/r9: the r1 function suites
+#: residue for r8/r9: the relational function/window suites from r1
 #: (array/conditional/date/filter_in_like/json_extract/
 #: subquery_correlated, join_merge_hint, events_sliding,
-#: events_user_trend), the remaining non-TPC-H r2 names, and the thirteen
-#: twins displaced this round.
+#: events_user_trend), the remaining non-TPC-H r2 names, and the
+#: seventeen twins displaced this round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- bench headliners (fixed; must stay inside the driver cap) --
     "tpch_q1_pricing_summary",
@@ -115,7 +116,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_drift_chi2",
     "events_funnel_conversion",
     "events_retention_cohorts",
-    "window_rank_suite",
+    "events_rolling_zscore",
 )
 
 

@@ -87,6 +87,7 @@ HEADLINERS = [
     "text_drift_chi2",
     "events_funnel_conversion",
     "events_retention_cohorts",
+    "events_rolling_zscore",
     # graph_triangle_stats stays OUT of the bench: its cost is the
     # graph's (~E^1.5 wedge work on the dense sf0.1 co-order graph,
     # ~11 s), which would drown the pipeline-operator signal this

@@ -575,3 +575,65 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "events_rolling_zscore",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         COUNT(*) OVER win AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              OVER win AS DOUBLE) AS sxx
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+       CASE WHEN n >= 5 AND sxx / n - (sx / n) * (sx / n) > 0
+            THEN (value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))
+       END AS z,
+       CAST(n AS BIGINT) AS n_window,
+       COALESCE(
+         CASE WHEN n >= 5 AND sxx / n - (sx / n) * (sx / n) > 0
+              THEN abs((value - sx / n)
+                       / sqrt(sxx / n - (sx / n) * (sx / n))) > 2.0
+         END, FALSE) AS is_anomaly
+FROM w
+""",
+    description="Rolling z-score anomaly flags (beyond-reference "
+    "time-series): per user, mean/std over the trailing 10 events "
+    "(population moments from EXACT decimal window sums — a double "
+    "moving-sum would hang on the window implementation's association "
+    "order; DECIMAL is associative so both engines agree bit-for-bit), "
+    "z of the current value, |z| > 2 flag once 5+ points exist. "
+    "One shuffle keyed by user; sqrt and division are IEEE-exact",
+    tags=("events", "window", "quality"),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    base = t.events.select(
+        "event_id",
+        "value",
+        F.count("*").over(win).alias("n"),
+        F.sum(dec).over(win).cast("double").alias("sx"),
+        F.sum(dec * dec).over(win).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    z = F.when(
+        (F.col("n") >= 5) & (var > 0), (F.col("value") - mean) / F.sqrt(var)
+    )
+    return base.select(
+        "event_id",
+        z.alias("z"),
+        F.col("n").cast("bigint").alias("n_window"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
+    )
