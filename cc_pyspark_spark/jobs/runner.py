@@ -54,6 +54,7 @@ DOC_JOBS = (
     "quality_gate",
     "pack_sequences",
     "c4_clean",
+    "analyze_documents",
 )
 
 
@@ -172,6 +173,31 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         content_fingerprints(table).write.mode("overwrite").parquet(f"{base}/fp")
         minhash_band_index(table).write.mode("overwrite").parquet(f"{base}/bands")
         print(json.dumps({"job": args.job, "index": base}))
+        return 0
+    if args.job == "analyze_documents":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cc_pyspark_spark.functions.text import tokenize  # noqa: PLC0415
+        from cc_pyspark_spark.plans.text import (  # noqa: PLC0415
+            bigram_lm_scores_frame,
+            lang_id_col,
+            quality_ok_col,
+        )
+
+        # One-pass per-document analysis: heuristics are pure columns;
+        # the LM score adds the corpus-trained bigram model (left join —
+        # <2-token docs keep NULL LM columns rather than vanishing).
+        sig = table.select(
+            "doc_id",
+            lang_id_col("text").alias("lang_pred"),
+            quality_ok_col("text").alias("quality_ok"),
+            F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+        )
+        df = sig.join(bigram_lm_scores_frame(table), "doc_id", "left")
+        write_output(df, args, ["doc_id"])
+        print(json.dumps({"job": args.job}))
         return 0
     if args.job == "quality_gate":
         from pyspark.sql import functions as F  # noqa: PLC0415

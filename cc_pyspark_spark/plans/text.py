@@ -872,6 +872,61 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bigram_lm_scores_frame(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, mean_p) for any documents frame — train the
+    Laplace-smoothed bigram model on the corpus and score it back in
+    one plan. Shared by the registry query and the analyze_documents
+    CLI job; see text_bigram_lm_score's description for the float
+    determinism contract (position-sorted fold, no ln)."""
+    docs = documents.select("doc_id", tokenize("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("pos", "s"),
+    ).select("doc_id", "pos", "s.w1", "s.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # Full-corpus vocabulary (including <2-token docs, as the oracle's
+    # `tok` CTE does) — V is the Laplace denominator offset.
+    vocab = (
+        documents.select(F.explode(tokenize("text")).alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("sum_p"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("sum_p") / F.col("n_bigrams").cast("double")).alias("mean_p"),
+    )
+
+
+
 @register(
     "text_bigram_lm_score",
     oracle=f"""
@@ -919,52 +974,7 @@ FROM agg
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    docs = t.documents.select("doc_id", tokenize("text").alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    bg = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1), "
-                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
-            )
-        ).alias("pos", "s"),
-    ).select("doc_id", "pos", "s.w1", "s.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    # Full-corpus vocabulary (including <2-token docs, as the oracle's
-    # `tok` CTE does) — V is the Laplace denominator offset.
-    vocab = (
-        t.documents.select(F.explode(tokenize("text")).alias("token"))
-        .agg(F.count_distinct("token").alias("v"))
-    )
-    scored = (
-        bg.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            "pos",
-            (
-                (F.col("c2") + F.lit(1)).cast("double")
-                / (F.col("c1") + F.col("v")).cast("double")
-            ).alias("p"),
-        )
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("pos", "p"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["p"],
-        ).alias("sum_p"),
-    )
-    return agg.select(
-        "doc_id",
-        "n_bigrams",
-        (F.col("sum_p") / F.col("n_bigrams").cast("double")).alias("mean_p"),
-    )
+    return bigram_lm_scores_frame(t.documents)
 
 
 DRIFT_TOP_K = 50

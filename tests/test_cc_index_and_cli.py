@@ -312,3 +312,31 @@ def test_cli_pack_sequences(tmp_path):
         F.count("*").alias("n"), F.sum("n_tokens").alias("toks")
     ).filter("toks > 128").collect()
     assert all(r["n"] == 1 for r in singleton_over), "oversized multi-doc pack"
+
+
+def test_cli_analyze_documents(tmp_path):
+    """End-to-end CLI: documents parquet → one-pass analysis frame
+    (heuristic signals + corpus-trained bigram LM score)."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    out = str(tmp_path / "analysis")
+    rc = main([
+        "analyze_documents", "/root/testdata/sf0.001/documents.parquet", out,
+        "--num_output_partitions", "2", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {
+        "doc_id", "lang_pred", "quality_ok", "n_tokens", "n_chars",
+        "fp_md5", "n_bigrams", "mean_p",
+    }
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert df.count() == n_docs  # left join keeps <2-token docs
+    row = df.filter("mean_p IS NOT NULL").first()
+    assert 0.0 < row.mean_p <= 1.0 and len(row.fp_md5) == 32
