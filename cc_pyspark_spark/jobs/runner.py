@@ -100,7 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--dedup_method",
         default="minhash",
         choices=[
-            "exact", "minhash", "simhash", "embedding_lsh", "cluster",
+            "exact", "minhash", "prefix_jaccard", "simhash",
+            "embedding_lsh", "cluster",
             "incremental_exact", "incremental_minhash",
         ],
         help="dedup_documents: exact survivors, minhash/embedding pairs, "
@@ -250,6 +251,12 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         df = D.exact_dedup_keep_first(table, ["text"], "doc_id")
     elif method == "minhash":
         df = D.minhash_lsh_pairs(table, threshold=args.jaccard_threshold)
+    elif method == "prefix_jaccard":
+        # Exact similarity join (AllPairs/PPJoin): recall by theorem —
+        # for audits where LSH's probabilistic recall is unacceptable.
+        df = D.prefix_filter_jaccard_pairs(
+            table, threshold=args.jaccard_threshold
+        )
     elif method == "simhash":
         df = D.simhash_signatures(table)
     elif method == "embedding_lsh":

@@ -340,3 +340,36 @@ def test_cli_analyze_documents(tmp_path):
     assert df.count() == n_docs  # left join keeps <2-token docs
     row = df.filter("mean_p IS NOT NULL").first()
     assert 0.0 < row.mean_p <= 1.0 and len(row.fp_md5) == 32
+
+
+def test_cli_dedup_prefix_jaccard(tmp_path):
+    """CLI exact similarity join: same pair set as the minhash method
+    at the same threshold (full fixture recall both ways)."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "pairs")
+    rc = main([
+        "dedup_documents", src, out, "--dedup_method", "prefix_jaccard",
+        "--jaccard_threshold", "0.5", "--num_output_partitions", "1",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = {
+        (r.a_id, r.b_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    out2 = str(tmp_path / "mh")
+    assert main([
+        "dedup_documents", src, out2, "--dedup_method", "minhash",
+        "--jaccard_threshold", "0.5", "--num_output_partitions", "1",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ]) == 0
+    mh = {
+        tuple(sorted((r.a_id, r.b_id)))
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got and mh == got
