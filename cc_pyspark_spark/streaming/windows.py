@@ -241,4 +241,24 @@ def purchase_click_stream_join(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTE"))
         & (F.col("c_ts") < F.col("p_ts")),
         "inner",
-    ).select("purchase_id", "click_id")
+    ).select("purchase_id", "click_id", "p_ts")
+
+
+def funnel_hourly_stream(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """CHAINED stateful operators: the stream-stream interval join's
+    output re-enters a windowed aggregation (pairs per purchase hour).
+    Spark propagates the watermark through the join, so the downstream
+    window state also expires — two stateful stages, bounded state,
+    one continuous query. Batch twin: the range join's inner pairs
+    grouped by hour of the purchase timestamp."""
+    pairs = purchase_click_stream_join(events, watermark=watermark)
+    return (
+        pairs.groupBy(F.window("p_ts", "1 hour"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_start"),
+            "n_pairs",
+        )
+    )

@@ -255,3 +255,53 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     }
     assert want, "fixture has no purchase/click pairs"
     assert got == want
+
+
+def test_chained_stateful_funnel_matches_batch(spark, events_dir, max_ts_epoch):
+    """Stream-stream join feeding a windowed agg (two stateful stages
+    in one query): hourly pair counts must match the batch range join's
+    inner pairs grouped by purchase hour (watermark-tail hours may be
+    absent)."""
+    from cc_pyspark_spark.streaming.windows import funnel_hourly_stream
+
+    stream = funnel_hourly_stream(
+        stream_events(spark, events_dir), watermark="1 second"
+    )
+    q = run_available_now(stream, "funnel_stream_test", "append")
+    _drain(q)
+    got = {
+        r.hour_start: r.n_pairs
+        for r in spark.sql("SELECT * FROM funnel_stream_test").collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(events_dir)
+    from pyspark.sql import functions as F
+
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = {
+        r.hour_start: r.n
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTE"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "p_ts")).alias("hour_start")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got, "no funnel windows emitted"
+    for k, v in got.items():
+        assert want[k] == v
+    for k in want:  # only tail hours may be missing
+        if k not in got:
+            assert k + 3600 > max_ts_epoch - 1
