@@ -356,3 +356,56 @@ def test_prefix_jaccard_contains_minhash_pairs(spark):
     assert mh <= exact
     # on the planted fixture minhash recall is complete -> equality
     assert mh == exact
+
+
+def test_prefix_jaccard_property_random_corpora(spark):
+    """Property check: on random small corpora the prefix-filter join's
+    output equals brute-force shingle-set Jaccard — recall is a theorem
+    and must hold for ANY corpus, not just the planted fixture."""
+    import itertools
+    import random
+    import re
+
+    from cc_pyspark_spark.functions.text import TOKEN_PATTERN
+    from cc_pyspark_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(4):
+        docs = []
+        for d in range(8):
+            n = rng.randint(3, 12)
+            base = [rng.choice(vocab) for _ in range(n)]
+            docs.append((d, " ".join(base)))
+            if rng.random() < 0.5:  # plant a near-duplicate
+                dup = list(base)
+                if rng.random() < 0.7 and len(dup) > 4:
+                    dup[rng.randrange(len(dup))] = rng.choice(vocab)
+                docs.append((100 + d, " ".join(dup)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        threshold = rng.choice([0.5, 0.8])
+        got = {
+            (r.a_id, r.b_id): r.jac
+            for r in prefix_filter_jaccard_pairs(
+                df, threshold=threshold
+            ).collect()
+        }
+        # brute force in plain Python over the same shingle universe
+        sets = {}
+        for d, text in docs:
+            toks = re.findall(TOKEN_PATTERN, text.lower())
+            sets[d] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            i = len(sa & sb)
+            jac = i / (len(sa) + len(sb) - i)
+            if jac >= threshold:
+                want[(a, b)] = jac
+        assert set(got) == set(want), (trial, threshold, got, want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12, (trial, k, got[k], v)
