@@ -119,3 +119,40 @@ def test_triangle_stats_triangle_free(spark):
     assert row.n_triangles == 0
     assert row.n_wedges == 10
     assert row.clustering == 0.0
+
+
+def test_triangle_stats_random_graphs(spark):
+    """Property check: on random Erdős–Rényi graphs the degree-ordered
+    orientation must count exactly the brute-force triangle set — the
+    orientation is an optimization, never an approximation."""
+    import itertools
+    import random
+
+    from cc_pyspark_spark.operators.pagerank import triangle_stats
+
+    rng = random.Random(20260814)
+    for trial, p in [(0, 0.25), (1, 0.5), (2, 0.75)]:
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(10), 2)
+            if rng.random() < p
+        ]
+        if not edges:
+            continue
+        row = triangle_stats(
+            spark.createDataFrame(edges, "a long, b long")
+        ).first()
+        es = set(edges)
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(range(10), 3)
+            if (a, b) in es and (b, c) in es and (a, c) in es
+        )
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        assert row.n_triangles == tri, (trial, row.n_triangles, tri)
+        assert row.n_wedges == wedges
+        assert row.n_edges == len(edges)
