@@ -634,12 +634,16 @@ def prefix_filter_jaccard_pairs(
     doc_id), prefix self-join keyed by shingle, verification keyed by
     the pair.
     """
+    # Persisted: the shingle rows feed the df table, the per-doc sorted
+    # arrays, AND both verification sides — without persist the
+    # scan+tokenize+explode subtree runs 4x (same discipline as
+    # minhash_lsh_pairs).
     tok = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     ).select(
         "doc_id",
         F.explode(F.array_distinct(shingles("toks", 3))).alias("token"),
-    )
+    ).persist()
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     arr = (
         tok.join(dfreq, "token")
