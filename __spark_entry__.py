@@ -25,8 +25,9 @@ from cc_pyspark_spark.plans import QUERIES
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
 #: Round-7 rotation (VERDICT r6 ask #3): 56 queries were last
-#: driver-checked in r1/r2; this round rotates 6 of the oldest back
-#: through the window — the five r2 TPC-H stragglers plus one
+#: driver-checked in r1/r2; this round rotates 5 of the oldest back
+#: through the window — four r2 TPC-H stragglers (q22 cedes its slot
+#: to the new graph_pagerank first row; it rotates in r8) plus one
 #: representative each of the relational agg/join/set-op/window
 #: families (agg_approx_count_distinct on its new oracle) —
 #: displacing r6-green rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the
@@ -96,7 +97,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
+    # bit-exact fixed-point PageRank — the iterative-algorithm oracle
+    # (first row; displaces tpch_q22 to the r8 rotation block)
+    "graph_pagerank",
     # first row on the new within-bound oracle (r6 ask #2)
     "agg_approx_count_distinct",
     # -- new in r7: mergeable sketches + hypertable rollup (first rows) --

@@ -74,6 +74,104 @@ def pagerank(
     return ranks
 
 
+#: Fixed-point scale for :func:`pagerank_fixed` — 1.0 of rank mass is
+#: 10^15 units, leaving headroom to BIGINT overflow at
+#: damping_pct * mass = 100 * 10^15 << 2^63.
+PAGERANK_SCALE = 10**15
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iter: int = 8,
+    damping_pct: int = 85,
+    checkpoint_every: int = 4,
+    assume_no_dangling: bool = False,
+) -> DataFrame:
+    """Bit-reproducible PageRank: the same damped power iteration as
+    :func:`pagerank`, carried out entirely in BIGINT fixed-point
+    arithmetic (rank mass scaled by ``PAGERANK_SCALE``).
+
+    Why a second implementation exists: floating-point ``SUM`` is
+    order-dependent, so the double-valued :func:`pagerank` can drift
+    in the last ulp between partitionings (and between engines).
+    Integer addition is associative — every sum here is exact no
+    matter how Spark splits or re-orders the partial aggregates, so
+    the result is identical run-to-run, cluster-to-cluster, and
+    engine-to-engine (a DuckDB recursive CTE replays it bit-for-bit;
+    see the ``graph_pagerank`` registered query). Each division floors
+    away strictly less than one fixed-point unit (10^-15 of total
+    mass), so after ``n_iter`` rounds total mass is short by at most
+    ``n_iter * (|E| + |V| + 1)`` units — immaterial, and itself
+    deterministic.
+
+    Update rule (all BIGINT, ``div`` = floor division):
+
+        r'(v) = (SCALE*(100-p)) div (100*n)
+                + (p * (Σ_{u→v} r(u) div outdeg(u)  +  dangling div n))
+                  div 100
+
+    with ``p = damping_pct``. ``assume_no_dangling=True`` skips the
+    per-iteration dangling-mass aggregate — valid when every vertex
+    has an out-edge (e.g. any symmetrized graph), where the term is
+    identically zero.
+
+    Returns (id, r BIGINT, rank DOUBLE = r / SCALE); ``rank`` is an
+    exact BIGINT→DOUBLE conversion, so it inherits the determinism.
+    """
+    vertices = (
+        edges.select(F.col("s").alias("id"))
+        .union(edges.select(F.col("t").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()
+    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist()
+    base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
+
+    ranks = vertices.withColumn("r", F.lit(PAGERANK_SCALE // n).cast("bigint"))
+    for i in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges.s == ranks.id)
+            .join(out_deg, "s")
+            .select(F.col("t").alias("id"), F.expr("r div deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new = vertices.join(contribs, "id", "left")
+        if assume_no_dangling:
+            new = new.withColumn(
+                "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
+            )
+        else:
+            # Dangling mass as a 1-row broadcast folded into the plan
+            # (same shape as pagerank() — no per-iteration collect).
+            dangling_df = (
+                ranks.join(out_deg, ranks.id == out_deg.s, "left_anti")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
+                        "dangling"
+                    )
+                )
+            )
+            new = new.crossJoin(F.broadcast(dangling_df)).withColumn(
+                "inflow",
+                F.coalesce("contrib", F.lit(0).cast("bigint"))
+                + F.expr(f"dangling div {n}"),
+            )
+        ranks = new.select(
+            "id",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({damping_pct} * inflow) div 100")
+            ).alias("r"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "id", "r", (F.col("r") / F.lit(float(PAGERANK_SCALE))).alias("rank")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,

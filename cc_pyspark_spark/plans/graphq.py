@@ -93,3 +93,76 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.operators.pagerank import triangle_stats  # noqa: PLC0415
 
     return triangle_stats(e)
+
+
+_PR_ITER = 8
+_PR_SCALE = 10**15  # keep literal in sync with operators.pagerank.PAGERANK_SCALE
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH RECURSIVE
+raw AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS s, s + 1000000 AS t FROM raw
+  UNION ALL
+  SELECT s + 1000000 AS s, c AS t FROM raw
+),
+verts AS (SELECT DISTINCT s AS id FROM edges),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY s),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+pr(iter, id, r) AS (
+  SELECT 0, id, CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) FROM verts
+  UNION ALL
+  SELECT v.iter + 1, v.id,
+         CAST({_PR_SCALE}::BIGINT * 15 // (100 * x.n)
+              + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+  FROM pr v CROSS JOIN nn x
+  LEFT JOIN (
+    SELECT e.t AS id, CAST(SUM(p.r // dg.deg) AS BIGINT) AS contrib
+    FROM edges e JOIN pr p ON e.s = p.id JOIN deg dg ON e.s = dg.s
+    GROUP BY e.t
+  ) c ON v.id = c.id
+  WHERE v.iter < {_PR_ITER}
+)
+SELECT id, r, CAST(r AS DOUBLE) / {float(_PR_SCALE)} AS rank
+FROM pr WHERE iter = {_PR_ITER}
+""",
+    description="Damped PageRank over the symmetrized customer-supplier "
+    "order graph, run for a fixed 8 rounds in BIGINT fixed-point "
+    "arithmetic (mass scaled by 1e15) — integer sums are associative, so "
+    "the ranks are bit-identical across partitionings, runs, and engines, "
+    "and even this ITERATIVE algorithm carries a full value-hash oracle "
+    "(a DuckDB recursive CTE replays all 8 rounds exactly). Each Spark "
+    "iteration is one shuffle keyed by target vertex plus lineage "
+    "truncation every 4 rounds; the symmetrized graph has no dangling "
+    "vertices, so the dangling-mass aggregate is skipped "
+    "(assume_no_dangling)",
+    tags=("graph", "scale"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.pagerank import pagerank_fixed  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    raw = (
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # Symmetrize: customer <-> supplier, suppliers offset past the
+    # customer key range. Every vertex then has an out-edge, so the
+    # dangling term is identically zero and safely skipped.
+    edges = raw.select(
+        F.col("c").alias("s"), (F.col("s") + 1000000).alias("t")
+    ).unionAll(
+        raw.select((F.col("s") + 1000000).alias("s"), F.col("c").alias("t"))
+    ).persist()
+    return pagerank_fixed(
+        edges, n_iter=_PR_ITER, damping_pct=85, assume_no_dangling=True
+    )

@@ -299,13 +299,10 @@ _PQ_SQ_ERR = (
 )
 
 
-def _pq_adc_distances(t: Catalog):
-    """(q_id, n_id, adc_dist) for every query x corpus pair, computed
-    entirely in the compressed domain. Deterministic distance sum
-    (ADVICE r6): F.sum over doubles folds in partition-dependent order,
-    so the per-block distances are collected, sorted by block id, and
-    LEFT-FOLDED in that fixed order; the DuckDB twin folds
-    list(d ORDER BY block) identically (0D + d0 == d0 bit-exact)."""
+def _pq_codes_lut(t: Catalog):
+    """Corpus PQ codes + per-query block/codeword distance LUT — the
+    two halves every PQ search composes (whole-corpus ADC, rerank, and
+    the IVF-pruned variant)."""
     e = t.embeddings.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
@@ -326,16 +323,28 @@ def _pq_adc_distances(t: Catalog):
         .withColumn("d", sq_err)
         .select("q_id", "block", "c_id", "d")
     )
+    return codes, lut
+
+
+#: Deterministic ADC distance: per-block distances are collected,
+#: sorted by block id, and LEFT-FOLDED in that fixed order (ADVICE r6:
+#: F.sum over doubles folds in partition-dependent order); the DuckDB
+#: twin folds list(d ORDER BY block) identically (0D + d0 == d0).
+_ADC_FOLD = (
+    "aggregate(array_sort(collect_list(struct(block, d))), "
+    "0D, (acc, z) -> acc + z.d)"
+)
+
+
+def _pq_adc_distances(t: Catalog):
+    """(q_id, n_id, adc_dist) for every query x corpus pair, computed
+    entirely in the compressed domain."""
+    codes, lut = _pq_codes_lut(t)
     return (
         codes.join(F.broadcast(lut), ["block"])
         .filter((F.col("c_id") == F.col("code")) & (F.col("vec_id") != F.col("q_id")))
         .groupBy("q_id", F.col("vec_id").alias("n_id"))
-        .agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(block, d))), "
-                "0D, (acc, z) -> acc + z.d)"
-            ).alias("adc_dist")
-        )
+        .agg(F.expr(_ADC_FOLD).alias("adc_dist"))
     )
 
 
@@ -411,11 +420,12 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_pq_adc_core() -> str:
-    """Shared CTE chain ending in `adc`(q_id, n_id, adc_dist) — the
-    SQL twin of _pq_adc_distances. Both the ADC top-k oracle and the
-    rerank oracle compose this text, so the deterministic block-ordered
-    fold lives in exactly one place on each engine side."""
+def _duck_pq_base() -> str:
+    """Shared CTE chain ending in `codes` + `lut` — the SQL twin of the
+    corpus-code / query-LUT halves of _pq_adc_distances. The ADC
+    oracle, the rerank oracle, AND the IVF+PQ composition all build on
+    this text, so each PQ fragment lives in exactly one place on each
+    engine side."""
     sq = (
         "list_reduce(list_prepend(0.0, "
         "list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
@@ -447,7 +457,13 @@ e AS (
   SELECT q.vec_id AS q_id, q.block, c.c_id, {d_lut} AS d
   FROM blocks q JOIN cb c ON q.block = c.block
   WHERE q.vec_id < {N_QUERIES}
-), adc AS (
+)"""
+
+
+def _duck_pq_adc_core() -> str:
+    """`_duck_pq_base` + the whole-corpus `adc`(q_id, n_id, adc_dist)
+    scoring CTE (ADC top-k and rerank oracles compose this)."""
+    return f"""{_duck_pq_base()}, adc AS (
   -- block-ordered left fold, matching Spark's aggregate(array_sort(...))
   -- — a plain SUM folds doubles in unspecified order on both engines
   SELECT l.q_id, x.vec_id AS n_id,
@@ -588,6 +604,117 @@ def sim_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= RERANK_K)
         .select("q_id", "n_id", "cos", "adc_rnk", "rnk")
+    )
+
+
+# ------------------------------- composed IVF + PQ (the billion-vector
+# recipe: coarse quantizer prunes the corpus, product codes score it)
+
+
+def _duck_ivf_pq_oracle() -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH {_duck_pq_base()},
+nv AS (
+  SELECT vec_id, v, sqrt({dot.format(a='v', b='v')}) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS bucket, v AS cv, nrm AS cnrm FROM nv
+  WHERE vec_id >= 490 AND vec_id < {490 + N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, bucket FROM (
+    SELECT nv.vec_id, cent.bucket,
+           ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+             ORDER BY {dot.format(a='nv.v', b='cent.cv')} / (nv.nrm * cent.cnrm) DESC,
+                      cent.bucket) AS rk
+    FROM nv, cent WHERE nv.vec_id < {PQ_MAX_ID}) WHERE rk = 1
+), qbest AS (
+  SELECT vec_id AS q_id, bucket FROM assign WHERE vec_id < {N_QUERIES}
+), adcb AS (
+  SELECT l.q_id, x.vec_id AS n_id,
+         list_reduce(list(l.d ORDER BY l.block), (acc, x) -> acc + x)
+           AS adc_dist
+  FROM codes x
+  JOIN lut l ON l.block = x.block AND l.c_id = x.code
+  JOIN assign a ON a.vec_id = x.vec_id
+  JOIN qbest qb ON qb.q_id = l.q_id AND qb.bucket = a.bucket
+  WHERE x.vec_id <> l.q_id
+  GROUP BY l.q_id, x.vec_id
+)
+SELECT q_id, n_id, adc_dist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist, n_id) AS BIGINT) AS rnk
+FROM adcb QUALIFY rnk <= {IVF_TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf_pq",
+    oracle=_duck_ivf_pq_oracle(),
+    description="Composed IVF + PQ search — the billion-vector serving "
+    "recipe (FAISS IVFPQ shape): the coarse quantizer assigns every "
+    "corpus vector to its nearest of "
+    f"{N_CENTROIDS} centroids, the query probes ONLY its own bucket, and "
+    "candidates are scored in the compressed domain via the PQ LUT join. "
+    "At 100 TB the bucket id is the partition key, so a probe touches "
+    "1/n_centroids of the corpus and raw floats never move — only "
+    "centroids and the queries' LUTs broadcast. Same deterministic "
+    "block-ordered distance fold and (dist, id) tie-break as "
+    "sim_ann_pq_adc; sharing the assignment CTEs with sim_ann_ivf and "
+    "the code/LUT CTEs with the ADC pair keeps all four oracles in "
+    "lock-step",
+    tags=("similarity", "scale"),
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dot_self = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    nv = e.withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    cent = nv.filter(
+        (F.col("vec_id") >= 490) & (F.col("vec_id") < 490 + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("bucket"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot_c = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("bucket"))
+    assign = (
+        nv.filter(F.col("vec_id") < PQ_MAX_ID)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("sim", F.expr(dot_c) / (F.col("nrm") * F.col("cnrm")))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "bucket")
+    )
+    qbest = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("bucket").alias("qbucket")
+    )
+    codes, lut = _pq_codes_lut(t)
+    # Corpus side: codes carry their IVF bucket; the join below prunes
+    # to the query's bucket BEFORE any distance math.
+    codes_b = codes.join(assign, "vec_id")
+    lut_b = lut.join(F.broadcast(qbest), "q_id")
+    adc = (
+        codes_b.join(F.broadcast(lut_b), ["block"])
+        .filter(
+            (F.col("c_id") == F.col("code"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("q_id"))
+        )
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.expr(_ADC_FOLD).alias("adc_dist"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc_dist"), F.col("n_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("q_id", "n_id", "adc_dist", "rnk")
     )
 
 

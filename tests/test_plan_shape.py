@@ -313,6 +313,33 @@ def test_pq_codes_broadcast_no_window(spark):
     assert "Window" not in plan
 
 
+def test_ivf_pq_lut_broadcasts_codes_stay_put(spark):
+    """sim_ann_ivf_pq: the query-side LUT (queries x blocks x codebook,
+    always tiny) and the centroid table broadcast; the corpus code
+    table must never be the build side of a shuffle join with raw
+    vectors — only the compressed codes move, which is the point of
+    composing IVF with PQ."""
+    import re
+
+    from cc_pyspark_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["sim_ann_ivf_pq"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    # centroid cross-join + LUT join + bucket join all broadcast
+    assert len(re.findall(r"Broadcast(Hash|NestedLoop)Join", plan)) >= 2, plan
+    # the ONE permitted big-big join: codes <-> bucket assignment,
+    # co-partitioned on the unique vec_id key (linear, skew-free);
+    # anything else pairing corpus-sized sides is a regression
+    smj = re.findall(r"^\(\d+\) SortMergeJoin", plan, re.M)
+    assert len(smj) <= 1, plan
+    if smj:
+        assert re.search(r"Left keys \[1\]: \[vec_id", plan), plan
+
+
 def test_hypertable_rollup_reuses_minute_exchange(spark):
     """The hour/day grains must re-aggregate the minute rollup's
     shuffle output, not re-scan raw events: after AQE finalizes, the
