@@ -130,7 +130,10 @@ def _jaccard_pairs(sh: DataFrame, pair_source: DataFrame) -> DataFrame:
     )
 
 
-def _duck_minhash_oracle() -> str:
+def _duck_minhash_bands() -> str:
+    """Shared CTE prefix ending in `bands`(doc_id, band, key) — the
+    signature/banding algebra every minhash oracle (full-corpus,
+    cluster, delta) replays identically."""
     mins = ", ".join(
         f"MIN(({a} * sid + {b}) % {MINHASH_P}) AS h{j}"
         for j, (a, b) in enumerate(MINHASH_PERMS)
@@ -145,14 +148,18 @@ def _duck_minhash_oracle() -> str:
             f"SELECT doc_id, {band} AS band, concat_ws(':', {cols}) AS key FROM sig"
         )
     bands = " UNION ALL ".join(band_selects)
-    return f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
 ids AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS sid
         FROM (SELECT DISTINCT s FROM sh)),
 ds AS (SELECT doc_id, sid FROM sh JOIN ids USING (s)),
 sig AS (SELECT doc_id, {mins} FROM ds GROUP BY doc_id),
-bands AS ({bands}),
+bands AS ({bands})"""
+
+
+def _duck_minhash_oracle() -> str:
+    return f"""
+WITH {_duck_minhash_bands()},
 cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -172,16 +179,11 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_duck_minhash_oracle(),
-    description="MinHash(16 perms) + LSH(4 bands) candidate generation, "
-    "verified with true Jaccard — the 100 TB near-dup path: shuffles are "
-    "keyed by band value; verification only touches band-colliding pairs",
-    tags=("dedup", "bench"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Catalog(spark, sf_dir)
+def _minhash_sh_bands(t: Catalog):
+    """Shared Spark fragments: persisted (doc_id, s) shingle rows +
+    (doc_id, band, key) LSH band rows — the full-corpus query and the
+    delta probe build on the SAME signature algebra (and the same
+    oracle prefix, _duck_minhash_bands)."""
     sh = (
         t.documents.select("doc_id", tokenize("text").alias("toks"))
         .select("doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s"))
@@ -216,6 +218,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return sh, bands
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_duck_minhash_oracle(),
+    description="MinHash(16 perms) + LSH(4 bands) candidate generation, "
+    "verified with true Jaccard — the 100 TB near-dup path: shuffles are "
+    "keyed by band value; verification only touches band-colliding pairs",
+    tags=("dedup", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    sh, bands = _minhash_sh_bands(t)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -248,6 +264,88 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
         .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+    )
+
+
+def _duck_minhash_delta_oracle() -> str:
+    return f"""
+WITH {_duck_minhash_bands()},
+thr AS (SELECT (9 * MAX(doc_id)) // 10 AS t FROM documents),
+cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM bands n
+         JOIN bands o ON n.band = o.band AND n.key = o.key
+         CROSS JOIN thr
+         WHERE n.doc_id > thr.t AND o.doc_id <= thr.t),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.new_id
+  JOIN sh y ON y.doc_id = c.old_id AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT new_id, old_id, i * 1.0 / (sn.n + so.n - i) AS jac
+FROM inter
+JOIN sizes sn ON new_id = sn.doc_id
+JOIN sizes so ON old_id = so.doc_id
+WHERE i * 1.0 / (sn.n + so.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_delta",
+    oracle=_duck_minhash_delta_oracle(),
+    description="Incremental (delta) near-dup dedup — the operational "
+    "pattern at 100 TB, where crawls land as increments and re-scoring "
+    "the whole corpus per batch is O(corpus) work for O(delta) data: the "
+    "newest 10% of documents (doc_id > 9*max/10) is banded and probed "
+    "against the existing corpus' minhash band index, touching only "
+    "index buckets the delta's band keys hash into (with the index as a "
+    "(band, key)-bucketed managed table the probe is co-located and "
+    "shuffle-free — see operators/dedup.py incremental_minhash_candidates "
+    "+ minhash_band_index); candidates verified by exact Jaccard. Only "
+    "delta x corpus pairs are emitted — within-batch dups are the "
+    "separate exact/within-batch step, and the threshold stays in-plan "
+    "(1-row broadcast), no driver action",
+    tags=("dedup", "scale"),
+)
+def dedup_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    sh, bands = _minhash_sh_bands(t)
+    thr = t.documents.agg(F.expr("(9 * max(doc_id)) div 10").alias("t"))
+    split = bands.crossJoin(F.broadcast(thr))
+    delta_bands = split.filter(F.col("doc_id") > F.col("t")).drop("t")
+    base_bands = split.filter(F.col("doc_id") <= F.col("t")).drop("t")
+    cand = (
+        delta_bands.alias("n")
+        .join(
+            base_bands.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.key") == F.col("o.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x = sh.alias("x")
+    y = sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("new_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("old_id")) & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sn.n") + F.col("so.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sn"), F.col("new_id") == F.col("sn.doc_id"))
+        .join(sizes.alias("so"), F.col("old_id") == F.col("so.doc_id"))
+        .select("new_id", "old_id", jac.alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
     )
 
