@@ -88,3 +88,63 @@ def assign_sequential_ids(
         )
         .drop("__pid", "__offset")
     )
+
+
+def range_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str] | str,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running (inclusive) cumulative sums of `sum_cols` in
+    `order_cols` order — the same no-single-partition-window discipline
+    as assign_sequential_ids, generalized from row counting to
+    arbitrary additive measures (CDF numerators, running totals).
+
+    One range shuffle (checkpoint-pinned: the range exchange samples
+    per execution, see module docstring), per-partition totals as a
+    metadata-sized aggregate, window-free broadcast prefix offsets,
+    then per-partition local running sums in parallel. Adds
+    `cum_<col>` for every col in `sum_cols`.
+
+    Determinism contract: `order_cols` must be a unique key of `df`
+    (pre-aggregate to distinct keys first), so results equal the
+    global-window variant bit-for-bit.
+    """
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = range_partitioned(df, order_cols, num_partitions).localCheckpoint(
+        eager=True
+    )
+    totals = ranged.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    prior = totals.select(
+        F.col("__pid").alias("__prior_pid"),
+        *[F.col(f"__t_{c}").alias(f"__p_{c}") for c in sum_cols],
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(prior), F.col("__prior_pid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__p_{c}"), F.lit(0)).alias(f"__off_{c}")
+                for c in sum_cols
+            ]
+        )
+    )
+    local = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = ranged.join(F.broadcast(offsets), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.sum(c).over(local) + F.col(f"__off_{c}")
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])

@@ -637,3 +637,94 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_window"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_ks_drift",
+    oracle="""
+WITH va AS (
+  SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS ca
+  FROM events WHERE event_type = 'click' GROUP BY value
+), vb AS (
+  SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM events WHERE event_type = 'purchase' GROUP BY value
+), m AS (
+  SELECT COALESCE(va.v, vb.v) AS v,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM va FULL OUTER JOIN vb ON va.v = vb.v
+), c AS (
+  SELECT v,
+         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS ia,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS jb
+  FROM m
+), t AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n, CAST(SUM(cb) AS BIGINT) AS mm FROM m
+), d AS (
+  SELECT v, CAST(ABS(ia * t.mm - jb * t.n) AS BIGINT) AS d_num, t.n, t.mm
+  FROM c CROSS JOIN t
+)
+SELECT v AS at_value, d_num, n, mm AS m,
+       CAST(d_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(mm AS DOUBLE)) AS ks
+FROM d ORDER BY d_num DESC, at_value DESC LIMIT 1
+""",
+    description="Exact two-sample Kolmogorov-Smirnov drift statistic "
+    "between the click and purchase value distributions — the "
+    "distribution-shift monitor a training-data pipeline runs between "
+    "crawl snapshots, computed in pure INTEGER arithmetic: the sup of "
+    "|F_a - F_b| equals max|i*m - j*n|/(n*m), so cumulative counts i, j "
+    "ride a window-free range-partitioned prefix sum "
+    "(operators/ids.py:range_prefix_sums — no single-partition window, "
+    "the 100 TB discipline) and the max is an associative integer "
+    "aggregate; the one double division happens once, on the final row. "
+    "Integer products stay exact to ~3e9 rows per sample; past that, "
+    "swap the numerator to DECIMAL(38,0) (documented in SCALING.md)",
+    tags=("events", "scale"),
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.ids import range_prefix_sums  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    va = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count("*").alias("ca"))
+    )
+    vb = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count("*").alias("cb"))
+    )
+    m = (
+        va.join(vb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    cums = range_prefix_sums(m, ["v"], ["ca", "cb"])
+    tot = m.agg(
+        F.sum("ca").cast("bigint").alias("n"),
+        F.sum("cb").cast("bigint").alias("mm"),
+    )
+    d = cums.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(
+            F.col("cum_ca") * F.col("mm") - F.col("cum_cb") * F.col("n")
+        ).cast("bigint").alias("d_num"),
+        "n",
+        "mm",
+    )
+    # argmax as a max-struct aggregate (associative, no global sort);
+    # (d_num, v) lexicographic max == ORDER BY d_num DESC, v DESC LIMIT 1
+    mx = d.agg(F.max(F.struct("d_num", "v", "n", "mm")).alias("x"))
+    return mx.select(
+        F.col("x.v").alias("at_value"),
+        F.col("x.d_num").alias("d_num"),
+        F.col("x.n").alias("n"),
+        F.col("x.mm").alias("m"),
+        (
+            F.col("x.d_num").cast("double")
+            / (F.col("x.n").cast("double") * F.col("x.mm").cast("double"))
+        ).alias("ks"),
+    )

@@ -935,3 +935,58 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_TOP)
         .select("q_id", "n_id", "rrf", "rnk")
     )
+
+
+# ------------------------------------ ANN evaluation: recall@k harness
+
+
+def _duck_recall_oracle() -> str:
+    from cc_pyspark_spark.plans.registry import QUERIES  # noqa: PLC0415
+
+    exact = QUERIES["sim_cosine_topk"].oracle
+    approx = QUERIES["sim_ann_ivf"].oracle
+    return f"""
+WITH exact AS (
+  SELECT q_id, n_id FROM ({exact}) WHERE rnk <= {IVF_TOP_K}
+), approx AS (
+  SELECT q_id, n_id FROM ({approx})
+)
+SELECT e.q_id, CAST(COUNT(a.n_id) AS BIGINT) AS hits,
+       CAST(COUNT(a.n_id) AS DOUBLE) / {float(IVF_TOP_K)} AS recall
+FROM exact e
+LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
+"""
+
+
+@register(
+    "sim_eval_recall_at_k",
+    oracle=_duck_recall_oracle(),
+    description="ANN quality evaluation IN the engine: recall@"
+    f"{IVF_TOP_K} of the IVF index against the exact brute-force "
+    "neighbors, per query — the measurement loop every production ANN "
+    "deployment runs after (re)building an index, expressed as a join of "
+    "the two retrievers' rank tables (k rows per query each, so the "
+    "evaluation costs nothing at corpus scale; ground truth on a sampled "
+    "query set is the standard practice this models). Composes the "
+    "registered sim_cosine_topk and sim_ann_ivf oracles verbatim, so the "
+    "evaluated systems and the evaluation can never drift apart",
+    tags=("similarity",),
+)
+def sim_eval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        sim_cosine_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("q_id", "n_id")
+    )
+    approx = sim_ann_ivf(spark, sf_dir).select(
+        "q_id", "n_id", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["q_id", "n_id"], "left")
+    return j.groupBy("q_id").agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+            / F.lit(float(IVF_TOP_K))
+        ).alias("recall"),
+    )

@@ -80,3 +80,45 @@ def test_graph_distributed_ids_match_default(spark):
     v2, e2 = host_links_to_graph(edges, distributed_ids=True)
     assert sorted(map(tuple, v1.collect())) == sorted(map(tuple, v2.collect()))
     assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+
+
+def test_range_prefix_sums_equals_global_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.operators.ids import range_prefix_sums
+
+    rng = random.Random(7)
+    rows = [(float(k), rng.randint(0, 5), rng.randint(0, 5)) for k in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v double, ca long, cb long")
+    got = {
+        r["v"]: (r["cum_ca"], r["cum_cb"])
+        for r in range_prefix_sums(df, ["v"], ["ca", "cb"], num_partitions=7).collect()
+    }
+    glob = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["v"]: (r["ia"], r["jb"])
+        for r in df.select(
+            "v",
+            F.sum("ca").over(glob).alias("ia"),
+            F.sum("cb").over(glob).alias("jb"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_range_prefix_sums_partition_invariance(spark):
+    from cc_pyspark_spark.operators.ids import range_prefix_sums
+
+    rows = [(float(k), k % 3, (k * 7) % 5) for k in range(200)]
+    df = spark.createDataFrame(rows, "v double, ca long, cb long")
+    outs = []
+    for parts in (1, 4, 13):
+        got = range_prefix_sums(
+            df.repartition(5), ["v"], ["ca", "cb"], num_partitions=parts
+        ).collect()
+        outs.append(sorted((r["v"], r["cum_ca"], r["cum_cb"]) for r in got))
+    assert outs[0] == outs[1] == outs[2]
