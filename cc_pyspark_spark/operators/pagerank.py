@@ -303,3 +303,56 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph: minimum hop count
+    from any vertex in `sources` — the reachability/radius primitive
+    (seed-page distance, crawl-frontier depth) next to PageRank and
+    connected components.
+
+    ``edges``: (s, t) undirected pairs (symmetrized internally).
+    ``sources``: one column ``id``. Returns (id, hops BIGINT) for every
+    vertex, hops = NULL when unreachable within ``max_iter``.
+
+    Same iterative discipline as connected_components: one neighbor-min
+    shuffle per round, lineage truncated every `checkpoint_every`
+    rounds, and all-integer labels — min() over BIGINT is associative,
+    so results are bit-identical across partitionings. Converges in
+    O(eccentricity of the source set) rounds; rounds past convergence
+    are no-ops, so a fixed max_iter stays exact (what lets a DuckDB
+    recursive CTE replay it for the graph_bfs_hops oracle).
+    """
+    sym = edges.select("s", "t").union(
+        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).persist()
+    verts = sym.select(F.col("s").alias("id")).distinct()
+    labels = verts.join(
+        sources.select(F.col("id"), F.lit(0).cast("bigint").alias("hops")),
+        "id",
+        "left",
+    )
+    for i in range(max_iter):
+        neighbor = (
+            sym.join(labels, sym.t == labels.id)
+            .filter(F.col("hops").isNotNull())
+            .groupBy("s")
+            .agg((F.min("hops") + F.lit(1)).alias("nhops"))
+        )
+        labels = (
+            labels.join(neighbor, labels.id == neighbor.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("hops", F.col("nhops")), F.col("nhops")
+                ).alias("hops"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("id", "hops")

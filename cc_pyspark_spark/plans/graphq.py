@@ -166,3 +166,73 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(
         edges, n_iter=_PR_ITER, damping_pct=85, assume_no_dangling=True
     )
+
+
+_BFS_ITER = 8
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE
+raw AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+sym AS (
+  SELECT c AS s, s + 1000000 AS t FROM raw
+  UNION ALL
+  SELECT s + 1000000 AS s, c AS t FROM raw
+),
+verts AS (SELECT DISTINCT s AS id FROM sym),
+src AS (SELECT DISTINCT s + 1000000 AS id FROM raw WHERE s <= 3),
+bfs(iter, id, hops) AS (
+  SELECT 0, v.id,
+         CASE WHEN src.id IS NOT NULL THEN CAST(0 AS BIGINT) END
+  FROM verts v LEFT JOIN src ON v.id = src.id
+  UNION ALL
+  SELECT v.iter + 1, v.id,
+         CASE
+           WHEN v.hops IS NULL THEN nm.m
+           WHEN nm.m IS NULL THEN v.hops
+           ELSE LEAST(v.hops, nm.m)
+         END
+  FROM bfs v
+  LEFT JOIN (
+    SELECT sym.s AS id, CAST(MIN(l2.hops) + 1 AS BIGINT) AS m
+    FROM sym JOIN bfs l2 ON sym.t = l2.id
+    WHERE l2.hops IS NOT NULL
+    GROUP BY sym.s
+  ) nm ON v.id = nm.id
+  WHERE v.iter < {_BFS_ITER}
+)
+SELECT id, hops FROM bfs WHERE iter = {_BFS_ITER}
+""",
+    description="Multi-source BFS hop counts over the symmetrized "
+    "customer-supplier graph (seed set: suppliers 1-3) — the "
+    "reachability/frontier-depth primitive beside PageRank, components, "
+    "and triangles; one neighbor-min shuffle per round, all-integer "
+    "labels (min over BIGINT is associative → bit-identical across "
+    "partitionings), rounds past convergence are no-ops, so the fixed "
+    "8-round run carries a full value-hash oracle via a DuckDB "
+    "recursive-CTE replay",
+    tags=("graph",),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.pagerank import bfs_hops  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    raw = (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = raw.select(
+        F.col("c").alias("s"), (F.col("s") + 1000000).alias("t")
+    )
+    sources = (
+        raw.filter(F.col("s") <= 3)
+        .select((F.col("s") + 1000000).alias("id"))
+        .distinct()
+    )
+    return bfs_hops(edges, sources, max_iter=_BFS_ITER)

@@ -76,3 +76,34 @@ def test_fixed_tracks_float_variant(spark):
     fl = {r["id"]: r["rank"] for r in pagerank(edges, n_iter=8).collect()}
     for v in fl:
         assert fx[v] == pytest.approx(fl[v], abs=1e-9)
+
+
+def test_bfs_hops_small_graph(spark):
+    from cc_pyspark_spark.operators.pagerank import bfs_hops
+
+    # path 1-2-3-4, isolated pair 10-11 (unreachable from sources)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "s long, t long"
+    )
+    sources = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r["hops"] for r in bfs_hops(edges, sources, max_iter=6).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: None, 11: None}
+
+
+def test_bfs_hops_multi_source_partition_invariance(spark):
+    from cc_pyspark_spark.operators.pagerank import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "s long, t long"
+    )
+    sources = spark.createDataFrame([(1,), (30,)], "id long")
+    runs = []
+    for parts in (1, 8):
+        got = bfs_hops(
+            edges.repartition(parts), sources, max_iter=20
+        ).collect()
+        runs.append(sorted((r["id"], r["hops"]) for r in got))
+    assert runs[0] == runs[1]
+    # hops from the nearer of the two endpoints of the path
+    want = {v: min(v - 1, 30 - v) for v in range(1, 31)}
+    assert dict(runs[0]) == want
