@@ -12,6 +12,7 @@ from cc_pyspark_spark.plans import (  # noqa: F401,E402
     dedup,
     events,
     graphq,
+    layout,
     multimodal,
     relational,
     scale,
