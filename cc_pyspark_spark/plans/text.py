@@ -1072,3 +1072,80 @@ def text_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x["cell"],
         ).alias("chi2"),
     )
+
+
+_HASH_CLS_SPARK = f"""
+aggregate(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0), 0L,
+  (acc, t) -> acc +
+    ((aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+        0L, (a, c) -> (a * 31 + c) % 1000003) * 2654435761L) % 65536L) - 32768L
+)
+"""
+
+_HASH_CLS_DUCK = f"""
+list_reduce(list_prepend(CAST(0 AS BIGINT),
+  list_transform(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), t ->
+    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(t) + 1),
+                       i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % 1000003) * 2654435761) % 65536) - 32768
+)), (acc, x) -> acc + x)
+"""
+
+
+@register(
+    "text_hashed_classifier",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST({_HASH_CLS_DUCK} AS BIGINT) AS score_num,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, score_num, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE CAST(score_num AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE) * 32768.0) END AS s
+  FROM s
+)
+SELECT doc_id, score_num, n_tokens,
+       s / (1.0 + abs(s)) AS score,
+       s > 0.0 AS is_positive
+FROM p
+""",
+    description="Hashed-feature linear classifier scoring — the "
+    "fastText/quality-classifier serving primitive every curation "
+    "pipeline runs over the full corpus: each token hashes to a weight "
+    "(polynomial char hash -> Knuth multiplicative mix -> centered "
+    "16-bit bucket; in production the same hash indexes a broadcast "
+    "trained-weight array), the doc score is the integer weight sum "
+    "(exact, associative), normalized per token and squashed by the "
+    "RATIONAL softsign s/(1+|s|) instead of the logistic sigmoid — "
+    "exp/ln differ by 1 ulp between engines (SCALING.md), softsign "
+    "does not. Map-only: nested higher-order folds, no explode, no "
+    "shuffle, whole-stage codegen",
+    tags=("text", "scale"),
+)
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    s = t.documents.select(
+        "doc_id",
+        F.expr(_HASH_CLS_SPARK).alias("score_num"),
+        F.expr(
+            f"size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0))"
+        ).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "s",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+            F.col("score_num").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(32768.0))
+        ),
+    )
+    return s.select(
+        "doc_id",
+        "score_num",
+        "n_tokens",
+        (F.col("s") / (F.lit(1.0) + F.abs("s"))).alias("score"),
+        (F.col("s") > F.lit(0.0)).alias("is_positive"),
+    )

@@ -340,6 +340,24 @@ def test_ivf_pq_lut_broadcasts_codes_stay_put(spark):
         assert re.search(r"Left keys \[1\]: \[vec_id", plan), plan
 
 
+def test_hashed_classifier_map_only(spark):
+    """text_hashed_classifier scores with nested higher-order folds in
+    the projection — no explode, no shuffle, no Python. At 100 TB it
+    must stay a pure map over the corpus scan."""
+    import re
+
+    from cc_pyspark_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["text_hashed_classifier"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert not re.search(r"^\(\d+\) Exchange", plan, re.M), plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "Python" not in plan, plan
+
+
 def test_hypertable_rollup_reuses_minute_exchange(spark):
     """The hour/day grains must re-aggregate the minute rollup's
     shuffle output, not re-scan raw events: after AQE finalizes, the
