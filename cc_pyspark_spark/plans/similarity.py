@@ -990,3 +990,140 @@ def sim_eval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(IVF_TOP_K))
         ).alias("recall"),
     )
+
+
+# ----------------------- distributed k-means (Lloyd) training rounds
+
+KM_MAX_ID = 200  # cluster the first 200 vectors (bounded driver output)
+KM_SEED_BASE = 480
+KM_K = 8
+KM_ROUNDS = 2  # full Lloyd update rounds before the final assignment
+_KM_DIM = 64
+
+_KM_D2_SPARK = (
+    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+    "0D, (acc, z) -> acc + z)"
+)
+_KM_D2_DUCK = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, {dim} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+)
+
+
+def _duck_kmeans_oracle() -> str:
+    d2 = _KM_D2_DUCK.format(a="e.v", b="c.cv", dim=_KM_DIM)
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < {KM_MAX_ID}
+), cent0 AS (
+  SELECT vec_id - {KM_SEED_BASE} AS c_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+  WHERE vec_id >= {KM_SEED_BASE} AND vec_id < {KM_SEED_BASE + KM_K}
+)"""
+    ]
+    for r in range(KM_ROUNDS):
+        ctes.append(f"""a{r} AS (
+  SELECT vec_id, c_id AS cluster FROM (
+    SELECT e.vec_id, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.c_id) AS rk
+    FROM e JOIN cent{r} c ON true) WHERE rk = 1
+), cent{r + 1} AS (
+  SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM (
+    SELECT a.cluster, i.i AS dim,
+           CAST(SUM(CAST(floor(e.v[i.i] * 1e12) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS m
+    FROM e JOIN a{r} a ON e.vec_id = a.vec_id
+    CROSS JOIN (SELECT unnest(range(1, {_KM_DIM} + 1)) AS i) i
+    GROUP BY a.cluster, i.i)
+  GROUP BY cluster
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT vec_id, CAST(c_id AS BIGINT) AS cluster, d2 FROM (
+  SELECT e.vec_id, c.c_id, {d2} AS d2,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2}, c.c_id) AS rk
+  FROM e JOIN cent{KM_ROUNDS} c ON true) WHERE rk = 1
+"""
+
+
+@register(
+    "embedding_kmeans_lloyd",
+    oracle=_duck_kmeans_oracle(),
+    description=f"Distributed k-means TRAINING ({KM_ROUNDS} full Lloyd "
+    "rounds from seed centroids, then the final assignment) — the "
+    "clustering loop behind SemDeDup/IVF index builds, run as DataFrame "
+    "algebra: assignment is a broadcast-centroid argmin (min-struct "
+    "(dist, id) — collapses map-side, deterministic tie-break), the "
+    "centroid update sums each dimension in tie-free fixed point — "
+    "floor(x*1e12) as BIGINT, summed exactly (associative, so no drift "
+    "between partitionings), one double division at the end. floor, not "
+    "a decimal cast: float32-derived doubles are dyadic rationals that "
+    "land EXACTLY on decimal rounding ties, where engines disagree by "
+    "rounding mode; truncation has no ties and costs a deterministic "
+    "<1e-12 per-value bias. Per round: one broadcast join + one "
+    "(cluster, dim)-keyed shuffle whose row count is K x dim, "
+    "independent of corpus size after the map-side partial agg. Even "
+    "this iterative TRAINING loop carries a full value-hash oracle "
+    "(unrolled CTE replay); empty clusters drop out identically in "
+    "both engines",
+    tags=("similarity", "scale"),
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    full = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    e = full.filter(F.col("vec_id") < KM_MAX_ID)
+    cent = full.filter(
+        (F.col("vec_id") >= KM_SEED_BASE)
+        & (F.col("vec_id") < KM_SEED_BASE + KM_K)
+    ).select((F.col("vec_id") - KM_SEED_BASE).alias("c_id"), F.col("v").alias("cv"))
+    d2 = F.expr(_KM_D2_SPARK)
+
+    def _assign(cent_df):
+        return (
+            e.crossJoin(F.broadcast(cent_df))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "c_id")).alias("m"))
+            .select("vec_id", F.col("m.c_id").alias("cluster"), F.col("m.d2").alias("d2"))
+        )
+
+    for _ in range(KM_ROUNDS):
+        assign = _assign(cent).select("vec_id", "cluster")
+        sums = (
+            e.join(assign, "vec_id")
+            .select("cluster", F.posexplode("v").alias("pos0", "val"))
+            .groupBy("cluster", (F.col("pos0") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * F.lit(1e12)).cast("bigint")
+                ).alias("s"),
+                F.count("*").alias("cnt"),
+            )
+        )
+        cent = (
+            sums.select(
+                F.col("cluster").alias("c_id"),
+                "dim",
+                (
+                    F.col("s").cast("double")
+                    / (F.col("cnt").cast("double") * F.lit(1e12))
+                ).alias("mval"),
+            )
+            .groupBy("c_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mval"))),
+                    lambda x: x["mval"],
+                ).alias("cv")
+            )
+        )
+    return _assign(cent).select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2"
+    )
