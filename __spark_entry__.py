@@ -57,8 +57,14 @@ from cc_pyspark_spark.plans import QUERIES
 #: residue for r8/r9: the relational function/window suites from r1
 #: (array/conditional/date/filter_in_like/json_extract/
 #: subquery_correlated, join_merge_hint, events_sliding,
-#: events_user_trend), the remaining non-TPC-H r2 names, and the
-#: seventeen twins displaced this round.
+#: events_user_trend), the remaining non-TPC-H r2 names, the
+#: seventeen twins displaced this round, and the nine late-r7
+#: additions awaiting first driver rows (graph_bfs_hops,
+#: sim_ann_ivf_pq, sim_eval_recall_at_k, dedup_minhash_delta,
+#: dedup_edit_distance, events_ks_drift, layout_zorder_stats,
+#: text_hashed_classifier, embedding_kmeans_lloyd — each
+#: pytest-parity-green at sf0.001 AND hand-verified against the
+#: driver's sf0.01 compare protocol this round).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- bench headliners (fixed; must stay inside the driver cap) --
     "tpch_q1_pricing_summary",

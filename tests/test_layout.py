@@ -54,3 +54,57 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     # single-column sort: sorted dim tight, other dim unbounded
     assert mean_span(lin, "x") <= n / 8
     assert mean_span(lin, "y") >= n - 1
+
+
+def test_zordered_write_prunes_on_both_columns(spark, tmp_path):
+    """End-to-end: write the same grid (a) z-ordered and (b) sorted by
+    one column; read back the ACTUAL parquet footer min/max stats per
+    file. The z-ordered files must bound both columns (mean envelope
+    area far below the full square); the single-sort files bound only
+    the sorted column."""
+    import pyarrow.parquet as pq
+
+    from cc_pyspark_spark.sources.tables import write_zordered
+
+    n = 128
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], bits=7, num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def mean_spans(path):
+        import glob
+        import os
+
+        spans = {"x": [], "y": []}
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                    hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+            for c in ("x", "y"):
+                spans[c].append(hi[c] - lo[c] + 1)
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    # What a filter on each column can prune, from the real footers:
+    # z-order bounds BOTH columns per file...
+    zs = mean_spans(zpath)
+    assert zs["x"] <= n / 2 and zs["y"] <= n / 2, zs
+    # ...single-column sort bounds x tightly but leaves y unbounded —
+    # a `WHERE y = k` scan reads every file of this layout.
+    ss = mean_spans(spath)
+    assert ss["x"] <= n / 8 and ss["y"] >= n - 1, ss
