@@ -55,6 +55,7 @@ DOC_JOBS = (
     "pack_sequences",
     "c4_clean",
     "analyze_documents",
+    "zorder_table",
 )
 
 
@@ -138,6 +139,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="regex",
         help="pack_sequences capacity unit: regex word proxy or the "
         "vendored byte-level BPE tokenizer (functions/bpe.py)",
+    )
+    p.add_argument(
+        "--zorder_cols",
+        default=None,
+        help="zorder_table: comma-separated integer columns to "
+        "interleave into the layout key",
     )
     return p
 
@@ -235,6 +242,36 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
             df = df.filter(F.col("c4_pass") == 1)
         write_output(df, args, None)
         print(json.dumps({"job": args.job, "gate_filter": args.gate_filter}))
+        return 0
+    if args.job == "zorder_table":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cc_pyspark_spark.sources.tables import write_zordered  # noqa: PLC0415
+
+        if not args.zorder_cols:
+            raise SystemExit("zorder_table needs --zorder_cols a,b[,c]")
+        cols = [c.strip() for c in args.zorder_cols.split(",") if c.strip()]
+        bits = 63 // len(cols) if 63 // len(cols) < 16 else 16
+        # pmod-scale each column into the key's per-dimension range;
+        # ids are ~uniform so the fold keeps locality per low bits.
+        scaled = table.select(
+            *table.columns,
+            *[
+                F.pmod(F.col(c).cast("bigint"), F.lit(1 << bits)).alias(
+                    f"__zs_{c}"
+                )
+                for c in cols
+            ],
+        )
+        write_zordered(
+            scaled,
+            args.output,
+            [f"__zs_{c}" for c in cols],
+            bits=bits,
+            num_files=args.num_output_partitions,
+            drop_zcols=True,
+        )
+        print(json.dumps({"job": args.job, "cols": cols, "bits": bits}))
         return 0
     if args.job == "export_training_jsonl":
         from cc_pyspark_spark.operators.export import export_training_jsonl  # noqa: PLC0415

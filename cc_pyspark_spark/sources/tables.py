@@ -134,6 +134,7 @@ def write_zordered(
     zcols: list[str],
     bits: int = 16,
     num_files: int = 16,
+    drop_zcols: bool = False,
 ) -> None:
     """Write parquet z-ordered on ``zcols`` — OPTIMIZE ZORDER BY as a
     write mode: one range shuffle on the Morton key + a partition-local
@@ -154,10 +155,11 @@ def write_zordered(
     from cc_pyspark_spark.operators.layout import zorder_key  # noqa: PLC0415
 
     z = df.withColumn("__z", zorder_key([F.col(c) for c in zcols], bits=bits))
+    drop = ["__z", *(zcols if drop_zcols else [])]
     (
         z.repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop(*drop)
         .write.mode("overwrite")
         .parquet(path)
     )

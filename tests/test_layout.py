@@ -108,3 +108,25 @@ def test_zordered_write_prunes_on_both_columns(spark, tmp_path):
     # a `WHERE y = k` scan reads every file of this layout.
     ss = mean_spans(spath)
     assert ss["x"] <= n / 8 and ss["y"] >= n - 1, ss
+
+
+def test_zorder_table_cli_roundtrip(spark, tmp_path):
+    """CLI: zorder_table re-lays-out a parquet table; schema unchanged,
+    rows identical, layout helper columns never leak into the output."""
+    from cc_pyspark_spark.jobs.runner import main as runner_main
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df = spark.range(0, 5000).selectExpr(
+        "id AS a", "(id * 37) % 4096 AS b", "id % 7 AS payload"
+    )
+    df.write.parquet(src)
+    rc = runner_main(
+        ["zorder_table", src, out, "--zorder_cols", "a,b",
+         "--num_output_partitions", "4"]
+    )
+    assert rc == 0
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == ["a", "b", "payload"]
+    assert back.count() == 5000
+    assert sorted(r["a"] for r in back.select("a").collect()) == list(range(5000))
