@@ -19,6 +19,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 from pyspark.sql import types as T
 
 #: Cold-start schema: what the current driver fixture carries. Used
@@ -261,4 +265,45 @@ def funnel_hourly_stream(
             F.unix_timestamp(F.col("window.start")).alias("hour_start"),
             "n_pairs",
         )
+    )
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of `_running_totals` — the same
+    per-user running (count, sum) on the Spark 4 stateful-processor
+    API, which replaces applyInPandasWithState's (state, timeout)
+    closure with named state variables (ValueState here; ListState /
+    MapState for richer operators) plus first-class timers and TTL.
+    Both implementations are kept because the old API remains the
+    compatibility surface while TWS is the forward path; a pytest pins
+    their outputs equal row-for-row. Runtime needs the RocksDB state
+    store provider and google.protobuf (the TWS state-server wire
+    format) — protobuf is absent in this sandbox, so the parity test
+    importorskips, the same env-gating pattern as bs4/boto3/ffmpeg."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": total}]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via transformWithStateInPandas."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

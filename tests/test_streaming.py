@@ -305,3 +305,46 @@ def test_chained_stateful_funnel_matches_batch(spark, events_dir, max_ts_epoch):
     for k in want:  # only tail hours may be missing
         if k not in got:
             assert k + 3600 > max_ts_epoch - 1
+
+
+def test_tws_running_totals_equals_apply_in_pandas_with_state(
+    spark, events_dir
+):
+    """The transformWithStateInPandas implementation must produce the
+    exact rows of the applyInPandasWithState one — same semantics on
+    the old and the Spark-4 stateful APIs.
+
+    Environment-gated like bs4/boto3/ffmpeg: the TWS state-server
+    protocol needs google.protobuf (absent in this sandbox — the
+    driver worker dies importing StateMessage_pb2) and the RocksDB
+    state store provider. The operator itself has no extra imports;
+    in an environment with protobuf this test runs and widens
+    coverage automatically (same pattern as test_html_backends)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf",
+    )
+    from cc_pyspark_spark.streaming.windows import running_user_totals_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    tws = running_user_totals_tws(stream_events(spark, events_dir))
+    q = run_available_now(tws, "running_tws_test", "update")
+    _drain(q)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM running_tws_test").collect()
+    }
+
+    legacy = running_user_totals(stream_events(spark, events_dir))
+    q2 = run_available_now(legacy, "running_legacy_test", "update")
+    _drain(q2)
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM running_legacy_test").collect()
+    }
+    assert got == want
