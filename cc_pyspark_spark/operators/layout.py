@@ -45,3 +45,15 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
         for j in range(bits)
     ]
     return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def zorder_decode(zkey: int, n_cols: int, bits: int = 16) -> list[int]:
+    """Python inverse of :func:`zorder_key` (driver-side utility for
+    range planning / debugging; the encode is the hot path). Extracts
+    each column's bits back out of the Morton key — the pair is
+    bijective on [0, 2**bits)^n_cols, which the property test pins."""
+    out = [0] * n_cols
+    for j in range(bits):
+        for i in range(n_cols):
+            out[i] |= ((zkey >> (j * n_cols + i)) & 1) << j
+    return out

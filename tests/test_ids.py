@@ -122,3 +122,44 @@ def test_range_prefix_sums_partition_invariance(spark):
         ).collect()
         outs.append(sorted((r["v"], r["cum_ca"], r["cum_cb"]) for r in got))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_ks_drift_matches_bruteforce_property(spark):
+    """The integer-CDF KS algebra (events_ks_drift's core) equals a
+    plain-Python brute-force sup|F_a - F_b| on random samples."""
+    import random
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.operators.ids import range_prefix_sums
+
+    rng = random.Random(11)
+    for trial in range(5):
+        a = [rng.randint(0, 30) for _ in range(rng.randint(5, 80))]
+        b = [rng.randint(0, 30) for _ in range(rng.randint(5, 80))]
+        # brute force: evaluate both ECDFs at every distinct value
+        pts = sorted(set(a) | set(b))
+        want = max(
+            abs(
+                Fraction(sum(x <= v for x in a), len(a))
+                - Fraction(sum(x <= v for x in b), len(b))
+            )
+            for v in pts
+        )
+        rows = [
+            (float(v), sum(x == v for x in a), sum(x == v for x in b))
+            for v in pts
+        ]
+        df = spark.createDataFrame(rows, "v double, ca long, cb long")
+        cums = range_prefix_sums(df, ["v"], ["ca", "cb"], num_partitions=4)
+        got_num = (
+            cums.select(
+                F.abs(
+                    F.col("cum_ca") * len(b) - F.col("cum_cb") * len(a)
+                ).alias("d")
+            )
+            .agg(F.max("d"))
+            .collect()[0][0]
+        )
+        assert Fraction(got_num, len(a) * len(b)) == want, trial

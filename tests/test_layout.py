@@ -130,3 +130,36 @@ def test_zorder_table_cli_roundtrip(spark, tmp_path):
     assert sorted(back.columns) == ["a", "b", "payload"]
     assert back.count() == 5000
     assert sorted(r["a"] for r in back.select("a").collect()) == list(range(5000))
+
+
+def test_zorder_key_decode_roundtrip_property(spark):
+    """Encode/decode are mutually inverse on random tuples — the key
+    loses no information (hypothesis-driven)."""
+    from hypothesis import given, settings, strategies as st
+
+    from cc_pyspark_spark.operators.layout import zorder_decode
+
+    df_cache = {}
+
+    # each example is a Spark job — keep the count Spark-sized
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(rows):
+        key = tuple(rows)
+        if key not in df_cache:
+            df = spark.createDataFrame(rows, "x long, y long")
+            df_cache[key] = df.select(
+                "x", "y", zorder_key(["x", "y"]).alias("z")
+            ).collect()
+        for r in df_cache[key]:
+            assert zorder_decode(r["z"], 2) == [r["x"], r["y"]]
+
+    check()
