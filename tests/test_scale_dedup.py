@@ -409,3 +409,28 @@ def test_prefix_jaccard_property_random_corpora(spark):
         assert set(got) == set(want), (trial, threshold, got, want)
         for k, v in want.items():
             assert abs(got[k] - v) < 1e-12, (trial, k, got[k], v)
+
+
+def test_minhash_delta_equals_full_run_restricted(spark):
+    """Consistency theorem for incremental dedup: the delta probe's
+    verified pairs must equal the FULL-corpus run's pairs restricted
+    to (delta doc, base doc) — same signatures, same banding, same
+    verification, so the incremental path loses nothing against a
+    from-scratch re-run. (full emits a_id < b_id; base ids precede
+    delta ids here, so the pair maps to new_id=b, old_id=a.)"""
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    thr = docs.selectExpr("(9 * max(doc_id)) div 10 AS t").collect()[0]["t"]
+
+    full = {
+        (r["b_id"], r["a_id"]): r["jac"]
+        for r in QUERIES["dedup_minhash_lsh"].spark(spark, SF_DIR).collect()
+        if r["b_id"] > thr and r["a_id"] <= thr
+    }
+    delta = {
+        (r["new_id"], r["old_id"]): r["jac"]
+        for r in QUERIES["dedup_minhash_delta"].spark(spark, SF_DIR).collect()
+    }
+    assert delta == full
+    assert delta, "fixture must exercise at least one cross-boundary pair"
