@@ -878,9 +878,13 @@ def bigram_lm_scores_frame(documents: DataFrame) -> DataFrame:
     one plan. Shared by the registry query and the analyze_documents
     CLI job; see text_bigram_lm_score's description for the float
     determinism contract (position-sorted fold, no ln)."""
-    docs = documents.select("doc_id", tokenize("text").alias("toks")).filter(
-        F.size("toks") >= 2
-    )
+    # ONE scan+tokenize, materialized: the tokenized corpus feeds the
+    # bigram rows AND the vocabulary; the bigram rows feed training
+    # (c2/c1) AND scoring. Without the persists the parquet scan +
+    # regex tokenizer subtree runs 4x (same discipline as minhash's
+    # shared shingle frame) — at 100 TB that is 3 wasted corpus passes.
+    tokd = documents.select("doc_id", tokenize("text").alias("toks")).persist()
+    docs = tokd.filter(F.size("toks") >= 2)
     bg = docs.select(
         "doc_id",
         F.posexplode(
@@ -889,13 +893,13 @@ def bigram_lm_scores_frame(documents: DataFrame) -> DataFrame:
                 "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
             )
         ).alias("pos", "s"),
-    ).select("doc_id", "pos", "s.w1", "s.w2")
+    ).select("doc_id", "pos", "s.w1", "s.w2").persist()
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # Full-corpus vocabulary (including <2-token docs, as the oracle's
     # `tok` CTE does) — V is the Laplace denominator offset.
     vocab = (
-        documents.select(F.explode(tokenize("text")).alias("token"))
+        tokd.select(F.explode("toks").alias("token"))
         .agg(F.count_distinct("token").alias("v"))
     )
     scored = (
