@@ -111,19 +111,62 @@ def range_prefix_sums(
     (pre-aggregate to distinct keys first), so results equal the
     global-window variant bit-for-bit.
     """
+    out = range_prefix_scan(
+        df, order_cols, [(c, "sum") for c in sum_cols], num_partitions
+    )
+    for c in sum_cols:
+        out = out.withColumnRenamed(f"scan_sum_{c}", f"cum_{c}")
+    return out
+
+
+#: op name -> (column aggregate, window function) for range_prefix_scan
+_SCAN_OPS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def range_prefix_scan(
+    df: DataFrame,
+    order_cols: list[str] | str,
+    specs: list[tuple[str, str]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running (inclusive) prefix SCAN in ``order_cols`` order for any
+    mix of associative ops — ``specs`` is [(col, "sum"|"min"|"max"),
+    ...]; adds ``scan_<op>_<col>`` per spec.
+
+    Generalizes :func:`range_prefix_sums` (which delegates here): the
+    two-phase shape — range shuffle, per-partition totals, window-free
+    broadcast prefix offsets, parallel local scans — is correct for ANY
+    associative combine, so running minima/maxima (CUSUM drawdowns,
+    watermarks, high-water marks) cost the same as running sums and
+    never touch a single-partition window. Same determinism contract:
+    `order_cols` must be a unique key.
+    """
     if isinstance(order_cols, str):
         order_cols = [order_cols]
+    for _, op in specs:
+        if op not in _SCAN_OPS:
+            raise ValueError(f"unsupported scan op: {op}")
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = range_partitioned(df, order_cols, num_partitions).localCheckpoint(
         eager=True
     )
     totals = ranged.groupBy("__pid").agg(
-        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+        *[
+            _SCAN_OPS[op](c).alias(f"__t_{op}_{c}")
+            for c, op in specs
+        ]
     )
     prior = totals.select(
         F.col("__pid").alias("__prior_pid"),
-        *[F.col(f"__t_{c}").alias(f"__p_{c}") for c in sum_cols],
+        *[
+            F.col(f"__t_{op}_{c}").alias(f"__p_{op}_{c}")
+            for c, op in specs
+        ],
     )
     offsets = (
         totals.join(
@@ -132,8 +175,8 @@ def range_prefix_sums(
         .groupBy("__pid")
         .agg(
             *[
-                F.coalesce(F.sum(f"__p_{c}"), F.lit(0)).alias(f"__off_{c}")
-                for c in sum_cols
+                _SCAN_OPS[op](f"__p_{op}_{c}").alias(f"__off_{op}_{c}")
+                for c, op in specs
             ]
         )
     )
@@ -143,8 +186,16 @@ def range_prefix_sums(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     out = ranged.join(F.broadcast(offsets), "__pid")
-    for c in sum_cols:
-        out = out.withColumn(
-            f"cum_{c}", F.sum(c).over(local) + F.col(f"__off_{c}")
-        )
-    return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])
+    for c, op in specs:
+        local_scan = _SCAN_OPS[op](c).over(local)
+        off = F.col(f"__off_{op}_{c}")  # NULL for the first partition
+        if op == "sum":
+            combined = local_scan + F.coalesce(off, F.lit(0))
+        elif op == "min":
+            combined = F.least(local_scan, F.coalesce(off, local_scan))
+        else:
+            combined = F.greatest(local_scan, F.coalesce(off, local_scan))
+        out = out.withColumn(f"scan_{op}_{c}", combined)
+    return out.drop(
+        "__pid", *[f"__off_{op}_{c}" for c, op in specs]
+    )

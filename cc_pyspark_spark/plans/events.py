@@ -728,3 +728,83 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("x.n").cast("double") * F.col("x.mm").cast("double"))
         ).alias("ks"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS total
+  FROM hourly
+), dev AS (
+  SELECT hour, t.m, t.total, t.m * x - t.total AS d
+  FROM hourly CROSS JOIN t
+), scans AS (
+  SELECT hour, m, total,
+         CAST(SUM(d) OVER (ORDER BY hour) AS BIGINT) AS p
+  FROM dev
+), s AS (
+  -- LEAST with 0: the empty prefix P_0 = 0 is a valid CUSUM reset
+  -- point (an all-positive initial run must score P_i, not 0)
+  SELECT hour, m, total,
+         p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER (ORDER BY hour)) AS s_num
+  FROM scans
+)
+SELECT hour AS at_hour, CAST(s_num AS BIGINT) AS s_num, m, total,
+       CAST(s_num AS DOUBLE) / CAST(m AS DOUBLE) AS cusum
+FROM s ORDER BY s_num DESC, at_hour DESC LIMIT 1
+""",
+    description="CUSUM changepoint score over the hourly error-event "
+    "rate — the third leg of the drift-monitoring family (chi-square "
+    "composition shift, KS distribution shift, CUSUM level shift): the "
+    "classic sequential statistic max_i(P_i - min_{j<=i} P_j) over "
+    "deviations from the mean rate, rewritten as prefix-sum minus "
+    "running-minimum so the inherently sequential recursion becomes two "
+    "associative scans on operators/ids.py:range_prefix_scan (the "
+    "generalized sum/min/max distributed scan — NO single-partition "
+    "window). Deviations are pre-scaled by the hour count (d = m*x - "
+    "total), so everything is exact BIGINT until one final double "
+    "division; argmax by deterministic (score, hour) max-struct",
+    tags=("events", "scale"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.ids import range_prefix_scan  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    hourly = (
+        t.events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("x"))
+    )
+    tot = hourly.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("total"),
+    )
+    dev = hourly.crossJoin(F.broadcast(tot)).select(
+        "hour", "m", "total", (F.col("m") * F.col("x") - F.col("total")).alias("d")
+    )
+    p = range_prefix_scan(dev, ["hour"], [("d", "sum")]).withColumnRenamed(
+        "scan_sum_d", "p"
+    )
+    s = range_prefix_scan(p, ["hour"], [("p", "min")]).select(
+        "hour",
+        "m",
+        "total",
+        # least with 0: the empty prefix P_0 = 0 is a valid reset point
+        (
+            F.col("p") - F.least(F.lit(0).cast("bigint"), F.col("scan_min_p"))
+        ).cast("bigint").alias("s_num"),
+    )
+    mx = s.agg(F.max(F.struct("s_num", "hour", "m", "total")).alias("x"))
+    return mx.select(
+        F.col("x.hour").alias("at_hour"),
+        F.col("x.s_num").alias("s_num"),
+        F.col("x.m").alias("m"),
+        F.col("x.total").alias("total"),
+        (F.col("x.s_num").cast("double") / F.col("x.m").cast("double")).alias(
+            "cusum"
+        ),
+    )

@@ -163,3 +163,69 @@ def test_ks_drift_matches_bruteforce_property(spark):
             .collect()[0][0]
         )
         assert Fraction(got_num, len(a) * len(b)) == want, trial
+
+
+def test_range_prefix_scan_min_max_property(spark):
+    """Generalized scan: running min/max equal a sequential fold for
+    random inputs under any partitioning."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(float(i), rng.randint(-50, 50)) for i in range(300)]
+    rng.shuffle(rows)
+    from cc_pyspark_spark.operators.ids import range_prefix_scan
+
+    seq = sorted(rows)
+    want_min, want_max, mn, mx = {}, {}, None, None
+    for v, d in seq:
+        mn = d if mn is None else min(mn, d)
+        mx = d if mx is None else max(mx, d)
+        want_min[v], want_max[v] = mn, mx
+    for parts in (1, 5, 17):
+        got = range_prefix_scan(
+            spark.createDataFrame(rows, "v double, d long"),
+            ["v"],
+            [("d", "min"), ("d", "max")],
+            num_partitions=parts,
+        ).collect()
+        assert {r["v"]: r["scan_min_d"] for r in got} == want_min, parts
+        assert {r["v"]: r["scan_max_d"] for r in got} == want_max, parts
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The prefix-sum-minus-running-min formulation must equal the
+    textbook sequential CUSUM recursion S_i = max(0, S_{i-1} + d_i)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.operators.ids import range_prefix_scan
+
+    rng = random.Random(5)
+    for trial in range(4):
+        # first trial: all-positive initial run — the case that
+        # catches a formulation missing the P_0 = 0 reset point
+        if trial == 0:
+            devs = [5, 3, -20, 4]
+        else:
+            devs = [rng.randint(-20, 20) for _ in range(rng.randint(10, 120))]
+        s, seq_max = 0, 0
+        for d in devs:
+            s = max(0, s + d)
+            seq_max = max(seq_max, s)
+        rows = [(float(i), d) for i, d in enumerate(devs)]
+        df = spark.createDataFrame(rows, "v double, d long")
+        p = range_prefix_scan(df, ["v"], [("d", "sum")], num_partitions=4)
+        p = p.withColumnRenamed("scan_sum_d", "p")
+        got = (
+            range_prefix_scan(p, ["v"], [("p", "min")], num_partitions=4)
+            .select(
+                (
+                    F.col("p")
+                    - F.least(F.lit(0), F.col("scan_min_p"))
+                ).alias("s")
+            )
+            .agg(F.max("s"))
+            .collect()[0][0]
+        )
+        assert got == seq_max, (trial, got, seq_max)
