@@ -252,14 +252,29 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
             raise SystemExit("zorder_table needs --zorder_cols a,b[,c]")
         cols = [c.strip() for c in args.zorder_cols.split(",") if c.strip()]
         bits = 63 // len(cols) if 63 // len(cols) < 16 else 16
-        # pmod-scale each column into the key's per-dimension range;
-        # ids are ~uniform so the fold keeps locality per low bits.
-        scaled = table.select(
+        # RANGE-scale each column into [0, 2^bits): (v - min) spread
+        # over the actual value range. A modulo here would destroy the
+        # min/max pruning the job exists to create — every output file
+        # would span the full raw domain once values exceed 2^bits
+        # (code-review r7). Min/max come from a 1-row broadcast; exact
+        # while (range * 2^bits) fits BIGINT (range <= ~1.4e14).
+        stats = table.agg(
+            *[
+                f
+                for c in cols
+                for f in (
+                    F.min(F.col(c).cast("bigint")).alias(f"__mn_{c}"),
+                    F.max(F.col(c).cast("bigint")).alias(f"__mx_{c}"),
+                )
+            ]
+        )
+        scaled = table.crossJoin(F.broadcast(stats)).select(
             *table.columns,
             *[
-                F.pmod(F.col(c).cast("bigint"), F.lit(1 << bits)).alias(
-                    f"__zs_{c}"
-                )
+                F.expr(
+                    f"CAST(((cast({c} AS bigint) - __mn_{c}) * {1 << bits}) "
+                    f"div (__mx_{c} - __mn_{c} + 1) AS BIGINT)"
+                ).alias(f"__zs_{c}")
                 for c in cols
             ],
         )

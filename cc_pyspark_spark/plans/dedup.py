@@ -1007,7 +1007,12 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_edit_distance",
     oracle="""
 WITH d AS (
-  SELECT doc_id, substring(text, 1, 30) AS t30, substring(text, 1, 8) AS bk
+  -- ASCII-printable projection first: Spark's levenshtein counts
+  -- codepoints while DuckDB's counts bytes, so the engine-exact
+  -- contract only holds on single-byte text ('g' = replace ALL)
+  SELECT doc_id,
+         substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 30) AS t30,
+         substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 8) AS bk
   FROM documents
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -1025,15 +1030,19 @@ WHERE abs(length(a.t30) - length(b.t30)) <= 3
     "engine-exact. Standard blocking tradeoff: pairs differing inside "
     "the first 8 chars are missed — production runs a second pass on a "
     "different block key (suffix or sorted q-grams); boilerplate-prefix "
-    "hot blocks get capped or salted like any skewed join key",
+    "hot blocks get capped or salted like any skewed join key. "
+    "Distances run on the ASCII-printable projection of the text: "
+    "Spark's levenshtein counts codepoints, DuckDB's counts bytes, so "
+    "only single-byte text keeps the integer distance engine-exact",
     tags=("dedup",),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
+    ascii_text = F.regexp_replace("text", "[^ -~]", "")
     d = t.documents.select(
         "doc_id",
-        F.substring("text", 1, 30).alias("t30"),
-        F.substring("text", 1, 8).alias("bk"),
+        F.substring(ascii_text, 1, 30).alias("t30"),
+        F.substring(ascii_text, 1, 8).alias("bk"),
     )
     a, b = d.alias("a"), d.alias("b")
     return (

@@ -95,8 +95,9 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(e)
 
 
+from cc_pyspark_spark.operators.pagerank import PAGERANK_SCALE as _PR_SCALE
+
 _PR_ITER = 8
-_PR_SCALE = 10**15  # keep literal in sync with operators.pagerank.PAGERANK_SCALE
 
 
 @register(
@@ -108,9 +109,9 @@ raw AS (
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 edges AS (
-  SELECT c AS s, s + 1000000 AS t FROM raw
+  SELECT 2 * c AS s, 2 * s + 1 AS t FROM raw
   UNION ALL
-  SELECT s + 1000000 AS s, c AS t FROM raw
+  SELECT 2 * s + 1 AS s, 2 * c AS t FROM raw
 ),
 verts AS (SELECT DISTINCT s AS id FROM edges),
 deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY s),
@@ -133,7 +134,8 @@ SELECT id, r, CAST(r AS DOUBLE) / {float(_PR_SCALE)} AS rank
 FROM pr WHERE iter = {_PR_ITER}
 """,
     description="Damped PageRank over the symmetrized customer-supplier "
-    "order graph, run for a fixed 8 rounds in BIGINT fixed-point "
+    "order graph (vertices disjointly tagged 2c / 2s+1 — collision-free "
+    "at any key scale), run for a fixed 8 rounds in BIGINT fixed-point "
     "arithmetic (mass scaled by 1e15) — integer sums are associative, so "
     "the ranks are bit-identical across partitionings, runs, and engines, "
     "and even this ITERATIVE algorithm carries a full value-hash oracle "
@@ -155,13 +157,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    # Symmetrize: customer <-> supplier, suppliers offset past the
-    # customer key range. Every vertex then has an out-edge, so the
-    # dangling term is identically zero and safely skipped.
+    # Symmetrize: customer <-> supplier. Vertex ids are DISJOINTLY
+    # TAGGED (customer -> 2c, supplier -> 2s+1) rather than offset by a
+    # constant — a fixed offset silently merges vertices once custkeys
+    # outgrow it (TPC-H custkeys pass 1e6 at SF 7). Every vertex has an
+    # out-edge, so the dangling term is identically zero and skipped.
     edges = raw.select(
-        F.col("c").alias("s"), (F.col("s") + 1000000).alias("t")
+        (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
     ).unionAll(
-        raw.select((F.col("s") + 1000000).alias("s"), F.col("c").alias("t"))
+        raw.select((2 * F.col("s") + 1).alias("s"), (2 * F.col("c")).alias("t"))
     ).persist()
     return pagerank_fixed(
         edges, n_iter=_PR_ITER, damping_pct=85, assume_no_dangling=True
@@ -180,12 +184,12 @@ raw AS (
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 sym AS (
-  SELECT c AS s, s + 1000000 AS t FROM raw
+  SELECT 2 * c AS s, 2 * s + 1 AS t FROM raw
   UNION ALL
-  SELECT s + 1000000 AS s, c AS t FROM raw
+  SELECT 2 * s + 1 AS s, 2 * c AS t FROM raw
 ),
 verts AS (SELECT DISTINCT s AS id FROM sym),
-src AS (SELECT DISTINCT s + 1000000 AS id FROM raw WHERE s <= 3),
+src AS (SELECT DISTINCT 2 * s + 1 AS id FROM raw WHERE s <= 3),
 bfs(iter, id, hops) AS (
   SELECT 0, v.id,
          CASE WHEN src.id IS NOT NULL THEN CAST(0 AS BIGINT) END
@@ -228,11 +232,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = raw.select(
-        F.col("c").alias("s"), (F.col("s") + 1000000).alias("t")
+        (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
     )
     sources = (
         raw.filter(F.col("s") <= 3)
-        .select((F.col("s") + 1000000).alias("id"))
+        .select((2 * F.col("s") + 1).alias("id"))
         .distinct()
     )
     return bfs_hops(edges, sources, max_iter=_BFS_ITER)

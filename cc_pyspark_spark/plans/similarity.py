@@ -93,11 +93,35 @@ N_CENTROIDS = 8  # vec_id in [490, 498) serve as fixed "centroids"
 IVF_TOP_K = 3
 
 
+_DUCK_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+
+def _duck_ivf_assign(norm_cte: str, bucket_col: str, corpus_where: str = "") -> str:
+    """CTE fragment `cent` + `assign` + `qbest`: cosine-nearest-centroid
+    assignment over a pre-existing norm CTE (vec_id, v, nrm). ONE
+    definition feeds the IVF oracle AND the IVF+PQ composition — the
+    same single-source rule as _duck_pq_base/_duck_minhash_bands, so
+    the coarse quantizers cannot drift apart."""
+    return f"""cent AS (
+  SELECT vec_id AS {bucket_col}, v AS cv, nrm AS cnrm FROM {norm_cte}
+  WHERE vec_id >= 490 AND vec_id < {490 + N_CENTROIDS}
+), assign AS (
+  SELECT vec_id, {bucket_col} FROM (
+    SELECT {norm_cte}.vec_id, cent.{bucket_col},
+           ROW_NUMBER() OVER (PARTITION BY {norm_cte}.vec_id
+             ORDER BY {_DUCK_DOT.format(a=norm_cte + '.v', b='cent.cv')} / ({norm_cte}.nrm * cent.cnrm) DESC,
+                      cent.{bucket_col}) AS rk
+    FROM {norm_cte}, cent{corpus_where}) WHERE rk = 1
+), qbest AS (
+  SELECT vec_id AS q_id, {bucket_col} FROM assign WHERE vec_id < {N_QUERIES}
+)"""
+
+
 def _duck_ivf_oracle() -> str:
-    dot = (
-        "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
-        "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
-    )
+    dot = _DUCK_DOT
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -106,19 +130,7 @@ WITH e AS (
   SELECT vec_id, v,
          sqrt({dot.format(a='v', b='v')}) AS nrm
   FROM e
-), cent AS (
-  SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
-  WHERE vec_id >= 490 AND vec_id < {490 + N_CENTROIDS}
-), assign AS (
-  SELECT vec_id, c_id FROM (
-    SELECT n.vec_id, cent.c_id,
-           ROW_NUMBER() OVER (PARTITION BY n.vec_id
-             ORDER BY {dot.format(a='n.v', b='cent.cv')} / (n.nrm * cent.cnrm) DESC,
-                      cent.c_id) AS rk
-    FROM n, cent) WHERE rk = 1
-), qbest AS (
-  SELECT vec_id AS q_id, c_id FROM assign WHERE vec_id < {N_QUERIES}
-), scored AS (
+), {_duck_ivf_assign("n", "c_id")}, scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS n_id,
          {dot.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cos
   FROM qbest
@@ -612,27 +624,12 @@ def sim_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_ivf_pq_oracle() -> str:
-    dot = (
-        "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
-        "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
-    )
+    dot = _DUCK_DOT
     return f"""
 WITH {_duck_pq_base()},
 nv AS (
   SELECT vec_id, v, sqrt({dot.format(a='v', b='v')}) AS nrm FROM e
-), cent AS (
-  SELECT vec_id AS bucket, v AS cv, nrm AS cnrm FROM nv
-  WHERE vec_id >= 490 AND vec_id < {490 + N_CENTROIDS}
-), assign AS (
-  SELECT vec_id, bucket FROM (
-    SELECT nv.vec_id, cent.bucket,
-           ROW_NUMBER() OVER (PARTITION BY nv.vec_id
-             ORDER BY {dot.format(a='nv.v', b='cent.cv')} / (nv.nrm * cent.cnrm) DESC,
-                      cent.bucket) AS rk
-    FROM nv, cent WHERE nv.vec_id < {PQ_MAX_ID}) WHERE rk = 1
-), qbest AS (
-  SELECT vec_id AS q_id, bucket FROM assign WHERE vec_id < {N_QUERIES}
-), adcb AS (
+), {_duck_ivf_assign("nv", "bucket", f" WHERE nv.vec_id < {PQ_MAX_ID}")}, adcb AS (
   SELECT l.q_id, x.vec_id AS n_id,
          list_reduce(list(l.d ORDER BY l.block), (acc, x) -> acc + x)
            AS adc_dist

@@ -115,21 +115,51 @@ def test_zorder_table_cli_roundtrip(spark, tmp_path):
     rows identical, layout helper columns never leak into the output."""
     from cc_pyspark_spark.jobs.runner import main as runner_main
 
+    import glob
+
+    import pyarrow.parquet as pq
+
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
+    # ids deliberately span far past 2**16: the scaling must be by
+    # RANGE, not modulo — a modulo layout makes every output file span
+    # the whole raw domain and prunes nothing (code-review r7)
     df = spark.range(0, 5000).selectExpr(
-        "id AS a", "(id * 37) % 4096 AS b", "id % 7 AS payload"
+        "id * 2001 AS a", "(id * 37) % 4096 AS b", "id % 7 AS payload"
     )
     df.write.parquet(src)
     rc = runner_main(
         ["zorder_table", src, out, "--zorder_cols", "a,b",
-         "--num_output_partitions", "4"]
+         "--num_output_partitions", "16"]
     )
     assert rc == 0
     back = spark.read.parquet(out)
     assert sorted(back.columns) == ["a", "b", "payload"]
     assert back.count() == 5000
-    assert sorted(r["a"] for r in back.select("a").collect()) == list(range(5000))
+    assert sorted(r["a"] for r in back.select("a").collect()) == [
+        i * 2001 for i in range(5000)
+    ]
+    # the layout must actually bound `a` per file (footer min/max) —
+    # mean span: row-count range splits can straddle one z-quadrant
+    # boundary, so individual files get slack; a modulo layout would
+    # put EVERY file at ~the full range
+    full = 5000 * 2001
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(rg).column(0).statistics.min
+            for rg in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(rg).column(0).statistics.max
+            for rg in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+    # aligned 4x4 z-cells would give span = full/4; row-count splits
+    # straddle boundaries, observed mean ~0.38*full — a modulo layout
+    # sits at ~1.0*full, so full/2 separates the behaviors cleanly
+    assert sum(spans) / len(spans) <= full / 2, sorted(spans)
 
 
 def test_zorder_key_decode_roundtrip_property(spark):
