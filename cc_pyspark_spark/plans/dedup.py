@@ -1012,14 +1012,21 @@ WITH d AS (
   -- contract only holds on single-byte text ('g' = replace ALL)
   SELECT doc_id,
          substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 30) AS t30,
-         substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 8) AS bk
+         substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 8) AS bk1,
+         right(substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 30), 8)
+           AS bk2
   FROM documents
+), cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.t30 AS ta, b.t30 AS tb
+  FROM d a JOIN d b ON a.bk1 = b.bk1 AND a.doc_id < b.doc_id
+  WHERE abs(length(a.t30) - length(b.t30)) <= 3
+  UNION
+  SELECT a.doc_id, b.doc_id, a.t30, b.t30
+  FROM d a JOIN d b ON a.bk2 = b.bk2 AND a.doc_id < b.doc_id
+  WHERE abs(length(a.t30) - length(b.t30)) <= 3
 )
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       CAST(levenshtein(a.t30, b.t30) AS BIGINT) AS dist
-FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
-WHERE abs(length(a.t30) - length(b.t30)) <= 3
-  AND levenshtein(a.t30, b.t30) <= 3
+SELECT a_id, b_id, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(ta, tb) <= 3
 """,
     description="Edit-distance (Levenshtein <= 3) similarity join over "
     "30-char document prefixes with 8-char-prefix blocking — the "
@@ -1027,10 +1034,14 @@ WHERE abs(length(a.t30) - length(b.t30)) <= 3
     "SimHash/embedding near-dup paths: candidates shuffle on the short "
     "block key (never all-pairs), a length filter prunes before the "
     "O(len^2) distance kernel, and the integer distance is "
-    "engine-exact. Standard blocking tradeoff: pairs differing inside "
-    "the first 8 chars are missed — production runs a second pass on a "
-    "different block key (suffix or sorted q-grams); boilerplate-prefix "
-    "hot blocks get capped or salted like any skewed join key. "
+    "engine-exact. TWO blocking passes, prefix-8 and suffix-8, unioned "
+    "before verification: a single block key misses every pair whose "
+    "edits fall inside it; the suffix pass recovers pairs edited near "
+    "the start (and vice versa). Not a recall THEOREM — edits split "
+    "across both ends can still escape both blocks; when guaranteed "
+    "recall matters, dedup_prefix_jaccard is the theorem-backed path; "
+    "boilerplate-prefix hot blocks get capped or salted like any "
+    "skewed join key. "
     "Distances run on the ASCII-printable projection of the text: "
     "Spark's levenshtein counts codepoints, DuckDB's counts bytes, so "
     "only single-byte text keeps the integer distance engine-exact",
@@ -1039,26 +1050,38 @@ WHERE abs(length(a.t30) - length(b.t30)) <= 3
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     ascii_text = F.regexp_replace("text", "[^ -~]", "")
+    # Persisted: both blocking passes probe the same projected frame.
     d = t.documents.select(
         "doc_id",
         F.substring(ascii_text, 1, 30).alias("t30"),
-        F.substring(ascii_text, 1, 8).alias("bk"),
-    )
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        F.substring(ascii_text, 1, 8).alias("bk1"),
+        F.expr("right(substring(regexp_replace(text, '[^ -~]', ''), 1, 30), 8)").alias(
+            "bk2"
+        ),
+    ).persist()
+
+    def _pass(key: str) -> DataFrame:
+        a, b = d.alias("a"), d.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .filter(F.abs(F.length("a.t30") - F.length("b.t30")) <= 3)
+            .select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                F.col("a.t30").alias("ta"),
+                F.col("b.t30").alias("tb"),
+            )
         )
-        .filter(F.abs(F.length("a.t30") - F.length("b.t30")) <= 3)
-        .withColumn(
-            "dist", F.levenshtein(F.col("a.t30"), F.col("b.t30")).cast("bigint")
+
+    cand = _pass("bk1").union(_pass("bk2")).distinct()
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("ta"), F.col("tb")).cast("bigint")
         )
         .filter(F.col("dist") <= 3)
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            "dist",
-        )
+        .select("a_id", "b_id", "dist")
     )
