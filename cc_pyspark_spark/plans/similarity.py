@@ -1124,3 +1124,79 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assign(cent).select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2"
     )
+
+
+def _duck_recall_matrix_oracle() -> str:
+    from cc_pyspark_spark.plans.registry import QUERIES  # noqa: PLC0415
+
+    exact = QUERIES["sim_cosine_topk"].oracle
+    retrievers = {
+        "ivf": QUERIES["sim_ann_ivf"].oracle,
+        "pq_adc": QUERIES["sim_ann_pq_adc"].oracle,
+        "ivf_pq": QUERIES["sim_ann_ivf_pq"].oracle,
+    }
+    arms = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, q_id, n_id FROM ({sql})"
+        for m, sql in retrievers.items()
+    )
+    return f"""
+WITH exact AS (
+  SELECT q_id, n_id FROM ({exact}) WHERE rnk <= {IVF_TOP_K}
+), approx AS ({arms})
+SELECT a.method, e.q_id, CAST(COUNT(x.n_id) AS BIGINT) AS hits,
+       CAST(COUNT(x.n_id) AS DOUBLE) / {float(IVF_TOP_K)} AS recall
+FROM (SELECT DISTINCT method FROM approx) a
+CROSS JOIN exact e
+LEFT JOIN approx x
+  ON x.method = a.method AND x.q_id = e.q_id AND x.n_id = e.n_id
+GROUP BY a.method, e.q_id
+"""
+
+
+@register(
+    "sim_eval_recall_matrix",
+    oracle=_duck_recall_matrix_oracle(),
+    description="The full ANN evaluation matrix: recall@"
+    f"{IVF_TOP_K} of every registered index — IVF (full vectors, "
+    "bucket-pruned), PQ-ADC (compressed domain, whole corpus), and the "
+    "composed IVF+PQ — against the exact brute-force neighbors, per "
+    "(method, query). The index-selection table an ANN deployment "
+    "decision reads: it quantifies what bucket pruning loses vs what "
+    "quantization loses, separately and combined — on this fixture the "
+    "seed-sliced (untrained) PQ codebooks score near-zero recall@3, "
+    "which is exactly the deployment mistake (shipping an untrained "
+    "codebook) this harness exists to catch; k-means-trained codebooks "
+    "(embedding_kmeans_lloyd is that trainer) recover it. Composes all four "
+    "registered oracles verbatim (rank tables are k rows per query, so "
+    "the evaluation costs nothing at corpus scale)",
+    tags=("similarity",),
+)
+def sim_eval_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        sim_cosine_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("q_id", "n_id")
+        .persist()
+    )
+    arms = [
+        ("ivf", sim_ann_ivf(spark, sf_dir)),
+        ("pq_adc", sim_ann_pq_adc(spark, sf_dir)),
+        ("ivf_pq", sim_ann_ivf_pq(spark, sf_dir)),
+    ]
+    outs = []
+    for name, df in arms:
+        approx = df.select("q_id", "n_id", F.lit(1).alias("hit"))
+        j = exact.join(approx, ["q_id", "n_id"], "left")
+        outs.append(
+            j.groupBy("q_id").agg(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("hits"),
+                (
+                    F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+                    / F.lit(float(IVF_TOP_K))
+                ).alias("recall"),
+            ).select(F.lit(name).alias("method"), "q_id", "hits", "recall")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
