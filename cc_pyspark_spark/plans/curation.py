@@ -744,3 +744,82 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "lang", "shard", "doc_id", "n_tokens", "pack_seq", "pack_offset"
     )
+
+
+@register(
+    "curation_dataset_card",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT doc_id, lang, md5(text) AS fp,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+              AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+), lang_counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM per_doc GROUP BY lang
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_texts
+  FROM per_doc
+), lang_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM lang_counts
+)
+SELECT t.n_docs, t.total_tokens, t.total_chars, l.n_langs,
+       t.n_unique_texts,
+       CAST(t.n_docs - t.n_unique_texts AS DOUBLE)
+         / CAST(t.n_docs AS DOUBLE) AS dup_rate,
+       CAST(t.n_docs * t.n_docs - l.sum_c2 AS DOUBLE)
+         / CAST(t.n_docs * t.n_docs AS DOUBLE) AS lang_gini
+FROM tot t CROSS JOIN lang_agg l
+""",
+    description="One-row dataset card — the datasheet numbers every "
+    "corpus release publishes: document/token/char totals, language "
+    "count and diversity, exact-duplicate rate. Diversity is the Gini "
+    "impurity 1 - sum(share^2) computed as the exact integer rational "
+    "(n^2 - sum(c^2)) / n^2 — a log-based entropy would break the "
+    "cross-engine ulp contract (SCALING.md), Gini doesn't. One corpus "
+    "scan, two metadata-sized aggregates; every count is BIGINT-exact "
+    "with the two divisions on the final single row",
+    tags=("curation",),
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    per_doc = t.documents.select(
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.size(tokenize("text")).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).persist()
+    tot = per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count_distinct("fp").cast("bigint").alias("n_unique_texts"),
+    )
+    lang_agg = (
+        per_doc.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(lang_agg)).select(
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_langs",
+        "n_unique_texts",
+        (
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+        (
+            (F.col("n_docs") * F.col("n_docs") - F.col("sum_c2")).cast("double")
+            / (F.col("n_docs") * F.col("n_docs")).cast("double")
+        ).alias("lang_gini"),
+    )
