@@ -37,6 +37,19 @@ CHECK = [
     "sim_ann_pq_rerank",
     # r7: token-ordered folds for norms and dots in the sparse scorer.
     "sim_sparse_tfidf_topk",
+    # r7 continuation: fixed-point integer PageRank (associative BIGINT
+    # sums are the whole point — this is the direct pin).
+    "graph_pagerank",
+    # r7 continuation: bucket-pruned ADC — same ordered fold as
+    # sim_ann_pq_adc plus the assignment argmin.
+    "sim_ann_ivf_pq",
+    # r7 continuation: tie-free floor fixed-point centroid sums across
+    # two Lloyd rounds; any order-dependence compounds per round.
+    "embedding_kmeans_lloyd",
+    # r7 continuation: integer CDF algebra over the range-partitioned
+    # prefix scan (one range exchange whose layout must not matter).
+    "events_ks_drift",
+    "events_cusum_changepoint",
 ]
 
 
