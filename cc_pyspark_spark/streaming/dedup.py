@@ -86,3 +86,77 @@ def neardup_dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["simhash"])
     )
+
+
+def incremental_index_stream(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous near-dup ingestion: each micro-batch of documents is
+    (1) probed against the PERSISTED minhash band index of everything
+    ingested before it — emitting (new_id, old_id) candidate pairs —
+    and (2) banded and appended to that index. The streaming twin of
+    the batch delta-dedup pattern (operators/dedup.py
+    minhash_band_index + incremental_minhash_candidates, registered as
+    dedup_minhash_delta): a crawl that lands continuously instead of in
+    nightly increments keeps the same O(delta) probe cost per batch.
+
+    foreachBatch rather than a stateful operator: the band index is
+    relational state shared with BATCH consumers (the same parquet
+    directory build_dedup_index writes and dedup_documents
+    --dedup_method incremental_minhash probes), so it lives in the
+    table layer, not the state store. Within-batch duplicates are the
+    batch's own exact/near-dup step, exactly as in the batch delta
+    semantics; exactly-once comes from the checkpointed batch id —
+    reprocessing a batch overwrites its own pair output
+    (per-batch subdirectory) and re-appending bands is prevented by
+    the epoch guard column.
+
+    Returns the StreamingQuery (caller awaits/stops).
+    """
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+        incremental_minhash_candidates,
+        minhash_band_index,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        try:
+            idx = spark.read.parquet(index_dir)
+            have_index = True
+        except Exception:  # noqa: BLE001 — cold start: no index yet
+            have_index = False
+        if have_index:
+            # epoch guard: a replayed batch must not see its own bands
+            idx = idx.filter(F.col("epoch") < batch_id)
+            pairs = incremental_minhash_candidates(
+                batch, idx.drop("epoch"), id_col=id_col, text_col=text_col
+            )
+        else:
+            pairs = None
+        # per-batch pair directory: replay overwrites, never duplicates
+        if pairs is not None:
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"batch={batch_id}")
+            )
+        bands = minhash_band_index(
+            batch, id_col=id_col, text_col=text_col
+        ).withColumn("epoch", F.lit(batch_id).cast("bigint"))
+        bands.write.mode("append").parquet(index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -94,3 +94,75 @@ def test_streaming_neardup_simhash_dedup(spark, doc_stream_dir):
     assert len(sigs) == len({v for v in sigs.values()})
     # ...and every planted duplicate pair collapsed to a single emission
     assert len(sigs) == 40
+
+
+def test_incremental_index_stream_matches_batch_delta(spark, tmp_path):
+    """Continuous ingestion: stream documents in two micro-batches; the
+    streamed candidate pairs must equal the batch operators' cross-
+    generation probe (batch2 vs batch1's index), and the persisted
+    band index must equal a from-scratch batch build over everything."""
+    from cc_pyspark_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_band_index,
+    )
+    from cc_pyspark_spark.streaming.dedup import incremental_index_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    half = docs.count() // 2
+    b1 = docs.filter(docs.doc_id < half)
+    b2 = docs.filter(docs.doc_id >= half)
+
+    land = tmp_path / "land"
+    land.mkdir()
+    idx_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(str(land))
+        )
+        q = incremental_index_stream(src, idx_dir, pairs_dir, ckpt)
+        q.awaitTermination(180)
+
+    import glob
+
+    def land_batch(df, name):
+        # the file stream source lists plain files, not subdirectories —
+        # write the batch elsewhere and copy its part file in
+        staging = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        (part,) = glob.glob(str(staging / "part-*.parquet"))
+        shutil.copy(part, land / f"{name}.parquet")
+
+    land_batch(b1, "b1")
+    run_once()
+    land_batch(b2, "b2")
+    run_once()
+
+    got_pairs = {
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want_pairs = {
+        (r["new_id"], r["old_id"])
+        for r in incremental_minhash_candidates(
+            b2, minhash_band_index(b1)
+        ).collect()
+    }
+    assert got_pairs == want_pairs
+    assert want_pairs, "fixture must produce at least one candidate pair"
+
+    got_index = {
+        (r["doc_id"], r["band"], r["key"])
+        for r in spark.read.parquet(idx_dir).drop("epoch").collect()
+    }
+    want_index = {
+        (r["doc_id"], r["band"], r["key"])
+        for r in minhash_band_index(docs).collect()
+    }
+    assert got_index == want_index
