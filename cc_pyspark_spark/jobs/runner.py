@@ -56,6 +56,7 @@ DOC_JOBS = (
     "c4_clean",
     "analyze_documents",
     "zorder_table",
+    "dataset_card",
 )
 
 
@@ -242,6 +243,12 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
             df = df.filter(F.col("c4_pass") == 1)
         write_output(df, args, None)
         print(json.dumps({"job": args.job, "gate_filter": args.gate_filter}))
+        return 0
+    if args.job == "dataset_card":
+        from cc_pyspark_spark.plans.curation import dataset_card_frame  # noqa: PLC0415
+
+        write_output(dataset_card_frame(table), args, None)
+        print(json.dumps({"job": args.job}))
         return 0
     if args.job == "zorder_table":
         from pyspark.sql import functions as F  # noqa: PLC0415

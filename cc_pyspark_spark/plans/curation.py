@@ -787,8 +787,13 @@ FROM tot t CROSS JOIN lang_agg l
     tags=("curation",),
 )
 def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Catalog(spark, sf_dir)
-    per_doc = t.documents.select(
+    return dataset_card_frame(Catalog(spark, sf_dir).documents)
+
+
+def dataset_card_frame(documents: DataFrame) -> DataFrame:
+    """One-row dataset card for any documents frame (doc_id, text,
+    lang) — shared by the registry query and the dataset_card CLI."""
+    per_doc = documents.select(
         "lang",
         F.md5(F.col("text").cast("binary")).alias("fp"),
         F.size(tokenize("text")).cast("bigint").alias("n_tok"),

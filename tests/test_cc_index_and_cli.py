@@ -373,3 +373,20 @@ def test_cli_dedup_prefix_jaccard(tmp_path):
         for r in spark.read.parquet(out2).collect()
     }
     assert got and mh == got
+
+
+def test_dataset_card_cli(spark, tmp_path):
+    from cc_pyspark_spark.jobs.runner import main as runner_main
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "card")
+    rc = runner_main(
+        ["dataset_card", f"{SF_DIR}/documents.parquet", out,
+         "--num_output_partitions", "1"]
+    )
+    assert rc == 0
+    card = spark.read.parquet(out).collect()
+    assert len(card) == 1
+    row = card[0]
+    assert row["n_docs"] > 0 and row["total_tokens"] > 0
+    assert 0.0 <= row["lang_gini"] < 1.0 and 0.0 <= row["dup_rate"] <= 1.0
