@@ -172,7 +172,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BFS_ITER = 8
+_BFS_ITER = 6
 
 
 @register(
@@ -217,9 +217,9 @@ SELECT id, hops FROM bfs WHERE iter = {_BFS_ITER}
     "reachability/frontier-depth primitive beside PageRank, components, "
     "and triangles; one neighbor-min shuffle per round, all-integer "
     "labels (min over BIGINT is associative → bit-identical across "
-    "partitionings), rounds past convergence are no-ops, so the fixed "
-    "8-round run carries a full value-hash oracle via a DuckDB "
-    "recursive-CTE replay",
+    "partitionings), rounds past exhaustion join an empty frontier, so "
+    "the fixed 6-round run carries a full value-hash oracle via a "
+    "DuckDB recursive-CTE replay",
     tags=("graph",),
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
