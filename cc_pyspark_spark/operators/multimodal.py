@@ -649,3 +649,44 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["blob_id", "frame_idx", "frame"])
 
     return blobs_df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def image_ahash(
+    blobs_df: DataFrame, id_col: str = "blob_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over decoded pixels —
+    the image-dedup analog of the text fingerprints: near-identical
+    images (re-encodes, container changes) produce the SAME hash, so a
+    plain hash-groupBy dedups them, no pairwise comparison.
+
+    Integer-exact by construction (engine-replayable, no float kernel):
+    grayscale g = (r+g+b) div 3 per pixel, bit i set iff
+    g_i * n_pixels > sum(g) — a strict integer cross-multiplication
+    instead of comparing against a float mean. Production shape: resize
+    to 8x8 first (resize_images), hash the 64 pixels; here the hash
+    covers whatever raster decode_pixels yields. Decode failures yield
+    NULL hash rows (skip-and-count discipline), never task failures.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    schema = f"{id_col} long, phash long, n_pixels long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr = decode_pixels(bytes(blob))
+                if arr is None:
+                    rows.append((int(_id), None, None))
+                    continue
+                g = arr.astype(np.int64).sum(axis=2) // 3
+                flat = [int(x) for x in g.flatten()]
+                n, tot = len(flat), sum(flat)
+                h = 0
+                for i, v in enumerate(flat):
+                    if v * n > tot:
+                        h |= 1 << i
+                rows.append((int(_id), h, n))
+            yield pd.DataFrame(rows, columns=[id_col, "phash", "n_pixels"])
+
+    return blobs_df.mapInPandas(run, schema)

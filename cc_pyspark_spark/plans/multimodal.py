@@ -225,3 +225,84 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zero_crossings").alias("zero_crossings"),
         F.col("energy").alias("energy"),
     )
+
+
+def _ahash_oracle() -> str:
+    """Independent SQL replay of the aHash: raster bytes from md5 hex
+    (nibble arithmetic), integer grayscale, strict cross-multiplied
+    mean threshold — nothing fixture-pinned, identical for both
+    container formats since decode yields the same raster."""
+    nib = (
+        "(strpos('0123456789abcdef', substr(rh, {k}, 1)) - 1)"
+    )
+
+    def byte(off):  # hex pair at byte offset `off` (0-based)
+        return f"({nib.format(k=f'2*({off})+1')}*16 + {nib.format(k=f'2*({off})+2')})"
+
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         substr(md5(text)||md5(text||'x')||md5(text||'y'), 1, 72) AS rh
+  FROM documents
+), g AS (
+  SELECT doc_id, p.p AS p,
+         ({byte('3*p.p')} + {byte('3*p.p+1')} + {byte('3*p.p+2')}) // 3 AS gv
+  FROM r, (SELECT unnest(range(0, 12)) AS p) p
+), t AS (
+  SELECT doc_id, CAST(SUM(gv) AS BIGINT) AS tot FROM g GROUP BY doc_id
+), hsh AS (
+  SELECT g.doc_id,
+         CAST(SUM(CASE WHEN gv * 12 > tot THEN 1 << p ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM g JOIN t ON g.doc_id = t.doc_id GROUP BY g.doc_id
+)
+SELECT doc_id, phash, CAST(12 AS BIGINT) AS n_pixels,
+       CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+FROM hsh
+"""
+
+
+@register(
+    "multimodal_image_phash",
+    oracle=_ahash_oracle(),
+    description="Perceptual image hashing (average-hash) over REAL "
+    "decoded pixels — the image near-dup primitive beside the text "
+    "fingerprints: the same md5-derived 4x3 rasters ship as P6 netpbm "
+    "(even doc_id) or LZW GIF89a (odd), decode through the pure-Python "
+    "codecs in Arrow-batched mapInPandas, and hash by the INTEGER aHash "
+    "rule (grayscale (r+g+b) div 3; bit i iff g_i*n > sum g — strict "
+    "cross-multiplication, no float mean), so container format doesn't "
+    "change the hash and a plain hash-groupBy dedups re-encodes with "
+    "zero pairwise work. n_same counts hash-identical images. The "
+    "DuckDB oracle recomputes pixels AND hash from md5 hex nibble "
+    "arithmetic — independent of every codec under test",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.multimodal import image_ahash  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    raster = F.substring(
+        F.concat(
+            F.unhex(F.md5(F.expr("encode(text, 'UTF-8')"))),
+            F.unhex(F.md5(F.expr("encode(text || 'x', 'UTF-8')"))),
+            F.unhex(F.md5(F.expr("encode(text || 'y', 'UTF-8')"))),
+        ),
+        1,
+        36,
+    )
+    p6 = F.concat(F.expr("encode('P6 4 3 255 ', 'UTF-8')"), raster)
+    gif = F.concat(F.lit(_GIF_PREFIX), raster, F.lit(_GIF_SUFFIX))
+    blobs = t.documents.select(
+        F.col("doc_id").alias("blob_id"),
+        F.when(F.col("doc_id") % 2 == 1, gif).otherwise(p6).alias("blob"),
+    )
+    hashed = image_ahash(blobs)
+    return hashed.select(
+        F.col("blob_id").alias("doc_id"),
+        "phash",
+        "n_pixels",
+        F.count("*").over(W.partitionBy("phash")).cast("bigint").alias("n_same"),
+    )
