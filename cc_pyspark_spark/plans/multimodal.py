@@ -306,3 +306,80 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels",
         F.count("*").over(W.partitionBy("phash")).cast("bigint").alias("n_same"),
     )
+
+
+def _ahash_pairs_oracle() -> str:
+    """All-pairs hamming over the SQL-recomputed hashes — the
+    structurally different formulation (no banding), so agreement
+    cross-checks the pigeonhole algorithm, not just the hash."""
+    return f"""
+WITH hsh AS (
+  SELECT doc_id, phash FROM ({_ahash_oracle()})
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hdist
+FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 1
+"""
+
+
+@register(
+    "multimodal_image_neardup",
+    oracle=_ahash_pairs_oracle(),
+    description="Image NEAR-dup pairs within Hamming distance 1 of the "
+    "perceptual hash — aHash catches exact perceptual matches, this "
+    "catches one-bit drift (slight brightness shifts flipping one "
+    "threshold bit): the 12-bit hash splits into two 6-bit chunks, any "
+    "hamming<=1 pair agrees on a whole chunk (pigeonhole — GUARANTEED "
+    "recall, the simhash_pairs discipline applied to images), so "
+    "candidates shuffle on chunk values and only colliding pairs are "
+    "verified with bit_count(xor). The oracle computes the SAME pairs "
+    "all-pairs with no banding, so agreement cross-checks the "
+    "pigeonhole algorithm itself. At production 64-bit aHash: 4 x "
+    "16-bit chunks, d<=3 (exactly dedup_simhash_pairs' geometry)",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = multimodal_image_phash(spark, sf_dir).select("doc_id", "phash")
+    chunks = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.col("phash").bitwiseAND(F.lit(63)).alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftrightunsigned("phash", 6)
+                    .bitwiseAND(F.lit(63))
+                    .alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hdist",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("bigint"),
+        )
+        .filter(F.col("hdist") <= 1)
+        .select("a_id", "b_id", "hdist")
+    )
