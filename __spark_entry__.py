@@ -58,13 +58,17 @@ from cc_pyspark_spark.plans import QUERIES
 #: (array/conditional/date/filter_in_like/json_extract/
 #: subquery_correlated, join_merge_hint, events_sliding,
 #: events_user_trend), the remaining non-TPC-H r2 names, the
-#: seventeen twins displaced this round, and the nine late-r7
+#: seventeen twins displaced this round, and the fourteen late-r7
 #: additions awaiting first driver rows (graph_bfs_hops,
-#: sim_ann_ivf_pq, sim_eval_recall_at_k, dedup_minhash_delta,
-#: dedup_edit_distance, events_ks_drift, layout_zorder_stats,
-#: text_hashed_classifier, embedding_kmeans_lloyd — each
-#: pytest-parity-green at sf0.001 AND hand-verified against the
-#: driver's sf0.01 compare protocol this round).
+#: sim_ann_ivf_pq, sim_eval_recall_at_k, sim_eval_recall_matrix,
+#: dedup_minhash_delta, dedup_edit_distance, events_ks_drift,
+#: events_cusum_changepoint, layout_zorder_stats,
+#: text_hashed_classifier, embedding_kmeans_lloyd,
+#: curation_dataset_card, multimodal_image_phash,
+#: multimodal_image_neardup — each pytest-parity-green at sf0.001
+#: AND hand-verified against the driver's sf0.01 compare protocol
+#: this round; the full-registry driver_sim summaries in this
+#: round's history show 0 bad / 0 empty).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- bench headliners (fixed; must stay inside the driver cap) --
     "tpch_q1_pricing_summary",
