@@ -378,3 +378,51 @@ def test_multimodal_decode_resize_query_matches_python_replay(spark):
         arr = decode_pixels(b"P6 4 3 255 " + raster)
         want = resize_nearest(arr, 8, 6).tobytes().hex()
         assert out[doc_id]["resized_hex"] == want, doc_id
+
+
+def test_image_ahash_matches_python_reference(spark):
+    """aHash over random P6 rasters equals a pure-Python recompute,
+    and re-encoding the same raster as BMP does not change the hash
+    (container independence — the property image dedup relies on)."""
+    import random
+    import struct
+
+    from cc_pyspark_spark.operators.multimodal import image_ahash
+
+    rng = random.Random(9)
+    rows = []
+    expected = {}
+    for i in range(40):
+        w, h = rng.randint(2, 6), rng.randint(2, 6)
+        raster = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        p6 = f"P6 {w} {h} 255 ".encode() + raster
+        rows.append((2 * i, bytearray(p6)))
+        # same raster as BMP (bottom-up rows, BGR, padded) — hash must match
+        rowsz = (w * 3 + 3) // 4 * 4
+        px = b""
+        for y in range(h - 1, -1, -1):
+            line = b""
+            for x in range(w):
+                r, g, b = raster[(y * w + x) * 3:(y * w + x) * 3 + 3]
+                line += bytes([b, g, r])
+            px += line + b"\x00" * (rowsz - len(line))
+        bmp = (
+            b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                          2835, 2835, 0, 0)
+            + px
+        )
+        rows.append((2 * i + 1, bytearray(bmp)))
+        g = [
+            sum(raster[p * 3:p * 3 + 3]) // 3 for p in range(w * h)
+        ]
+        n, tot = len(g), sum(g)
+        want = 0
+        for p, v in enumerate(g):
+            if v * n > tot:
+                want |= 1 << p
+        expected[2 * i] = want
+        expected[2 * i + 1] = want
+    df = spark.createDataFrame(rows, "blob_id long, blob binary")
+    got = {r["blob_id"]: r["phash"] for r in image_ahash(df).collect()}
+    assert got == expected
