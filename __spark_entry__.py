@@ -24,53 +24,40 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
-#: Round-7 rotation (VERDICT r6 ask #3): 56 queries were last
-#: driver-checked in r1/r2; this round rotates 5 of the oldest back
-#: through the window — four r2 TPC-H stragglers (q22 cedes its slot
-#: to the new graph_pagerank first row; it rotates in r8) plus one
-#: representative each of the relational agg/join/set-op/window
-#: families (agg_approx_count_distinct on its new oracle) —
-#: displacing r6-green rows (tpch q7/q8/q9/q11/q12/q15/q16/q20, the
-#: multimodal trio, the events join pair, merge_upsert,
-#: text_html_extract, dedup_substring_spans, window_distributed_ids,
-#: four curation micro-queries, url_tld_validation_counts,
-#: scan_filter_project, sql_passthrough). The fixed block is exactly
-#: bench.HEADLINERS plus queries changed or added this round, which
-#: need first/fresh rows: the 64-bit dedup_simhash_pairs,
-#: curation_pipeline_full, the format("warc") DataSource query, and
-#: the seventeen NEW r7 operators (funnel/retention/rolling-z-score
-#: analytics,
-#: mergeable sketches, exact
-#: histogram-percentiles, chi-square drift, hypertable rollup
-#: + gap-fill/LOCF, bigram LM scoring, PQ rerank + RRF hybrid fusion,
-#: approx-percentile gate, sparse TF-IDF similarity, triangle
-#: counting, prefix-filter exact Jaccard join, salted distinct-count)
-#: — those seventeen took the slots of same-family twins
-#: (agg_count_distinct, agg_cube, agg_grouping_sets, agg_pivot_status,
-#: agg_percentiles, agg_rollup, join_semi, set_union_all,
-#: set_intersect, set_except,
-#: window_running_sum,
-#: window_range_frame, window_lag_delta, window_rank_suite,
-#: join_left_outer_count,
-#: join_full_outer, join_anti), each of which keeps a sibling in the
-#: window and its green parity pytest. Still-stale
-#: residue for r8/r9: the relational function/window suites from r1
-#: (array/conditional/date/filter_in_like/json_extract/
-#: subquery_correlated, join_merge_hint, events_sliding,
-#: events_user_trend), the remaining non-TPC-H r2 names, the
-#: seventeen twins displaced this round, and the fourteen late-r7
-#: additions awaiting first driver rows (graph_bfs_hops,
+#: Round-8 rotation (VERDICT r7 asks #1/#8): the fixed block SHRINKS to
+#: the 24-query headliner core (the TPC-H suite, the scale-dedup
+#: family, the ANN/PQ pair, the streaming-events pair, and the
+#: curation gate/pack/e2e trio — every name also lives in
+#: ``bench.HEADLINERS`` so the driver gate and the perf gate cover the
+#: same spine).  The freed slots go to (a) the FOURTEEN late-r7
+#: queries that have never had a driver row (graph_bfs_hops,
 #: sim_ann_ivf_pq, sim_eval_recall_at_k, sim_eval_recall_matrix,
 #: dedup_minhash_delta, dedup_edit_distance, events_ks_drift,
 #: events_cusum_changepoint, layout_zorder_stats,
 #: text_hashed_classifier, embedding_kmeans_lloyd,
 #: curation_dataset_card, multimodal_image_phash,
-#: multimodal_image_neardup — each pytest-parity-green at sf0.001
-#: AND hand-verified against the driver's sf0.01 compare protocol
-#: this round; the full-registry driver_sim summaries in this
-#: round's history show 0 bad / 0 empty).
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- bench headliners (fixed; must stay inside the driver cap) --
+#: multimodal_image_neardup — pytest-parity-green at sf0.001; these
+#: are their FIRST sf0.01 driver rows), (b) eleven of the stalest
+#: r1 rows (the relational function/window suites VERDICT r7 ask #8
+#: names), and (c) the new production-geometry sign-LSH twin
+#: dedup_embedding_scale_wide (ask #2).  dedup_embedding_scale's
+#: signature plumbing also changed this round (per-band bigint array)
+#: and it holds a core slot, so it gets a fresh row automatically.
+#:
+#: r8/r9 rotation plan (VERDICT r7 ask #8): after this round the
+#: stalest remaining rows are 16 r1 names (join_left_outer_count,
+#: join_semi, join_anti,
+#: join_full_outer, agg_count_distinct, agg_rollup, agg_cube,
+#: agg_grouping_sets, agg_pivot_status, agg_percentiles,
+#: window_running_sum, window_lag_delta, window_rank_suite,
+#: set_intersect, set_except, set_union_all), 24 r2 names (the oracle
+#: dedup twins, the text-stats family, tpch_q22, the relational
+#: anchors), and the 17 twins displaced in r7.  r9 rotates the 16 r1
+#: names plus the oldest r2 names into the non-core slots (26
+#: available), leaving no row older than r6 by end of r9 — each
+#: remains green in the sf0.001 parity pytest meanwhile.
+DRIVER_CORE: tuple[str, ...] = (
+    # -- fixed 24-headliner core: benched AND driver-gated every round --
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q4_late_shipments",
@@ -95,41 +82,38 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_pipeline_e2e",
     "embedding_pq_codes",
     "sim_ann_pq_adc",
-    # -- changed this round: need fresh driver rows --
-    # 64-bit signatures + 16-bit pigeonhole chunks (r6 ask #1)
-    "dedup_simhash_pairs",
-    # gate -> C4 -> minhash-dedup -> split -> pack (r6 ask #4)
-    "curation_pipeline_full",
-    # Spark-4 Python Data Source API path (r6 ask #7)
-    "warc_source_payload_digest",
-    # -- r7 rotation block: oldest driver rows (r1/r2) re-checked --
-    "tpch_q2_min_cost_supplier",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_supplier",
-    # bit-exact fixed-point PageRank — the iterative-algorithm oracle
-    # (first row; displaces tpch_q22 to the r8 rotation block)
-    "graph_pagerank",
-    # first row on the new within-bound oracle (r6 ask #2)
-    "agg_approx_count_distinct",
-    # -- new in r7: mergeable sketches + hypertable rollup (first rows) --
-    "agg_hll_sketch_union",
-    "agg_count_min_heavy_hitters",
-    "events_hypertable_rollup",
-    "text_bigram_lm_score",
-    "sim_ann_pq_rerank",
-    "agg_approx_percentile_bound",
-    "sim_sparse_tfidf_topk",
-    "graph_triangle_stats",
-    "dedup_prefix_jaccard",
-    "agg_salted_distinct_count",
-    "events_gapfill_locf",
-    "sim_hybrid_rrf",
-    "agg_exact_median_histogram",
-    "text_drift_chi2",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_rolling_zscore",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
+    # -- first driver rows: the fourteen late-r7 additions --
+    "graph_bfs_hops",
+    "sim_ann_ivf_pq",
+    "sim_eval_recall_at_k",
+    "sim_eval_recall_matrix",
+    "dedup_minhash_delta",
+    "dedup_edit_distance",
+    "events_ks_drift",
+    "events_cusum_changepoint",
+    "layout_zorder_stats",
+    "text_hashed_classifier",
+    "embedding_kmeans_lloyd",
+    "curation_dataset_card",
+    "multimodal_image_phash",
+    "multimodal_image_neardup",
+    # -- new in r8: production-geometry sign-LSH (VERDICT r7 ask #2) --
+    "dedup_embedding_scale_wide",
+    # -- r8 rotation block: stalest r1 rows re-checked (ask #8 names) --
+    "array_functions",
+    "conditional_functions",
+    "date_functions",
+    "filter_in_like",
+    "json_extract_props",
+    "subquery_correlated",
+    "join_merge_hint",
+    "events_sliding_10m_5m",
+    "events_user_trend",
+    "agg_arg_max",
+    "window_range_frame",
 )
 
 

@@ -88,10 +88,17 @@ HEADLINERS = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_rolling_zscore",
-    # graph_triangle_stats stays OUT of the bench: its cost is the
-    # graph's (~E^1.5 wedge work on the dense sf0.1 co-order graph,
-    # ~11 s), which would drown the pipeline-operator signal this
-    # harness tracks. It remains driver-gated at sf0.01 every round.
+    # r8 additions (VERDICT r7 ask #7): the iterative graph family —
+    # checkpoint-truncated loop plans are the likeliest place for a
+    # silent perf regression, so both now carry a bench row + spread.
+    # graph_triangle_stats runs the degree-ordered orientation on the
+    # sf0.1 co-order graph; its absolute cost dominates the table, so
+    # read the per-query rows (not the total) when comparing rounds.
+    "graph_pagerank",
+    "graph_triangle_stats",
+    # r8: the production-geometry sign-LSH twin (16-bit bands x 8) —
+    # the wide-bucket shuffle shape that actually deploys at 100 TB.
+    "dedup_embedding_scale_wide",
 ]
 
 
@@ -121,8 +128,13 @@ def main() -> None:
     for name in HEADLINERS:
         samples: list[float] = []
         for i in range(6):  # run 0 = per-query warm-up, untimed
-            df = QUERIES[name].spark(spark, sf_dir)
+            # Time construction + execution: iterative operators
+            # (pagerank/BFS/CC) materialize EAGERLY at construction via
+            # localCheckpoint(eager=True), so a write-only timer would
+            # record ~0 for exactly the family the regression gate is
+            # meant to watch (r8; graph_pagerank read 0.03 s otherwise).
             start = time.perf_counter()
+            df = QUERIES[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             if i > 0:
                 samples.append(time.perf_counter() - start)
@@ -138,7 +150,14 @@ def main() -> None:
         "spread": spread,
         "sf": sf,
     }
-    print(json.dumps(result))
+    payload = json.dumps(result)
+    # The driver's stdout-tail capture truncated BENCH_r07 (first 18
+    # timings lost to a 2000-char cap) — persist the full record in the
+    # repo as well so the artifact never depends on the tail alone.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_result.json"), "w") as f:
+        f.write(payload + "\n")
+    print(payload)
     spark.stop()
 
 

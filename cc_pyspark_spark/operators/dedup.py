@@ -268,36 +268,62 @@ def minhash_lsh_ml_pairs(
 # DuckDB's `list_reduce(list_prepend(0.0, ...))` — the determinism
 # contract that lets a pandas-UDF plan keep a full value-hash oracle.
 
-SIGN_LSH_BITS = 32
-SIGN_LSH_BAND_BITS = 4  # demo width; widen (16-20 bits) as corpus grows
-SIGN_LSH_BANDS = SIGN_LSH_BITS // SIGN_LSH_BAND_BITS
+# Production geometry (the operator default): 16-bit bands -> 65,536
+# buckets per band, so bucket-local all-pairs work is O((N/2^16)^2) per
+# bucket; 8 bands recover pairs whose per-bit agreement p = 1 - theta/pi
+# is high (true near-dups, cos >= ~0.95: recall 1-(1-p^16)^8 >= 0.9).
+# Band width couples to the THRESHOLD, not just the corpus size: at a
+# low cosine threshold p is small and wide bands have no recall (at
+# cos 0.45, p ~ 0.65 and p^16 ~ 1e-3), which is why the 0.42-threshold
+# fixture query passes the narrow demo geometry explicitly.  The r7
+# single-bigint signature (and its 62-bit total cap) is gone: one
+# bigint PER BAND, so band_bits x n_bands is unbounded (band_bits <= 62
+# per band, far beyond any practical width).
+SIGN_LSH_PROD_BAND_BITS = 16
+SIGN_LSH_PROD_BANDS = 8
+SIGN_LSH_DEMO_BAND_BITS = 4  # pairs with the 0.42-threshold fixture query
+SIGN_LSH_DEMO_BANDS = 8
 _LSH_P = 1000003
 _LSH_M1 = 2654435761
 _LSH_M2 = 40503
 _LSH_M3 = 1299721
+_LSH_W_CACHE: dict[tuple[int, int], "np.ndarray"] = {}
 
 
-def _lsh_weights(dim: int, n_bits: int = SIGN_LSH_BITS):
+def _lsh_weights(dim: int, n_bits: int):
     """(dim, n_bits) float64 weights in [-0.5, 0.5) from the integer
     hash ((i*M1 + (j+1)*M2*i + (j+1)*M3) mod P)/P - 0.5, 1-based dim i —
     exact-integer arithmetic, then one double divide + subtract, matching
-    the oracle's CAST(h AS DOUBLE)/P - 0.5 op-for-op."""
-    w = np.empty((dim, n_bits), dtype="float64")
-    for i in range(1, dim + 1):
-        for j in range(n_bits):
-            h = (i * _LSH_M1 + (j + 1) * _LSH_M2 * i + (j + 1) * _LSH_M3) % _LSH_P
-            w[i - 1, j] = h / _LSH_P - 0.5
+    the oracle's CAST(h AS DOUBLE)/P - 0.5 op-for-op. Cached per
+    (dim, n_bits) so repeated Arrow batches skip the Python loop."""
+    key = (dim, n_bits)
+    w = _LSH_W_CACHE.get(key)
+    if w is None:
+        w = np.empty((dim, n_bits), dtype="float64")
+        for i in range(1, dim + 1):
+            for j in range(n_bits):
+                h = (i * _LSH_M1 + (j + 1) * _LSH_M2 * i + (j + 1) * _LSH_M3) % _LSH_P
+                w[i - 1, j] = h / _LSH_P - 0.5
+        w.setflags(write=False)
+        _LSH_W_CACHE[key] = w
     return w
 
 
-def sign_lsh_sig_and_norm(vec_col: str, n_bits: int = SIGN_LSH_BITS):
-    """pandas UDF: array<double> -> struct(sig bigint, nrm double)."""
+def sign_lsh_sigs_and_norm(vec_col: str, band_bits: int, n_bands: int):
+    """pandas UDF: array<double> -> struct(sigs array<bigint>, nrm double).
+
+    ``sigs[b]`` packs band b's ``band_bits`` sign bits (global bit index
+    j = b*band_bits + k, bit k of the band's bigint), so the band key is
+    the array element itself — no shifting downstream and no cap on the
+    total signature width (r7 VERDICT ask #2)."""
     from pyspark.sql.functions import pandas_udf
 
-    if n_bits > 62:
-        raise ValueError("sig is packed into one bigint: n_bits <= 62")
+    if band_bits > 62:
+        raise ValueError("one bigint per band: band_bits <= 62")
 
-    @pandas_udf("sig bigint, nrm double")
+    n_bits = band_bits * n_bands
+
+    @pandas_udf("sigs array<bigint>, nrm double")
     def _udf(vs: pd.Series) -> pd.DataFrame:
         X = np.vstack(vs.to_numpy())  # (n, d) float64
         n, d = X.shape
@@ -307,9 +333,16 @@ def sign_lsh_sig_and_norm(vec_col: str, n_bits: int = SIGN_LSH_BITS):
         for i in range(d):  # explicit left fold per (row, bit)
             acc = acc + X[:, i : i + 1] * w[i]
             nrm2 = nrm2 + X[:, i] * X[:, i]
-        pows = (1 << np.arange(n_bits, dtype="int64"))
-        sig = ((acc > 0) * pows).sum(axis=1)
-        return pd.DataFrame({"sig": sig, "nrm": np.sqrt(nrm2)})
+        bits = acc > 0
+        pows = 1 << np.arange(band_bits, dtype="int64")
+        sigs = np.stack(
+            [
+                (bits[:, b * band_bits : (b + 1) * band_bits] * pows).sum(axis=1)
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )  # (n, n_bands) int64
+        return pd.DataFrame({"sigs": list(sigs), "nrm": np.sqrt(nrm2)})
 
     return _udf(vec_col)
 
@@ -385,49 +418,44 @@ def canonical_survivors(
 def sign_lsh_pairs(
     emb: DataFrame,
     threshold: float,
-    band_bits: int = SIGN_LSH_BAND_BITS,
-    n_bands: int = SIGN_LSH_BANDS,
+    band_bits: int = SIGN_LSH_PROD_BAND_BITS,
+    n_bands: int = SIGN_LSH_PROD_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-bit LSH bucket pruning.
 
-    The full deployment composition: Arrow-batched signature+norm, band
-    explode keyed by (band, bucket), all-pairs cosine LOCAL to each
-    bucket, distinct across bands. `band_bits` is THE scale knob: wider
-    bands → exponentially smaller buckets and lower recall per band
-    (compensate with `n_bands`). The 4/8 defaults match the oracled
-    registry twin; at 100 TB with a real near-dup threshold (cos ≥ 0.85)
-    use ~16-bit bands × 8-16 bands.
+    The full deployment composition: Arrow-batched per-band signatures
+    + norm, posexplode keyed by (band, bucket), all-pairs cosine LOCAL
+    to each bucket, distinct across bands. ``band_bits`` is THE scale
+    knob: each extra bit halves the expected bucket size (2^band_bits
+    buckets per band), so bucket-local work is O(n_bands * N^2 /
+    2^band_bits) — the default 16-bit x 8-band geometry is the
+    production shape for true near-dups (cos >= ~0.95; recall math in
+    SCALING.md).  Width must track the threshold: per-bit agreement is
+    p = 1 - acos(cos)/pi, so a LOW threshold (like the 0.42 fixture
+    twin) needs the narrow demo geometry to retain recall.  Signatures
+    are one bigint per band — no total-width cap.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    n_bits = band_bits * n_bands
     vecs = emb.select(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     )
     sig = vecs.select(
-        "vec_id", "v", sign_lsh_sig_and_norm("v", n_bits).alias("sn")
-    ).select("vec_id", "v", "sn.sig", "sn.nrm")
+        "vec_id", "v", sign_lsh_sigs_and_norm("v", band_bits, n_bands).alias("sn")
+    ).select("vec_id", "v", "sn.sigs", "sn.nrm")
+    # posexplode_OUTER on purpose: plain posexplode makes Catalyst push
+    # a `size(sigs) > 0` pruning filter below the projection, which
+    # re-evaluates the signature UDF a second time (two ArrowEvalPython
+    # nodes = 2x the Arrow work). The array is never empty (always
+    # n_bands elements), so outer semantics are identical — and the
+    # plan keeps exactly one signature eval (pinned in
+    # test_plan_shape.py::test_embedding_scale_single_wide_shuffle).
     bands = sig.select(
-        "vec_id",
-        "v",
-        "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"shiftright(sig, {band_bits * b}) % {1 << band_bits}"
-                        ).alias("bkey"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "v", "nrm", "bk.band", "bk.bkey")
+        "vec_id", "v", "nrm", F.posexplode_outer("sigs").alias("band", "bkey")
+    )
     fn, schema = bucket_cosine_pairs(threshold)
     return bands.groupBy("band", "bkey").applyInPandas(fn, schema=schema).distinct()
 

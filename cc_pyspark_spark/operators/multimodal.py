@@ -660,12 +660,20 @@ def image_ahash(
     plain hash-groupBy dedups them, no pairwise comparison.
 
     Integer-exact by construction (engine-replayable, no float kernel):
-    grayscale g = (r+g+b) div 3 per pixel, bit i set iff
-    g_i * n_pixels > sum(g) — a strict integer cross-multiplication
+    grayscale g = (r+g+b) div 3 per pixel, bit (i mod 64) XOR-toggled
+    iff g_i * n_pixels > sum(g) — a strict integer cross-multiplication
     instead of comparing against a float mean. Production shape: resize
     to 8x8 first (resize_images), hash the 64 pixels; here the hash
-    covers whatever raster decode_pixels yields. Decode failures yield
-    NULL hash rows (skip-and-count discipline), never task failures.
+    covers whatever raster decode_pixels yields. Bit packing fills the
+    FULL signed-64 range: for rasters under 64 pixels XOR equals the
+    plain `|= 1 << i` (each lane hit once); at exactly 64 pixels bit 63
+    lands in the sign bit via a deliberate two's-complement wrap (the
+    same convention as the 64-bit SimHash signatures), and larger
+    unresized rasters fold onto the 64 lanes — no value ever overflows
+    the Arrow int64 boundary (r7 ADVICE: `1 << 63` as a plain int
+    raised at pandas->Arrow conversion, a task failure). Decode
+    failures yield NULL hash rows (skip-and-count discipline), never
+    task failures.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -685,7 +693,9 @@ def image_ahash(
                 h = 0
                 for i, v in enumerate(flat):
                     if v * n > tot:
-                        h |= 1 << i
+                        h ^= 1 << (i & 63)
+                if h & (1 << 63):  # two's-complement wrap into bigint
+                    h -= 1 << 64
                 rows.append((int(_id), h, n))
             yield pd.DataFrame(rows, columns=[id_col, "phash", "n_pixels"])
 

@@ -491,10 +491,16 @@ from cc_pyspark_spark.operators.dedup import (  # noqa: E402
     _LSH_M2,
     _LSH_M3,
     _LSH_P,
-    SIGN_LSH_BAND_BITS,
-    SIGN_LSH_BANDS,
-    SIGN_LSH_BITS,
+    SIGN_LSH_DEMO_BAND_BITS,
+    SIGN_LSH_DEMO_BANDS,
+    SIGN_LSH_PROD_BAND_BITS,
+    SIGN_LSH_PROD_BANDS,
 )
+
+#: Planted-twin id offset for the wide-geometry query below.
+SIGN_LSH_TWIN_OFFSET = 1_000_000_000
+#: Production near-dup threshold for the wide-geometry query.
+COSINE_NEAR_DUP_THRESHOLD = 0.95
 
 
 def _lsh_weight_sql(i_expr: str, j_expr: str) -> str:
@@ -506,16 +512,23 @@ def _lsh_weight_sql(i_expr: str, j_expr: str) -> str:
     return f"(CAST({h} AS DOUBLE) / {_LSH_P}.0 - 0.5)"
 
 
-def _duck_embedding_scale_oracle() -> str:
-    w = _lsh_weight_sql("i", "j")
+def _duck_sign_lsh_oracle(
+    corpus_cte: str, band_bits: int, n_bands: int, threshold: float
+) -> str:
+    """Sign-LSH pair oracle over ``corpus_cte`` (must yield (vec_id, v)
+    with v already double). Replays the per-band bigint signatures of
+    operators/dedup.py::sign_lsh_sigs_and_norm: band b's bigint packs
+    bits k = 0..band_bits-1 from global hyperplane j = b*band_bits + k,
+    and the band key IS the array element — no shifting, no total-width
+    cap (r7 VERDICT ask #2)."""
+    w = _lsh_weight_sql("i", f"(b * {band_bits} + k)")
     dot_w = (
         "list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), "
         f"i -> v[i] * {w})), (x, y) -> x + y)"
     )
     return f"""
 WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  {corpus_cte}
 ), n AS (
   SELECT vec_id, v,
          sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
@@ -523,17 +536,16 @@ WITH e AS (
   FROM e
 ), s AS (
   SELECT vec_id,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(range(0, {SIGN_LSH_BITS}), j ->
-             CASE WHEN {dot_w} > 0
-                  THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
-           (a, b) -> a + b) AS sig
+         list_transform(range(0, {n_bands}), b ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, {band_bits}), k ->
+               CASE WHEN {dot_w} > 0
+                    THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END)),
+             (acc, t) -> acc + t)) AS sigs
   FROM n
 ), bk AS (
-  SELECT vec_id, band,
-         (sig >> ({SIGN_LSH_BAND_BITS} * band)) % {1 << SIGN_LSH_BAND_BITS}
-           AS bkey
-  FROM s, (SELECT unnest(range(0, {SIGN_LSH_BANDS})) AS band)
+  SELECT vec_id, band, sigs[band + 1] AS bkey
+  FROM s, (SELECT unnest(range(0, {n_bands})) AS band)
 ), cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bk a JOIN bk b
@@ -546,8 +558,18 @@ SELECT c.a_id, c.b_id,
 FROM cand c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id
 WHERE list_reduce(list_prepend(0.0,
           list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
-          (p, q) -> p + q) / (x.nrm * y.nrm) >= {COSINE_DUP_THRESHOLD}
+          (p, q) -> p + q) / (x.nrm * y.nrm) >= {threshold}
 """
+
+
+def _duck_embedding_scale_oracle() -> str:
+    return _duck_sign_lsh_oracle(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "\n  FROM embeddings",
+        SIGN_LSH_DEMO_BAND_BITS,
+        SIGN_LSH_DEMO_BANDS,
+        COSINE_DUP_THRESHOLD,
+    )
 
 
 @register(
@@ -565,11 +587,74 @@ def dedup_embedding_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.operators.dedup import sign_lsh_pairs  # noqa: PLC0415
 
     t = Catalog(spark, sf_dir)
-    # Defaults (4-bit bands x 8) mirror the oracle SQL above; every
-    # float reduction inside sign_lsh_pairs is an explicit left fold
-    # over the dimension index, bit-identical to the oracle's
-    # list_reduce — see operators/dedup.py.
-    return sign_lsh_pairs(t.embeddings, COSINE_DUP_THRESHOLD)
+    # The fixture threshold (0.42) sits where per-bit agreement is
+    # p ~ 0.65, so only the NARROW demo geometry (4-bit x 8, passed
+    # explicitly) retains recall here — the production-width twin is
+    # dedup_embedding_scale_wide below.  Every float reduction inside
+    # sign_lsh_pairs is an explicit left fold over the dimension index,
+    # bit-identical to the oracle's list_reduce — see operators/dedup.py.
+    return sign_lsh_pairs(
+        t.embeddings,
+        COSINE_DUP_THRESHOLD,
+        band_bits=SIGN_LSH_DEMO_BAND_BITS,
+        n_bands=SIGN_LSH_DEMO_BANDS,
+    )
+
+
+def _duck_embedding_wide_oracle() -> str:
+    # Planted twins: vec_id + OFFSET carries v with v[1] scaled by
+    # 1.0625 (= 1 + 2^-4, exactly representable, ONE float rounding in
+    # both engines), giving cos(v, v') ~ 0.9999 — real near-dup
+    # geometry on a fixture whose organic pairs top out at cos ~ 0.51.
+    corpus = f"""SELECT vec_id, v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings) e0
+  UNION ALL
+  SELECT vec_id + {SIGN_LSH_TWIN_OFFSET} AS vec_id,
+         list_prepend(v[1] * 1.0625, v[2:]) AS v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings) e0"""
+    return _duck_sign_lsh_oracle(
+        corpus,
+        SIGN_LSH_PROD_BAND_BITS,
+        SIGN_LSH_PROD_BANDS,
+        COSINE_NEAR_DUP_THRESHOLD,
+    )
+
+
+@register(
+    "dedup_embedding_scale_wide",
+    oracle=_duck_embedding_wide_oracle(),
+    description="Sign-LSH embedding dedup at the PRODUCTION geometry "
+    "(16-bit bands x 8 = 65,536 buckets/band — the configuration r7's "
+    "single-bigint packing made unreachable): near-dup twins are "
+    "planted deterministically (v[0] * 1.0625, cos ~ 0.9999) so the "
+    "wide geometry has real recall work on a fixture whose organic "
+    "pairs top out at cos 0.51; full value-hash oracle replays the "
+    "per-band bigint signatures, bucket join, and exact cosine verify",
+    tags=("dedup", "similarity", "scale"),
+)
+def dedup_embedding_scale_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import sign_lsh_pairs  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    twins = base.select(
+        (F.col("vec_id") + F.lit(SIGN_LSH_TWIN_OFFSET)).alias("vec_id"),
+        F.expr(
+            "concat(array(v[0] * 1.0625D), slice(v, 2, size(v) - 1))"
+        ).alias("v"),
+    )
+    return sign_lsh_pairs(
+        base.unionAll(twins),
+        COSINE_NEAR_DUP_THRESHOLD,
+        band_bits=SIGN_LSH_PROD_BAND_BITS,
+        n_bands=SIGN_LSH_PROD_BANDS,
+        vec_col="v",
+    )
 
 
 # ---------------------------- near-dup clustering → canonical survivor

@@ -644,10 +644,12 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH va AS (
   SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS ca
-  FROM events WHERE event_type = 'click' GROUP BY value
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL
+  GROUP BY value
 ), vb AS (
   SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS cb
-  FROM events WHERE event_type = 'purchase' GROUP BY value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY value
 ), m AS (
   SELECT COALESCE(va.v, vb.v) AS v,
          COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
@@ -677,7 +679,14 @@ FROM d ORDER BY d_num DESC, at_value DESC LIMIT 1
     "the 100 TB discipline) and the max is an associative integer "
     "aggregate; the one double division happens once, on the final row. "
     "Integer products stay exact to ~3e9 rows per sample; past that, "
-    "swap the numerator to DECIMAL(38,0) (documented in SCALING.md)",
+    "swap the numerator to DECIMAL(38,0) (documented in SCALING.md). "
+    "PRECONDITION: NULL values are excluded in BOTH engines before "
+    "the prefix sum — range_prefix_sums requires a unique non-null "
+    "order key, and Spark sorts NULLs first where DuckDB's "
+    "SUM() OVER (ORDER BY v) sorts them last (a sample with NULLs "
+    "would otherwise silently break engine parity); dropping NULLs "
+    "is also the right KS semantics (the EDF is over observed "
+    "values)",
     tags=("events", "scale"),
 )
 def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,12 +694,16 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Catalog(spark, sf_dir)
     va = (
-        t.events.filter(F.col("event_type") == "click")
+        t.events.filter(
+            (F.col("event_type") == "click") & F.col("value").isNotNull()
+        )
         .groupBy(F.col("value").alias("v"))
         .agg(F.count("*").alias("ca"))
     )
     vb = (
-        t.events.filter(F.col("event_type") == "purchase")
+        t.events.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
         .groupBy(F.col("value").alias("v"))
         .agg(F.count("*").alias("cb"))
     )

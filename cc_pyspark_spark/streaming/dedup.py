@@ -112,12 +112,44 @@ def incremental_index_stream(
     table layer, not the state store. Within-batch duplicates are the
     batch's own exact/near-dup step, exactly as in the batch delta
     semantics; exactly-once comes from the checkpointed batch id —
-    reprocessing a batch overwrites its own pair output
-    (per-batch subdirectory) and re-appending bands is prevented by
-    the epoch guard column.
+    BOTH outputs are per-epoch subdirectories written with
+    mode("overwrite") (pairs under ``batch=<id>/``, bands under
+    ``epoch=<id>/``), so a replayed batch rewrites exactly its own
+    files and the index cannot grow across retries (r7 ADVICE: a
+    plain append re-added duplicate band rows on replay — the epoch
+    column only hid them from the replaying batch's own probe). The
+    epoch partition column doubles as the probe guard: a batch probes
+    only ``epoch < batch_id``.
 
     Returns the StreamingQuery (caller awaits/stops).
     """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        ingest_dedup_batch(
+            batch, batch_id, index_dir, pairs_dir,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the continuous-dedup ingestion — module-level
+    so the replay-idempotency contract is directly testable: calling it
+    twice with the same ``batch_id`` must leave index and pair output
+    byte-identical (every write is a per-epoch overwrite)."""
     import os  # noqa: PLC0415
 
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -127,36 +159,30 @@ def incremental_index_stream(
         minhash_band_index,
     )
 
-    def _process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        if batch.isEmpty():
-            return
-        try:
-            idx = spark.read.parquet(index_dir)
-            have_index = True
-        except Exception:  # noqa: BLE001 — cold start: no index yet
-            have_index = False
-        if have_index:
-            # epoch guard: a replayed batch must not see its own bands
-            idx = idx.filter(F.col("epoch") < batch_id)
-            pairs = incremental_minhash_candidates(
-                batch, idx.drop("epoch"), id_col=id_col, text_col=text_col
-            )
-        else:
-            pairs = None
-        # per-batch pair directory: replay overwrites, never duplicates
-        if pairs is not None:
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(pairs_dir, f"batch={batch_id}")
-            )
-        bands = minhash_band_index(
-            batch, id_col=id_col, text_col=text_col
-        ).withColumn("epoch", F.lit(batch_id).cast("bigint"))
-        bands.write.mode("append").parquet(index_dir)
-
-    return (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    try:
+        idx = spark.read.parquet(index_dir)
+        have_index = True
+    except Exception:  # noqa: BLE001 — cold start: no index yet
+        have_index = False
+    if have_index:
+        # epoch guard: a replayed batch must not probe its own bands
+        idx = idx.filter(F.col("epoch") < batch_id)
+        pairs = incremental_minhash_candidates(
+            batch, idx.drop("epoch"), id_col=id_col, text_col=text_col
+        )
+    else:
+        pairs = None
+    # per-batch pair directory: replay overwrites, never duplicates
+    if pairs is not None:
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+    # per-epoch subdirectory + overwrite == idempotent on replay;
+    # parquet partition discovery surfaces `epoch` again on read
+    bands = minhash_band_index(batch, id_col=id_col, text_col=text_col)
+    bands.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"epoch={batch_id}")
     )

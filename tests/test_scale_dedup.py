@@ -177,6 +177,77 @@ def test_embedding_scale_prunes_but_recalls(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_wide_geometry_recall_and_pruning(spark):
+    """Production sign-LSH geometry (16-bit bands x 8, one bigint per
+    band — r7 VERDICT ask #2): on the planted-twin corpus it must find
+    EVERY twin pair (cos ~ 0.9999 -> per-band collision p^16 ~ 0.93,
+    miss-all-8 probability ~ 5e-10, and the arithmetic is deterministic
+    so the outcome is fixed), return nothing else at the 0.95
+    threshold, and actually prune: 2^16 buckets per band keeps the
+    largest (band, bucket) group O(1) instead of the narrow demo
+    geometry's N/16."""
+    import pyspark.sql.functions as F
+
+    from cc_pyspark_spark.operators.dedup import sign_lsh_sigs_and_norm
+    from cc_pyspark_spark.plans.dedup import SIGN_LSH_TWIN_OFFSET
+
+    sf = "/root/testdata/sf0.01"
+    ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(sf + "/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    ]
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["dedup_embedding_scale_wide"].spark(spark, sf).collect()
+    }
+    assert got == {(i, i + SIGN_LSH_TWIN_OFFSET) for i in ids}
+
+    # bucket-cardinality pin: wide bands shatter the corpus. With 500
+    # organic vectors in 65,536 buckets/band the biggest bucket must be
+    # tiny; the narrow demo geometry packs ~N/16 per bucket.
+    vecs = spark.read.parquet(sf + "/embeddings.parquet").select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    sizes = (
+        vecs.select(sign_lsh_sigs_and_norm("v", 16, 8).alias("sn"))
+        .select(F.posexplode("sn.sigs").alias("band", "bkey"))
+        .groupBy("band", "bkey")
+        .count()
+    )
+    stats = sizes.agg(
+        F.max("count").alias("mx"), F.count("*").alias("n_buckets")
+    ).collect()[0]
+    assert stats["mx"] <= 8, "a 16-bit band bucket holding >8 of 500 vectors"
+    assert stats["n_buckets"] >= len(ids) * 8 // 4  # most rows singleton
+
+    narrow = (
+        vecs.select(sign_lsh_sigs_and_norm("v", 4, 8).alias("sn"))
+        .select(F.posexplode("sn.sigs").alias("band", "bkey"))
+        .groupBy("band", "bkey")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert narrow > stats["mx"], "wide bands should prune harder than demo"
+
+
+def test_sign_lsh_band_width_uncapped():
+    """r7 packed all bands into ONE bigint and raised ValueError past 62
+    total bits, making the documented production geometry unreachable.
+    Now only the per-band width is bounded (62 bits per bigint)."""
+    import pytest
+
+    from cc_pyspark_spark.operators.dedup import sign_lsh_sigs_and_norm
+
+    # 20 x 8 = 160 total bits — far beyond the old cap — constructs fine
+    sign_lsh_sigs_and_norm("v", band_bits=20, n_bands=8)
+    sign_lsh_sigs_and_norm("v", band_bits=62, n_bands=16)
+    with pytest.raises(ValueError, match="band_bits"):
+        sign_lsh_sigs_and_norm("v", band_bits=63, n_bands=1)
+
+
 def test_incremental_exact_dedup(spark):
     """Delta dedup: in-batch duplicates collapse, corpus-known content
     is anti-joined out, genuinely new docs survive."""

@@ -166,3 +166,20 @@ def test_incremental_index_stream_matches_batch_delta(spark, tmp_path):
         for r in minhash_band_index(docs).collect()
     }
     assert got_index == want_index
+
+    # replay idempotency (r7 ADVICE): re-running the LAST batch with the
+    # same batch_id — what a foreachBatch retry does after a failure
+    # between the pair write and the checkpoint commit — must leave the
+    # index row-for-row identical, not append duplicate band rows.
+    from cc_pyspark_spark.streaming.dedup import ingest_dedup_batch
+
+    before = spark.read.parquet(idx_dir).count()
+    pairs_before = spark.read.parquet(pairs_dir).count()
+    ingest_dedup_batch(b2, 1, idx_dir, pairs_dir)
+    assert spark.read.parquet(idx_dir).count() == before
+    assert spark.read.parquet(pairs_dir).count() == pairs_before
+    replay_index = {
+        (r["doc_id"], r["band"], r["key"])
+        for r in spark.read.parquet(idx_dir).drop("epoch").collect()
+    }
+    assert replay_index == want_index

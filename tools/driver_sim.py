@@ -2,9 +2,11 @@
 """Simulate the round driver: vanilla SparkSession, sf0.01, every
 `queries()` entry vs its `oracle_sql()` DuckDB result, canonical compare.
 
-Usage: python tools/driver_sim.py [sf_dir]
-Prints one line per query (MATCH / rows-only / MISMATCH) and a summary;
-exit code 1 on any mismatch or error.
+Usage: python tools/driver_sim.py [sf_dir] [name ...]
+With names, only those queries run (plus `window` = the first 50 =
+the driver's cap, mirroring the real gate).  Prints one line per query
+(MATCH / rows-only / MISMATCH) and a summary; exit code 1 on any
+mismatch or error.
 """
 from __future__ import annotations
 
@@ -42,6 +44,12 @@ def main() -> int:
 
     queries = e.queries()
     oracles = e.oracle_sql()
+    if len(sys.argv) > 2:
+        want = set(sys.argv[2:])
+        names = list(queries)
+        keep = set(names[:50]) if "window" in want else set()
+        keep |= want & set(names)
+        queries = {n: q for n, q in queries.items() if n in keep}
     bad, empty = [], []
     for name, fn in queries.items():
         try:
