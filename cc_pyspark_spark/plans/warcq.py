@@ -11,8 +11,10 @@ whose payload is a fixed HTML wrapping of the text. That makes the
 oracle a genuine recomputation — DuckDB rebuilds the URL, payload md5,
 and octet length straight from `documents` — rather than a committed
 fixture. Archive generation is a deterministic fixture-construction
-step (driver-side, tiny, atomic-rename idempotent), NOT the measured
-operator; the measured path is the DataSource scan + parse.
+step (executor-side applyInPandas per shard, atomic-rename
+idempotent — r8 moved it off the driver so it scales with sf like any
+operator), NOT the measured operator; the measured path is the
+DataSource scan + parse.
 """
 
 from __future__ import annotations
@@ -37,31 +39,37 @@ def derived_warc_manifest(spark: SparkSession, sf_dir: str) -> str:
     """Build (once, idempotently) the documents-derived WARC corpus for
     `sf_dir`; return the manifest path.
 
-    Deterministic: doc rows sort by doc_id, shard round-robin into
-    `_N_FILES` archives, fixed WARC date/ids. Atomic-rename publish
-    (the operators/wet.py pattern) makes concurrent builders converge
-    on identical bytes.
+    Deterministic AND executor-side (r8, VERDICT r7 ask #4/minor): doc
+    rows shard by ``doc_id % _N_FILES`` — doc_ids are dense 0..n-1 in
+    every sf fixture, so this is exactly the former sorted round-robin
+    and the bytes are identical to the r7 driver-side build — and each
+    shard is written by its own task via ``applyInPandas`` grouped on
+    the shard key with an atomic-rename publish (the operators/wet.py
+    pattern). The driver never collects document rows, only the
+    `_N_FILES`-row manifest, so the fixture build scales with sf like
+    any other operator. Concurrent builders converge on identical
+    bytes (fixed WARC date/ids, doc_id-sorted shard interiors).
     """
-    from cc_pyspark_spark.sources.warcio_lite import (  # noqa: PLC0415
-        WarcWriter,
-        http_response_block,
-    )
+    import pandas as pd  # noqa: PLC0415
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = os.path.join("/tmp", f"cc_pyspark_spark_warcq_{tag}")
     manifest = os.path.join(out_dir, "manifest.txt")
     if os.path.exists(manifest):
         return manifest
-    rows = (
-        Catalog(spark, sf_dir)
-        .documents.select("doc_id", "lang", "text")
-        .orderBy("doc_id")
-        .collect()
-    )
     os.makedirs(out_dir, exist_ok=True)
-    tmp_names = {}
-    for fi in range(_N_FILES):
+
+    html_prefix, html_suffix = _HTML_PREFIX, _HTML_SUFFIX
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from cc_pyspark_spark.sources.warcio_lite import (  # noqa: PLC0415
+            WarcWriter,
+            http_response_block,
+        )
+
+        fi = int(pdf["shard"].iloc[0])
         path = os.path.join(out_dir, f"docs-{fi:02d}.warc.gz")
+        pdf = pdf.sort_values("doc_id")
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             w = WarcWriter(fh, gzip_members=True)
@@ -70,10 +78,8 @@ def derived_warc_manifest(spark: SparkSession, sf_dir: str) -> str:
                 b"software: cc-pyspark-spark derived-docs fixture\r\n",
                 content_type="application/warc-fields",
             )
-            for r in rows[fi::_N_FILES]:
-                payload = (
-                    f"{_HTML_PREFIX}{r['text']}{_HTML_SUFFIX}".encode()
-                )
+            for r in pdf.itertuples(index=False):
+                payload = f"{html_prefix}{r.text}{html_suffix}".encode()
                 block = http_response_block(
                     payload,
                     status=200,
@@ -83,16 +89,37 @@ def derived_warc_manifest(spark: SparkSession, sf_dir: str) -> str:
                     "response",
                     block,
                     target_uri=(
-                        f"http://docs.example.org/{r['lang']}/{r['doc_id']}"
+                        f"http://docs.example.org/{r.lang}/{r.doc_id}"
                     ),
                     content_type="application/http; msgtype=response",
                 )
-        tmp_names[path] = tmp
-    for path, tmp in tmp_names.items():
-        os.replace(tmp, path)  # atomic publish
+        os.replace(tmp, path)  # atomic publish per task
+        return pd.DataFrame([{"shard": fi, "path": path}])
+
+    (
+        Catalog(spark, sf_dir)
+        .documents.select(
+            "doc_id",
+            "lang",
+            "text",
+            (F.col("doc_id") % _N_FILES).cast("int").alias("shard"),
+        )
+        .groupBy("shard")
+        .applyInPandas(write_shard, "shard int, path string")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()  # action only — shard paths are deterministic, no collect
+    )
+    paths = [
+        os.path.join(out_dir, f"docs-{fi:02d}.warc.gz")
+        for fi in range(_N_FILES)
+    ]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise RuntimeError(f"WARC fixture shards not published: {missing}")
     tmp_manifest = manifest + ".tmp"
     with open(tmp_manifest, "w") as fh:
-        fh.write("\n".join(sorted(tmp_names)) + "\n")
+        fh.write("\n".join(sorted(paths)) + "\n")
     os.replace(tmp_manifest, manifest)
     return manifest
 
