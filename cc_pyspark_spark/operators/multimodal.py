@@ -12,16 +12,17 @@ Decode tiers:
   header fields; no codec library needed).
 * pixels — REAL numpy decode for 24-bit BI_RGB BMP, binary PPM/PGM,
   non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) via stdlib
-  zlib inflate + scanline unfiltering, and (r7) non-interlaced GIF via
-  a pure-Python GIF-flavor LZW decoder (variable code width, clear /
-  EOI handling, global or local color table) — no codec library.
-  JPEG stays header-only: baseline JPEG needs Huffman + IDCT, for
-  which the stdlib has no route (zlib is DEFLATE-only) — a pure-Python
-  IDCT would be a codec re-implementation, not plumbing; a real
-  deployment swaps in Pillow here. JPEG/video rows degrade to null
-  (skip-and-count) or use the `fake=True` stub. The Spark-side
-  plumbing — schema, batch shape, UDF signature, partition behavior —
-  is identical either way; swapping in Pillow/ffmpeg is a
+  zlib inflate + scanline unfiltering, (r7) non-interlaced GIF via a
+  pure-Python GIF-flavor LZW decoder (variable code width, clear /
+  EOI handling, global or local color table), and (r8) baseline JPEG
+  via the vendored pure-Python T.81 decoder in operators/jpeg.py
+  (Huffman + dequant + IDCT + YCbCr, 4:4:4/4:2:2/4:2:0, restart
+  markers; progressive/arithmetic degrade to None) — all five header
+  formats now decode real pixels with no codec library. Undecodable
+  rows degrade to null (skip-and-count) or use the `fake=True` stub;
+  video frame sampling stays ffmpeg-gated. The Spark-side plumbing —
+  schema, batch shape, UDF signature, partition behavior — is
+  identical either way; swapping in Pillow/ffmpeg remains a
   one-function change.
 """
 
@@ -234,10 +235,12 @@ def decode_pixels(blob: bytes) -> "np.ndarray | None":
     Supported: uncompressed 24-bit BI_RGB BMP (top-down and bottom-up),
     binary netpbm (P6 PPM color, P5 PGM gray), non-interlaced
     8-bit-depth PNG (color types 0/2/4/6) via zlib inflate + scanline
-    unfilter, and non-interlaced GIF (first frame, global or local
-    color table) via pure-Python LZW. Returns an HxWx3 uint8 RGB array
-    (alpha dropped, gray replicated, palette applied), or None for
-    anything else (JPEG needs Huffman+IDCT — no stdlib route).
+    unfilter, non-interlaced GIF (first frame, global or local color
+    table) via pure-Python LZW, and baseline JPEG (SOF0/SOF1, Huffman
+    + dequant + IDCT + YCbCr, restart intervals; r8 — see
+    operators/jpeg.py for the exact scope; progressive/arithmetic
+    degrade to None). Returns an HxWx3 uint8 RGB array (alpha dropped,
+    gray replicated, palette applied), or None for anything else.
     """
     if blob is None or len(blob) < 12:
         return None
@@ -249,6 +252,10 @@ def decode_pixels(blob: bytes) -> "np.ndarray | None":
         return _decode_png(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
+    if blob[:2] == b"\xff\xd8":
+        from cc_pyspark_spark.operators.jpeg import decode_jpeg  # noqa: PLC0415
+
+        return decode_jpeg(bytes(blob))
     return None
 
 
