@@ -622,6 +622,49 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def mjpeg_avi_frames(blob: bytes) -> "list[bytes] | None":
+    """JPEG payloads of an MJPEG AVI, in stream order — pure stdlib.
+
+    AVI is RIFF: top-level LIST chunks, with the frame data living in
+    the 'movi' list as '##dc'/'##db' chunks (optionally nested one
+    level inside 'rec ' record lists). For MJPEG each video chunk IS a
+    baseline JPEG (SOI..EOI), so real frame *decode* composes with
+    operators/jpeg.py — no ffmpeg for this container/codec pair. Other
+    containers/codecs still return None (the ffmpeg seam).
+
+    r8: this retires the 'frame sampling is only a byte-slicing stub'
+    gap for the one video format a no-dependency engine can own.
+    """
+    if blob is None or len(blob) < 16:
+        return None
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        while pos + 8 <= end:
+            fourcc = blob[pos : pos + 4]
+            size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            body, nxt = pos + 8, pos + 8 + size + (size & 1)
+            if nxt > end + 1:
+                return  # truncated chunk: stop, keep frames so far
+            if fourcc == b"LIST" and depth < 4:
+                ltype = blob[body : body + 4]
+                if ltype in (b"movi", b"rec ", b"hdrl", b"AVI "):
+                    walk(body + 4, min(body + size, end), depth + 1)
+            elif (
+                len(fourcc) == 4
+                and fourcc[:2].isdigit()
+                and fourcc[2:4] in (b"dc", b"db")
+                and blob[body : body + 2] == b"\xff\xd8"
+            ):
+                frames.append(bytes(blob[body : body + size]))
+            pos = nxt
+
+    walk(12, len(blob), 0)
+    return frames or None
+
+
 def sample_frames(
     blobs_df: DataFrame,
     every_n_bytes: int = 64,
@@ -631,15 +674,41 @@ def sample_frames(
     fake: bool = False,
 ) -> DataFrame:
     """Frame sampling (1 video blob → N frame rows) — the U2-shaped
-    multimodal expansion. Stub slices the byte stream at fixed strides;
-    a real impl swaps in ffmpeg keyframe extraction. Row expansion
-    happens inside the Arrow batch (mapInPandas), so output partitioning
-    inherits the blob partitioning — no shuffle."""
+    multimodal expansion. Row expansion happens inside the Arrow batch
+    (mapInPandas), so output partitioning inherits the blob
+    partitioning — no shuffle.
+
+    Real path (r8): MJPEG AVI blobs are parsed by `mjpeg_avi_frames`
+    and evenly strided down to `max_frames` JPEG frames (stride =
+    ceil(n/max_frames), frame_idx = source frame number), each
+    decodable by decode_pixels' JPEG path. Blobs in any other
+    container/codec yield NO rows (skip-and-count discipline — count
+    them as `n_blobs - distinct blob_id` downstream); a real deployment
+    swaps ffmpeg into exactly this seam. The `fake=True` stub (fixed
+    byte-stride slicing) remains for plumbing tests with arbitrary
+    bytes."""
     if not fake:
-        raise NotImplementedError(
-            "frame sampling requires a video library (e.g. ffmpeg); "
-            "pass fake=True for the deterministic stub"
-        )
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for bid, blob in zip(pdf[id_col], pdf[blob_col]):
+                    frames = mjpeg_avi_frames(bytes(blob)) if blob else None
+                    if not frames:
+                        continue
+                    stride = max(1, -(-len(frames) // max_frames))
+                    for i in range(0, len(frames), stride):
+                        rows.append(
+                            {
+                                "blob_id": int(bid),
+                                "frame_idx": i,
+                                "frame": frames[i],
+                            }
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["blob_id", "frame_idx", "frame"]
+                )
+
+        return blobs_df.mapInPandas(run, FRAME_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

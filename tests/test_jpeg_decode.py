@@ -358,3 +358,79 @@ def test_ahash_container_independence_p6_vs_jpeg(spark):
     got = {r["blob_id"]: r["phash"] for r in image_ahash(df).collect()}
     for a, b in want_pairs:
         assert got[a] == got[b], f"hash mismatch P6 vs JPEG for pair {a}/{b}"
+
+
+# ---------------------------------------- MJPEG AVI frame sampling
+
+
+def _avi(frames, rec_nested=False):
+    """Minimal MJPEG AVI: RIFF(AVI )/LIST hdrl + LIST movi with 00dc
+    chunks (each a JPEG); optionally nests the chunks one level inside
+    a 'rec ' record list, as interleaved AVIs do."""
+
+    def chunk(fourcc, payload):
+        out = fourcc + len(payload).to_bytes(4, "little") + payload
+        if len(payload) & 1:
+            out += b"\x00"  # RIFF chunks are word-aligned
+        return out
+
+    def lst(ltype, payload):
+        return chunk(b"LIST", ltype + payload)
+
+    avih = chunk(b"avih", bytes(56))
+    hdrl = lst(b"hdrl", avih)
+    dcs = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", lst(b"rec ", dcs) if rec_nested else dcs)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _frame_rasters(n, w=16, h=8):
+    rng = np.random.RandomState(41)
+    return [
+        rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)
+    ]
+
+
+def test_mjpeg_avi_frames_walks_container():
+    from cc_pyspark_spark.operators.multimodal import mjpeg_avi_frames
+
+    rasters = _frame_rasters(5)
+    jpegs = [encode_jpeg(r) for r in rasters]
+    assert mjpeg_avi_frames(_avi(jpegs)) == jpegs
+    assert mjpeg_avi_frames(_avi(jpegs, rec_nested=True)) == jpegs
+    assert mjpeg_avi_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert mjpeg_avi_frames(b"garbage") is None
+    # odd-length frame exercises word-alignment padding
+    odd = jpegs[0] + b"\x00" if len(jpegs[0]) % 2 == 0 else jpegs[0]
+    assert mjpeg_avi_frames(_avi([odd])) == [odd]
+
+
+def test_sample_frames_real_mjpeg_path(spark):
+    """The real (fake=False) frame-sampling path: MJPEG AVI blobs
+    expand to decodable JPEG frame rows with even stride; non-AVI
+    blobs contribute no rows (skip-and-count)."""
+    from cc_pyspark_spark.operators.multimodal import (
+        decode_pixels,
+        sample_frames,
+    )
+
+    rasters = _frame_rasters(5)
+    avi = _avi([encode_jpeg(r) for r in rasters])
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"not a video"))],
+        "blob_id long, blob binary",
+    )
+    rows = sample_frames(df, max_frames=8).collect()
+    assert {r["blob_id"] for r in rows} == {1}
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
+        0, 1, 2, 3, 4,
+    ]
+    for r in rows:
+        arr = decode_pixels(bytes(r["frame"]))
+        ref = rasters[r["frame_idx"]]
+        assert arr is not None and arr.shape == ref.shape
+        assert int(np.abs(arr.astype(int) - ref.astype(int)).max()) <= 4
+
+    two = sample_frames(df, max_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in two) == [0, 3]  # stride ceil(5/2)
