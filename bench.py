@@ -97,8 +97,11 @@ HEADLINERS = [
     "graph_pagerank",
     "graph_triangle_stats",
     # r8: the production-geometry sign-LSH twin (16-bit bands x 8) —
-    # the wide-bucket shuffle shape that actually deploys at 100 TB.
+    # the wide-bucket shuffle shape that actually deploys at 100 TB —
+    # and its Hamming-1 multi-probe variant (17x band-row fan-out, the
+    # cheap recall lever; its bench row prices that fan-out).
     "dedup_embedding_scale_wide",
+    "dedup_embedding_scale_probe",
 ]
 
 

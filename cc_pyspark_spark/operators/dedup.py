@@ -350,12 +350,18 @@ def sign_lsh_sigs_and_norm(vec_col: str, band_bits: int, n_bands: int):
 def bucket_cosine_pairs(
     threshold: float,
     schema: str = "a_id bigint, b_id bigint, cos double",
+    exact_flag: bool = False,
 ):
     """applyInPandas fn: all-pairs cosine WITHIN one (band, bucket) group.
 
     Group sizes are bounded by the band width (the LSH tuning knob), so
     the quadratic work is local and small; across-bucket pairs are never
-    formed. Emits only threshold-passing pairs (a_id < b_id)."""
+    formed. Emits only threshold-passing pairs (a_id < b_id).
+
+    With ``exact_flag`` the input carries an ``ex`` column (1 = the
+    vector's true bucket, 0 = a multi-probe neighbor) and a pair
+    survives only if at least one side is exact — two probe-only rows
+    sit at Hamming 2 from each other, outside the probe radius."""
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -373,6 +379,9 @@ def bucket_cosine_pairs(
         cos = acc / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(m, k=1)
         keep = cos[iu, ju] >= threshold
+        if exact_flag:
+            ex = pdf["ex"].to_numpy().astype(bool)
+            keep &= ex[iu] | ex[ju]
         iu, ju = iu[keep], ju[keep]
         a, b = ids[iu], ids[ju]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
@@ -422,6 +431,7 @@ def sign_lsh_pairs(
     n_bands: int = SIGN_LSH_PROD_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-bit LSH bucket pruning.
 
@@ -436,6 +446,16 @@ def sign_lsh_pairs(
     p = 1 - acos(cos)/pi, so a LOW threshold (like the 0.42 fixture
     twin) needs the narrow demo geometry to retain recall.  Signatures
     are one bigint per band — no total-width cap.
+
+    ``multiprobe=1`` (Lv et al.-style multi-probe LSH, r8) ALSO probes
+    every bucket at Hamming distance 1 within each band: a vector
+    emits its exact bucket (ex=1) plus ``band_bits`` single-bit-flipped
+    keys (ex=0), and a candidate pair needs >= one exact side — which
+    admits exactly the pairs whose band signatures differ by <= 1 bit.
+    Per-band recall rises from p^b to p^b + b*p^(b-1)*(1-p) for a
+    (band_bits+1)x band-row fan-out; that is usually cheaper than the
+    alternative recall lever (whole extra bands = another signature
+    column AND another full shuffle replica each).
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -456,8 +476,33 @@ def sign_lsh_pairs(
     bands = sig.select(
         "vec_id", "v", "nrm", F.posexplode_outer("sigs").alias("band", "bkey")
     )
-    fn, schema = bucket_cosine_pairs(threshold)
-    return bands.groupBy("band", "bkey").applyInPandas(fn, schema=schema).distinct()
+    if not multiprobe:
+        fn, schema = bucket_cosine_pairs(threshold)
+        return (
+            bands.groupBy("band", "bkey")
+            .applyInPandas(fn, schema=schema)
+            .distinct()
+        )
+    probed = bands.select(
+        "vec_id",
+        "v",
+        "nrm",
+        "band",
+        F.explode(
+            F.expr(
+                "concat(array(named_struct('bkey', bkey, 'ex', 1)), "
+                f"transform(sequence(0, {band_bits - 1}), k -> "
+                "named_struct('bkey', bkey ^ shiftleft(cast(1 as bigint), k),"
+                " 'ex', 0)))"
+            )
+        ).alias("pr"),
+    ).select("vec_id", "v", "nrm", "band", "pr.bkey", "pr.ex")
+    fn, schema = bucket_cosine_pairs(threshold, exact_flag=True)
+    return (
+        probed.groupBy("band", "bkey")
+        .applyInPandas(fn, schema=schema)
+        .distinct()
+    )
 
 
 # ---------------------------------------- incremental (delta) dedup

@@ -505,3 +505,56 @@ def test_minhash_delta_equals_full_run_restricted(spark):
     }
     assert delta == full
     assert delta, "fixture must exercise at least one cross-boundary pair"
+
+
+def test_multiprobe_recovers_missed_pairs(spark):
+    """Multi-probe sign-LSH (r8): on the hard-perturbed twin corpus
+    (v[0] x 3, cos spread ~0.90-0.99) the exact production banding
+    misses some >=0.95 pairs; Hamming-1 probing must (a) contain every
+    exact-banding pair, (b) strictly grow the pair set, and (c) reach
+    FULL empirical recall — equal the brute-force >=0.95 pair set —
+    while keeping exact precision (every pair cosine-verified)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from cc_pyspark_spark.operators.dedup import sign_lsh_pairs
+    from cc_pyspark_spark.plans.dedup import SIGN_LSH_TWIN_OFFSET
+
+    sf = "/root/testdata/sf0.001"
+    probe = {
+        (r["a_id"], r["b_id"])
+        for r in QUERIES["dedup_embedding_scale_probe"].spark(spark, sf).collect()
+    }
+    base_df = spark.read.parquet(sf + "/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    twins = base_df.select(
+        (F.col("vec_id") + F.lit(SIGN_LSH_TWIN_OFFSET)).alias("vec_id"),
+        F.expr("concat(array(v[0] * 3.0D), slice(v, 2, size(v) - 1))").alias(
+            "v"
+        ),
+    )
+    corpus = base_df.unionAll(twins)
+    base = {
+        (r["a_id"], r["b_id"])
+        for r in sign_lsh_pairs(
+            corpus, 0.95, band_bits=16, n_bands=8, vec_col="v"
+        ).collect()
+    }
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.vstack([r["v"] for r in rows])
+    n = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = n @ n.T
+    iu, ju = np.triu_indices(len(n), 1)
+    keep = C[iu, ju] >= 0.95
+    brute = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[keep]], ids[ju[keep]])
+    }
+    assert base <= probe
+    assert len(base) < len(probe), "probing must recover missed pairs"
+    assert probe == brute, (
+        f"probe recall {len(probe)}/{len(brute)} — expected full on fixture"
+    )
