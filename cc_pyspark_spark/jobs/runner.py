@@ -119,6 +119,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--jaccard_threshold", type=float, default=0.5)
     p.add_argument("--cosine_threshold", type=float, default=0.42)
+    p.add_argument(
+        "--lsh_band_bits", type=int, default=None,
+        help="sign-LSH band width (default: production 16; couple to "
+        "--cosine_threshold — narrow bands for low thresholds)",
+    )
+    p.add_argument("--lsh_bands", type=int, default=None)
+    p.add_argument(
+        "--lsh_multiprobe", action="store_true",
+        help="also probe Hamming-1 buckets per band (recall lever)",
+    )
     p.add_argument("--min_tokens", type=int, default=5)
     p.add_argument("--max_tokens", type=int, default=100_000)
     p.add_argument(
@@ -319,7 +329,17 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
     elif method == "simhash":
         df = D.simhash_signatures(table)
     elif method == "embedding_lsh":
-        df = D.sign_lsh_pairs(table, threshold=args.cosine_threshold)
+        kw = {}
+        if args.lsh_band_bits is not None:
+            kw["band_bits"] = args.lsh_band_bits
+        if args.lsh_bands is not None:
+            kw["n_bands"] = args.lsh_bands
+        df = D.sign_lsh_pairs(
+            table,
+            threshold=args.cosine_threshold,
+            multiprobe=1 if args.lsh_multiprobe else 0,
+            **kw,
+        )
     elif method == "incremental_exact":
         if not args.corpus_index:
             raise SystemExit("incremental_exact needs --corpus_index")
