@@ -432,6 +432,7 @@ def sign_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 0,
+    bucket_local: "bool | None" = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-bit LSH bucket pruning.
 
@@ -456,9 +457,29 @@ def sign_lsh_pairs(
     (band_bits+1)x band-row fan-out; that is usually cheaper than the
     alternative recall lever (whole extra bands = another signature
     column AND another full shuffle replica each).
+
+    Two physically different verify strategies, same result bit for
+    bit (identical left-fold order; both replayed by one oracle):
+
+    * ``bucket_local=True`` — groupBy (band, bucket) + vectorized
+      numpy all-pairs per group. Right when buckets are BIG (narrow
+      bands): few pandas groups, O(m^2 d) as matrix ops.
+    * ``bucket_local=False`` — band-key self-join -> distinct (a, b)
+      candidates -> JVM ``aggregate(zip_with(...))`` cosine verify.
+      Right when buckets are TINY (wide bands): the band shuffle
+      carries only (vec_id, band, bkey) — never the vector, which the
+      grouped path ships n_bands(+probes) times — and there is no
+      per-group pandas overhead, which dominates when 2^band_bits
+      buckets make nearly every group a singleton (first observed at
+      sf0.1: the 16-bit probe query spent ~27 s constructing ~1M tiny
+      pandas groups; the join formulation runs in ~1 s).
+
+    Default (None) auto-selects: bucket-local for band_bits <= 8.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    if bucket_local is None:
+        bucket_local = band_bits <= 8
     vecs = emb.select(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
@@ -466,42 +487,90 @@ def sign_lsh_pairs(
     sig = vecs.select(
         "vec_id", "v", sign_lsh_sigs_and_norm("v", band_bits, n_bands).alias("sn")
     ).select("vec_id", "v", "sn.sigs", "sn.nrm")
-    # posexplode_OUTER on purpose: plain posexplode makes Catalyst push
-    # a `size(sigs) > 0` pruning filter below the projection, which
-    # re-evaluates the signature UDF a second time (two ArrowEvalPython
-    # nodes = 2x the Arrow work). The array is never empty (always
-    # n_bands elements), so outer semantics are identical — and the
-    # plan keeps exactly one signature eval (pinned in
-    # test_plan_shape.py::test_embedding_scale_single_wide_shuffle).
-    bands = sig.select(
-        "vec_id", "v", "nrm", F.posexplode_outer("sigs").alias("band", "bkey")
-    )
-    if not multiprobe:
-        fn, schema = bucket_cosine_pairs(threshold)
+
+    def _explode(frame, cols):
+        # posexplode_OUTER on purpose: plain posexplode makes Catalyst
+        # push a `size(sigs) > 0` pruning filter below the projection,
+        # re-evaluating the signature UDF a second time (two
+        # ArrowEvalPython nodes = 2x the Arrow work). The array is
+        # never empty (always n_bands elements), so outer semantics are
+        # identical — and the plan keeps exactly one signature eval
+        # (pinned in test_plan_shape.py).
+        return frame.select(
+            *cols, F.posexplode_outer("sigs").alias("band", "bkey")
+        )
+
+    def _probe_expand(frame, cols):
+        return frame.select(
+            *cols,
+            "band",
+            F.explode(
+                F.expr(
+                    "concat(array(named_struct('bkey', bkey, 'ex', 1)), "
+                    f"transform(sequence(0, {band_bits - 1}), k -> "
+                    "named_struct('bkey', bkey ^ shiftleft(cast(1 as bigint),"
+                    " k), 'ex', 0)))"
+                )
+            ).alias("pr"),
+        ).select(*cols, "band", "pr.bkey", "pr.ex")
+
+    if bucket_local:
+        bands = _explode(sig, ["vec_id", "v", "nrm"])
+        if not multiprobe:
+            fn, schema = bucket_cosine_pairs(threshold)
+            return (
+                bands.groupBy("band", "bkey")
+                .applyInPandas(fn, schema=schema)
+                .distinct()
+            )
+        probed = _probe_expand(bands, ["vec_id", "v", "nrm"])
+        fn, schema = bucket_cosine_pairs(threshold, exact_flag=True)
         return (
-            bands.groupBy("band", "bkey")
+            probed.groupBy("band", "bkey")
             .applyInPandas(fn, schema=schema)
             .distinct()
         )
-    probed = bands.select(
-        "vec_id",
-        "v",
-        "nrm",
-        "band",
-        F.explode(
-            F.expr(
-                "concat(array(named_struct('bkey', bkey, 'ex', 1)), "
-                f"transform(sequence(0, {band_bits - 1}), k -> "
-                "named_struct('bkey', bkey ^ shiftleft(cast(1 as bigint), k),"
-                " 'ex', 0)))"
-            )
-        ).alias("pr"),
-    ).select("vec_id", "v", "nrm", "band", "pr.bkey", "pr.ex")
-    fn, schema = bucket_cosine_pairs(threshold, exact_flag=True)
-    return (
-        probed.groupBy("band", "bkey")
-        .applyInPandas(fn, schema=schema)
+
+    # candidate-join verify: the band shuffle carries (vec_id, band,
+    # bkey[, ex]) only; vectors join back in once per VERIFIED pair.
+    sig = sig.persist()  # signature UDF runs once for bands + verify
+    bands = _explode(sig, ["vec_id"])
+    if multiprobe:
+        bands = _probe_expand(bands, ["vec_id"])
+    a_b, b_b = bands.alias("ba"), bands.alias("bb")
+    on = (
+        (F.col("ba.band") == F.col("bb.band"))
+        & (F.col("ba.bkey") == F.col("bb.bkey"))
+        & (F.col("ba.vec_id") < F.col("bb.vec_id"))
+    )
+    if multiprobe:
+        on = on & ((F.col("ba.ex") == 1) | (F.col("bb.ex") == 1))
+    cand = (
+        a_b.join(b_b, on)
+        .select(
+            F.col("ba.vec_id").alias("a_id"), F.col("bb.vec_id").alias("b_id")
+        )
         .distinct()
+    )
+    x = sig.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    y = sig.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    # identical fold order to the Arrow path and the DuckDB oracle:
+    # left fold over the dimension index, one divide at the end
+    dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    return (
+        cand.join(x, "a_id")
+        .join(y, "b_id")
+        .withColumn("cos", F.expr(dot) / (F.col("anrm") * F.col("bnrm")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
     )
 
 
