@@ -126,18 +126,28 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Queries that materialize EAGERLY at construction (iterative
+    # localCheckpoint(eager=True) loops): a write-only timer records
+    # ~0 s for exactly the family the regression gate must watch
+    # (graph_pagerank read 0.03 s in the first r8 run), so these time
+    # construction + execution. Everything else keeps the r1-r7
+    # write-only semantics — measuring py4j plan construction added a
+    # uniform ~+0.3 s to 40 otherwise-unchanged queries, destroying
+    # cross-round comparability for no information (construction
+    # happens once per job in production, not per 100 TB of input).
+    eager_construction = {"graph_pagerank"}
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in HEADLINERS:
         samples: list[float] = []
         for i in range(6):  # run 0 = per-query warm-up, untimed
-            # Time construction + execution: iterative operators
-            # (pagerank/BFS/CC) materialize EAGERLY at construction via
-            # localCheckpoint(eager=True), so a write-only timer would
-            # record ~0 for exactly the family the regression gate is
-            # meant to watch (r8; graph_pagerank read 0.03 s otherwise).
-            start = time.perf_counter()
-            df = QUERIES[name].spark(spark, sf_dir)
+            if name in eager_construction:
+                start = time.perf_counter()
+                df = QUERIES[name].spark(spark, sf_dir)
+            else:
+                df = QUERIES[name].spark(spark, sf_dir)
+                start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             if i > 0:
                 samples.append(time.perf_counter() - start)

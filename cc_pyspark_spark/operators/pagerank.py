@@ -38,6 +38,16 @@ def pagerank(
     )
     n = vertices.count()
     out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist()
+    # Same O(E)-ships-once adjacency layout as pagerank_fixed (r8):
+    # degree attached once, cached pre-partitioned on the join key, so
+    # per-iteration only the O(V) rank frame shuffles.
+    adj = (
+        edges.join(out_deg, "s")
+        .select("s", "t", "deg")
+        .repartition("s")
+        .persist()
+    )
+    adj.count()
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     for i in range(n_iter):
@@ -48,8 +58,7 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         contribs = (
-            edges.join(ranks, edges.s == ranks.id)
-            .join(out_deg, "s")
+            adj.join(ranks, adj.s == ranks.id)
             .select(F.col("t").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
@@ -128,11 +137,25 @@ def pagerank_fixed(
     out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist()
     base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
 
+    # Degree rides the edge list (attached ONCE), and the adjacency is
+    # cached pre-partitioned on the join key: InMemoryRelation keeps
+    # its outputPartitioning, so every iteration's rank join reuses
+    # the cached layout and only the O(V) rank frame shuffles — the
+    # O(E) edge side crosses the wire once total, not twice per round
+    # (r8: this took the benched sf0.1 query from ~11.7 s to the
+    # contrib aggregation being the only per-round wide shuffle).
+    adj = (
+        edges.join(out_deg, "s")
+        .select("s", "t", "deg")
+        .repartition("s")
+        .persist()
+    )
+    adj.count()  # materialize the layout before the loop
+
     ranks = vertices.withColumn("r", F.lit(PAGERANK_SCALE // n).cast("bigint"))
     for i in range(n_iter):
         contribs = (
-            edges.join(ranks, edges.s == ranks.id)
-            .join(out_deg, "s")
+            adj.join(ranks, adj.s == ranks.id)
             .select(F.col("t").alias("id"), F.expr("r div deg").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))

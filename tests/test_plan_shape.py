@@ -389,3 +389,32 @@ def test_salted_distinct_three_stage_exchange(spark):
 
     final = re.findall(r"hashpartitioning\(l_returnflag#\d+, \d+\)", plan)
     assert final, "final exchange must key on the group column alone"
+
+
+def test_embedding_wide_join_verify_plan(spark):
+    """Wide-geometry sign-LSH (r8): the verify is the candidate-join
+    formulation — no grouped-pandas stage (whose per-group overhead
+    dominated with 2^16 singleton buckets), exactly one signature
+    Arrow eval per scan branch, and the band self-join keyed on
+    (band, bkey). The JVM zip_with fold keeps cosine bit-equal to the
+    grouped path, so the same oracle covers both."""
+    import re
+
+    from cc_pyspark_spark.plans.registry import QUERIES
+
+    for name in ("dedup_embedding_scale_wide", "dedup_embedding_scale_probe"):
+        df = QUERIES[name].spark(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+        # one eval per union branch (base + twins), possibly reused
+        assert n_arrow <= 2, name
+        # the band self-join is a plain equi-join on (band, bkey) —
+        # broadcast at fixture sf, shuffle-hash at scale; either way
+        # Catalyst owns the strategy (no forced shape to pin beyond
+        # the absence of the grouped-pandas stage above)
+        assert "Join" in plan, name
