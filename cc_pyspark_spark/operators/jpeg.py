@@ -251,6 +251,8 @@ def decode_jpeg(blob: bytes) -> "np.ndarray | None":
                 nc = seg[5]
                 if nc not in (1, 3) or h == 0 or w == 0:
                     return None
+                if h * w > 64_000_000:  # corrupt SOF could claim
+                    return None  # 65535^2 and force a ~34 GB alloc
                 comps = []
                 for c in range(nc):
                     cid = seg[6 + 3 * c]

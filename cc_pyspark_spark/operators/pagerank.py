@@ -254,6 +254,105 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def cc_alternating(
+    edges: DataFrame,
+    rounds: int = 6,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    → (id, component), component = min vertex id, same contract as
+    :func:`connected_components`. The difference is ROUND COMPLEXITY:
+    min-label propagation needs O(graph diameter) rounds — a 10^6-hop
+    chain of near-dup documents (crawl snapshots of the same page
+    drifting gradually) needs 10^6 shuffles — while star alternation
+    contracts every tree toward its minimum by roughly squaring rank
+    gaps, converging in O(log n) practical rounds (O(log^2 n) proven).
+    Each round is two grouped min-aggregations + joins over the
+    current edge multiset; edges only ever REWIRE toward smaller ids,
+    so the edge count never grows.
+
+    large-star(u): every neighbor v > u rewires to m = min(N(u) ∪ u).
+    small-star(u): every neighbor v <= u (and u) rewires to that m.
+    At the fixed point the edge set is a star forest rooted at the
+    component minima; the label of v is its star root (v itself for
+    isolated roots).
+
+    The edge frame is referenced four times per round (symmetrize x2,
+    min-join x2), so the LOGICAL plan grows ~16x per round — lineage
+    MUST truncate every round (checkpoint_every=1); by round 3 an
+    untruncated tree overflows the planner stack. The materialized
+    work is unchanged (each round's edges compute once either way).
+
+    ``rounds`` is fixed (deterministic plan for the oracle twin);
+    callers with unknown-diameter graphs should verify convergence via
+    the cheap fixed-point probe: one more round changing nothing.
+    tests pin label equality with the propagation implementation on
+    random graphs and a 64-node path (an independent-algorithm
+    cross-check).
+    """
+    e = (
+        edges.select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    verts = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .persist()
+    )
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.select("a", "b").union(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select(
+            "a", F.least(F.col("mn"), F.col("a")).alias("m")
+        )
+        joined = sym.join(mins, "a")
+        if large:
+            out = joined.filter(F.col("b") > F.col("a")).select(
+                F.col("b").alias("x"), F.col("m").alias("y")
+            )
+        else:
+            out = (
+                joined.filter(F.col("b") <= F.col("a"))
+                .select(F.col("b").alias("x"), F.col("m").alias("y"))
+                .union(joined.select(F.col("a").alias("x"), F.col("m").alias("y")))
+            )
+        return (
+            out.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    cur = e
+    for i in range(rounds):
+        cur = star(star(cur, large=True), large=False)
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    # star forest -> labels: the min neighbor is the root; roots and
+    # isolated vertices label themselves
+    root = (
+        cur.select("a", "b")
+        .union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("nb"))
+        .select("id", F.least("nb", F.col("id")).alias("component"))
+    )
+    return verts.join(root, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Undirected-graph triangle count + clustering coefficient.
 

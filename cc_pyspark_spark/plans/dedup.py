@@ -818,6 +818,50 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_cc_alternating_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({_duck_minhash_oracle()})
+), edges AS (
+  SELECT a_id AS s, b_id AS t FROM pairs
+  UNION
+  SELECT b_id AS s, a_id AS t FROM pairs
+), reach AS (
+  SELECT s AS id, s AS r FROM edges
+  UNION
+  SELECT e.s AS id, re.r AS r FROM edges e JOIN reach re ON re.id = e.t
+)
+SELECT id, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY id
+"""
+
+
+@register(
+    "graph_cc_alternating",
+    oracle=_duck_cc_alternating_oracle(),
+    description="Connected components by ALTERNATING large-star/"
+    "small-star (Kiveris et al.) over the minhash near-dup pairs — "
+    "the O(log n)-round scale twin of dedup_cluster_canonical's "
+    "min-label propagation (O(diameter) rounds): a million-hop chain "
+    "of gradually drifting page snapshots needs a million propagation "
+    "shuffles but ~20 star rounds. Each round is two grouped min-"
+    "aggregations over the current edge multiset, which only ever "
+    "rewires toward smaller ids. Same labels as propagation at the "
+    "fixed point (equality pinned in tests on random graphs and a "
+    "64-node path); the DuckDB recursive-CTE min-reachability oracle "
+    "gives the iterative algorithm a full value-hash check",
+    tags=("graph", "dedup", "scale"),
+)
+def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.pagerank import cc_alternating  # noqa: PLC0415
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("t"))
+    # Near-dup clusters are near-cliques (diameter 1-2): 3 alternating
+    # rounds is double the contraction the fixture needs; genuinely
+    # deep graphs raise `rounds` logarithmically, not linearly.
+    return cc_alternating(edges, rounds=3)
+
+
 #: Tracking query parameters stripped during URL canonicalization —
 #: the standard public tracking-param families (Google Analytics utm_*,
 #: click IDs). Kept as a literal tuple so both engines replay the same

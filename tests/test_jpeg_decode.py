@@ -434,3 +434,29 @@ def test_sample_frames_real_mjpeg_path(spark):
 
     two = sample_frames(df, max_frames=2).collect()
     assert sorted(r["frame_idx"] for r in two) == [0, 3]  # stride ceil(5/2)
+
+
+def test_decoder_never_raises_on_mutations():
+    """Skip-and-count discipline: arbitrary corruption — truncation,
+    byte flips, random tails — must yield None or a valid array, never
+    an exception (one corrupt image cannot kill a 10-hour job)."""
+    import random
+
+    rng = random.Random(99)
+    base = bytearray(encode_jpeg(_frame_rasters(1)[0]))
+    for trial in range(300):
+        blob = bytearray(base)
+        kind = trial % 3
+        if kind == 0:  # truncate
+            blob = blob[: rng.randrange(2, len(blob))]
+        elif kind == 1:  # flip 1-4 bytes
+            for _ in range(rng.randrange(1, 5)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        else:  # random tail after SOI
+            blob = blob[:2] + bytearray(
+                rng.randrange(256) for _ in range(rng.randrange(4, 200))
+            )
+        out = decode_jpeg(bytes(blob))
+        assert out is None or (
+            out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
+        )

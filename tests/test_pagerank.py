@@ -156,3 +156,32 @@ def test_triangle_stats_random_graphs(spark):
         assert row.n_triangles == tri, (trial, row.n_triangles, tri)
         assert row.n_wedges == wedges
         assert row.n_edges == len(edges)
+
+
+def test_cc_alternating_equals_propagation(spark):
+    """Two independent CC algorithms must label identically: alternating
+    large-star/small-star (O(log n) rounds) vs min-label propagation
+    (O(diameter) rounds), on a random graph plus a 64-node path — the
+    path pins the logarithmic contraction (6 rounds = log2 64; 5 is
+    provably insufficient for the chain, which the propagation twin
+    needs 63 rounds for)."""
+    import random
+
+    from cc_pyspark_spark.operators.pagerank import (
+        cc_alternating,
+        connected_components,
+    )
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    path = [(1000 + i, 1000 + i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges + path, "s long, t long")
+    stars = {
+        (r["id"], r["component"])
+        for r in cc_alternating(df, rounds=6).collect()
+    }
+    prop = {
+        (r["id"], r["component"])
+        for r in connected_components(df, max_iter=80).collect()
+    }
+    assert stars == prop
