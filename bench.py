@@ -102,6 +102,9 @@ HEADLINERS = [
     # cheap recall lever; its bench row prices that fan-out).
     "dedup_embedding_scale_wide",
     "dedup_embedding_scale_probe",
+    # r8: log-round star-alternation CC — the third iterative plan
+    # under the regression gate (pagerank, triangles, CC).
+    "graph_cc_alternating",
 ]
 
 
@@ -135,7 +138,7 @@ def main() -> None:
     # uniform ~+0.3 s to 40 otherwise-unchanged queries, destroying
     # cross-round comparability for no information (construction
     # happens once per job in production, not per 100 TB of input).
-    eager_construction = {"graph_pagerank"}
+    eager_construction = {"graph_pagerank", "graph_cc_alternating"}
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}

@@ -424,6 +424,129 @@ def canonical_survivors(
     )
 
 
+def _sign_lsh_sig_frame(
+    emb: DataFrame,
+    band_bits: int,
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v double[], sigs bigint[], nrm) for an embedding frame —
+    the shared signature pass behind pairing, indexing, and delta
+    probes (one Arrow eval; see sign_lsh_sigs_and_norm)."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    return vecs.select(
+        "vec_id", "v", sign_lsh_sigs_and_norm("v", band_bits, n_bands).alias("sn")
+    ).select("vec_id", "v", "sn.sigs", "sn.nrm")
+
+
+def sign_lsh_vectors(
+    emb: DataFrame,
+    band_bits: int = SIGN_LSH_PROD_BAND_BITS,
+    n_bands: int = SIGN_LSH_PROD_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v, nrm) corpus vector table — the verification state an
+    incremental embedding dedup joins candidate ids against (norms
+    precomputed at ingest; candidates never rescan raw embeddings)."""
+    return _sign_lsh_sig_frame(emb, band_bits, n_bands, id_col, vec_col).select(
+        "vec_id", "v", "nrm"
+    )
+
+
+def sign_lsh_band_index(
+    emb: DataFrame,
+    band_bits: int = SIGN_LSH_PROD_BAND_BITS,
+    n_bands: int = SIGN_LSH_PROD_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, band, bkey) sign-LSH band index of an embedding corpus —
+    the state an incremental near-dup check probes. Bucket it on
+    (band, bkey) (write_bucketed_table) so delta probes co-locate,
+    mirroring minhash_band_index."""
+    sig = _sign_lsh_sig_frame(emb, band_bits, n_bands, id_col, vec_col)
+    return sig.select(
+        "vec_id", F.posexplode_outer("sigs").alias("band", "bkey")
+    )
+
+
+def incremental_embedding_candidates(
+    new_emb: DataFrame,
+    band_index: DataFrame,
+    corpus_vectors: DataFrame,
+    threshold: float,
+    band_bits: int = SIGN_LSH_PROD_BAND_BITS,
+    n_bands: int = SIGN_LSH_PROD_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Verified near-dup pairs (new_id, old_id, cos) between a delta and
+    the existing corpus — the embedding twin of
+    incremental_minhash_candidates: band the delta (O(|delta|) Arrow
+    work), probe the persisted (vec_id, band, bkey) index, verify
+    candidates against the persisted (vec_id, v, nrm) vector table
+    with the JVM zip_with fold. The corpus is touched only through its
+    two index tables; with `multiprobe` the DELTA side also probes
+    Hamming-1 buckets (asymmetric probing needs no exact-side flag —
+    the sides are distinct, so admitted pairs differ by <= 1 bit in
+    some band by construction)."""
+    delta = _sign_lsh_sig_frame(
+        new_emb, band_bits, n_bands, id_col, vec_col
+    ).persist()
+    bands = delta.select(
+        "vec_id", F.posexplode_outer("sigs").alias("band", "bkey")
+    )
+    if multiprobe:
+        bands = bands.select(
+            "vec_id",
+            "band",
+            F.explode(
+                F.expr(
+                    "concat(array(bkey), "
+                    f"transform(sequence(0, {band_bits - 1}), k -> "
+                    "bkey ^ shiftleft(cast(1 as bigint), k)))"
+                )
+            ).alias("bkey"),
+        )
+    cand = (
+        bands.alias("n")
+        .join(
+            band_index.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bkey") == F.col("o.bkey")),
+        )
+        .filter(F.col("n.vec_id") != F.col("o.vec_id"))
+        .select(
+            F.col("n.vec_id").alias("new_id"), F.col("o.vec_id").alias("old_id")
+        )
+        .distinct()
+    )
+    x = delta.select(
+        F.col("vec_id").alias("new_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    y = corpus_vectors.select(
+        F.col("vec_id").alias("old_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    return (
+        cand.join(x, "new_id")
+        .join(y, "old_id")
+        .withColumn("cos", F.expr(dot) / (F.col("anrm") * F.col("bnrm")))
+        .filter(F.col("cos") >= threshold)
+        .select("new_id", "old_id", "cos")
+    )
+
+
 def sign_lsh_pairs(
     emb: DataFrame,
     threshold: float,
@@ -480,13 +603,7 @@ def sign_lsh_pairs(
 
     if bucket_local is None:
         bucket_local = band_bits <= 8
-    vecs = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-    )
-    sig = vecs.select(
-        "vec_id", "v", sign_lsh_sigs_and_norm("v", band_bits, n_bands).alias("sn")
-    ).select("vec_id", "v", "sn.sigs", "sn.nrm")
+    sig = _sign_lsh_sig_frame(emb, band_bits, n_bands, id_col, vec_col)
 
     def _explode(frame, cols):
         # posexplode_OUTER on purpose: plain posexplode makes Catalyst

@@ -680,6 +680,95 @@ def dedup_embedding_scale_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_embedding_delta_oracle() -> str:
+    bb, nb = SIGN_LSH_PROD_BAND_BITS, SIGN_LSH_PROD_BANDS
+    w = _lsh_weight_sql("i", f"(b * {bb} + k)")
+    dot_w = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), "
+        f"i -> v[i] * {w})), (x, y) -> x + y)"
+    )
+    sigs = f"""list_transform(range(0, {nb}), b ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, {bb}), k ->
+               CASE WHEN {dot_w} > 0
+                    THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END)),
+             (acc, t) -> acc + t))"""
+    nrm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), "
+        "(a, b) -> a + b))"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), delta AS (
+  SELECT vec_id + {SIGN_LSH_TWIN_OFFSET} AS vec_id,
+         list_prepend(v[1] * 1.0625, v[2:]) AS v
+  FROM corpus
+), nc AS (SELECT vec_id, v, {nrm} AS nrm, {sigs} AS sigs FROM corpus),
+nn AS (SELECT vec_id, v, {nrm} AS nrm, {sigs} AS sigs FROM delta),
+bc AS (
+  SELECT vec_id, band, sigs[band + 1] AS bkey
+  FROM nc, (SELECT unnest(range(0, {nb})) AS band)
+), bn AS (
+  SELECT vec_id, band, sigs[band + 1] AS bkey
+  FROM nn, (SELECT unnest(range(0, {nb})) AS band)
+), cand AS (
+  SELECT DISTINCT n.vec_id AS new_id, o.vec_id AS old_id
+  FROM bn n JOIN bc o
+    ON n.band = o.band AND n.bkey = o.bkey AND n.vec_id <> o.vec_id
+)
+SELECT c.new_id, c.old_id,
+       list_reduce(list_prepend(0.0,
+           list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
+           (p, q) -> p + q) / (x.nrm * y.nrm) AS cos
+FROM cand c JOIN nn x ON x.vec_id = c.new_id JOIN nc y ON y.vec_id = c.old_id
+WHERE list_reduce(list_prepend(0.0,
+          list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
+          (p, q) -> p + q) / (x.nrm * y.nrm) >= {COSINE_NEAR_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_delta",
+    oracle=_duck_embedding_delta_oracle(),
+    description="Incremental (delta) EMBEDDING dedup — the sign-LSH "
+    "twin of dedup_minhash_delta: the corpus persists a (vec_id, band, "
+    "bkey) band index and a (vec_id, v, nrm) vector table at ingest; a "
+    "new batch (planted cos~0.9999 twins here) is signature-hashed once "
+    "(O(delta) Arrow work), probes only the index buckets its keys hash "
+    "into, and candidates verify against the vector table with the JVM "
+    "zip_with fold — the whole corpus is touched through its two narrow "
+    "index tables, never rescanned. Production 16-bit x 8-band "
+    "geometry; full value-hash oracle replays both sides",
+    tags=("dedup", "similarity", "scale"),
+)
+def dedup_embedding_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+        incremental_embedding_candidates,
+        sign_lsh_band_index,
+        sign_lsh_vectors,
+    )
+
+    t = Catalog(spark, sf_dir)
+    corpus = t.embeddings
+    delta = corpus.select(
+        (F.col("vec_id") + F.lit(SIGN_LSH_TWIN_OFFSET)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+            "THEN cast(x as double) * 1.0625D "
+            "ELSE cast(x as double) END)"
+        ).alias("v"),
+    )
+    return incremental_embedding_candidates(
+        delta,
+        sign_lsh_band_index(corpus),
+        sign_lsh_vectors(corpus),
+        COSINE_NEAR_DUP_THRESHOLD,
+        vec_col="v",
+    )
+
+
 #: Multiplier for the probe query's planted twins: 3.0 (exact in
 #: binary) perturbs v[0] hard enough that twin cosines spread over
 #: ~[0.90, 0.99] — where exact 16-bit banding misses a handful of

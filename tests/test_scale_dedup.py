@@ -558,3 +558,27 @@ def test_multiprobe_recovers_missed_pairs(spark):
     assert probe == brute, (
         f"probe recall {len(probe)}/{len(brute)} — expected full on fixture"
     )
+
+
+def test_embedding_delta_equals_full_run_restricted(spark):
+    """O(delta) embedding probe == full-corpus wide-geometry run
+    restricted to (delta, corpus) pairs: the persisted-index path must
+    lose nothing relative to re-running sign-LSH over corpus+delta
+    (the dedup_minhash_delta consistency contract, embedding twin)."""
+    import pyspark.sql.functions as F
+
+    from cc_pyspark_spark.plans.dedup import SIGN_LSH_TWIN_OFFSET
+
+    sf = "/root/testdata/sf0.001"
+    delta = {
+        (r["new_id"], r["old_id"])
+        for r in QUERIES["dedup_embedding_delta"].spark(spark, sf).collect()
+    }
+    # full corpus+delta run: the wide query IS that composition (same
+    # twins, same geometry); restrict to cross-generation pairs
+    full = {
+        (r["b_id"], r["a_id"])  # a=original < b=twin
+        for r in QUERIES["dedup_embedding_scale_wide"].spark(spark, sf).collect()
+        if r["b_id"] >= SIGN_LSH_TWIN_OFFSET > r["a_id"]
+    }
+    assert delta == full and len(delta) > 0
