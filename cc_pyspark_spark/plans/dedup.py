@@ -908,9 +908,24 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_cc_alternating_oracle() -> str:
+    # Pairs are the ALL-PAIRS exact-Jaccard set (the dedup_minhash_scale
+    # oracle convention): the Spark side consumes the deployment
+    # xxhash64 LSH pairs, whose equality with this set is itself
+    # hash-pinned every round by dedup_minhash_scale + the full-recall
+    # pytest (see plans/scale.py's regeneration procedure).
     return f"""
-WITH RECURSIVE pairs AS (
-  SELECT a_id, b_id FROM ({_duck_minhash_oracle()})
+WITH RECURSIVE t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 ), edges AS (
   SELECT a_id AS s, b_id AS t FROM pairs
   UNION
@@ -937,13 +952,20 @@ SELECT id, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY id
     "rewires toward smaller ids. Same labels as propagation at the "
     "fixed point (equality pinned in tests on random graphs and a "
     "64-node path); the DuckDB recursive-CTE min-reachability oracle "
-    "gives the iterative algorithm a full value-hash check",
+    "over the all-pairs Jaccard set (the dedup_minhash_scale oracle "
+    "convention) gives the iterative algorithm a full value-hash check "
+    "over DEPLOYMENT pair generation — no global-sort ID stage anywhere",
     tags=("graph", "dedup", "scale"),
 )
 def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import minhash_lsh_pairs  # noqa: PLC0415
     from cc_pyspark_spark.operators.pagerank import cc_alternating  # noqa: PLC0415
 
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    t = Catalog(spark, sf_dir)
+    # Deployment pair generation (xxhash64 ids, no global sort) — the
+    # edge source you'd actually run at 100 TB; its equality with the
+    # oracle's all-pairs set is dedup_minhash_scale's pinned invariant.
+    pairs = minhash_lsh_pairs(t.documents, threshold=JACCARD_THRESHOLD)
     edges = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("t"))
     # Near-dup clusters are near-cliques (diameter 1-2): 3 alternating
     # rounds is double the contraction the fixture needs; genuinely
