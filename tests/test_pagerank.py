@@ -185,3 +185,33 @@ def test_cc_alternating_equals_propagation(spark):
         for r in connected_components(df, max_iter=80).collect()
     }
     assert stars == prop
+
+
+def test_cc_alternating_registered_rounds_converge(spark):
+    """Fixture tripwire (the test_scale_minhash_full_recall pattern):
+    the registered query runs a FIXED 3 alternating rounds, enough for
+    the fixture's near-clique dup clusters. A regenerated fixture with
+    a deeper component would need more rounds — this must fail locally
+    before the driver sees an oracle mismatch. Checked at both driver
+    SFs against the propagation implementation."""
+    from cc_pyspark_spark.plans import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        fixed = {
+            (r["id"], r["component"])
+            for r in QUERIES["graph_cc_alternating"].spark(spark, sf).collect()
+        }
+        from cc_pyspark_spark.operators.dedup import minhash_lsh_pairs
+        from cc_pyspark_spark.operators.pagerank import connected_components
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        from pyspark.sql import functions as F
+
+        edges = minhash_lsh_pairs(docs, threshold=0.5).select(
+            F.col("a_id").alias("s"), F.col("b_id").alias("t")
+        )
+        prop = {
+            (r["id"], r["component"])
+            for r in connected_components(edges, max_iter=20).collect()
+        }
+        assert fixed == prop, f"3 rounds insufficient at {sf}"
