@@ -289,6 +289,110 @@ def curation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language keep-rates for deterministic stratified downsampling,
+#: expressed as md5-bucket thresholds out of 256 (exact in both
+#: engines): the overrepresented language keeps 128/256 = 50%, the
+#: rest keep everything. At production scale these come from the
+#: target mixture (e.g. DoReMi / data-mixing weights) — the mechanism
+#: is what matters: rates are integers over a hash-bucket space, so
+#: the sample is reproducible across runs, engines, and cluster sizes.
+MIX_KEEP_BUCKETS_DEFAULT = 256
+MIX_KEEP_BUCKETS = {"en": 128}
+
+
+def _duck_stratified_oracle() -> str:
+    nib = "(strpos('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    bucket = (
+        nib.format(h=h, k=1) + " * 16 + " + nib.format(h=h, k=2)
+    )
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {thr}" for lang, thr in sorted(MIX_KEEP_BUCKETS.items())
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {bucket} < CASE lang {cases} ELSE {MIX_KEEP_BUCKETS_DEFAULT} END
+"""
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=_duck_stratified_oracle(),
+    description="Deterministic stratified downsampling — the language-"
+    "rebalancing step of a training-data mix: per-lang keep-rates are "
+    "integer thresholds over 256 md5 buckets of doc_id, so the sample "
+    "is a pure column predicate (zero shuffle, scan-stage filter), "
+    "reproducible across runs/engines/cluster sizes, and composable "
+    "with the split assignment (independent hash inputs). rand() "
+    "cannot give any of that. Row-level oracle hash-checks the exact "
+    "kept set, not just the rate",
+    tags=("curation", "sample"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    thr = F.lit(MIX_KEEP_BUCKETS_DEFAULT)
+    for lang, v in sorted(MIX_KEEP_BUCKETS.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(v)).otherwise(thr)
+    return t.documents.select("doc_id", "lang").filter(bucket < thr)
+
+
+@register(
+    "curation_difficulty_bins",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+), binned AS (
+  SELECT lang, n_chars, CAST((10 * (rn - 1)) // n AS BIGINT) AS bin
+  FROM ranked
+)
+SELECT bin, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM binned GROUP BY 1, 2
+""",
+    description="Curriculum difficulty binning: decile bins over a "
+    "difficulty proxy (n_chars, doc_id tiebreak for total order) via "
+    "the COLLECT-FREE distributed rank (operators/ids.py range shuffle "
+    "+ broadcast offsets — no single-partition window, unlike NTILE), "
+    "bin = floor(10*(rank-1)/n) written identically in both engines "
+    "(NTILE's balanced-bucket remainder rule differs, so the explicit "
+    "formula is the cross-engine-stable choice); per-(bin, lang) "
+    "counts and char ranges feed curriculum schedules",
+    tags=("curation", "scale"),
+)
+def curation_difficulty_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.ids import assign_sequential_ids  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "n_chars")
+    ranked = assign_sequential_ids(docs, ["n_chars", "doc_id"], id_col="rn")
+    n = ranked.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "n_chars",
+            # integer floor-div in BOTH engines (// in the oracle):
+            # float division + cast would be fine at any real n, but
+            # exact arithmetic removes the question entirely
+            F.expr("(10 * (rn - 1)) div n").cast("bigint").alias("bin"),
+        )
+        .groupBy("bin", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
 #: Sequence-packing capacity in tokens. Small enough that fixture docs
 #: (~20-60 tokens) pack several-per-sequence, mirroring max_seq_len
 #: packing in LLM pre-training loaders.
