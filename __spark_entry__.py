@@ -37,7 +37,7 @@ from cc_pyspark_spark.plans import QUERIES
 #: text_hashed_classifier, embedding_kmeans_lloyd,
 #: curation_dataset_card, multimodal_image_phash,
 #: multimodal_image_neardup — pytest-parity-green at sf0.001; these
-#: are their FIRST sf0.01 driver rows), (b) six of the stalest
+#: are their FIRST sf0.01 driver rows), (b) five of the stalest
 #: r1 rows (the relational function/window suites VERDICT r7 ask #8
 #: names), and (c) the r8 sign-LSH pair —
 #: dedup_embedding_scale_wide (production geometry, ask #2) and
@@ -45,20 +45,22 @@ from cc_pyspark_spark.plans import QUERIES
 #: graph_cc_alternating (log-round star-alternation CC),
 #: dedup_embedding_delta (O(delta) incremental embedding dedup),
 #: curation_stratified_sample (deterministic language rebalancing),
-#: and curation_difficulty_bins (collect-free decile binning).  dedup_embedding_scale's
+#: curation_difficulty_bins (collect-free decile binning), and
+#: sim_ann_ivfpq_residual (FAISS-standard residual IVFADC).  dedup_embedding_scale's
 #: signature plumbing also changed this round (per-band bigint array)
 #: and it holds a core slot, so it gets a fresh row automatically.
 #:
 #: r8/r9 rotation plan (VERDICT r7 ask #8): after this round the
-#: stalest remaining rows are 21 r1 names (join_left_outer_count,
+#: stalest remaining rows are 22 r1 names (join_left_outer_count,
 #: window_range_frame, agg_arg_max, events_user_trend,
-#: join_merge_hint, events_sliding_10m_5m, join_semi, join_anti,
+#: join_merge_hint, events_sliding_10m_5m, json_extract_props,
+#: join_semi, join_anti,
 #: join_full_outer, agg_count_distinct, agg_rollup, agg_cube,
 #: agg_grouping_sets, agg_pivot_status, agg_percentiles,
 #: window_running_sum, window_lag_delta, window_rank_suite,
 #: set_intersect, set_except, set_union_all), 24 r2 names (the oracle
 #: dedup twins, the text-stats family, tpch_q22, the relational
-#: anchors), and the 17 twins displaced in r7.  r9 rotates the 21 r1
+#: anchors), and the 17 twins displaced in r7.  r9 rotates the 22 r1
 #: names plus the oldest r2 names into the non-core slots (26
 #: available), leaving no row older than r6 by end of r9 — each
 #: remains green in the sf0.001 parity pytest meanwhile.
@@ -116,12 +118,12 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "dedup_embedding_delta",
     "curation_stratified_sample",
     "curation_difficulty_bins",
+    "sim_ann_ivfpq_residual",
     # -- r8 rotation block: stalest r1 rows re-checked (ask #8 names) --
     "array_functions",
     "conditional_functions",
     "date_functions",
     "filter_in_like",
-    "json_extract_props",
     "subquery_correlated",
 )
 

@@ -887,6 +887,210 @@ def sim_sparse_tfidf_topk(
     )
 
 
+# --------------------- residual IVFADC (FAISS IVFADC standard, r8)
+#
+# The raw-vector PQ above quantizes v directly; the production IVFADC
+# recipe quantizes the RESIDUAL v - c(v) instead: residuals of vectors
+# sharing a coarse centroid have much smaller variance than raw
+# vectors, so the same codebook budget spends its codewords on the
+# part of the vector the coarse quantizer did not already explain —
+# and ||q - x||^2 == ||(q-c) - (x-c)||^2 exactly when q probes x's
+# bucket, so residual-domain ADC approximates the same distances with
+# strictly less quantization error (pinned in
+# tests/test_pq_rerank.py::test_residual_codes_reconstruct_better).
+
+
+def _residual_assign(nv, lo_extra: int, hi_extra: int):
+    """(vec_id, bucket) coarse assignment covering the corpus range AND
+    [lo_extra, hi_extra) (the codebook seeds need residuals too)."""
+    cent = nv.filter(
+        (F.col("vec_id") >= 490) & (F.col("vec_id") < 490 + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("bucket"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot_c = "aggregate(zip_with(v, cv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("bucket")
+    )
+    assign = (
+        nv.filter(
+            (F.col("vec_id") < PQ_MAX_ID)
+            | ((F.col("vec_id") >= lo_extra) & (F.col("vec_id") < hi_extra))
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("sim", F.expr(dot_c) / (F.col("nrm") * F.col("cnrm")))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "bucket")
+    )
+    return cent, assign
+
+
+def _duck_ivfpq_residual_oracle() -> str:
+    dot = _DUCK_DOT
+    sq = (
+        "list_reduce(list_prepend(0.0, "
+        "list_transform(range(1, {n} + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    d_assign = sq.format(a="s.sv", b="c.cv", n=PQ_SUBDIM)
+    d_lut = sq.format(a="q.sv", b="c.cv", n=PQ_SUBDIM)
+    seed_where = (
+        f"(nv.vec_id < {PQ_MAX_ID} OR (nv.vec_id >= {PQ_SEED_BASE} "
+        f"AND nv.vec_id < {PQ_SEED_BASE + PQ_CODEBOOK}))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), nv AS (
+  SELECT vec_id, v, sqrt({dot.format(a='v', b='v')}) AS nrm FROM e
+), {_duck_ivf_assign("nv", "bucket", f" WHERE {seed_where}")}, res AS (
+  SELECT a.vec_id, a.bucket,
+         list_transform(range(1, len(nv.v) + 1),
+                        i -> nv.v[i] - cent.cv[i]) AS r
+  FROM assign a JOIN nv ON nv.vec_id = a.vec_id
+  JOIN cent ON cent.bucket = a.bucket
+), rblocks AS (
+  SELECT vec_id, bucket, b.b AS block,
+         list_slice(r, b.b * {PQ_SUBDIM} + 1, (b.b + 1) * {PQ_SUBDIM}) AS sv
+  FROM res, (SELECT unnest(range(0, {PQ_BLOCKS})) AS b) b
+), rcb AS (
+  SELECT vec_id - {PQ_SEED_BASE} AS c_id, block, sv AS cv
+  FROM rblocks
+  WHERE vec_id >= {PQ_SEED_BASE} AND vec_id < {PQ_SEED_BASE + PQ_CODEBOOK}
+), rcodes AS (
+  SELECT vec_id, bucket, block, c_id AS code FROM (
+    SELECT s.vec_id, s.bucket, s.block, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.block
+                              ORDER BY {d_assign}, c.c_id) AS rk
+    FROM rblocks s JOIN rcb c ON s.block = c.block
+    WHERE s.vec_id < {PQ_MAX_ID}) WHERE rk = 1
+), rlut AS (
+  SELECT q.vec_id AS q_id, q.bucket AS qbucket, q.block, c.c_id, {d_lut} AS d
+  FROM rblocks q JOIN rcb c ON q.block = c.block
+  WHERE q.vec_id < {N_QUERIES}
+), adcb AS (
+  SELECT l.q_id, x.vec_id AS n_id,
+         list_reduce(list(l.d ORDER BY l.block), (acc, x) -> acc + x)
+           AS adc_dist
+  FROM rcodes x
+  JOIN rlut l ON l.block = x.block AND l.c_id = x.code
+             AND l.qbucket = x.bucket
+  WHERE x.vec_id <> l.q_id
+  GROUP BY l.q_id, x.vec_id
+)
+SELECT q_id, n_id, adc_dist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist, n_id) AS BIGINT) AS rnk
+FROM adcb QUALIFY rnk <= {IVF_TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivfpq_residual",
+    oracle=_duck_ivfpq_residual_oracle(),
+    description="Residual IVFADC — the FAISS-standard refinement of "
+    "sim_ann_ivf_pq: PQ quantizes the residual v - c(v) instead of the "
+    "raw vector, spending the codebook budget on what the coarse "
+    "quantizer did not already explain — on CLUSTERED corpora (the real "
+    "embedding regime) residual variance is a fraction of raw variance "
+    "and reconstruction error drops sharply (pinned on synthetic "
+    "clustered data in pytest; the near-uniform parquet fixture is the "
+    "documented counter-case where coarse centroids explain nothing), "
+    "and "
+    "||q - x||^2 = ||(q-c) - (x-c)||^2 exactly within a probed bucket, "
+    "so the residual-domain LUT fold approximates the true distance "
+    "with less error. Same deterministic block-ordered fold, bucket "
+    "pruning, and (dist, id) tie-break as the raw twin; the residual "
+    "codebook is the seed vectors' OWN residuals (deterministic, "
+    "SQL-replayable; production swaps k-means residual codebooks)",
+    tags=("similarity", "scale"),
+)
+def sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    dot_self = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    nv = e.withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    cent, assign = _residual_assign(
+        nv, PQ_SEED_BASE, PQ_SEED_BASE + PQ_CODEBOOK
+    )
+    res = (
+        assign.join(nv, "vec_id")
+        .join(
+            cent.select("bucket", "cv"), "bucket"
+        )
+        .select(
+            "vec_id",
+            "bucket",
+            F.expr("zip_with(v, cv, (x, y) -> x - y)").alias("r"),
+        )
+    )
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.slice("r", b * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for b in range(PQ_BLOCKS)
+    ]
+    rblocks = res.select(
+        "vec_id", "bucket", F.explode(F.array(*block_structs)).alias("bk")
+    ).select("vec_id", "bucket", "bk.block", "bk.sv")
+    rcb = (
+        rblocks.filter(
+            (F.col("vec_id") >= PQ_SEED_BASE)
+            & (F.col("vec_id") < PQ_SEED_BASE + PQ_CODEBOOK)
+        )
+        .select(
+            (F.col("vec_id") - PQ_SEED_BASE).alias("c_id"),
+            "block",
+            F.col("sv").alias("cv"),
+        )
+    )
+    sq_err = F.expr(_PQ_SQ_ERR)
+    rcodes = (
+        rblocks.filter(F.col("vec_id") < PQ_MAX_ID)
+        .join(F.broadcast(rcb), "block")
+        .withColumn("sq_err", sq_err)
+        .groupBy("vec_id", "bucket", "block")
+        .agg(F.min(F.struct("sq_err", "c_id")).alias("m"))
+        .select("vec_id", "bucket", "block", F.col("m.c_id").alias("code"))
+    )
+    rlut = (
+        rblocks.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("bucket").alias("qbucket"),
+            "block",
+            "sv",
+        )
+        .join(F.broadcast(rcb), "block")
+        .withColumn("d", sq_err)
+        .select("q_id", "qbucket", "block", "c_id", "d")
+    )
+    adc = (
+        rcodes.join(F.broadcast(rlut), ["block"])
+        .filter(
+            (F.col("c_id") == F.col("code"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("q_id"))
+        )
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.expr(_ADC_FOLD).alias("adc_dist"))
+    )
+    w = W.partitionBy("q_id").orderBy("adc_dist", "n_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= IVF_TOP_K)
+        .select("q_id", "n_id", "adc_dist", "rnk")
+    )
+
+
 # ------------------------------ hybrid fusion: reciprocal-rank fusion
 
 RRF_K = 60  # standard RRF damping constant

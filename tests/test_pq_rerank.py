@@ -89,3 +89,50 @@ def test_rerank_never_worse_than_adc_only(spark):
     assert len(rerank & exact) >= len(adc_only & exact)
     # and the exact stage genuinely reorders the compressed-domain rank
     assert any(r.rnk != r.adc_rnk for r in rows)
+
+
+def test_residual_codes_reconstruct_better_on_clustered_data():
+    """The reason residual IVFADC exists: on CLUSTERED vectors —
+    the regime real embedding corpora live in — quantizing v - c(v)
+    reconstructs with far smaller error than quantizing v raw, because
+    residuals within a bucket have a fraction of the raw variance.
+    Checked by an independent numpy replica of both encoders on
+    synthetic clustered data (8 centers, sigma = 0.2 x center scale).
+
+    Deliberately NOT asserted on the parquet fixture: its embeddings
+    are near-uniform (no cluster structure), the 8 fixed 'centroids'
+    explain ~nothing, and subtracting a barely-correlated centroid
+    INCREASES block variance — measured raw MSE 0.0183 vs residual
+    0.0252 there. The registered query still hash-matches its oracle
+    on that fixture (the mechanism is deterministic either way); this
+    test pins when the mechanism pays, the docstring records when it
+    does not."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_cent, subdim, blocks, dim = 8, 16, 4, 64
+    centers = rng.normal(0, 1.0, (n_cent, dim))
+    labels = rng.randint(0, n_cent, 400)
+    X = centers[labels] + rng.normal(0, 0.2, (400, dim))
+    seeds = X[:8]  # codebook source, same distribution
+    corpus = X[8:208]
+    C = centers  # coarse quantizer = the true centers
+
+    def assign(V):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return d.argmin(axis=1)
+
+    def mse(codebook_rows, vecs):
+        err = 0.0
+        for b in range(blocks):
+            sl = slice(b * subdim, (b + 1) * subdim)
+            cb = codebook_rows[:, sl]
+            d = ((vecs[:, None, sl] - cb[None, :, :]) ** 2).sum(-1)
+            err += d.min(axis=1).sum()
+        return err / (len(vecs) * blocks * subdim)
+
+    raw = mse(seeds, corpus)
+    res = mse(seeds - C[assign(seeds)], corpus - C[assign(corpus)])
+    assert res < 0.5 * raw, (
+        f"residual MSE {res:.5f} should be well under raw {raw:.5f}"
+    )
