@@ -50,6 +50,19 @@ CHECK = [
     # prefix scan (one range exchange whose layout must not matter).
     "events_ks_drift",
     "events_cusum_changepoint",
+    # r8: the sign-LSH family's two verify strategies both fold cosines
+    # in dimension order (numpy per-bucket vs JVM zip_with) — re-layout
+    # must not perturb the last ulp on either path, nor the
+    # Hamming-1-probed candidate set.
+    "dedup_embedding_scale",
+    "dedup_embedding_scale_wide",
+    "dedup_embedding_scale_probe",
+    "dedup_embedding_delta",
+    # r8: residual-domain ADC — coarse assignment + residual fold.
+    "sim_ann_ivfpq_residual",
+    # r8: star-alternation CC (pure integer min-algebra; the direct pin
+    # that round count and layout cannot interact).
+    "graph_cc_alternating",
 ]
 
 
