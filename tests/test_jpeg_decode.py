@@ -168,9 +168,17 @@ def encode_jpeg(rgb, sampling="444", restart=0):
         comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
         planes = [y, cb, cr]
         mw, mh = 8, 8
+    elif sampling == "422":  # horizontal-only chroma subsampling
+        comps = [(1, 2, 1), (2, 1, 1), (3, 1, 1)]
+
+        def down_h(p):
+            p = _pad_to(p, 1, 2)
+            return np.round((p[:, 0::2] + p[:, 1::2]) / 2.0)
+
+        planes = [y, down_h(cb), down_h(cr)]
+        mw, mh = 16, 8
     else:  # 420
         comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
-        ph = _pad_to(cb, 2, 2)
 
         def down(p):
             p = _pad_to(p, 2, 2)
@@ -290,6 +298,29 @@ def test_chroma_420_subsampling():
             / 4.0
         )
         return np.repeat(np.repeat(ds, 2, axis=0), 2, axis=1)
+
+    cbr, crr = down_up(cb), down_up(cr)
+    r = y + 1.402 * (crr - 128.0)
+    g = y - 0.344136 * (cbr - 128.0) - 0.714136 * (crr - 128.0)
+    b = y + 1.772 * (cbr - 128.0)
+    ref = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255)
+    assert float(np.abs(got.astype(float) - ref).max()) <= 4.0
+
+
+def test_chroma_422_subsampling():
+    """4:2:2 (horizontal-only chroma subsampling — the claimed third
+    sampling mode): decoded RGB equals the independent reference
+    (2x1-mean chroma, horizontal replication, JFIF inverse) up to DCT
+    rounding."""
+    rng = np.random.RandomState(19)
+    rgb = rng.randint(0, 256, (16, 32, 3)).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(rgb, sampling="422"))
+    assert got is not None and got.shape == rgb.shape
+    y, cb, cr = rgb_to_ycbcr(rgb)
+
+    def down_up(p):
+        ds = np.round((p[:, 0::2] + p[:, 1::2]) / 2.0)
+        return np.repeat(ds, 2, axis=1)
 
     cbr, crr = down_up(cb), down_up(cr)
     r = y + 1.402 * (crr - 128.0)

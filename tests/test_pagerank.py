@@ -215,3 +215,51 @@ def test_cc_alternating_registered_rounds_converge(spark):
             for r in connected_components(edges, max_iter=20).collect()
         }
         assert fixed == prop, f"3 rounds insufficient at {sf}"
+
+
+def test_cc_alternating_property_random_graphs(spark):
+    """Property check across graph shapes (hypothesis-style explicit
+    corpus — a Spark job per example makes @given too slow): star
+    alternation with ceil(log2(n))+2 rounds equals min-label
+    propagation on stars, cliques, disjoint cliques + isolated chains,
+    two-level trees, and dense random multigraphs with self-loops and
+    duplicate edges (which the canonicalization must absorb)."""
+    import math
+    import random
+
+    from cc_pyspark_spark.operators.pagerank import (
+        cc_alternating,
+        connected_components,
+    )
+
+    cases = []
+    cases.append([(0, i) for i in range(1, 12)])  # star
+    cases.append(
+        [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    )  # clique
+    cases.append(
+        [(i, j) for b in range(3) for i in range(10 * b, 10 * b + 4)
+         for j in range(i + 1, 10 * b + 4)]
+        + [(100 + i, 101 + i) for i in range(10)]
+    )  # disjoint cliques + chain
+    cases.append(
+        [(i, 2 * i + 1) for i in range(15)]
+        + [(i, 2 * i + 2) for i in range(15)]
+    )  # binary tree
+    rng = random.Random(31)
+    cases.append(
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    )  # dense random w/ self-loops + dups
+    for edges in cases:
+        df = spark.createDataFrame(edges, "s long, t long")
+        n = len({v for e in edges for v in e})
+        rounds = int(math.ceil(math.log2(max(n, 2)))) + 2
+        a = {
+            (r["id"], r["component"])
+            for r in cc_alternating(df, rounds=rounds).collect()
+        }
+        b = {
+            (r["id"], r["component"])
+            for r in connected_components(df, max_iter=60).collect()
+        }
+        assert a == b, f"mismatch on case with {len(edges)} edges"
