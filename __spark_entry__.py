@@ -24,46 +24,36 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
-#: Round-8 rotation (VERDICT r7 asks #1/#8): the fixed block SHRINKS to
-#: the 24-query headliner core (the TPC-H suite, the scale-dedup
-#: family, the ANN/PQ pair, the streaming-events pair, and the
-#: curation gate/pack/e2e trio — every name also lives in
-#: ``bench.HEADLINERS`` so the driver gate and the perf gate cover the
-#: same spine).  The freed slots go to (a) the FOURTEEN late-r7
-#: queries that have never had a driver row (graph_bfs_hops,
-#: sim_ann_ivf_pq, sim_eval_recall_at_k, sim_eval_recall_matrix,
-#: dedup_minhash_delta, dedup_edit_distance, events_ks_drift,
-#: events_cusum_changepoint, layout_zorder_stats,
-#: text_hashed_classifier, embedding_kmeans_lloyd,
-#: curation_dataset_card, multimodal_image_phash,
-#: multimodal_image_neardup — pytest-parity-green at sf0.001; these
-#: are their FIRST sf0.01 driver rows), (b) five of the stalest
-#: r1 rows (the relational function/window suites VERDICT r7 ask #8
-#: names), and (c) the r8 sign-LSH pair —
-#: dedup_embedding_scale_wide (production geometry, ask #2) and
-#: dedup_embedding_scale_probe (Hamming-1 multi-probe recall twin)
-#: graph_cc_alternating (log-round star-alternation CC),
-#: dedup_embedding_delta (O(delta) incremental embedding dedup),
-#: curation_stratified_sample (deterministic language rebalancing),
-#: curation_difficulty_bins (collect-free decile binning), and
-#: sim_ann_ivfpq_residual (FAISS-standard residual IVFADC).  dedup_embedding_scale's
-#: signature plumbing also changed this round (per-band bigint array)
-#: and it holds a core slot, so it gets a fresh row automatically.
+#: The fixed 24-query headliner core (TPC-H suite, scale-dedup family,
+#: ANN/PQ pair, streaming-events pair, curation gate/pack/e2e trio)
+#: mirrors ``bench.HEADLINERS`` so the driver gate and the perf gate
+#: cover the same spine.  r9 change inside the core (VERDICT r8 ask
+#: #2): the embedding-dedup slot now runs dedup_embedding_scale_wide —
+#: the production 16-bit x 8 sign-LSH geometry — and the 4-bit demo
+#: formerly named dedup_embedding_scale is re-registered as
+#: dedup_embedding_fixture (unbenched, rotation slot below), so the
+#: `scale` tag and the benched name always denote deployed geometry.
 #:
-#: r8/r9 rotation plan (VERDICT r7 ask #8): after this round the
-#: stalest remaining rows are 22 r1 names (join_left_outer_count,
-#: window_range_frame, agg_arg_max, events_user_trend,
-#: join_merge_hint, events_sliding_10m_5m, json_extract_props,
-#: join_semi, join_anti,
-#: join_full_outer, agg_count_distinct, agg_rollup, agg_cube,
-#: agg_grouping_sets, agg_pivot_status, agg_percentiles,
-#: window_running_sum, window_lag_delta, window_rank_suite,
-#: set_intersect, set_except, set_union_all), 24 r2 names (the oracle
-#: dedup twins, the text-stats family, tpch_q22, the relational
-#: anchors), and the 17 twins displaced in r7.  r9 rotates the 22 r1
-#: names plus the oldest r2 names into the non-core slots (26
-#: available), leaving no row older than r6 by end of r9 — each
-#: remains green in the sf0.001 parity pytest meanwhile.
+#: Round-9 rotation (VERDICT r8 ask #1): the 26 non-core slots take
+#: (a) ALL 22 remaining r1-stale names, and (b) first rows for the
+#: FOUR names new in r9 (dedup_embedding_fixture, graph_cc_converged,
+#: curation_dsir_importance, text_ngram_novelty) — preserving the
+#: invariant that every registered query has a driver row from its
+#: first registered round.
+#:
+#: r10 rotation plan: the 24 r2-stale names
+#: (agg_collect_sorted_list, agg_count_by_key, agg_distinct_pairs,
+#: curation_contamination, curation_repetition_signals,
+#: dedup_embedding_cosine, dedup_minhash_lsh, dedup_ngram_jaccard,
+#: dedup_simhash, join_inner_dims, project_computed,
+#: set_union_distinct, string_functions, text_bigram_counts,
+#: text_fingerprint, text_lang_id, text_quality_score,
+#: text_rolling_fingerprint, text_token_stats, text_top_terms_tfidf,
+#: topk_global, tpch_q22_global_sales_opportunity, window_dense_ids,
+#: window_topn_per_group) fit the 26 slots with room for new r10
+#: names — after r10 no row is older than r5, and the steady-state
+#: cycle is ~3 rounds for the full registry. Each rotated-out name
+#: stays green in the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
     # -- fixed 24-headliner core: benched AND driver-gated every round --
     "tpch_q1_pricing_summary",
@@ -79,7 +69,7 @@ DRIVER_CORE: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_scale",
     "dedup_simhash_scale",
-    "dedup_embedding_scale",
+    "dedup_embedding_scale_wide",
     "sim_cosine_topk",
     "sim_ann_ivf",
     "events_tumbling_hourly",
@@ -93,38 +83,42 @@ DRIVER_CORE: tuple[str, ...] = (
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
-    # -- first driver rows: the fourteen late-r7 additions --
-    "graph_bfs_hops",
-    "sim_ann_ivf_pq",
-    "sim_eval_recall_at_k",
-    "sim_eval_recall_matrix",
-    "dedup_minhash_delta",
-    "dedup_edit_distance",
-    "events_ks_drift",
-    "events_cusum_changepoint",
-    "layout_zorder_stats",
-    "text_hashed_classifier",
-    "embedding_kmeans_lloyd",
-    "curation_dataset_card",
-    "multimodal_image_phash",
-    "multimodal_image_neardup",
-    # -- new in r8: production-geometry sign-LSH (VERDICT r7 ask #2)
-    #    and its Hamming-1 multi-probe recall twin --
-    "dedup_embedding_scale_wide",
-    "dedup_embedding_scale_probe",
-    # -- new in r8: O(log n)-round star-alternation CC (scale twin of
-    #    dedup_cluster_canonical's O(diameter) propagation) --
-    "graph_cc_alternating",
-    "dedup_embedding_delta",
-    "curation_stratified_sample",
-    "curation_difficulty_bins",
-    "sim_ann_ivfpq_residual",
-    # -- r8 rotation block: stalest r1 rows re-checked (ask #8 names) --
-    "array_functions",
-    "conditional_functions",
-    "date_functions",
-    "filter_in_like",
-    "subquery_correlated",
+    # -- r9 rotation (VERDICT r8 ask #1): ALL 22 stale r1 rows cycle
+    #    through the 26 non-core slots this round; the 24 r2-stale
+    #    names (minus the two below) take the r10 window.  Each name
+    #    stays green in the sf0.001 parity pytest meanwhile.
+    "join_left_outer_count",
+    "window_range_frame",
+    "agg_arg_max",
+    "events_user_trend",
+    "join_merge_hint",
+    "events_sliding_10m_5m",
+    "json_extract_props",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot_status",
+    "agg_percentiles",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_rank_suite",
+    "set_intersect",
+    "set_except",
+    "set_union_all",
+    # -- first rows for ALL four r9 names (keeps the invariant that no
+    #    registered query has ever lacked a driver row): the renamed
+    #    4-bit sign-LSH demo (dedup_embedding_scale through r8 — its
+    #    green history lives under the old name; the rename re-earns
+    #    it), the auto-convergence CC deployment wrapper (VERDICT r8
+    #    ask #3), DSIR importance resampling, and n-gram novelty --
+    "dedup_embedding_fixture",
+    "graph_cc_converged",
+    "curation_dsir_importance",
+    "text_ngram_novelty",
 )
 
 

@@ -29,6 +29,7 @@ import statistics
 import sys
 import time
 
+from cc_pyspark_spark.caching import release_caches
 from cc_pyspark_spark.plans import QUERIES
 from cc_pyspark_spark.session import build_session
 
@@ -50,7 +51,7 @@ HEADLINERS = [
     "dedup_exact",
     "dedup_minhash_scale",
     "dedup_simhash_scale",
-    "dedup_embedding_scale",
+    "dedup_embedding_scale_wide",
     "sim_cosine_topk",
     "sim_ann_ivf",
     "events_tumbling_hourly",
@@ -96,11 +97,12 @@ HEADLINERS = [
     # read the per-query rows (not the total) when comparing rounds.
     "graph_pagerank",
     "graph_triangle_stats",
-    # r8: the production-geometry sign-LSH twin (16-bit bands x 8) —
-    # the wide-bucket shuffle shape that actually deploys at 100 TB —
-    # and its Hamming-1 multi-probe variant (17x band-row fan-out, the
-    # cheap recall lever; its bench row prices that fan-out).
-    "dedup_embedding_scale_wide",
+    # r8: the Hamming-1 multi-probe sign-LSH variant (17x band-row
+    # fan-out, the cheap recall lever; its bench row prices that
+    # fan-out). r9: the embedding-dedup core slot above now runs the
+    # production 16-bit x 8 geometry directly (dedup_embedding_scale_wide
+    # — the 4-bit demo was renamed dedup_embedding_fixture and left
+    # unbenched, so the `scale` tag always points at deployed geometry).
     "dedup_embedding_scale_probe",
     # r8: log-round star-alternation CC — the third iterative plan
     # under the regression gate (pagerank, triangles, CC).
@@ -157,6 +159,11 @@ def main() -> None:
         med = statistics.median(samples)
         timings[name] = round(med, 4)
         spread[name] = round((max(samples) - min(samples)) / med, 3)
+        # Free this query's operator-internal caches before the next
+        # one: within-query warm/timed semantics are unchanged (all 6
+        # runs share the caches), but 45 queries' LSH/adjacency blocks
+        # no longer accumulate into eviction pressure on later names.
+        release_caches()
 
     result = {
         "metric": "total_headline_sec",

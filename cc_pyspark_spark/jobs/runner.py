@@ -382,6 +382,19 @@ def main(argv: list[str] | None = None) -> int:
 def main_with_args(args: argparse.Namespace) -> int:
     spark = build_session(app_name=f"cc-pyspark-spark:{args.job}", master=args.spark_master)
     spark.sparkContext.setLogLevel(args.log_level)
+    try:
+        return _dispatch_job(spark, args)
+    finally:
+        # Operator-internal persists (LSH band tables, adjacency, …)
+        # are tracked; free their blocks once the job's action ran so
+        # repeated invocations in a long-lived session don't accumulate
+        # cached partitions until eviction pressure (ADVICE r8).
+        from cc_pyspark_spark.caching import release_caches  # noqa: PLC0415
+
+        release_caches()
+
+
+def _dispatch_job(spark, args: argparse.Namespace) -> int:
     if args.job == "hostlinks_to_graph":
         # input = (s, t) edge table (parquet), output = <out>/vertices + <out>/edges
         from cc_pyspark_spark.operators.graph import host_links_to_graph  # noqa: PLC0415

@@ -5,9 +5,12 @@ as `binary` columns; decode / feature-extract / window-sample run as
 Arrow-batched `mapInPandas` stages. Unlike compressed codecs, RIFF/WAVE
 PCM needs no external library — the header walk and the int16/uint8
 sample decode are real, so the whole audio path ships un-stubbed.
-Compressed audio (MP3/AAC/OGG) would need a codec and degrades to a
-null/skip row (skip-and-count, like the reference's ArchiveLoadFailed
-handling in sparkcc.py:390-392 — one odd blob must never abort a job).
+Compressed audio (FLAC/OGG/MP3) decodes through the optional
+`soundfile` codec when installed (see decode_audio — r9, named-skip
+gated like the bs4/resiliparse HTML backends); without it those blobs
+degrade to a null/skip row (skip-and-count, like the reference's
+ArchiveLoadFailed handling in sparkcc.py:390-392 — one odd blob must
+never abort a job).
 
 100 TB notes: every stage is per-row over Arrow batches — zero shuffle;
 partitioning is inherited from the blob source, so colocating blobs by
@@ -91,6 +94,45 @@ def decode_pcm(blob: bytes) -> "tuple[np.ndarray, int] | None":
     return samples.reshape(n, ch), hdr["sample_rate"]
 
 
+def decode_audio(blob: bytes) -> "tuple[np.ndarray, int] | None":
+    """decode_pcm plus the gated compressed-audio fallback (r9).
+
+    PCM WAV decodes through the vendored pure-numpy path in every
+    environment. Anything decode_pcm declines (FLAC/OGG/MP3/float-WAV)
+    is offered to the optional `soundfile` (libsndfile) codec when that
+    library is installed — same named-skip convention as the
+    bs4/resiliparse HTML backends and the Pillow JPEG fallback.
+    External samples are requested as int16 and widened to int32, so
+    downstream integer feature math (peak/energy/zero-crossings) stays
+    bit-exact regardless of which path decoded. Returns
+    (frames int32 (n, ch), sample_rate) or None.
+    """
+    out = decode_pcm(blob)
+    if out is not None:
+        return out
+    return _external_audio_decode(blob)
+
+
+def _external_audio_decode(blob: bytes) -> "tuple[np.ndarray, int] | None":
+    if blob is None or len(blob) < 8:
+        return None
+    try:
+        import io  # noqa: PLC0415
+
+        import soundfile as sf  # noqa: PLC0415
+    except ImportError:
+        return None
+    try:
+        data, rate = sf.read(
+            io.BytesIO(bytes(blob)), dtype="int16", always_2d=True
+        )
+    except Exception:  # noqa: BLE001 — undecodable blob -> skip row
+        return None
+    if data.shape[0] == 0:
+        return None
+    return data.astype(np.int32), int(rate)
+
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("blob_id", T.LongType()),
@@ -115,7 +157,7 @@ def audio_features_batch(blobs: pd.Series) -> pd.DataFrame:
     """
     rows = []
     for b in blobs:
-        decoded = decode_pcm(b)
+        decoded = decode_audio(b)
         if decoded is None:
             rows.append(
                 {
@@ -200,7 +242,7 @@ def sample_audio_windows(
         for pdf in batches:
             rows = []
             for bid, blob in zip(pdf[id_col], pdf[blob_col]):
-                decoded = decode_pcm(blob)
+                decoded = decode_audio(blob)
                 if decoded is None:
                     continue
                 frames, _rate = decoded

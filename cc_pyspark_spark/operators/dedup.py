@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from cc_pyspark_spark.caching import track_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,9 +82,10 @@ def minhash_lsh_pairs(
     MinHash signatures, LSH banding, exact-Jaccard verification."""
     # Persisted: the shingle set feeds signature building AND exact
     # verification, and the band table is self-joined — without persist
-    # the scan+explode subtree runs 4×. Caller unpersists via
-    # `df.sparkSession.catalog.clearCache()` or lets LRU eviction run.
-    sh = _shingle_rows(docs, id_col, text_col, shingle_k).persist()
+    # the scan+explode subtree runs 4×. Tracked via caching.track_cache;
+    # callers release with `cc_pyspark_spark.caching.release_caches()`
+    # after materializing (the runner and bench.py do automatically).
+    sh = _shingle_rows(docs, id_col, text_col, shingle_k).persist().transform(track_cache)
     # Stable 63-bit positive IDs straight from the shingle bytes — no
     # global sort, no ID-assignment shuffle.
     ds = sh.select(
@@ -99,7 +102,7 @@ def minhash_lsh_pairs(
     band_rows = (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
         .select("doc_id", "bk.band", "bk.key")
-        .persist()
+        .persist().transform(track_cache)
     )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
@@ -260,7 +263,7 @@ def minhash_lsh_ml_pairs(
 
 # --------------------------- sign-bit LSH embedding dedup (Arrow path)
 #
-# The Spark-side compute for plans/dedup.py::dedup_embedding_scale.
+# The Spark-side compute for plans/dedup.py::dedup_embedding_fixture.
 # Signature + bucket verification run in Arrow-batched numpy, but every
 # floating-point reduction is an explicit LEFT FOLD over the dimension
 # index (acc = acc + x_i * w_i, one vectorized step per dimension), so
@@ -498,7 +501,7 @@ def incremental_embedding_candidates(
     some band by construction)."""
     delta = _sign_lsh_sig_frame(
         new_emb, band_bits, n_bands, id_col, vec_col
-    ).persist()
+    ).persist().transform(track_cache)
     bands = delta.select(
         "vec_id", F.posexplode_outer("sigs").alias("band", "bkey")
     )
@@ -650,7 +653,7 @@ def sign_lsh_pairs(
 
     # candidate-join verify: the band shuffle carries (vec_id, band,
     # bkey[, ex]) only; vectors join back in once per VERIFIED pair.
-    sig = sig.persist()  # signature UDF runs once for bands + verify
+    sig = sig.persist().transform(track_cache)  # signature UDF runs once for bands + verify
     bands = _explode(sig, ["vec_id"])
     if multiprobe:
         bands = _probe_expand(bands, ["vec_id"])
@@ -827,8 +830,8 @@ def simhash_pairs(
         "recall guarantee"
     )
     # Persisted: signatures feed banding AND verification (same
-    # caller-unpersists story as minhash_lsh_pairs above).
-    sig = simhash_signatures(docs, id_col, text_col, bits).persist()
+    # release_caches() lifecycle as minhash_lsh_pairs above).
+    sig = simhash_signatures(docs, id_col, text_col, bits).persist().transform(track_cache)
     width = bits // chunks
     chunk_structs = [
         F.struct(
@@ -902,7 +905,7 @@ def prefix_filter_jaccard_pairs(
     ).select(
         "doc_id",
         F.explode(F.array_distinct(shingles("toks", 3))).alias("token"),
-    ).persist()
+    ).persist().transform(track_cache)
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     arr = (
         tok.join(dfreq, "token")

@@ -22,9 +22,13 @@ Scope (documented, mirrored by tests):
   re-aligns.
 * OUT OF SCOPE -> None (skip-and-count discipline, never a task
   failure): progressive (SOF2), arithmetic coding (SOF9+), 12-bit
-  precision, 4-component CMYK/Adobe. Deployment swaps in Pillow for
-  those; the Spark-side plumbing (mapInPandas batches, null rows for
-  undecodable blobs) is identical either way.
+  precision, 4-component CMYK/Adobe. r9: environments WITH Pillow
+  installed decode these through the gated fallback in
+  operators/multimodal.py (`jpeg_out_of_scope` below is the gate —
+  external codecs run ONLY on format-out-of-scope frames, never on
+  corrupt baseline ones, so fixture determinism is Pillow-independent);
+  without Pillow they stay None and the pytest matrix reports a named
+  skip, same convention as the bs4/resiliparse HTML backends.
 
 Reference behavior: cc-pyspark leaves image bytes opaque; pixel decode
 is a beyond-reference capability for multimodal training-data
@@ -107,7 +111,10 @@ class _BitReader:
                 return False  # EOI / next segment
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # Trim already-consumed high bits before appending: without the
+        # mask `acc` grows a bignum over the whole entropy stream and
+        # every read_bit shift is O(bytes consumed) — O(n^2) per image.
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
         return True
 
@@ -118,11 +125,18 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
+        """Read an n-bit magnitude; -1 on ANY mid-read truncation.
+
+        Magnitudes are non-negative, so -1 is unambiguous.  Returning a
+        partially-read value here would feed _extend a garbage DC diff
+        and decode truncated crawl JPEGs to a garbage raster instead of
+        the documented None (skip-and-count).
+        """
         v = 0
         for _ in range(n):
             b = self.read_bit()
             if b < 0:
-                return -1 if v == 0 else v  # truncated stream
+                return -1  # truncated stream
             v = (v << 1) | b
         return v
 
@@ -172,7 +186,13 @@ def _decode_block(
     t = br.decode_symbol(dc_tab)
     if t < 0 or t > 11:
         return None
-    diff = _extend(br.receive(t), t) if t else 0
+    if t:
+        m = br.receive(t)
+        if m < 0:
+            return None  # truncated mid-magnitude: fail the frame
+        diff = _extend(m, t)
+    else:
+        diff = 0
     dc = pred + diff
     coef = np.zeros(64, dtype=np.float64)
     coef[0] = dc * quant[0]
@@ -190,7 +210,10 @@ def _decode_block(
         k += r
         if k > 63:
             return None
-        coef[k] = _extend(br.receive(s), s) * quant[k]
+        m = br.receive(s)
+        if m < 0:
+            return None  # truncated mid-magnitude: fail the frame
+        coef[k] = _extend(m, s) * quant[k]
         k += 1
     blk = np.zeros((8, 8), dtype=np.float64)
     blk.flat[_ZZ] = coef  # de-zigzag
@@ -211,6 +234,13 @@ def decode_jpeg(blob: bytes) -> "np.ndarray | None":
     try:
         while pos + 4 <= n:
             if blob[pos] != 0xFF:
+                return None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a
+            # marker; skip them so 0xFF 0xFF <id> doesn't misread the
+            # marker id as 0xFF and the next bytes as a segment length.
+            while pos + 4 <= n and blob[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > n:
                 return None
             marker = blob[pos + 1]
             if marker == 0xD9:  # EOI before SOS
@@ -367,3 +397,62 @@ def _decode_scan(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def jpeg_frame_info(blob: bytes) -> "dict | None":
+    """(marker, precision, n_components) of the first SOFn segment —
+    the three fields that decide whether the vendored baseline decoder
+    can handle the frame. None if the blob isn't a JPEG or has no SOF
+    before EOI. Header-walk only: never touches entropy data."""
+    if blob is None or len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(blob)
+    sof = {
+        0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+    }
+    try:
+        while pos + 4 <= n:
+            if blob[pos] != 0xFF:
+                return None
+            while pos + 4 <= n and blob[pos + 1] == 0xFF:
+                pos += 1  # T.81 B.1.1.2 fill bytes
+            if pos + 4 > n:
+                return None
+            marker = blob[pos + 1]
+            if marker == 0xD9:
+                return None
+            seglen = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+            if marker in sof:
+                seg = blob[pos + 4 : pos + 2 + seglen]
+                if len(seg) < 6:
+                    return None
+                return {
+                    "marker": marker,
+                    "precision": seg[0],
+                    "n_components": seg[5],
+                }
+            pos += 2 + seglen
+    except Exception:  # noqa: BLE001
+        return None
+    return None
+
+
+def jpeg_out_of_scope(blob: bytes) -> bool:
+    """True iff the blob is a structurally-valid JPEG whose FRAME TYPE
+    is outside the vendored baseline scope (progressive SOF2, any
+    arithmetic/lossless/hierarchical SOF, 12-bit precision, 4-component
+    CMYK/Adobe). This is the precise gate for the optional Pillow
+    fallback in operators/multimodal.py: format-out-of-scope frames may
+    try an external codec, while CORRUPT baseline frames must stay None
+    in every environment — otherwise engine output would depend on
+    whether Pillow happens to salvage truncated crawl data, and the
+    oracled image queries would lose determinism."""
+    info = jpeg_frame_info(blob)
+    if info is None:
+        return False
+    return (
+        info["marker"] not in (0xC0, 0xC1)
+        or info["precision"] != 8
+        or info["n_components"] not in (1, 3)
+    )

@@ -253,10 +253,40 @@ def decode_pixels(blob: bytes) -> "np.ndarray | None":
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
     if blob[:2] == b"\xff\xd8":
-        from cc_pyspark_spark.operators.jpeg import decode_jpeg  # noqa: PLC0415
+        from cc_pyspark_spark.operators.jpeg import (  # noqa: PLC0415
+            decode_jpeg,
+            jpeg_out_of_scope,
+        )
 
-        return decode_jpeg(bytes(blob))
+        out = decode_jpeg(bytes(blob))
+        if out is None and jpeg_out_of_scope(bytes(blob)):
+            # Format outside the vendored baseline scope (progressive/
+            # arithmetic/12-bit/CMYK): try the optional Pillow codec.
+            # Gated on jpeg_out_of_scope — NEVER on arbitrary decode
+            # failure — so corrupt baseline frames stay None whether or
+            # not Pillow is installed and oracled queries stay
+            # environment-independent.
+            out = _external_jpeg_pixels(bytes(blob))
+        return out
     return None
+
+
+def _external_jpeg_pixels(blob: bytes) -> "np.ndarray | None":
+    """Pillow-backed decode for JPEG frame types the vendored T.81
+    baseline decoder documents as out of scope. Returns None when
+    Pillow is absent (this container) or the blob still fails — the
+    caller's skip-and-count discipline is unchanged either way."""
+    try:
+        import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:  # noqa: BLE001 — undecodable blob -> skip row
+        return None
 
 
 def _gif_lzw(data: bytes, mcs: int, expected: int) -> "list[int] | None":

@@ -19,6 +19,8 @@ linear lineage growth, not the checkpoint cost).
 
 from __future__ import annotations
 
+from cc_pyspark_spark.caching import track_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,10 +36,10 @@ def pagerank(
         edges.select(F.col("s").alias("id"))
         .union(edges.select(F.col("t").alias("id")))
         .distinct()
-        .persist()
+        .persist().transform(track_cache)
     )
     n = vertices.count()
-    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist()
+    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist().transform(track_cache)
     # Same O(E)-ships-once adjacency layout as pagerank_fixed (r8):
     # degree attached once, cached pre-partitioned on the join key, so
     # per-iteration only the O(V) rank frame shuffles.
@@ -45,7 +47,7 @@ def pagerank(
         edges.join(out_deg, "s")
         .select("s", "t", "deg")
         .repartition("s")
-        .persist()
+        .persist().transform(track_cache)
     )
     adj.count()
 
@@ -131,10 +133,10 @@ def pagerank_fixed(
         edges.select(F.col("s").alias("id"))
         .union(edges.select(F.col("t").alias("id")))
         .distinct()
-        .persist()
+        .persist().transform(track_cache)
     )
     n = vertices.count()
-    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist()
+    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist().transform(track_cache)
     base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
 
     # Degree rides the edge list (attached ONCE), and the adjacency is
@@ -148,7 +150,7 @@ def pagerank_fixed(
         edges.join(out_deg, "s")
         .select("s", "t", "deg")
         .repartition("s")
-        .persist()
+        .persist().transform(track_cache)
     )
     adj.count()  # materialize the layout before the loop
 
@@ -215,7 +217,7 @@ def connected_components(
     # dedup_cluster_canonical) is recomputed O(iterations) times.
     sym = edges.select("s", "t").union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).persist()
+    ).persist().transform(track_cache)
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
@@ -286,59 +288,72 @@ def cc_alternating(
     work is unchanged (each round's edges compute once either way).
 
     ``rounds`` is fixed (deterministic plan for the oracle twin);
-    callers with unknown-diameter graphs should verify convergence via
-    the cheap fixed-point probe: one more round changing nothing.
+    callers with unknown-diameter graphs should use
+    :func:`cc_alternating_converged`, which runs the fixed-point probe
+    (a round that changes nothing) with a max-rounds guard.
     tests pin label equality with the propagation implementation on
     random graphs and a 64-node path (an independent-algorithm
     cross-check).
     """
+    e, verts = _cc_normalize(edges)
+    cur = e
+    for i in range(rounds):
+        cur = _star(_star(cur, large=True), large=False)
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return _cc_labels(cur, verts)
+
+
+def _cc_normalize(edges: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Canonical (a < b) distinct edge set + vertex frame, both cached
+    (the edge frame seeds the round loop; vertices label the output)."""
     e = (
         edges.select(
             F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .persist().transform(track_cache)
     )
     verts = (
         e.select(F.col("a").alias("id"))
         .union(e.select(F.col("b").alias("id")))
         .distinct()
-        .persist()
+        .persist().transform(track_cache)
+    )
+    return e, verts
+
+
+def _star(cur: DataFrame, large: bool) -> DataFrame:
+    """One large- or small-star rewiring round (Kiveris et al.)."""
+    sym = cur.select("a", "b").union(
+        cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.select(
+        "a", F.least(F.col("mn"), F.col("a")).alias("m")
+    )
+    joined = sym.join(mins, "a")
+    if large:
+        out = joined.filter(F.col("b") > F.col("a")).select(
+            F.col("b").alias("x"), F.col("m").alias("y")
+        )
+    else:
+        out = (
+            joined.filter(F.col("b") <= F.col("a"))
+            .select(F.col("b").alias("x"), F.col("m").alias("y"))
+            .union(joined.select(F.col("a").alias("x"), F.col("m").alias("y")))
+        )
+    return (
+        out.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
 
-    def star(cur: DataFrame, large: bool) -> DataFrame:
-        sym = cur.select("a", "b").union(
-            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
-        mins = mins.select(
-            "a", F.least(F.col("mn"), F.col("a")).alias("m")
-        )
-        joined = sym.join(mins, "a")
-        if large:
-            out = joined.filter(F.col("b") > F.col("a")).select(
-                F.col("b").alias("x"), F.col("m").alias("y")
-            )
-        else:
-            out = (
-                joined.filter(F.col("b") <= F.col("a"))
-                .select(F.col("b").alias("x"), F.col("m").alias("y"))
-                .union(joined.select(F.col("a").alias("x"), F.col("m").alias("y")))
-            )
-        return (
-            out.select(
-                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
 
-    cur = e
-    for i in range(rounds):
-        cur = star(star(cur, large=True), large=False)
-        if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+def _cc_labels(cur: DataFrame, verts: DataFrame) -> DataFrame:
     # star forest -> labels: the min neighbor is the root; roots and
     # isolated vertices label themselves
     root = (
@@ -350,6 +365,51 @@ def cc_alternating(
     )
     return verts.join(root, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+def cc_alternating_converged(
+    edges: DataFrame,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Deployment wrapper for :func:`cc_alternating` on graphs of
+    UNKNOWN diameter: alternate large-star/small-star until a full
+    round changes nothing, instead of trusting a caller-chosen fixed
+    round count (the r8 footgun — a too-small `rounds` silently
+    returns wrong labels on a deeper-than-expected graph).
+
+    Fixed-point probe, per round: the canonical edge set is distinct
+    and only ever rewires toward smaller ids, so after checkpointing a
+    round's result the probe is one `count()` over cached data plus —
+    only when counts match — one `exceptAll` emptiness check.  The
+    count gate makes the common (still-contracting) rounds pay a
+    single cheap action; the exact set comparison only runs near
+    convergence.  Star alternation converges in O(log^2 n) rounds
+    proven / O(log n) practical, so `max_rounds=40` covers any graph
+    that fits in an exabyte; exhausting it means the input violates
+    the algorithm's contract (e.g. nondeterministic edge source) and
+    raises rather than returning silently-unconverged labels.
+
+    Same output contract and label equality as :func:`cc_alternating`
+    (pinned in tests on path graphs, random graphs, and the fixture's
+    near-dup clusters — including diameter-64 paths where a fixed
+    rounds=3 would be wrong).
+    """
+    e, verts = _cc_normalize(edges)
+    cur = e.localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and cur.exceptAll(nxt).isEmpty():
+            return _cc_labels(nxt, verts)
+        cur, n_cur = nxt, n_nxt
+    raise RuntimeError(
+        f"cc_alternating_converged: no fixed point within {max_rounds} "
+        "rounds — star alternation converges in O(log^2 n); check the "
+        "edge source for nondeterminism"
     )
 
 
@@ -455,11 +515,11 @@ def bfs_hops(
     """
     sym = edges.select("s", "t").union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).persist()
+    ).persist().transform(track_cache)
     verts = sym.select(F.col("s").alias("id")).distinct()
     settled = sources.select(
         "id", F.lit(0).cast("bigint").alias("hops")
-    ).join(verts, "id", "left_semi").persist()
+    ).join(verts, "id", "left_semi").persist().transform(track_cache)
     frontier = settled
     for i in range(max_iter):
         cand = (

@@ -13,6 +13,8 @@ exactly equals brute force — the invariant the tests pin.
 
 from __future__ import annotations
 
+from cc_pyspark_spark.caching import track_cache
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -46,7 +48,7 @@ def ivf_build(
     from pyspark.ml.clustering import KMeans  # noqa: PLC0415
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: PLC0415
 
-    norm = _normalized(emb, id_col, vec_col).persist()
+    norm = _normalized(emb, id_col, vec_col).persist().transform(track_cache)
     feats = norm.withColumn("features", array_to_vector("v"))
     model = KMeans(k=k, seed=seed, maxIter=10).fit(feats)
     centroids = feats.sparkSession.createDataFrame(

@@ -26,6 +26,8 @@ counts cast to BIGINT (DuckDB SUM/COUNT widen to HUGEINT).
 
 from __future__ import annotations
 
+from cc_pyspark_spark.caching import track_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -826,7 +828,7 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         c4_clean_frame(aug, carry=("lang",))
         .filter(F.col("c4_pass") == 1)
         .select("doc_id", "lang", F.col("cleaned_text").alias("text"))
-        .persist()
+        .persist().transform(track_cache)
     )
     pairs = minhash_lsh_pairs(cleaned, threshold=0.5)
     edges = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("t"))
@@ -902,7 +904,7 @@ def dataset_card_frame(documents: DataFrame) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("fp"),
         F.size(tokenize("text")).cast("bigint").alias("n_tok"),
         F.length("text").cast("bigint").alias("n_chars"),
-    ).persist()
+    ).persist().transform(track_cache)
     tot = per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
@@ -931,4 +933,155 @@ def dataset_card_frame(documents: DataFrame) -> DataFrame:
             (F.col("n_docs") * F.col("n_docs") - F.col("sum_c2")).cast("double")
             / (F.col("n_docs") * F.col("n_docs")).cast("double")
         ).alias("lang_gini"),
+    )
+
+
+# --------------------------------------------------------------- DSIR (r9)
+
+#: Feature-hash bucket count for DSIR importance weights. Bounded and
+#: SMALL on purpose: the per-bucket ratio table is O(m) rows whatever
+#: the corpus size, so it always broadcasts and the scoring pass stays
+#: map-only. 2^13 matches the hashed-bigram regime of the DSIR paper's
+#: smallest configs and populates densely even on the sf0.001 fixture.
+DSIR_BUCKETS = 8192
+#: Target distribution = the English subset (the fixture's stand-in
+#: for "high-quality target corpus" — swap for any predicate).
+DSIR_TARGET_LANG = "en"
+
+_DSIR_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+_DSIR_TOKS_DUCK = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+
+def _duck_dsir_oracle() -> str:
+    m = DSIR_BUCKETS
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DSIR_TOKS_DUCK} AS toks FROM documents
+), g AS (
+  SELECT doc_id, lang, unnest(
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+  ) AS g FROM t
+), bg AS (
+  SELECT doc_id, lang,
+         ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(g) + 1),
+                            i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 1000003) * 2654435761) % {m}) AS b
+  FROM g
+), stats AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct
+  FROM bg GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS r, CAST(SUM(ct) AS BIGINT) AS tt
+  FROM stats
+), lr AS (
+  SELECT b,
+         CAST(2 * ((ct + 1) * (r + {m}) - (cr + 1) * (tt + {m})) AS DOUBLE)
+       / CAST((ct + 1) * (r + {m}) + (cr + 1) * (tt + {m}) AS DOUBLE) AS lr
+  FROM stats CROSS JOIN tot
+), cnts AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(CAST(cnt AS DOUBLE) * lr ORDER BY cnts.b)),
+                     (a, x) -> a + x) AS weight
+  FROM cnts JOIN lr ON cnts.b = lr.b GROUP BY 1
+), docs AS (
+  SELECT d.doc_id, COALESCE(p.n_feats, CAST(0 AS BIGINT)) AS n_feats,
+         COALESCE(p.weight, 0.0) AS weight
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+), med AS (SELECT quantile_cont(weight, 0.5) AS med FROM docs)
+SELECT doc_id, n_feats, weight, weight > med AS selected
+FROM docs CROSS JOIN med
+"""
+
+
+@register(
+    "curation_dsir_importance",
+    oracle=_duck_dsir_oracle(),
+    description="DSIR-style importance weighting (Xie et al. 2023, "
+    "Data Selection via Importance Resampling): hashed-bigram bucket "
+    "distributions of the TARGET subset (lang=en) vs the RAW corpus, "
+    "add-1 smoothing, per-document weight = sum of per-feature "
+    "log-ratio surrogates, selection gate = above the corpus median. "
+    "The log-ratio uses the Pade approximant 2(p-q)/(p+q) computed "
+    "from EXACT integer numerators/denominators with one double "
+    "divide per bucket, so DuckDB replays it bit-for-bit (ln() is "
+    "1-ulp engine-dependent — the text_top_terms_tfidf convention); "
+    "per-doc sums fold in bucket order (sort_array / list ORDER BY). "
+    "Scale: the bucket table is <= 8192 rows at ANY corpus size -> "
+    "ratio table always broadcasts, scoring is one groupBy(doc_id, b) "
+    "plus a map-side broadcast join; the integer products hold to "
+    "~10^9-bigram corpora per the docstring bound — past that switch "
+    "the ratio arithmetic to doubles (the selection gate, not the "
+    "8-byte weight values, is the deployable output)",
+    tags=("curation", "text", "scale"),
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = DSIR_BUCKETS
+    t = Catalog(spark, sf_dir)
+    bg = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
+    )
+    bucket = (
+        "transform(bg, g -> ((aggregate(transform(sequence(1, length(g)), "
+        "i -> ascii(substring(g, i, 1))), 0L, "
+        "(a, c) -> (a * 31 + c) % 1000003) "
+        f"* 2654435761L) % {m}L))"
+    )
+    feats = (
+        t.documents.select("doc_id", "lang", F.expr(_DSIR_TOKS).alias("toks"))
+        .select("doc_id", "lang", F.expr(bg).alias("bg"))
+        .select("doc_id", "lang", F.explode(F.expr(bucket)).alias("b"))
+    )
+    stats = feats.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("bigint").alias("ct"),
+    )
+    tot = stats.agg(
+        F.sum("cr").cast("bigint").alias("r"),
+        F.sum("ct").cast("bigint").alias("tt"),
+    )
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.expr(f"cast(2 * ((ct + 1) * (r + {m}) - (cr + 1) * (tt + {m})) as double)")
+            / F.expr(f"cast((ct + 1) * (r + {m}) + (cr + 1) * (tt + {m}) as double)")
+        ).alias("lr"),
+    )
+    cnts = feats.groupBy("doc_id", "b").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    terms = cnts.join(F.broadcast(lr), "b").select(
+        "doc_id", "b", (F.col("cnt").cast("double") * F.col("lr")).alias("term"), "cnt"
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_feats"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(b, term))), "
+            "cast(0.0 as double), (a, x) -> a + x.term)"
+        ).alias("weight"),
+    )
+    docs = (
+        t.documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0).cast("bigint")).alias("n_feats"),
+            F.coalesce("weight", F.lit(0.0)).alias("weight"),
+        )
+    )
+    med = docs.agg(F.expr("percentile(weight, 0.5)").alias("med"))
+    return docs.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "n_feats",
+        "weight",
+        (F.col("weight") > F.col("med")).alias("selected"),
     )

@@ -20,6 +20,8 @@ so the two engines agree only if both formulations are correct.
 
 from __future__ import annotations
 
+from cc_pyspark_spark.caching import track_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -166,7 +168,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
     ).unionAll(
         raw.select((2 * F.col("s") + 1).alias("s"), (2 * F.col("c")).alias("t"))
-    ).persist()
+    ).persist().transform(track_cache)
     return pagerank_fixed(
         edges, n_iter=_PR_ITER, damping_pct=85, assume_no_dangling=True
     )

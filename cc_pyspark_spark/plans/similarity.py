@@ -15,6 +15,8 @@ rounding fudge.
 
 from __future__ import annotations
 
+from cc_pyspark_spark.caching import track_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1400,7 +1402,7 @@ def sim_eval_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_cosine_topk(spark, sf_dir)
         .filter(F.col("rnk") <= IVF_TOP_K)
         .select("q_id", "n_id")
-        .persist()
+        .persist().transform(track_cache)
     )
     arms = [
         ("ivf", sim_ann_ivf(spark, sf_dir)),

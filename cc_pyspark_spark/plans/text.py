@@ -14,6 +14,8 @@ Python UDFs — that is the 100 TB design constraint.
 
 from __future__ import annotations
 
+from cc_pyspark_spark.caching import track_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -898,7 +900,7 @@ def bigram_lm_scores_frame(
     # (c2/c1) AND scoring. Without the persists the parquet scan +
     # regex tokenizer subtree runs 4x (same discipline as minhash's
     # shared shingle frame) — at 100 TB that is 3 wasted corpus passes.
-    tokd = documents.select("doc_id", tokenize("text").alias("toks")).persist()
+    tokd = documents.select("doc_id", tokenize("text").alias("toks")).persist().transform(track_cache)
     docs = tokd.filter(F.size("toks") >= 2)
     bg = docs.select(
         "doc_id",
@@ -908,7 +910,7 @@ def bigram_lm_scores_frame(
                 "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
             )
         ).alias("pos", "s"),
-    ).select("doc_id", "pos", "s.w1", "s.w2").persist()
+    ).select("doc_id", "pos", "s.w1", "s.w2").persist().transform(track_cache)
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # Full-corpus vocabulary (including <2-token docs, as the oracle's
@@ -1196,4 +1198,86 @@ def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("s") / (F.lit(1.0) + F.abs("s"))).alias("score"),
         (F.col("s") > F.lit(0.0)).alias("is_positive"),
+    )
+
+
+# ------------------------------------------------------ n-gram novelty (r9)
+
+#: Deterministic reference split for novelty scoring: doc_id % 4 == 0
+#: (25%) is the "seen" corpus; the other 75% are scored against it.
+#: A modulus split rather than a lang/source predicate so every query
+#: doc has non-trivial novelty (a doc scored against a set containing
+#: itself is trivially 0).
+NOVELTY_REF_MOD = 4
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+  ))) AS s FROM t
+),
+ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % {NOVELTY_REF_MOD} = 0),
+qry AS (SELECT doc_id, s FROM sh WHERE doc_id % {NOVELTY_REF_MOD} <> 0),
+seen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM qry WHERE s IN (SELECT s FROM ref) GROUP BY 1
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM qry GROUP BY 1
+)
+SELECT tot.doc_id, n_shingles,
+       COALESCE(n_seen, CAST(0 AS BIGINT)) AS n_seen,
+       CAST(n_shingles - COALESCE(n_seen, 0) AS DOUBLE)
+         / CAST(n_shingles AS DOUBLE) AS novelty
+FROM tot LEFT JOIN seen ON tot.doc_id = seen.doc_id
+""",
+    description="Per-document n-gram novelty vs a reference corpus "
+    "(the complement of memorization/contamination scoring): fraction "
+    "of a document's distinct 3-gram shingles ABSENT from the "
+    "deterministic 25% reference split — the signal data-mixing "
+    "pipelines use to prefer documents that add new content over "
+    "paraphrases of what the corpus already holds. One shuffle keyed "
+    "by shingle (left-semi against the reference set) + one per-doc "
+    "count; novelty is an exact integer ratio with a single double "
+    "divide. At 100 TB the reference side is the big one — the "
+    "left-semi join is the exact path; a broadcast Bloom filter over "
+    "reference shingle hashes is the approximate pre-filter (same "
+    "plan, one more map stage) when the reference set exceeds "
+    "shuffle-comfortable size",
+    tags=("text", "curation", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    sh = t.documents.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).select(
+        "doc_id", F.explode(F.array_distinct(shingles("toks", 3))).alias("s")
+    )
+    ref = (
+        sh.filter(F.col("doc_id") % NOVELTY_REF_MOD == 0).select("s").distinct()
+    )
+    qry = sh.filter(F.col("doc_id") % NOVELTY_REF_MOD != 0)
+    seen = (
+        qry.join(ref, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_seen"))
+    )
+    tot = qry.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    return tot.join(seen, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_seen", F.lit(0).cast("bigint")).alias("n_seen"),
+        (
+            (
+                F.col("n_shingles")
+                - F.coalesce(F.col("n_seen"), F.lit(0).cast("bigint"))
+            ).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
     )

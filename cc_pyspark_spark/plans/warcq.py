@@ -49,6 +49,19 @@ def derived_warc_manifest(spark: SparkSession, sf_dir: str) -> str:
     `_N_FILES`-row manifest, so the fixture build scales with sf like
     any other operator. Concurrent builders converge on identical
     bytes (fixed WARC date/ids, doc_id-sorted shard interiors).
+
+    Filesystem assumption (ADVICE r8): tasks write shards under a
+    ``/tmp`` path that the driver then reads for the manifest — correct
+    in local mode (this test/bench harness) or when ``/tmp`` is a
+    shared filesystem. On a multi-node cluster point `out_dir` at
+    cluster storage (HDFS/S3 via the sources/fetch.py backends) — the
+    applyInPandas sharding itself is already cluster-correct; only the
+    publish path is local-mode-scoped here, because the derived corpus
+    is a correctness fixture, not a production sink (production WARC
+    writing is operators/wet.py, which publishes via the job's output
+    path). A shard whose residue class holds zero docs (fixtures
+    smaller than `_N_FILES`) is backfilled driver-side as a valid
+    header-only archive so all `_N_FILES` archives always publish.
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -114,6 +127,23 @@ def derived_warc_manifest(spark: SparkSession, sf_dir: str) -> str:
         os.path.join(out_dir, f"docs-{fi:02d}.warc.gz")
         for fi in range(_N_FILES)
     ]
+    for p in paths:
+        if os.path.exists(p):
+            continue
+        # Empty residue class (tiny fixture): publish a header-only
+        # archive — a warcinfo record with zero responses is a valid
+        # WARC and keeps the manifest at exactly _N_FILES entries.
+        from cc_pyspark_spark.sources.warcio_lite import WarcWriter  # noqa: PLC0415
+
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            w = WarcWriter(fh, gzip_members=True)
+            w.write_record(
+                "warcinfo",
+                b"software: cc-pyspark-spark derived-docs fixture\r\n",
+                content_type="application/warc-fields",
+            )
+        os.replace(tmp, p)
     missing = [p for p in paths if not os.path.exists(p)]
     if missing:
         raise RuntimeError(f"WARC fixture shards not published: {missing}")

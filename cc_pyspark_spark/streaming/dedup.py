@@ -186,3 +186,127 @@ def ingest_dedup_batch(
     bands.write.mode("overwrite").parquet(
         os.path.join(index_dir, f"epoch={batch_id}")
     )
+
+
+def incremental_embedding_stream(
+    stream: DataFrame,
+    index_dir: str,
+    vectors_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int | None = None,
+    n_bands: int | None = None,
+    multiprobe: int = 0,
+):
+    """Continuous embedding near-dup ingestion — the streaming twin of
+    the batch `dedup_embedding_delta` pattern (operators/dedup.py
+    sign_lsh_band_index + sign_lsh_vectors +
+    incremental_embedding_candidates), mirroring
+    :func:`incremental_index_stream`'s minhash shape exactly: each
+    micro-batch of embeddings is (1) probed against the PERSISTED
+    sign-LSH band index of everything ingested before it — emitting
+    verified (new_id, old_id, cos) pairs — and (2) appended to BOTH
+    state tables: the (vec_id, band, bkey) band index and the
+    (vec_id, v, nrm) vector table candidates verify against (norms
+    precomputed at ingest, raw embeddings never rescanned).
+
+    Same exactly-once discipline as the minhash twin (r7 ADVICE): every
+    write is a per-epoch/per-batch subdirectory with mode("overwrite"),
+    so a replayed batch rewrites exactly its own files; the epoch
+    partition column doubles as the probe guard (`epoch < batch_id`),
+    keeping a retry from probing its own bands. State lives in the
+    table layer (shared with batch consumers), not the state store.
+
+    Returns the StreamingQuery (caller awaits/stops).
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        ingest_embedding_batch(
+            batch, batch_id, index_dir, vectors_dir, pairs_dir, threshold,
+            id_col=id_col, vec_col=vec_col,
+            band_bits=band_bits, n_bands=n_bands, multiprobe=multiprobe,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_embedding_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    vectors_dir: str,
+    pairs_dir: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int | None = None,
+    n_bands: int | None = None,
+    multiprobe: int = 0,
+) -> None:
+    """One micro-batch of continuous embedding dedup — module-level so
+    replay idempotency is directly testable (same contract as
+    :func:`ingest_dedup_batch`): calling it twice with the same
+    ``batch_id`` must leave index, vectors, and pair output identical.
+
+    The batch's signature UDF runs once per state table (bands,
+    vectors) plus once inside the probe — O(3·|delta|) Arrow work per
+    batch, delta-sized and map-only, irrelevant next to the probe join.
+    """
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+        SIGN_LSH_PROD_BAND_BITS,
+        SIGN_LSH_PROD_BANDS,
+        incremental_embedding_candidates,
+        sign_lsh_band_index,
+        sign_lsh_vectors,
+    )
+
+    bb = SIGN_LSH_PROD_BAND_BITS if band_bits is None else band_bits
+    nb = SIGN_LSH_PROD_BANDS if n_bands is None else n_bands
+    spark = batch.sparkSession
+    if batch.isEmpty():
+        return
+    try:
+        idx = spark.read.parquet(index_dir)
+        vecs = spark.read.parquet(vectors_dir)
+        have_state = True
+    except Exception:  # noqa: BLE001 — cold start: no state yet
+        have_state = False
+    if have_state:
+        # epoch guard: a replayed batch must not probe its own rows
+        pairs = incremental_embedding_candidates(
+            batch,
+            idx.filter(F.col("epoch") < batch_id).drop("epoch"),
+            vecs.filter(F.col("epoch") < batch_id).drop("epoch"),
+            threshold,
+            band_bits=bb,
+            n_bands=nb,
+            id_col=id_col,
+            vec_col=vec_col,
+            multiprobe=multiprobe,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+    # per-epoch subdirectory + overwrite == idempotent on replay
+    sign_lsh_band_index(
+        batch, bb, nb, id_col=id_col, vec_col=vec_col
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"epoch={batch_id}")
+    )
+    sign_lsh_vectors(
+        batch, bb, nb, id_col=id_col, vec_col=vec_col
+    ).write.mode("overwrite").parquet(
+        os.path.join(vectors_dir, f"epoch={batch_id}")
+    )

@@ -17,6 +17,24 @@ def spark():
     yield spark
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Free operator-internal persists after every test.
+
+    The whole suite shares ONE local JVM; without this, ~160 oracled
+    queries' LSH band tables / adjacency frames accumulate as cached
+    blocks over the 13-minute session until broadcast builds start
+    failing with notEnoughMemoryToBuildAndBroadcastTableError late in
+    the run (observed r9). Releasing per-test is always correct —
+    plans recompute — and exercises the production cache-lifecycle
+    contract (ADVICE r8) on every test.
+    """
+    yield
+    from cc_pyspark_spark.caching import release_caches
+
+    release_caches()
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

@@ -491,3 +491,79 @@ def test_decoder_never_raises_on_mutations():
         assert out is None or (
             out.ndim == 3 and out.shape[2] == 3 and out.dtype == np.uint8
         )
+
+
+# ---------------------------------------------------------------- r9 fixes
+
+
+def test_bitreader_acc_stays_bounded():
+    """The accumulator must trim consumed bits in _fill: without the
+    mask it grows a bignum over the entire entropy stream and every
+    read_bit shift becomes O(bytes consumed) — O(n^2) per image, i.e.
+    tens of minutes for a ~1 MB crawl JPEG inside mapInPandas."""
+    from cc_pyspark_spark.operators.jpeg import _BitReader
+
+    data = bytes([0xAB, 0xCD] * 5000)  # no 0xFF: all bytes consumable
+    br = _BitReader(data, 0)
+    bits = []
+    for i in range(8 * len(data)):
+        bits.append(br.read_bit())
+        if i % 997 == 0:
+            assert br.acc.bit_length() <= br.nbits + 8
+    assert br.acc.bit_length() <= 8
+    # value correctness survives the masking
+    want = []
+    for b in data:
+        want.extend((b >> k) & 1 for k in range(7, -1, -1))
+    assert bits == want
+
+
+def test_large_decode_is_linear_time():
+    """~65k entropy-coded blocks of noise must decode in seconds, not
+    minutes (the pre-fix bignum reader measured 9.3 s at 256px and
+    scaled ~13x per 4x data)."""
+    import time
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (256, 256, 3)).astype(np.uint8)
+    blob = encode_jpeg(rgb)
+    t0 = time.monotonic()
+    out = decode_jpeg(blob)
+    dt = time.monotonic() - t0
+    assert out is not None and out.shape == (256, 256, 3)
+    assert dt < 5.0, f"256px decode took {dt:.2f}s — bit reader is superlinear"
+
+
+def test_truncated_mid_entropy_returns_none_not_garbage():
+    """receive() must signal mid-magnitude truncation (None frame),
+    never return a partial value that _extend turns into a garbage DC
+    diff — truncated JPEGs are routine in crawl data."""
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    blob = encode_jpeg(rgb)
+    sos = blob.find(bytes([0xFF, 0xDA]))
+    assert sos > 0
+    entropy_start = sos + 2 + int.from_bytes(blob[sos + 2 : sos + 4], "big")
+    # cut at several points strictly inside the entropy segment: bits
+    # for later MCUs are missing, so the frame must fail, not decode.
+    for frac in (0.25, 0.5, 0.75, 0.9):
+        cut = entropy_start + int((len(blob) - 2 - entropy_start) * frac)
+        assert decode_jpeg(blob[:cut]) is None, f"cut at {frac}"
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF pad bytes before a
+    marker; 0xFF 0xFF must not be misread as marker id 0xFF with the
+    following bytes as a segment length."""
+    rng = np.random.RandomState(17)
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    blob = encode_jpeg(rgb)
+    want = decode_jpeg(blob)
+    assert want is not None
+    for marker in (0xDB, 0xC4, 0xC0, 0xDA):
+        i = blob.find(bytes([0xFF, marker]))
+        assert i > 0
+        padded = blob[:i] + b"\xff" * 3 + blob[i:]
+        got = decode_jpeg(padded)
+        assert got is not None, f"fill bytes before FF{marker:02X} broke decode"
+        assert (got == want).all()

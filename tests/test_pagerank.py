@@ -263,3 +263,70 @@ def test_cc_alternating_property_random_graphs(spark):
             for r in connected_components(df, max_iter=60).collect()
         }
         assert a == b, f"mismatch on case with {len(edges)} edges"
+
+
+def test_cc_converged_equals_propagation_without_round_knob(spark):
+    """The deployment wrapper (VERDICT r8 ask #3) must find the fixed
+    point on its own: same labels as min-label propagation on a
+    64-node path (where the r8 fixed rounds=3 default would be wrong)
+    plus a random graph — no caller-chosen round count anywhere."""
+    import random
+
+    from cc_pyspark_spark.operators.pagerank import (
+        cc_alternating,
+        cc_alternating_converged,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    path = [(2000 + i, 2000 + i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges + path, "s long, t long")
+    conv = {
+        (r["id"], r["component"])
+        for r in cc_alternating_converged(df).collect()
+    }
+    prop = {
+        (r["id"], r["component"])
+        for r in connected_components(df, max_iter=80).collect()
+    }
+    assert conv == prop
+    # and the footgun the wrapper removes is real: 1 fixed round is NOT
+    # enough for the 64-path, so a fixed-round caller must know n
+    under = {
+        (r["id"], r["component"])
+        for r in cc_alternating(df, rounds=1).collect()
+    }
+    assert under != prop
+
+
+def test_cc_converged_max_rounds_guard(spark):
+    """Exhausting max_rounds raises (never silently-unconverged labels)."""
+    import pytest as _pytest
+
+    from cc_pyspark_spark.operators.pagerank import cc_alternating_converged
+
+    path = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(path, "s long, t long")
+    with _pytest.raises(RuntimeError, match="no fixed point"):
+        cc_alternating_converged(df, max_rounds=1)
+    # and with the default guard the same graph converges fine
+    out = cc_alternating_converged(df)
+    assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_cc_converged_registered_query_matches_fixed_twin(spark):
+    """graph_cc_converged (registered) == graph_cc_alternating on the
+    fixture — identical labels, same oracle."""
+    from cc_pyspark_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = {
+        tuple(r)
+        for r in QUERIES["graph_cc_converged"].spark(spark, sf).collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["graph_cc_alternating"].spark(spark, sf).collect()
+    }
+    assert a == b

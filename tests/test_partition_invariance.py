@@ -54,7 +54,7 @@ CHECK = [
     # in dimension order (numpy per-bucket vs JVM zip_with) — re-layout
     # must not perturb the last ulp on either path, nor the
     # Hamming-1-probed candidate set.
-    "dedup_embedding_scale",
+    "dedup_embedding_fixture",
     "dedup_embedding_scale_wide",
     "dedup_embedding_scale_probe",
     "dedup_embedding_delta",
@@ -63,6 +63,15 @@ CHECK = [
     # r8: star-alternation CC (pure integer min-algebra; the direct pin
     # that round count and layout cannot interact).
     "graph_cc_alternating",
+    # r9: the auto-convergence wrapper — layout must not change WHERE
+    # the fixed point lands, only (possibly) which round finds it.
+    "graph_cc_converged",
+    # r9: DSIR weights fold per-doc terms in bucket order and gate on
+    # an interpolated median of doubles — both must survive re-layout.
+    "curation_dsir_importance",
+    # r9: novelty is an integer ratio; the pin is on the semi-join
+    # candidate set being layout-independent.
+    "text_ngram_novelty",
 ]
 
 

@@ -133,14 +133,14 @@ def test_bucketed_join_has_no_shuffle(spark):
 
 
 def test_embedding_scale_single_wide_shuffle(spark):
-    """dedup_embedding_scale: the only wide shuffles are the (band,
+    """dedup_embedding_fixture: the only wide shuffles are the (band,
     bucket) groupBy and the final distinct — no cartesian, no
     vector-table re-join, no extra exchanges from the signature stage."""
     from cc_pyspark_spark.plans.registry import QUERIES
 
     import re
 
-    df = QUERIES["dedup_embedding_scale"].spark(spark, SF_DIR)
+    df = QUERIES["dedup_embedding_fixture"].spark(spark, SF_DIR)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )

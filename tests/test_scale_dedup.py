@@ -165,7 +165,7 @@ def test_embedding_scale_prunes_but_recalls(spark):
         (r["a_id"], r["b_id"])
         for r in QUERIES["dedup_embedding_cosine"].spark(spark, sf).collect()
     }
-    lsh_df = QUERIES["dedup_embedding_scale"].spark(spark, sf)
+    lsh_df = QUERIES["dedup_embedding_fixture"].spark(spark, sf)
     lsh = {(r["a_id"], r["b_id"]) for r in lsh_df.collect()}
     assert base, "fixture has no cosine-dup pairs?"
     assert lsh <= base  # every returned pair really meets the threshold
