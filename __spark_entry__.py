@@ -35,13 +35,16 @@ from cc_pyspark_spark.plans import QUERIES
 #: `scale` tag and the benched name always denote deployed geometry.
 #:
 #: Round-9 rotation (VERDICT r8 ask #1): the 26 non-core slots take
-#: (a) ALL 22 remaining r1-stale names, and (b) first rows for the
-#: FOUR names new in r9 (dedup_embedding_fixture, graph_cc_converged,
-#: curation_dsir_importance, text_ngram_novelty) — preserving the
-#: invariant that every registered query has a driver row from its
-#: first registered round.
+#: (a) ALL 22 remaining r1-stale names, and (b) first rows for four
+#: of the six names new in r9 (dedup_embedding_fixture,
+#: graph_cc_converged, curation_dsir_importance, text_ngram_novelty).
+#: The two registered after the window filled (text_pii_redaction,
+#: embedding_kcenter_coreset) are sf0.001+sf0.01 parity-green in
+#: pytest/driver_sim this round and head the r10 window (the r7→r8
+#: late-registration precedent).
 #:
-#: r10 rotation plan: the 24 r2-stale names
+#: r10 rotation plan: text_pii_redaction and
+#: embedding_kcenter_coreset first, then the 24 r2-stale names
 #: (agg_collect_sorted_list, agg_count_by_key, agg_distinct_pairs,
 #: curation_contamination, curation_repetition_signals,
 #: dedup_embedding_cosine, dedup_minhash_lsh, dedup_ngram_jaccard,

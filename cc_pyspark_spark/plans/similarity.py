@@ -1426,3 +1426,115 @@ def sim_eval_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ----------------------------------------------------- k-center coreset (r9)
+
+#: Centers selected by the greedy farthest-point (Gonzalez) sweep —
+#: the classic 2-approximation for the k-center objective, used in
+#: data curation as coreset/diversity selection: each round adds the
+#: vector FARTHEST (min-distance) from everything selected so far, so
+#: k rounds cover the embedding space's extremes instead of its modes
+#: (the complement of k-means, which picks density centers).
+KCENTER_K = 4
+
+_KC_D = (
+    "aggregate(zip_with(pv, cv, (a, b) -> (a - b) * (a - b)), "
+    "cast(0.0 as double), (acc, z) -> acc + z)"
+)
+
+
+def _duck_kcenter_oracle(k: int = KCENTER_K) -> str:
+    d = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "range(1, len(p.v) + 1), i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), "
+        "(a, b) -> a + b)"
+    )
+    parts = [
+        "pts AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "cents1 AS (SELECT CAST(0 AS BIGINT) AS rnk, vec_id, v FROM pts "
+        "ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"s{r} AS (SELECT p.vec_id, MIN({d}) AS dmin "
+            f"FROM pts p CROSS JOIN cents{r} c GROUP BY 1)"
+        )
+        parts.append(
+            f"n{r} AS (SELECT CAST({r} AS BIGINT) AS rnk, s.vec_id, p.v "
+            f"FROM s{r} s JOIN pts p ON s.vec_id = p.vec_id "
+            f"ORDER BY s.dmin DESC, s.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"cents{r + 1} AS (SELECT * FROM cents{r} "
+            f"UNION ALL SELECT * FROM n{r})"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+a AS (
+  SELECT p.vec_id, c.vec_id AS center_id, {d} AS d,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY {d}, c.vec_id) AS rn
+  FROM pts p CROSS JOIN cents{k} c
+)
+SELECT vec_id, center_id, d FROM a WHERE rn = 1
+"""
+    )
+
+
+@register(
+    "embedding_kcenter_coreset",
+    oracle=_duck_kcenter_oracle(),
+    description="Greedy farthest-point (Gonzalez) k-center coreset "
+    "selection over the embedding corpus — k=4 rounds, each adding "
+    "the vector with the LARGEST min-distance to the selected set "
+    "(deterministic: squared-euclidean folds in dimension order, "
+    "global top-1 tie-broken by vec_id), then every vector assigned "
+    "to its nearest center (row_number over (d, center_id)). The "
+    "diversity-selection complement of embedding_kmeans_lloyd. "
+    "Collect-free: the center set is a k-row DataFrame grown by "
+    "union each round, always BROADCAST to the N-row side, so each "
+    "round is one broadcast join + one TakeOrdered(1) global top-1 — "
+    "no shuffle of the corpus, ever; k scans total (pts persisted). "
+    "For k beyond ~16 checkpoint the center frame every few rounds "
+    "(lineage doubles per round through the union) — the fixed small "
+    "k here keeps the plan oracle-replayable as generated SQL stages",
+    tags=("similarity", "curation", "scale"),
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = KCENTER_K
+    t = Catalog(spark, sf_dir)
+    pts = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).persist().transform(track_cache)
+    centers = pts.orderBy("vec_id").limit(1).select(
+        F.lit(0).cast("bigint").alias("rnk"), "vec_id", "v"
+    )
+    for r in range(1, k):
+        paired = pts.alias("p").crossJoin(
+            F.broadcast(centers.alias("c"))
+        ).select(
+            F.col("p.vec_id").alias("vec_id"),
+            F.expr(_KC_D.replace("pv", "p.v").replace("cv", "c.v")).alias("d"),
+        )
+        dmin = paired.groupBy("vec_id").agg(F.min("d").alias("dmin"))
+        nxt = (
+            dmin.join(pts, "vec_id")
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(r).cast("bigint").alias("rnk"), "vec_id", "v")
+        )
+        centers = centers.unionAll(nxt)
+    a = pts.alias("p").crossJoin(F.broadcast(centers.alias("c"))).select(
+        F.col("p.vec_id").alias("vec_id"),
+        F.col("c.vec_id").alias("center_id"),
+        F.expr(_KC_D.replace("pv", "p.v").replace("cv", "c.v")).alias("d"),
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "center_id")
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "center_id", "d")
+    )

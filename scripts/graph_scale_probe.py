@@ -56,11 +56,21 @@ def main() -> None:
         (F.col("id") % n_verts).alias("s"),
         ((F.col("id") * F.col("id") + F.col("id")) % n_verts).alias("t"),
     )
+    # ring strip: (j, j+1) and (j, j+2) for every vertex — closes a
+    # triangle (j, j+1, j+2) at each j, so triangle counting has real
+    # work (the quadratic-residue bulk alone is triangle-free)
+    strip = spark.range(2 * n_verts).select(
+        (F.col("id") % n_verts).alias("s"),
+        (
+            (F.col("id") % n_verts + 1 + F.col("id") / n_verts).cast("bigint")
+            % n_verts
+        ).alias("t"),
+    )
     path = spark.range(path_len).select(
         (F.col("id") + 1_000_000).alias("s"),
         (F.col("id") + 1_000_001).alias("t"),
     )
-    edges = core.unionAll(path).persist()
+    edges = core.unionAll(strip).unionAll(path).persist()
     n_in = edges.count()
 
     from cc_pyspark_spark.operators.pagerank import (  # noqa: E402,PLC0415

@@ -72,6 +72,9 @@ CHECK = [
     # r9: novelty is an integer ratio; the pin is on the semi-join
     # candidate set being layout-independent.
     "text_ngram_novelty",
+    # r9: greedy farthest-point rounds — a layout-dependent top-1 in
+    # ANY round would cascade into different centers everywhere.
+    "embedding_kcenter_coreset",
 ]
 
 
