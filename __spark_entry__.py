@@ -24,7 +24,7 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
-#: The fixed 24-query headliner core (TPC-H suite, scale-dedup family,
+#: The fixed 23-query headliner core (TPC-H suite, scale-dedup family,
 #: ANN/PQ pair, streaming-events pair, curation gate/pack/e2e trio)
 #: mirrors ``bench.HEADLINERS`` so the driver gate and the perf gate
 #: cover the same spine.  r9 change inside the core (VERDICT r8 ask
@@ -35,16 +35,14 @@ from cc_pyspark_spark.plans import QUERIES
 #: `scale` tag and the benched name always denote deployed geometry.
 #:
 #: Round-9 rotation (VERDICT r8 ask #1): the 26 non-core slots take
-#: (a) ALL 22 remaining r1-stale names, and (b) first rows for four
-#: of the six names new in r9 (dedup_embedding_fixture,
-#: graph_cc_converged, curation_dsir_importance, text_ngram_novelty).
-#: The two registered after the window filled (text_pii_redaction,
-#: embedding_kcenter_coreset) are sf0.001+sf0.01 parity-green in
-#: pytest/driver_sim this round and head the r10 window (the r7→r8
-#: late-registration precedent).
+#: (a) ALL 22 remaining r1-stale names, and (b) first rows for ALL
+#: FIVE names new in r9 (dedup_embedding_fixture, graph_cc_converged,
+#: curation_dsir_importance, text_ngram_novelty,
+#: embedding_kcenter_coreset) — the core shrank by one slot to keep
+#: the rotation tripwire's every-new-name-gets-a-row guarantee
+#: structural.
 #:
-#: r10 rotation plan: text_pii_redaction and
-#: embedding_kcenter_coreset first, then the 24 r2-stale names
+#: r10 rotation plan: the 24 r2-stale names
 #: (agg_collect_sorted_list, agg_count_by_key, agg_distinct_pairs,
 #: curation_contamination, curation_repetition_signals,
 #: dedup_embedding_cosine, dedup_minhash_lsh, dedup_ngram_jaccard,
@@ -58,7 +56,10 @@ from cc_pyspark_spark.plans import QUERIES
 #: cycle is ~3 rounds for the full registry. Each rotated-out name
 #: stays green in the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
-    # -- fixed 24-headliner core: benched AND driver-gated every round --
+    # -- fixed 23-headliner core: benched AND driver-gated every round
+    #    (r9: sim_ann_pq_adc moved to the rotation pool — still benched
+    #    and r8-green — to free the window slot the rotation tripwire
+    #    requires for embedding_kcenter_coreset's first row) --
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q4_late_shipments",
@@ -82,14 +83,13 @@ DRIVER_CORE: tuple[str, ...] = (
     "text_bpe_token_count",
     "curation_pipeline_e2e",
     "embedding_pq_codes",
-    "sim_ann_pq_adc",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # -- r9 rotation (VERDICT r8 ask #1): ALL 22 stale r1 rows cycle
     #    through the 26 non-core slots this round; the 24 r2-stale
-    #    names (minus the two below) take the r10 window.  Each name
-    #    stays green in the sf0.001 parity pytest meanwhile.
+    #    names take the r10 window.  Each name stays green in the
+    #    sf0.001 parity pytest meanwhile.
     "join_left_outer_count",
     "window_range_frame",
     "agg_arg_max",
@@ -122,6 +122,7 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "graph_cc_converged",
     "curation_dsir_importance",
     "text_ngram_novelty",
+    "embedding_kcenter_coreset",
 )
 
 

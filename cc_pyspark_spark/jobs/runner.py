@@ -57,6 +57,7 @@ DOC_JOBS = (
     "analyze_documents",
     "zorder_table",
     "dataset_card",
+    "dsir_select",
 )
 
 
@@ -156,6 +157,18 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="zorder_table: comma-separated integer columns to "
         "interleave into the layout key",
+    )
+    p.add_argument(
+        "--dsir_target_lang",
+        default=None,
+        help="dsir_select: lang value defining the TARGET distribution "
+        "(default plans.curation.DSIR_TARGET_LANG)",
+    )
+    p.add_argument(
+        "--keep_selected",
+        action="store_true",
+        help="dsir_select: emit only above-median documents (joined "
+        "back to the full rows) instead of the full scored frame",
     )
     return p
 
@@ -259,6 +272,32 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
 
         write_output(dataset_card_frame(table), args, None)
         print(json.dumps({"job": args.job}))
+        return 0
+    if args.job == "dsir_select":
+        from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415
+            DSIR_TARGET_LANG,
+            dsir_importance_frame,
+        )
+
+        target = args.dsir_target_lang or DSIR_TARGET_LANG
+        scored = dsir_importance_frame(table, target_lang=target)
+        if args.keep_selected:
+            # emit the FULL document rows for the above-median half —
+            # the resampled training subset, ready for export jobs
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            kept = scored.filter(F.col("selected")).select(
+                "doc_id", "weight"
+            )
+            df = table.join(kept, "doc_id")
+        else:
+            df = scored
+        write_output(df, args, ["doc_id"])
+        print(json.dumps({
+            "job": args.job,
+            "target_lang": target,
+            "keep_selected": args.keep_selected,
+        }))
         return 0
     if args.job == "zorder_table":
         from pyspark.sql import functions as F  # noqa: PLC0415

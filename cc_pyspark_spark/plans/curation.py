@@ -1021,8 +1021,19 @@ FROM docs CROSS JOIN med
     tags=("curation", "text", "scale"),
 )
 def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = DSIR_BUCKETS
     t = Catalog(spark, sf_dir)
+    return dsir_importance_frame(t.documents)
+
+
+def dsir_importance_frame(
+    documents: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_feats, weight, selected) DSIR importance frame over
+    any documents table — the registered query's compute, exposed for
+    the `dsir_select` CLI job (runner) and pipeline composition."""
+    m = buckets
     bg = (
         "CASE WHEN size(toks) < 2 THEN array() "
         "ELSE transform(sequence(1, size(toks) - 1), "
@@ -1035,14 +1046,14 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"* 2654435761L) % {m}L))"
     )
     feats = (
-        t.documents.select("doc_id", "lang", F.expr(_DSIR_TOKS).alias("toks"))
+        documents.select("doc_id", "lang", F.expr(_DSIR_TOKS).alias("toks"))
         .select("doc_id", "lang", F.expr(bg).alias("bg"))
         .select("doc_id", "lang", F.explode(F.expr(bucket)).alias("b"))
     )
     stats = feats.groupBy("b").agg(
         F.count("*").cast("bigint").alias("cr"),
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == target_lang, 1).otherwise(0)
         ).cast("bigint").alias("ct"),
     )
     tot = stats.agg(
@@ -1070,7 +1081,7 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weight"),
     )
     docs = (
-        t.documents.select("doc_id")
+        documents.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",

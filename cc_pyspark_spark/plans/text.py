@@ -1281,110 +1281,3 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles").cast("double")
         ).alias("novelty"),
     )
-
-
-# ------------------------------------------------------- PII redaction (r9)
-
-#: PII regex families shared VERBATIM by both engines. Written with
-#: [.] character classes instead of backslash escapes: Spark SQL
-#: string literals consume backslashes while DuckDB's do not, so a
-#: pattern containing \. cannot be one shared string — [.] can.
-#: RE2 (DuckDB) has no lookarounds; none are used.
-PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
-PII_PHONE_RE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
-PII_IP_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
-
-#: Deterministic planted-PII body (the dedup_url_normalize convention:
-#: the fixture text has no digits, so PII is synthesized from doc_id
-#: identically in both engines — the oracle then checks real
-#: extraction + redaction work, not an all-zero no-op). doc_id % 3
-#: varies the mix: 0 -> email only, 1 -> phone only, 2 -> all three.
-_PII_BODY_SQL = (
-    "concat(text,"
-    " CASE WHEN doc_id % 3 = 0 THEN"
-    "  concat(' contact user', CAST(doc_id AS STRING), '@mail',"
-    "         CAST(doc_id % 7 AS STRING), '.example.com')"
-    " WHEN doc_id % 3 = 1 THEN"
-    "  concat(' call ', CAST(100 + doc_id % 900 AS STRING), '-',"
-    "         CAST(100 + (doc_id * 7) % 900 AS STRING), '-',"
-    "         lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
-    " ELSE"
-    "  concat(' contact user', CAST(doc_id AS STRING), '@mail',"
-    "         CAST(doc_id % 7 AS STRING), '.example.com tel ',"
-    "         CAST(100 + doc_id % 900 AS STRING), '-',"
-    "         CAST(100 + (doc_id * 7) % 900 AS STRING), '-',"
-    "         lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
-    "         ' from ', CAST(doc_id % 256 AS STRING), '.',"
-    "         CAST((doc_id * 3) % 256 AS STRING), '.',"
-    "         CAST((doc_id * 5) % 256 AS STRING), '.',"
-    "         CAST((doc_id * 7) % 256 AS STRING))"
-    " END)"
-)
-
-
-@register(
-    "text_pii_redaction",
-    oracle=f"""
-WITH body AS (
-  SELECT doc_id, {_PII_BODY_SQL} AS body FROM documents
-), red AS (
-  SELECT doc_id, body,
-    regexp_replace(regexp_replace(regexp_replace(body,
-      '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
-      '{PII_PHONE_RE}', '[PHONE]', 'g'),
-      '{PII_IP_RE}', '[IP]', 'g') AS redacted
-  FROM body
-)
-SELECT doc_id,
-       CAST(len(regexp_extract_all(body, '{PII_EMAIL_RE}')) AS BIGINT)
-         AS n_emails,
-       CAST(len(regexp_extract_all(body, '{PII_PHONE_RE}')) AS BIGINT)
-         AS n_phones,
-       CAST(len(regexp_extract_all(body, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
-       md5(redacted) AS redacted_md5
-FROM red
-""",
-    description="PII detection + redaction over a deterministically "
-    "planted corpus (the fixture text is digit-free, so emails/phones/"
-    "IPs are synthesized from doc_id identically in both engines — the "
-    "dedup_url_normalize planted-fixture convention): per-doc match "
-    "counts for the three PII families and md5 of the fully redacted "
-    "text, which pins the replacement BYTES, not just the counts. "
-    "Ordering of the replace chain matters (IP last so phone/email "
-    "fragments can't re-match) and is identical in both engines. "
-    "Patterns avoid backslash escapes ([.] classes) so ONE pattern "
-    "string is valid in Java regex and RE2, and avoid lookarounds "
-    "(RE2 has none). Map-only: zero shuffles, whole-stage codegen, "
-    "scales by scan bandwidth alone",
-    tags=("text", "curation"),
-)
-def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Catalog(spark, sf_dir)
-    body = t.documents.select(
-        "doc_id", F.expr(_PII_BODY_SQL).alias("body")
-    )
-    red = body.withColumn(
-        "redacted",
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("body"), PII_EMAIL_RE, "[EMAIL]"),
-                PII_PHONE_RE,
-                "[PHONE]",
-            ),
-            PII_IP_RE,
-            "[IP]",
-        ),
-    )
-    return red.select(
-        "doc_id",
-        F.expr(f"size(regexp_extract_all(body, '{PII_EMAIL_RE}', 0))")
-        .cast("bigint")
-        .alias("n_emails"),
-        F.expr(f"size(regexp_extract_all(body, '{PII_PHONE_RE}', 0))")
-        .cast("bigint")
-        .alias("n_phones"),
-        F.expr(f"size(regexp_extract_all(body, '{PII_IP_RE}', 0))")
-        .cast("bigint")
-        .alias("n_ips"),
-        F.md5("redacted").alias("redacted_md5"),
-    )

@@ -390,3 +390,42 @@ def test_dataset_card_cli(spark, tmp_path):
     row = card[0]
     assert row["n_docs"] > 0 and row["total_tokens"] > 0
     assert 0.0 <= row["lang_gini"] < 1.0 and 0.0 <= row["dup_rate"] <= 1.0
+
+
+def test_cli_dsir_select(tmp_path):
+    """End-to-end CLI (r9): documents parquet → DSIR importance frame,
+    and --keep_selected resamples exactly the above-median half with
+    full document rows, matching the registered query's gate."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    scored_out = str(tmp_path / "scored")
+    kept_out = str(tmp_path / "kept")
+    rc = main([
+        "dsir_select", src, scored_out,
+        "--num_output_partitions", "2", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    rc = main([
+        "dsir_select", src, kept_out, "--keep_selected",
+        "--num_output_partitions", "2", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    scored = spark.read.parquet(scored_out)
+    assert set(scored.columns) == {"doc_id", "n_feats", "weight", "selected"}
+    n_docs = spark.read.parquet(src).count()
+    assert scored.count() == n_docs
+    n_sel = scored.filter("selected").count()
+    assert 0 < n_sel < n_docs, "median gate must split the corpus"
+    kept = spark.read.parquet(kept_out)
+    assert kept.count() == n_sel
+    # full document rows survive the resample, plus the weight column
+    assert {"doc_id", "text", "lang", "weight"} <= set(kept.columns)
+    sel_ids = {r["doc_id"] for r in scored.filter("selected").collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == sel_ids

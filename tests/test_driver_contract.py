@@ -47,11 +47,11 @@ def test_rotation_brings_first_time_names():
 
 
 def test_headliners_inside_driver_cap():
-    """Fixed anchors: the 24-query DRIVER_CORE keeps permanent driver
+    """Fixed anchors: the DRIVER_CORE keeps permanent driver
     slots AND permanent bench slots; rotation only cycles the other 26.
 
     r8 (VERDICT r7 ask #1): the fixed block shrank from all 40+
-    benched headliners to the 24-query core so the fourteen
+    benched headliners to the fixed core so the fourteen
     never-driver-checked r7 queries fit in the window alongside a
     twelve-name r1 rotation block.  Benched-but-not-core names
     (sketches, funnel/retention, LM scoring, PQ rerank, RRF, prefix
