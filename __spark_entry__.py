@@ -24,7 +24,7 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
-#: The fixed 23-query headliner core (TPC-H suite, scale-dedup family,
+#: The fixed 22-query headliner core (TPC-H suite, scale-dedup family,
 #: ANN/PQ pair, streaming-events pair, curation gate/pack/e2e trio)
 #: mirrors ``bench.HEADLINERS`` so the driver gate and the perf gate
 #: cover the same spine.  r9 change inside the core (VERDICT r8 ask
@@ -36,10 +36,11 @@ from cc_pyspark_spark.plans import QUERIES
 #:
 #: Round-9 rotation (VERDICT r8 ask #1): the 26 non-core slots take
 #: (a) ALL 22 remaining r1-stale names, and (b) first rows for ALL
-#: FIVE names new in r9 (dedup_embedding_fixture, graph_cc_converged,
+#: SIX names new in r9 (dedup_embedding_fixture, graph_cc_converged,
 #: curation_dsir_importance, text_ngram_novelty,
-#: embedding_kcenter_coreset) — the core shrank by one slot to keep
-#: the rotation tripwire's every-new-name-gets-a-row guarantee
+#: embedding_kcenter_coreset, text_ngram_novelty_bloom) — the core
+#: shrank by two slots (the PQ pair, still benched) to keep the
+#: rotation tripwire's every-new-name-gets-a-row guarantee
 #: structural.
 #:
 #: r10 rotation plan: the 24 r2-stale names
@@ -56,10 +57,11 @@ from cc_pyspark_spark.plans import QUERIES
 #: cycle is ~3 rounds for the full registry. Each rotated-out name
 #: stays green in the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
-    # -- fixed 23-headliner core: benched AND driver-gated every round
-    #    (r9: sim_ann_pq_adc moved to the rotation pool — still benched
-    #    and r8-green — to free the window slot the rotation tripwire
-    #    requires for embedding_kcenter_coreset's first row) --
+    # -- fixed 22-headliner core: benched AND driver-gated every round
+    #    (r9: the PQ pair moved to the rotation pool — both still
+    #    benched and r8-green — freeing the window slots the rotation
+    #    tripwire requires for first rows of embedding_kcenter_coreset
+    #    and text_ngram_novelty_bloom) --
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q4_late_shipments",
@@ -82,7 +84,6 @@ DRIVER_CORE: tuple[str, ...] = (
     "curation_pack_sequences",
     "text_bpe_token_count",
     "curation_pipeline_e2e",
-    "embedding_pq_codes",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
@@ -123,6 +124,7 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "curation_dsir_importance",
     "text_ngram_novelty",
     "embedding_kcenter_coreset",
+    "text_ngram_novelty_bloom",
 )
 
 

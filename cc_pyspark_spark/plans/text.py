@@ -1281,3 +1281,190 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_shingles").cast("double")
         ).alias("novelty"),
     )
+
+
+# ------------------------------------------- Bloom-filter novelty (r9)
+
+#: Bitmap geometry for the approximate novelty path: 2^18 bits as
+#: 8192 x 32-bit words (32-bit words keep every mask a small positive
+#: bigint — no sign-bit traps in either engine), 2 hash functions.
+#: At the fixture's reference-shingle count the fill factor is ~5%,
+#: so the false-positive rate (fill^2) is well under 1% — and because
+#: the "Bloom filter" here is deterministic integer hashing, even the
+#: approximate path keeps a full value-hash oracle.
+BLOOM_BITS = 1 << 18
+BLOOM_WORD_BITS = 32
+#: One polynomial BASE per hash: the two hashes are DIFFERENT
+#: polynomials of the string (bases 31 / 131) reduced mod the bitmap
+#: size. NOT two odd multipliers of one shared poly value — an odd
+#: multiplier is a bijection mod 2^18, so that construction made h0
+#: and h1 functions of the same residue and every pre-hash collision
+#: a guaranteed false positive (caught by the one-sidedness pin
+#: during r9 development, which measured 60% per-doc disagreement
+#: where the fill factor predicted ~2%); and a post-multiplier on a
+#: ~10^15 poly value overflows int64 under Spark's ANSI mode anyway.
+BLOOM_HASHES = (31, 131)
+#: Large prime modulus: a*131 + 255 stays far below bigint overflow
+#: while pre-hash birthday collisions at 10^7 distinct shingles are
+#: ~10^14/2e15 — negligible next to the bitmap's own FPR.
+BLOOM_POLY_P = 999999999999989
+
+_BLOOM_POLY_SPARK = (
+    "aggregate(transform(sequence(1, length({col})), "
+    "i -> ascii(substring({col}, i, 1))), 0L, "
+    "(a, c) -> (a * {base} + c) % {p})"
+)
+_BLOOM_POLY_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({col}) + 1), "
+    "i -> CAST(ascii(substring({col}, i, 1)) AS BIGINT))), "
+    "(a, c) -> (a * {base} + c) % {p})"
+)
+
+
+def _duck_bloom_novelty_oracle() -> str:
+    m, wb = BLOOM_BITS, BLOOM_WORD_BITS
+    hashes = ", ".join(
+        "({poly} % {m}) AS h{j}".format(
+            poly=_BLOOM_POLY_DUCK.format(col="s", base=base, p=BLOOM_POLY_P),
+            m=m, j=j,
+        )
+        for j, base in enumerate(BLOOM_HASHES)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+  ))) AS s FROM t
+),
+hashed AS (SELECT doc_id, s, {hashes} FROM sh),
+ref_bits AS (
+  SELECT h FROM (
+    SELECT h0 AS h FROM hashed WHERE doc_id % {NOVELTY_REF_MOD} = 0
+    UNION ALL
+    SELECT h1 AS h FROM hashed WHERE doc_id % {NOVELTY_REF_MOD} = 0
+  )
+),
+bitmap AS (
+  SELECT h // {wb} AS word,
+         bit_or(CAST(1 AS BIGINT) << (h % {wb})) AS bits
+  FROM ref_bits GROUP BY 1
+),
+probe AS (
+  SELECT q.doc_id, q.s,
+         (b0.bits IS NOT NULL
+          AND (b0.bits & (CAST(1 AS BIGINT) << (q.h0 % {wb}))) != 0)
+         AND
+         (b1.bits IS NOT NULL
+          AND (b1.bits & (CAST(1 AS BIGINT) << (q.h1 % {wb}))) != 0)
+           AS seen
+  FROM hashed q
+  LEFT JOIN bitmap b0 ON q.h0 // {wb} = b0.word
+  LEFT JOIN bitmap b1 ON q.h1 // {wb} = b1.word
+  WHERE q.doc_id % {NOVELTY_REF_MOD} <> 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_bloom,
+       CAST(COUNT(*) - SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_bloom
+FROM probe GROUP BY 1
+"""
+
+
+@register(
+    "text_ngram_novelty_bloom",
+    oracle=_duck_bloom_novelty_oracle(),
+    description="The SCALE path text_ngram_novelty's docstring "
+    "promises: reference-shingle membership via a broadcast bitmap "
+    "Bloom filter (2^18 bits as 8192 32-bit words, 2 poly31-family "
+    "polynomial hashes, bases 31/131) instead of the exact "
+    "shingle-keyed semi-join — the "
+    "reference set reduces to an <=8192-row word table that "
+    "BROADCASTS at any reference-corpus size, so the probe side "
+    "never shuffles its shingles. Because the filter is deterministic "
+    "integer hashing (no library BloomFilter object), the approximate "
+    "path keeps a full value-hash oracle; Bloom one-sidedness "
+    "(n_seen_bloom >= n_seen exact, hence novelty_bloom <= novelty) "
+    "is additionally pinned against the exact twin in pytest",
+    tags=("text", "curation", "scale"),
+)
+def text_ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, wb = BLOOM_BITS, BLOOM_WORD_BITS
+    t = Catalog(spark, sf_dir)
+    sh = t.documents.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).select(
+        "doc_id", F.explode(F.array_distinct(shingles("toks", 3))).alias("s")
+    )
+    hashed = sh.select(
+        "doc_id",
+        "s",
+        *[
+            F.expr(
+                "({poly} % {m})".format(
+                    poly=_BLOOM_POLY_SPARK.format(
+                        col="s", base=base, p=BLOOM_POLY_P
+                    ),
+                    m=m,
+                )
+            ).alias(f"h{j}")
+            for j, base in enumerate(BLOOM_HASHES)
+        ],
+    )
+    ref = hashed.filter(F.col("doc_id") % NOVELTY_REF_MOD == 0)
+    ref_bits = ref.select(F.col("h0").alias("h")).unionAll(
+        ref.select(F.col("h1").alias("h"))
+    )
+    bitmap = ref_bits.groupBy(
+        (F.col("h") / wb).cast("bigint").alias("word")
+    ).agg(
+        F.expr(f"bit_or(shiftleft(cast(1 as bigint), h % {wb}))").alias("bits")
+    )
+    q = hashed.filter(F.col("doc_id") % NOVELTY_REF_MOD != 0)
+    b0, b1 = bitmap.alias("b0"), bitmap.alias("b1")
+    probe = (
+        q.join(
+            F.broadcast(b0),
+            (F.col("h0") / wb).cast("bigint") == F.col("b0.word"),
+            "left",
+        )
+        .join(
+            F.broadcast(b1),
+            (F.col("h1") / wb).cast("bigint") == F.col("b1.word"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("b0.bits").isNotNull()
+                & (
+                    F.expr(
+                        f"b0.bits & shiftleft(cast(1 as bigint), h0 % {wb})"
+                    )
+                    != 0
+                )
+                & F.col("b1.bits").isNotNull()
+                & (
+                    F.expr(
+                        f"b1.bits & shiftleft(cast(1 as bigint), h1 % {wb})"
+                    )
+                    != 0
+                )
+            ).alias("seen"),
+        )
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(F.when(F.col("seen"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_seen_bloom"),
+        (
+            (
+                F.count("*")
+                - F.sum(F.when(F.col("seen"), 1).otherwise(0))
+            ).cast("double")
+            / F.count("*").cast("double")
+        ).alias("novelty_bloom"),
+    )

@@ -30,3 +30,30 @@ def test_query_runs(spark, name):
     df = q.spark(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_bloom_novelty_one_sided_vs_exact(spark):
+    """Bloom membership can only over-report (false positives, never
+    false negatives): per doc, n_seen_bloom >= exact n_seen and
+    novelty_bloom <= exact novelty — and at the fixture's ~5% fill
+    factor the two should agree on the vast majority of docs."""
+    exact = {
+        r["doc_id"]: (r["n_seen"], r["novelty"])
+        for r in QUERIES["text_ngram_novelty"].spark(spark, SF_DIR).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_seen_bloom"], r["novelty_bloom"])
+        for r in QUERIES["text_ngram_novelty_bloom"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert exact.keys() == bloom.keys()
+    agree = 0
+    for d, (ns, nov) in exact.items():
+        nsb, novb = bloom[d]
+        assert nsb >= ns, f"doc {d}: bloom under-reported membership"
+        assert novb <= nov + 1e-12, f"doc {d}: bloom novelty exceeded exact"
+        agree += nsb == ns
+    assert agree >= 0.9 * len(exact), (
+        f"only {agree}/{len(exact)} docs agree — fill factor off"
+    )

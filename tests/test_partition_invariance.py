@@ -75,6 +75,9 @@ CHECK = [
     # r9: greedy farthest-point rounds — a layout-dependent top-1 in
     # ANY round would cascade into different centers everywhere.
     "embedding_kcenter_coreset",
+    # r9: the bitmap-Bloom twin — the bit_or word aggregation and the
+    # double ratio must survive re-layout bit-for-bit.
+    "text_ngram_novelty_bloom",
 ]
 
 
