@@ -58,6 +58,7 @@ DOC_JOBS = (
     "zorder_table",
     "dataset_card",
     "dsir_select",
+    "coreset_select",
 )
 
 
@@ -170,6 +171,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="dsir_select: emit only above-median documents (joined "
         "back to the full rows) instead of the full scored frame",
     )
+    p.add_argument(
+        "--coreset_k",
+        type=int,
+        default=None,
+        help="coreset_select: number of greedy farthest-point centers "
+        "(default plans.similarity.KCENTER_K; center lineage "
+        "checkpoints every 8 rounds for large k)",
+    )
     return p
 
 
@@ -272,6 +281,17 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
 
         write_output(dataset_card_frame(table), args, None)
         print(json.dumps({"job": args.job}))
+        return 0
+    if args.job == "coreset_select":
+        from cc_pyspark_spark.plans.similarity import (  # noqa: PLC0415
+            KCENTER_K,
+            kcenter_coreset_frame,
+        )
+
+        k = args.coreset_k or KCENTER_K
+        df = kcenter_coreset_frame(table, k=k)
+        write_output(df, args, ["vec_id"])
+        print(json.dumps({"job": args.job, "k": k}))
         return 0
     if args.job == "dsir_select":
         from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415

@@ -1503,9 +1503,22 @@ SELECT vec_id, center_id, d FROM a WHERE rn = 1
     tags=("similarity", "curation", "scale"),
 )
 def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = KCENTER_K
     t = Catalog(spark, sf_dir)
-    pts = t.embeddings.select(
+    return kcenter_coreset_frame(t.embeddings)
+
+
+def kcenter_coreset_frame(
+    emb: DataFrame,
+    k: int = KCENTER_K,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(vec_id, center_id, d) k-center assignment over any embeddings
+    frame — the registered query's compute, exposed for the
+    `coreset_select` CLI job. For k beyond the oracle-sized default
+    the center frame's lineage is truncated every `checkpoint_every`
+    rounds (it is referenced by every later round; untruncated, plan
+    depth grows linearly and planning cost quadratically in k)."""
+    pts = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     ).persist().transform(track_cache)
@@ -1527,6 +1540,8 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(r).cast("bigint").alias("rnk"), "vec_id", "v")
         )
         centers = centers.unionAll(nxt)
+        if r % checkpoint_every == 0:
+            centers = centers.localCheckpoint(eager=True)
     a = pts.alias("p").crossJoin(F.broadcast(centers.alias("c"))).select(
         F.col("p.vec_id").alias("vec_id"),
         F.col("c.vec_id").alias("center_id"),

@@ -36,6 +36,14 @@ def build_session(
         builder = builder.master(f"local[{cpus}]")
 
     conf = {
+        # Driver heap: in local mode driver == all executors, and the
+        # JVM otherwise launches with Spark's 1g default — under which
+        # broadcast builds start failing once a long session (500-test
+        # pytest run, 45-query bench) accumulates heap pressure
+        # (notEnoughMemoryToBuildAndBroadcastTableError, observed r9).
+        # Only effective at first JVM launch; a no-op on reuse, and on
+        # a real cluster spark-submit's --driver-memory supersedes it.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # Catalyst / AQE: let the optimizer re-plan shuffles, coalesce
         # small partitions, and split skewed ones at runtime.
         "spark.sql.adaptive.enabled": "true",

@@ -429,3 +429,31 @@ def test_cli_dsir_select(tmp_path):
     sel_ids = {r["doc_id"] for r in scored.filter("selected").collect()}
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert kept_ids == sel_ids
+
+
+def test_cli_coreset_select(tmp_path):
+    """End-to-end CLI (r9): embeddings parquet → k-center assignment;
+    a larger-than-default k exercises the checkpoint-every-8 path and
+    must produce exactly k distinct centers covering every vector."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "coreset")
+    rc = main([
+        "coreset_select", src, out, "--coreset_k", "10",
+        "--num_output_partitions", "2", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"vec_id", "center_id", "d"}
+    n = spark.read.parquet(src).count()
+    assert got.count() == n
+    centers = {r["center_id"] for r in got.select("center_id").distinct().collect()}
+    assert len(centers) == 10
+    # centers assign to themselves at distance exactly 0
+    self_rows = got.filter(got.vec_id == got.center_id).collect()
+    assert len(self_rows) == 10 and all(r["d"] == 0.0 for r in self_rows)
