@@ -806,3 +806,200 @@ def image_ahash(
             yield pd.DataFrame(rows, columns=[id_col, "phash", "n_pixels"])
 
     return blobs_df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Container metadata probe (r9): ISO-BMFF (MP4) box walk + MPEG-audio
+# frame walk. The first stage of any multimodal ingest at 100 TB is a
+# no-decode structural probe — duration, track layout, codec handlers,
+# payload size — so downstream routing (sample / decode / drop) never
+# touches codec libraries. Both parsers are pure stdlib and run inside
+# one Arrow-batched mapInPandas (no shuffle; output partitioning
+# inherits the blob frame's).
+
+#: ISO-BMFF boxes that contain child boxes (walked recursively).
+_BMFF_CONTAINERS = frozenset(
+    {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+)
+
+#: MPEG1 Layer III bitrate table (kbps), index 1..14 (0/15 invalid).
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+#: MPEG1 sample rates by 2-bit index (index 3 reserved).
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def parse_mp4(blob: bytes) -> dict | None:
+    """Generic ISO-BMFF (MP4/MOV, ISO 14496-12) metadata probe.
+
+    Walks the box tree: 32-bit sizes, size==1 -> 64-bit largesize,
+    size==0 -> box extends to end-of-enclosure; recurses into container
+    boxes; reads `ftyp` major brand, `mvhd` timescale/duration (version
+    0's 32-bit and version 1's 64-bit layouts), every `hdlr` handler
+    fourcc in document order, and total `mdat` payload bytes. Returns
+    None on any structural corruption (box overruns its enclosure,
+    truncated header) — skip-and-count, never a garbage row.
+    """
+    meta = {
+        "major_brand": None,
+        "timescale": None,
+        "duration_units": None,
+        "n_tracks": 0,
+        "handlers": [],
+        "payload_bytes": 0,
+    }
+
+    def walk(pos: int, end: int, depth: int) -> bool:
+        while pos < end:
+            if pos + 8 > end:
+                return False
+            size = int.from_bytes(blob[pos : pos + 4], "big")
+            typ = blob[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return False
+                size = int.from_bytes(blob[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # to end of enclosure
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return False
+            body, bend = pos + hdr, pos + size
+            if typ == b"ftyp" and body + 4 <= bend:
+                meta["major_brand"] = blob[body : body + 4].decode(
+                    "ascii", "replace"
+                )
+            elif typ == b"mvhd" and body + 1 <= bend:
+                v = blob[body]
+                # v0: ver/flags,ctime,mtime = 12 bytes before timescale;
+                # v1 widens ctime/mtime to 8 bytes each (20 before).
+                off, dw = (body + 12, 4) if v == 0 else (body + 20, 8)
+                if off + 4 + dw > bend:
+                    return False
+                meta["timescale"] = int.from_bytes(
+                    blob[off : off + 4], "big"
+                )
+                meta["duration_units"] = int.from_bytes(
+                    blob[off + 4 : off + 4 + dw], "big"
+                )
+            elif typ == b"hdlr" and body + 12 <= bend:
+                meta["handlers"].append(
+                    blob[body + 8 : body + 12].decode("ascii", "replace")
+                )
+            elif typ == b"trak":
+                meta["n_tracks"] += 1
+            elif typ == b"mdat":
+                meta["payload_bytes"] += size - hdr
+            if typ in _BMFF_CONTAINERS and depth < 8:
+                if not walk(body, bend, depth + 1):
+                    return False
+            pos = bend
+        return True
+
+    if len(blob) < 12 or blob[4:8] != b"ftyp":
+        return None
+    if not walk(0, len(blob), 0):
+        return None
+    if meta["timescale"] is None or not meta["timescale"]:
+        return None
+    return meta
+
+
+def _mp3_frame_len(b1: int, b2: int) -> int | None:
+    """Frame length from an MPEG1 Layer III header's 2nd/3rd bytes."""
+    if (b1 >> 3) & 3 != 3 or (b1 >> 1) & 3 != 1:  # MPEG1, Layer III
+        return None
+    bi, ri = (b2 >> 4) & 15, (b2 >> 2) & 3
+    if bi in (0, 15) or ri == 3:
+        return None
+    return 144 * _MP3_BITRATES[bi] * 1000 // _MP3_RATES[ri] + ((b2 >> 1) & 1)
+
+
+def parse_mp3(blob: bytes) -> dict | None:
+    """MPEG1 Layer III frame walk: count whole frames from the header
+    chain (sync + bitrate/sample-rate indices + padding bit decide each
+    frame's byte length — no decode). Stops at the first bad sync or a
+    truncated final frame; None if no complete frame parses. Duration
+    is exact integer math: 1152 samples per MPEG1 Layer III frame.
+    """
+    pos, n_frames, sr, br = 0, 0, None, None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF or (blob[pos + 1] & 0xE0) != 0xE0:
+            break
+        flen = _mp3_frame_len(blob[pos + 1], blob[pos + 2])
+        if flen is None or pos + flen > len(blob):
+            break
+        if n_frames == 0:
+            sr = _MP3_RATES[(blob[pos + 2] >> 2) & 3]
+            br = _MP3_BITRATES[(blob[pos + 2] >> 4) & 15]
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        return None
+    return {
+        "sample_rate": sr,
+        "bitrate_kbps": br,
+        "n_frames": n_frames,
+        "duration_units": n_frames * 1152,
+        "payload_bytes": pos,
+    }
+
+
+#: Metadata columns of the container probe (after the pass-through
+#: key). duration_ms = duration_units * 1000 // timescale for both
+#: containers (mvhd units / movie timescale; PCM samples / sample rate).
+_PROBE_META = (
+    "container string, major_brand string, n_tracks long, "
+    "handlers string, timescale long, duration_units long, "
+    "duration_ms long, payload_bytes long"
+)
+
+
+def probe_containers(
+    blobs_df: DataFrame, id_col: str = "blob_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Sniff-and-route structural probe over a binary column: `ftyp` at
+    offset 4 -> ISO-BMFF walk; 11-bit MPEG sync -> frame walk;
+    anything else -> all-NULL metadata row (skip-and-count). Map-only:
+    one Arrow batch in, one typed batch out, no shuffle."""
+    schema = f"{id_col} long, {_PROBE_META}"
+    names = [
+        c.strip().split(" ")[0] for c in schema.split(",")
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                null = (int(_id),) + (None,) * 8
+                if len(b) >= 8 and b[4:8] == b"ftyp":
+                    m = parse_mp4(b)
+                    if m is None:
+                        rows.append(null)
+                        continue
+                    rows.append((
+                        int(_id), "mp4", m["major_brand"],
+                        m["n_tracks"], ",".join(m["handlers"]),
+                        m["timescale"], m["duration_units"],
+                        m["duration_units"] * 1000 // m["timescale"],
+                        m["payload_bytes"],
+                    ))
+                elif len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+                    m = parse_mp3(b)
+                    if m is None:
+                        rows.append(null)
+                        continue
+                    rows.append((
+                        int(_id), "mp3", None, 1, "soun",
+                        m["sample_rate"], m["duration_units"],
+                        m["duration_units"] * 1000 // m["sample_rate"],
+                        m["payload_bytes"],
+                    ))
+                else:
+                    rows.append(null)
+            yield pd.DataFrame(rows, columns=names)
+
+    return blobs_df.mapInPandas(run, schema)

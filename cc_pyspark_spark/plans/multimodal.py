@@ -383,3 +383,174 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hdist") <= 1)
         .select("a_id", "b_id", "hdist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Container probe (r9): synthesized MP4 / MP3 blobs -> structural
+# metadata via the generic box/frame walkers in operators/multimodal.py.
+
+
+def _bmff_box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _bmff_trak(handler: bytes) -> bytes:
+    # trak { mdia { hdlr } }: ver/flags + predefined (8 zero bytes),
+    # handler fourcc, 12 reserved, empty null-terminated name.
+    hdlr = _bmff_box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"\x00")
+    return _bmff_box(b"trak", _bmff_box(b"mdia", hdlr))
+
+
+_FTYP = _bmff_box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isommp42")
+_TRAK_V = _bmff_trak(b"vide")
+_TRAK_S = _bmff_trak(b"soun")
+#: mvhd v0 up to (but excluding) the 4-byte timescale: size+type,
+#: version/flags, creation/modification times.
+_MVHD_PRE = (108).to_bytes(4, "big") + b"mvhd" + b"\x00" * 12
+#: mvhd v0 after the 4-byte duration: rate/volume/reserved/matrix/
+#: predefined/next-track-id (zeros are structurally valid).
+_MVHD_TAIL = b"\x00" * 80
+_FREE = _bmff_box(b"free", b"\x00" * 8)
+#: moov headers for the 1- and 2-track variants (mvhd is 108 bytes,
+#: each trak 49).
+_MOOV1 = (8 + 108 + 49).to_bytes(4, "big") + b"moov"
+_MOOV2 = (8 + 108 + 98).to_bytes(4, "big") + b"moov"
+#: mdat uses the size==1 + 64-bit largesize encoding so the probe's
+#: largesize path is exercised on every even doc.
+_MDAT_PRE = (1).to_bytes(4, "big") + b"mdat"
+
+#: One MPEG1 Layer III 128 kbps frame per sample rate: 4-byte header +
+#: zero filler to the exact frame length 144*128000//rate (417/384/576).
+_MP3_FRAME = {
+    44100: bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413,
+    48000: bytes([0xFF, 0xFB, 0x94, 0x00]) + b"\x00" * 380,
+    32000: bytes([0xFF, 0xFB, 0x98, 0x00]) + b"\x00" * 572,
+}
+
+#: Independent SQL replay: DuckDB re-derives the fixture parameters
+#: (u1/u2/u3 md5 nibbles) and computes every metadata column with plain
+#: integer arithmetic — it never builds or parses a blob, so a parser
+#: that misreads its own container cannot agree with the oracle.
+_CONTAINER_ORACLE = """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+u AS (
+  SELECT doc_id,
+    ((strpos('0123456789abcdef', substr(hx,1,1))-1)*4096
+     + (strpos('0123456789abcdef', substr(hx,2,1))-1)*256
+     + (strpos('0123456789abcdef', substr(hx,3,1))-1)*16
+     + (strpos('0123456789abcdef', substr(hx,4,1))-1)) AS u1,
+    (strpos('0123456789abcdef', substr(hx,5,1))-1) AS u2,
+    (strpos('0123456789abcdef', substr(hx,6,1))-1) AS u3
+  FROM h
+),
+p AS (
+  SELECT doc_id,
+         doc_id % 2 = 0 AS is4,
+         CASE u2 % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts4,
+         1 + ((u1 * 131) % 3600000) AS dur4,
+         1 + (u3 % 2) AS trk4,
+         1 + (u3 % 16) AS plen4,
+         CASE u2 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS sr3,
+         1 + (u1 % 12) AS nf3
+  FROM u
+)
+SELECT doc_id,
+  CASE WHEN is4 THEN 'mp4' ELSE 'mp3' END AS container,
+  CASE WHEN is4 THEN 'isom' END AS major_brand,
+  CAST(CASE WHEN is4 THEN trk4 ELSE 1 END AS BIGINT) AS n_tracks,
+  CASE WHEN is4 THEN (CASE WHEN trk4 = 2 THEN 'vide,soun' ELSE 'vide' END)
+       ELSE 'soun' END AS handlers,
+  CAST(CASE WHEN is4 THEN ts4 ELSE sr3 END AS BIGINT) AS timescale,
+  CAST(CASE WHEN is4 THEN dur4 ELSE nf3 * 1152 END AS BIGINT)
+    AS duration_units,
+  CAST(CASE WHEN is4 THEN (dur4 * 1000) // ts4
+       ELSE (nf3 * 1152 * 1000) // sr3 END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN is4 THEN plen4
+       ELSE nf3 * (144 * 128000 // sr3) END AS BIGINT) AS payload_bytes
+FROM p
+"""
+
+
+@register(
+    "multimodal_container_probe",
+    oracle=_CONTAINER_ORACLE,
+    description="No-decode structural probe over synthesized video/audio "
+    "containers — the routing stage of a 100 TB multimodal ingest. Each "
+    "even doc becomes a real ISO-BMFF blob (ftyp + moov{mvhd + 1-2 trak/"
+    "mdia/hdlr} + free + largesize mdat; timescale/duration/track-count/"
+    "payload derived from md5 nibbles), each odd doc a real MPEG1 Layer "
+    "III stream (1-12 whole frames at 44.1/48/32 kHz, header-driven "
+    "frame lengths). operators/multimodal.py probe_containers sniffs "
+    "magic and walks box tree / frame chain inside one Arrow-batched "
+    "mapInPandas (map-only, no shuffle); the DuckDB oracle re-derives "
+    "all metadata analytically from the same md5 nibbles without ever "
+    "constructing a blob",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.multimodal import (  # noqa: PLC0415
+        probe_containers,
+    )
+
+    t = Catalog(spark, sf_dir)
+    h = F.md5(F.expr("encode(text, 'UTF-8')"))
+
+    def nib(i: int, n: int) -> "F.Column":
+        return F.conv(F.substring(h, i, n), 16, 10).cast("long")
+
+    d = (
+        t.documents.select(
+            "doc_id",
+            nib(1, 4).alias("u1"),
+            nib(5, 1).alias("u2"),
+            nib(6, 1).alias("u3"),
+            F.md5(F.expr("encode(text || 'm', 'UTF-8')")).alias("hm"),
+        )
+        .withColumn("ts", F.element_at(F.lit([600, 1000, 90000]), (F.col("u2") % 3 + 1).cast("int")).cast("long"))
+        .withColumn("dur", (1 + (F.col("u1") * 131) % 3600000).cast("long"))
+        .withColumn("ntrk", (1 + F.col("u3") % 2).cast("long"))
+        .withColumn("plen", (1 + F.col("u3") % 16).cast("long"))
+        .withColumn("sr", F.element_at(F.lit([44100, 48000, 32000]), (F.col("u2") % 3 + 1).cast("int")).cast("long"))
+        .withColumn("nf", (1 + F.col("u1") % 12).cast("long"))
+        .withColumn("flen", F.element_at(F.lit([417, 384, 576]), (F.col("u2") % 3 + 1).cast("int")).cast("long"))
+    )
+
+    def be(col: str, width: int) -> "F.Column":
+        return F.unhex(F.lpad(F.hex(F.col(col)), 2 * width, "0"))
+
+    mvhd = F.concat(F.lit(_MVHD_PRE), be("ts", 4), be("dur", 4), F.lit(_MVHD_TAIL))
+    moov = F.when(
+        F.col("ntrk") == 2,
+        F.concat(F.lit(_MOOV2), mvhd, F.lit(_TRAK_V + _TRAK_S)),
+    ).otherwise(F.concat(F.lit(_MOOV1), mvhd, F.lit(_TRAK_V)))
+    mdat = F.concat(
+        F.lit(_MDAT_PRE),
+        F.unhex(F.lpad(F.hex(F.col("plen") + 16), 16, "0")),
+        F.expr("substring(unhex(hm), 1, cast(plen as int))"),
+    )
+    mp4 = F.concat(F.lit(_FTYP), moov, F.lit(_FREE), mdat)
+    mp3 = F.expr(
+        "substring(CASE WHEN u2 % 3 = 0 THEN m44 WHEN u2 % 3 = 1 THEN m48 "
+        "ELSE m32 END, 1, cast(nf * flen as int))"
+    )
+    blobs = (
+        d.withColumn("m44", F.lit(_MP3_FRAME[44100] * 12))
+        .withColumn("m48", F.lit(_MP3_FRAME[48000] * 12))
+        .withColumn("m32", F.lit(_MP3_FRAME[32000] * 12))
+        .select(
+            F.col("doc_id").alias("blob_id"),
+            F.when(F.col("doc_id") % 2 == 0, mp4).otherwise(mp3).alias("blob"),
+        )
+    )
+    return probe_containers(blobs).select(
+        F.col("blob_id").alias("doc_id"),
+        "container",
+        "major_brand",
+        "n_tracks",
+        "handlers",
+        "timescale",
+        "duration_units",
+        "duration_ms",
+        "payload_bytes",
+    )

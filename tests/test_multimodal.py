@@ -461,3 +461,125 @@ def test_image_ahash_production_64_pixel_shape(spark):
     # rasters the odds every sign bit stays clear are 1/16 per seed;
     # seed 17 produces at least one negative hash (pinned, determinist)
     assert any(v < 0 for v in got.values()), "sign-bit wrap not exercised"
+
+
+# ---------------------------------------------------------------------------
+# Container probe (r9): ISO-BMFF box walk + MPEG1 Layer III frame walk.
+
+
+def _bmff(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _trak(handler: bytes) -> bytes:
+    hdlr = _bmff(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"\x00")
+    return _bmff(b"trak", _bmff(b"mdia", hdlr))
+
+
+_FTYP = _bmff(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isommp42")
+
+
+def _mvhd_v0(ts: int, dur: int) -> bytes:
+    return _bmff(
+        b"mvhd",
+        b"\x00" * 12 + ts.to_bytes(4, "big") + dur.to_bytes(4, "big")
+        + b"\x00" * 80,
+    )
+
+
+def test_parse_mp4_v0_two_tracks_largesize_mdat():
+    from cc_pyspark_spark.operators.multimodal import parse_mp4
+
+    moov = _bmff(b"moov", _mvhd_v0(1000, 2333) + _trak(b"vide") + _trak(b"soun"))
+    payload = b"\xab" * 7
+    mdat = (
+        (1).to_bytes(4, "big") + b"mdat"
+        + (16 + len(payload)).to_bytes(8, "big") + payload
+    )
+    blob = _FTYP + moov + _bmff(b"free", b"\x00" * 8) + mdat
+    assert parse_mp4(blob) == {
+        "major_brand": "isom",
+        "timescale": 1000,
+        "duration_units": 2333,
+        "n_tracks": 2,
+        "handlers": ["vide", "soun"],
+        "payload_bytes": 7,
+    }
+
+
+def test_parse_mp4_v1_mvhd_64bit_duration():
+    from cc_pyspark_spark.operators.multimodal import parse_mp4
+
+    # v1 widens creation/modification to 8 bytes and duration to 8.
+    mvhd = _bmff(
+        b"mvhd",
+        b"\x01" + b"\x00" * 3 + b"\x00" * 16
+        + (90000).to_bytes(4, "big") + (2**33).to_bytes(8, "big")
+        + b"\x00" * 80,
+    )
+    blob = _FTYP + _bmff(b"moov", mvhd + _trak(b"vide"))
+    m = parse_mp4(blob)
+    assert m["duration_units"] == 2**33
+    assert m["timescale"] == 90000
+    assert m["n_tracks"] == 1
+
+
+def test_parse_mp4_rejects_corruption():
+    from cc_pyspark_spark.operators.multimodal import parse_mp4
+
+    good = _FTYP + _bmff(b"moov", _mvhd_v0(600, 5) + _trak(b"vide"))
+    assert parse_mp4(good) is not None
+    # child box overruns its enclosure
+    assert parse_mp4(_FTYP + (200).to_bytes(4, "big") + b"moov") is None
+    # wrong magic, truncation mid-box
+    assert parse_mp4(b"junkjunkjunkjunk") is None
+    assert parse_mp4(good[:30]) is None
+    # moov without mvhd -> no timescale -> None, not a garbage row
+    assert parse_mp4(_FTYP + _bmff(b"moov", _trak(b"vide"))) is None
+
+
+_F44 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413  # 417 B
+_F48 = bytes([0xFF, 0xFB, 0x94, 0x00]) + b"\x00" * 380  # 384 B
+_F32 = bytes([0xFF, 0xFB, 0x98, 0x00]) + b"\x00" * 572  # 576 B
+
+
+def test_parse_mp3_frame_walk_padding_and_truncation():
+    from cc_pyspark_spark.operators.multimodal import parse_mp3
+
+    fpad = bytes([0xFF, 0xFB, 0x92, 0x00]) + b"\x00" * 414  # padding bit
+    m = parse_mp3(_F44 * 3 + fpad)
+    assert m == {
+        "sample_rate": 44100,
+        "bitrate_kbps": 128,
+        "n_frames": 4,
+        "duration_units": 4 * 1152,
+        "payload_bytes": 3 * 417 + 418,
+    }
+    # a truncated final frame is not counted
+    t = parse_mp3((_F44 * 3 + fpad)[:-10])
+    assert t["n_frames"] == 3 and t["payload_bytes"] == 3 * 417
+    # per-rate frame lengths straight from the header indices
+    assert parse_mp3(_F48 * 2)["payload_bytes"] == 768
+    assert parse_mp3(_F32)["payload_bytes"] == 576
+    assert parse_mp3(b"\xff\xe0junk") is None
+
+
+def test_probe_containers_sniffs_and_skips(spark):
+    from cc_pyspark_spark.operators.multimodal import probe_containers
+
+    moov = _bmff(b"moov", _mvhd_v0(600, 1200) + _trak(b"vide"))
+    rows = [
+        (1, _FTYP + moov),
+        (2, _F48 * 2),
+        (3, b"not a container at all"),
+    ]
+    df = spark.createDataFrame(rows, "blob_id long, blob binary")
+    got = {r["blob_id"]: r.asDict() for r in probe_containers(df).collect()}
+    assert got[1]["container"] == "mp4"
+    assert got[1]["duration_ms"] == 2000  # 1200 units @ 600/s
+    assert got[1]["handlers"] == "vide"
+    assert got[2]["container"] == "mp3"
+    assert got[2]["duration_ms"] == 2 * 1152 * 1000 // 48000
+    assert got[2]["n_tracks"] == 1
+    assert got[3]["container"] is None  # skip-and-count, row kept
+    assert got[3]["payload_bytes"] is None
