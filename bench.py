@@ -107,6 +107,12 @@ HEADLINERS = [
     # r8: log-round star-alternation CC — the third iterative plan
     # under the regression gate (pagerank, triangles, CC).
     "graph_cc_alternating",
+    # late r9: the MP4/MP3 structural probe (Arrow mapInPandas, map-
+    # only) and BPE merge induction (10 checkpointed argmax rounds) —
+    # both new surface, so the round-over-round comparison is the
+    # query-level intersection, not the total.
+    "multimodal_container_probe",
+    "text_bpe_train",
 ]
 
 

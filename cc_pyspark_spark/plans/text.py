@@ -1468,3 +1468,132 @@ def text_ngram_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("novelty_bloom"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (late r9): the registry could APPLY a BPE
+# tokenizer (functions/bpe.py, text_bpe_token_count) but not train one.
+# This is Sennrich-style merge learning run distributed: the corpus
+# collapses once into a (word, freq) vocabulary (the only corpus-sized
+# shuffle), then each round counts adjacent symbol pairs weighted by
+# word frequency, picks the global argmax (count desc, pair asc — exact
+# tie-break), and rewrites the vocabulary with the merge. At 100 TB the
+# vocab table is tiny relative to the corpus (distinct words), each
+# round is one grouped aggregation + one broadcast of a 1-row argmax —
+# the corpus itself is never re-scanned after round 0.
+
+#: Number of merge rounds the registered query learns.
+BPE_TRAIN_MERGES = 10
+
+
+def _bpe_train_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Generated per-round SQL replay (the kcenter convention): each
+    round re-derives the pair counts, argmax, and vocabulary rewrite in
+    pure SQL, so DuckDB learns the merges independently."""
+    head = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+v0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(w, ''), ' ') || ' </w>' AS sym,
+         CAST(COUNT(*) AS BIGINT) AS f
+  FROM words GROUP BY w
+)"""
+    blocks, selects = [], []
+    for r in range(1, n_merges + 1):
+        blocks.append(f""",
+p{r} AS (
+  SELECT syms[i] || ' ' || syms[i+1] AS pair, CAST(SUM(f) AS BIGINT) AS cnt
+  FROM (SELECT string_split(sym, ' ') AS syms, f FROM v{r - 1}) t,
+       unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  GROUP BY 1
+),
+m{r} AS MATERIALIZED (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+v{r} AS MATERIALIZED (
+  SELECT replace(sym, (SELECT pair FROM m{r}),
+                 (SELECT replace(pair, ' ', '') FROM m{r})) AS sym, f
+  FROM v{r - 1}
+)""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, "
+            f"replace(pair, ' ', '') AS merged, cnt FROM m{r}"
+        )
+    return head + "".join(blocks) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(),
+    description="BPE tokenizer TRAINING (complement of text_bpe_token_"
+    "count, which applies a fixed vocab): [a-z]+ words collapse to a "
+    "(symbol-string, freq) vocabulary — the single corpus-sized shuffle "
+    "— then 10 merge rounds each run one pair-count aggregation over "
+    "the vocab (frequency-weighted adjacent symbol pairs via transform/"
+    "slice, no UDF), take the global argmax with an exact (count desc, "
+    "pair asc) tie-break, and rewrite symbol strings with replace(). "
+    "The 1-row argmax is eagerly checkpointed per round (pair counting "
+    "runs once) and broadcast into the rewrite, so the per-round cost "
+    "is O(vocab), not O(corpus). The DuckDB oracle re-learns all 10 "
+    "merges independently via a generated per-round SQL chain",
+    tags=("text", "llm", "scale"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    words = t.documents.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+        .select(
+            F.expr("concat(array_join(split(w, ''), ' '), ' </w>')").alias(
+                "sym"
+            ),
+            "f",
+        )
+    )
+    merges = []
+    for r in range(1, BPE_TRAIN_MERGES + 1):
+        pairs = vocab.where(F.expr("size(split(sym, ' ')) > 1")).select(
+            "f",
+            F.explode(
+                F.expr(
+                    "transform(slice(split(sym, ' '), 1, "
+                    "size(split(sym, ' ')) - 1), (x, i) -> "
+                    "concat(x, ' ', element_at(split(sym, ' '), i + 2)))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            # 1-row frame: materializes this round's pair count exactly
+            # once (it is referenced by the output AND the rewrite) and
+            # truncates the iterative lineage.
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).cast("long").alias("merge_rank"),
+                "pair",
+                F.expr("replace(pair, ' ', '')").alias("merged"),
+                "cnt",
+            )
+        )
+        vocab = vocab.crossJoin(
+            F.broadcast(top.select(F.col("pair").alias("_p")))
+        ).select(
+            F.expr("replace(sym, _p, replace(_p, ' ', ''))").alias("sym"),
+            "f",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

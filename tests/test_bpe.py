@@ -144,3 +144,82 @@ def test_unknown_tokenizer_rejected(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with pytest.raises(ValueError):
         pack_sequences_frame(docs, tokenizer="nope")
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING (plans/text.py text_bpe_train, late r9): the learned
+# merges must equal an independent pure-Python Sennrich reference loop
+# run on the same corpus — a third implementation, separate from both
+# the Spark plan and the DuckDB oracle chain.
+
+
+def _reference_bpe_merges(texts, n_merges):
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            vocab[" ".join(w) + " </w>"] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, f in vocab.items():
+            s = sym.split(" ")
+            for a, b in zip(s, s[1:]):
+                pairs[f"{a} {b}"] += f
+        if not pairs:
+            break
+        # exact tie-break: count desc, pair asc — the plan's orderBy
+        top = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(top)
+        merged = top[0].replace(" ", "")
+        vocab = Counter(
+            {sym.replace(top[0], merged): f for sym, f in vocab.items()}
+        )
+    return merges
+
+
+def test_bpe_train_matches_reference_loop(spark):
+    from cc_pyspark_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    want = _reference_bpe_merges(texts, 10)
+    got = (
+        QUERIES["text_bpe_train"]
+        .spark(spark, SF_DIR)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert [(r["pair"], r["cnt"]) for r in got] == want
+    for r in got:
+        assert r["merged"] == r["pair"].replace(" ", "")
+
+
+def test_bpe_train_merges_feed_forward(spark):
+    """Later rounds must see earlier merges: on a corpus engineered so
+    the best pair in round 2 only exists AFTER round 1's merge, the
+    learned sequence is ('a b' -> 'ab', then 'ab c' -> 'abc')."""
+    from cc_pyspark_spark.plans.text import BPE_TRAIN_MERGES, text_bpe_train
+    import tempfile
+
+    rows = [(i, "abc abc abc abc ab") for i in range(3)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        got = [
+            (r["merge_rank"], r["pair"], r["merged"])
+            for r in text_bpe_train(spark, d).orderBy("merge_rank").collect()
+        ]
+    assert got[0] == (1, "a b", "ab")
+    assert got[1] == (2, "ab c", "abc")
+    assert len(got) <= BPE_TRAIN_MERGES
