@@ -418,3 +418,50 @@ def test_embedding_wide_join_verify_plan(spark):
         # Catalyst owns the strategy (no forced shape to pin beyond
         # the absence of the grouped-pandas stage above)
         assert "Join" in plan, name
+
+
+def test_runtime_bloom_filter_available_for_selective_joins(spark):
+    """Spark 4's runtime Bloom-filter join pruning must stay reachable
+    under the engine's session conf (late r9): when a selective dim
+    filter sits on the build side of a SHUFFLE join, Catalyst injects a
+    bloom_filter_agg on the dim and a might-contain probe on the fact
+    scan — at 100 TB this prunes fact rows BEFORE the exchange, the
+    cheapest possible place. Broadcast joins don't need it (the small
+    side already prunes via the hash table), so the test pins the
+    shuffle-join case with thresholds the fixture can reach; the engine
+    leaves the production 10 MB creation threshold untouched.
+    """
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    assert (
+        conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        pa = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+            "p_size = 7"
+        )
+        j = li.join(pa, li.l_partkey == pa.p_partkey).select(
+            "l_orderkey", "p_name"
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
