@@ -59,6 +59,7 @@ DOC_JOBS = (
     "dataset_card",
     "dsir_select",
     "coreset_select",
+    "container_probe",
 )
 
 
@@ -170,6 +171,16 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="dsir_select: emit only above-median documents (joined "
         "back to the full rows) instead of the full scored frame",
+    )
+    p.add_argument(
+        "--blob_id_col",
+        default="blob_id",
+        help="container_probe: name of the id column in the input table",
+    )
+    p.add_argument(
+        "--blob_col",
+        default="blob",
+        help="container_probe: name of the binary blob column",
     )
     p.add_argument(
         "--coreset_k",
@@ -292,6 +303,17 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         df = kcenter_coreset_frame(table, k=k)
         write_output(df, args, ["vec_id"])
         print(json.dumps({"job": args.job, "k": k}))
+        return 0
+    if args.job == "container_probe":
+        from cc_pyspark_spark.operators.multimodal import (  # noqa: PLC0415
+            probe_containers,
+        )
+
+        df = probe_containers(
+            table, id_col=args.blob_id_col, blob_col=args.blob_col
+        )
+        write_output(df, args, [args.blob_id_col])
+        print(json.dumps({"job": args.job}))
         return 0
     if args.job == "dsir_select":
         from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415

@@ -457,3 +457,29 @@ def test_cli_coreset_select(tmp_path):
     # centers assign to themselves at distance exactly 0
     self_rows = got.filter(got.vec_id == got.center_id).collect()
     assert len(self_rows) == 10 and all(r["d"] == 0.0 for r in self_rows)
+
+
+def test_cli_container_probe(tmp_path):
+    """End-to-end CLI (late r9): parquet of binary blobs -> typed
+    container metadata; custom column names exercise the knobs."""
+    from pyspark.sql import SparkSession
+
+    from cc_pyspark_spark.jobs.runner import main
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    f48 = bytes([0xFF, 0xFB, 0x94, 0x00]) + b"\x00" * 380
+    src = str(tmp_path / "blobs")
+    spark.createDataFrame(
+        [(1, f48 * 3), (2, b"opaque junk")], "bid long, payload binary"
+    ).write.parquet(src)
+    out = str(tmp_path / "probed")
+    rc = main([
+        "container_probe", src, out, "--blob_id_col", "bid",
+        "--blob_col", "payload", "--num_output_partitions", "1",
+        "--spark_master", "local[2]",
+    ])
+    assert rc == 0
+    got = {r["bid"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert got[1]["container"] == "mp3"
+    assert got[1]["duration_ms"] == 3 * 1152 * 1000 // 48000
+    assert got[2]["container"] is None
