@@ -24,7 +24,7 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
-#: The fixed 20-query headliner core (TPC-H suite, scale-dedup family,
+#: The fixed 19-query headliner core (TPC-H suite, scale-dedup family,
 #: ANN/PQ pair, streaming-events pair, curation gate/pack/e2e trio)
 #: mirrors ``bench.HEADLINERS`` so the driver gate and the perf gate
 #: cover the same spine.  r9 change inside the core (VERDICT r8 ask
@@ -34,15 +34,15 @@ from cc_pyspark_spark.plans import QUERIES
 #: dedup_embedding_fixture (unbenched, rotation slot below), so the
 #: `scale` tag and the benched name always denote deployed geometry.
 #:
-#: Round-9 rotation (VERDICT r8 ask #1): the 30 non-core slots take
+#: Round-9 rotation (VERDICT r8 ask #1): the 31 non-core slots take
 #: (a) ALL 22 remaining r1-stale names, and (b) first rows for ALL
-#: EIGHT names new in r9 (dedup_embedding_fixture, graph_cc_converged,
+#: NINE names new in r9 (dedup_embedding_fixture, graph_cc_converged,
 #: curation_dsir_importance, text_ngram_novelty,
 #: embedding_kcenter_coreset, text_ngram_novelty_bloom,
-#: multimodal_container_probe, text_bpe_train) — the core shrank by
-#: four slots (the PQ pair, tpch_q14, tpch_q10, all still benched) to
-#: keep the rotation tripwire's every-new-name-gets-a-row guarantee
-#: structural.
+#: multimodal_container_probe, text_bpe_train, curation_snapshot_diff)
+#: — the core shrank by five slots (the PQ pair, tpch_q14/q10/q4, all
+#: still benched and r8-green) to keep the rotation tripwire's
+#: every-new-name-gets-a-row guarantee structural.
 #:
 #: r10 rotation plan: the 24 r2-stale names
 #: (agg_collect_sorted_list, agg_count_by_key, agg_distinct_pairs,
@@ -53,19 +53,18 @@ from cc_pyspark_spark.plans import QUERIES
 #: text_fingerprint, text_lang_id, text_quality_score,
 #: text_rolling_fingerprint, text_token_stats, text_top_terms_tfidf,
 #: topk_global, tpch_q22_global_sales_opportunity, window_dense_ids,
-#: window_topn_per_group) fit the 30 slots with room for new r10
+#: window_topn_per_group) fit the 31 slots with room for new r10
 #: names — after r10 no row is older than r5, and the steady-state
 #: cycle is ~3 rounds for the full registry. Each rotated-out name
 #: stays green in the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
-    # -- fixed 20-headliner core: benched AND driver-gated every round
+    # -- fixed 19-headliner core: benched AND driver-gated every round
     #    (r9: the PQ pair moved to the rotation pool — both still
     #    benched and r8-green — freeing the window slots the rotation
     #    tripwire requires for first rows of embedding_kcenter_coreset
     #    and text_ngram_novelty_bloom) --
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q4_late_shipments",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume",
@@ -87,7 +86,7 @@ DRIVER_CORE: tuple[str, ...] = (
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # -- r9 rotation (VERDICT r8 ask #1): ALL 22 stale r1 rows cycle
-    #    through the 30 non-core slots this round; the 24 r2-stale
+    #    through the 31 non-core slots this round; the 24 r2-stale
     #    names take the r10 window.  Each name stays green in the
     #    sf0.001 parity pytest meanwhile.
     "join_left_outer_count",
@@ -124,12 +123,13 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "text_ngram_novelty",
     "embedding_kcenter_coreset",
     "text_ngram_novelty_bloom",
-    # late-r9 additions — the MP4/MP3 structural probe and BPE merge
-    # induction; their slots came from tpch_q14_promo_revenue and
-    # tpch_q10_returned_items leaving the fixed core (both still
-    # benched, r8-green, back in the r10+ steady-state cycle)
+    # late-r9 additions — the MP4/MP3 structural probe, BPE merge
+    # induction, and dataset release diff; their slots came from
+    # tpch_q14/q10/q4 leaving the fixed core (all still benched,
+    # r8-green, back in the r10+ steady-state cycle)
     "multimodal_container_probe",
     "text_bpe_train",
+    "curation_snapshot_diff",
 )
 
 

@@ -113,6 +113,7 @@ HEADLINERS = [
     # query-level intersection, not the total.
     "multimodal_container_probe",
     "text_bpe_train",
+    "curation_snapshot_diff",
 ]
 
 

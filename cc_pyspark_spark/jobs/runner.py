@@ -60,6 +60,7 @@ DOC_JOBS = (
     "dsir_select",
     "coreset_select",
     "container_probe",
+    "snapshot_diff",
 )
 
 
@@ -172,6 +173,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="dsir_select: emit only above-median documents (joined "
         "back to the full rows) instead of the full scored frame",
     )
+    p.add_argument(
+        "--diff_against",
+        default=None,
+        help="snapshot_diff: parquet path of the NEW release (the "
+        "positional input is the old one); --key_col/--payload_col "
+        "name the join key and hashed payload column",
+    )
+    p.add_argument("--key_col", default="doc_id")
+    p.add_argument("--payload_col", default="text")
     p.add_argument(
         "--blob_id_col",
         default="blob_id",
@@ -303,6 +313,20 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         df = kcenter_coreset_frame(table, k=k)
         write_output(df, args, ["vec_id"])
         print(json.dumps({"job": args.job, "k": k}))
+        return 0
+    if args.job == "snapshot_diff":
+        from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415
+            snapshot_diff_frame,
+        )
+
+        if not args.diff_against:
+            raise SystemExit("snapshot_diff requires --diff_against NEW_PATH")
+        new = spark.read.parquet(args.diff_against)
+        df = snapshot_diff_frame(
+            table, new, key=args.key_col, payload=args.payload_col
+        )
+        write_output(df, args, [args.key_col])
+        print(json.dumps({"job": args.job}))
         return 0
     if args.job == "container_probe":
         from cc_pyspark_spark.operators.multimodal import (  # noqa: PLC0415

@@ -483,3 +483,31 @@ def test_cli_container_probe(tmp_path):
     assert got[1]["container"] == "mp3"
     assert got[1]["duration_ms"] == 3 * 1152 * 1000 // 48000
     assert got[2]["container"] is None
+
+
+def test_cli_snapshot_diff(tmp_path):
+    """End-to-end CLI (late r9): old/new parquet releases -> O(churn)
+    added/removed/changed report over (key, md5) projections."""
+    from pyspark.sql import SparkSession
+
+    from cc_pyspark_spark.jobs.runner import main
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")], "doc_id long, text string"
+    ).write.parquet(new)
+    out = str(tmp_path / "diff")
+    rc = main([
+        "snapshot_diff", old, out, "--diff_against", new,
+        "--num_output_partitions", "1", "--spark_master", "local[2]",
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]: r["change"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}
