@@ -10,7 +10,9 @@ Compressed audio (FLAC/OGG/MP3) decodes through the optional
 gated like the bs4/resiliparse HTML backends); without it those blobs
 degrade to a null/skip row (skip-and-count, like the reference's
 ArchiveLoadFailed handling in sparkcc.py:390-392 — one odd blob must
-never abort a job).
+never abort a job). STRUCTURAL metadata for MP3 needs no codec at all:
+operators/multimodal.py:parse_mp3 walks the frame chain (late r9), so
+duration/bitrate/sample-rate routing works even where decode is gated.
 
 100 TB notes: every stage is per-row over Arrow batches — zero shuffle;
 partitioning is inherited from the blob source, so colocating blobs by

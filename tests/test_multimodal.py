@@ -583,3 +583,41 @@ def test_probe_containers_sniffs_and_skips(spark):
     assert got[2]["n_tracks"] == 1
     assert got[3]["container"] is None  # skip-and-count, row kept
     assert got[3]["payload_bytes"] is None
+
+
+def test_container_parsers_never_crash_on_fuzz():
+    """Crawl blobs are hostile: both walkers must return a dict or
+    None on ARBITRARY bytes — never raise. Deterministic fuzz corpus:
+    md5-chained bytes, plus adversarial mutations of valid blobs
+    (every prefix truncation, single-byte flips at structural
+    offsets)."""
+    import hashlib
+
+    from cc_pyspark_spark.operators.multimodal import parse_mp3, parse_mp4
+
+    blobs = []
+    seed = b"fuzz"
+    for i in range(64):
+        seed = hashlib.md5(seed).digest()
+        blobs.append(seed * (i % 7 + 1))
+    valid_mp4 = (
+        _FTYP
+        + _bmff(b"moov", _mvhd_v0(1000, 999) + _trak(b"vide"))
+        + (1).to_bytes(4, "big") + b"mdat" + (21).to_bytes(8, "big")
+        + b"xxxxx"
+    )
+    valid_mp3 = _F44 * 2 + _F48
+    for base in (valid_mp4, valid_mp3):
+        blobs += [base[:k] for k in range(len(base))]
+        for off in (0, 1, 3, 4, 5, 8, 12, 16, 20, 30, len(base) - 1):
+            mutated = bytearray(base)
+            mutated[off] ^= 0xFF
+            blobs.append(bytes(mutated))
+    for b in blobs:
+        for parser in (parse_mp4, parse_mp3):
+            out = parser(b)
+            assert out is None or isinstance(out, dict)
+    # the unmutated blobs must still parse (the fuzz loop would pass
+    # trivially if the fixtures were junk)
+    assert parse_mp4(valid_mp4)["payload_bytes"] == 5
+    assert parse_mp3(valid_mp3)["n_frames"] == 3
