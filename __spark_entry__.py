@@ -34,15 +34,16 @@ from cc_pyspark_spark.plans import QUERIES
 #: dedup_embedding_fixture (unbenched, rotation slot below), so the
 #: `scale` tag and the benched name always denote deployed geometry.
 #:
-#: Round-9 rotation (VERDICT r8 ask #1): the 31 non-core slots take
+#: Round-9 rotation (VERDICT r8 ask #1): the 34 non-core slots take
 #: (a) ALL 22 remaining r1-stale names, and (b) first rows for ALL
-#: NINE names new in r9 (dedup_embedding_fixture, graph_cc_converged,
+#: TWELVE names new in r9 (dedup_embedding_fixture, graph_cc_converged,
 #: curation_dsir_importance, text_ngram_novelty,
 #: embedding_kcenter_coreset, text_ngram_novelty_bloom,
-#: multimodal_container_probe, text_bpe_train, curation_snapshot_diff)
-#: — the core shrank by five slots (the PQ pair, tpch_q14/q10/q4, all
-#: still benched and r8-green) to keep the rotation tripwire's
-#: every-new-name-gets-a-row guarantee structural.
+#: multimodal_container_probe, text_bpe_train, curation_snapshot_diff,
+#: text_blocklist_phrases, sim_bm25_topk, embedding_random_projection)
+#: — the core shrank by eight slots (the PQ pair, tpch_q14/q10/q4,
+#: then tpch_q3/q5/q18; all still benched and r8-green) to keep the
+#: rotation tripwire's every-new-name-gets-a-row guarantee structural.
 #:
 #: r10 rotation plan: the 24 r2-stale names
 #: (agg_collect_sorted_list, agg_count_by_key, agg_distinct_pairs,
@@ -58,16 +59,13 @@ from cc_pyspark_spark.plans import QUERIES
 #: cycle is ~3 rounds for the full registry. Each rotated-out name
 #: stays green in the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
-    # -- fixed 19-headliner core: benched AND driver-gated every round
-    #    (r9: the PQ pair moved to the rotation pool — both still
-    #    benched and r8-green — freeing the window slots the rotation
-    #    tripwire requires for first rows of embedding_kcenter_coreset
-    #    and text_ngram_novelty_bloom) --
+    # -- fixed 16-headliner core: benched AND driver-gated every round
+    #    (r9: the PQ pair, tpch_q14/q10/q4, then tpch_q3/q5/q18 moved
+    #    to the rotation pool — all still benched and r8-green —
+    #    freeing the window slots the rotation tripwire requires for
+    #    first rows of the twelve new r9 names) --
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume",
     "tpch_q19_disjunctive",
     "text_word_count_tfdf",
     "dedup_exact",
@@ -130,6 +128,13 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "multimodal_container_probe",
     "text_bpe_train",
     "curation_snapshot_diff",
+    # latest-r9 additions — Aho-Corasick blocklist matching, Okapi BM25
+    # retrieval, and the JL sign random projection; their slots came
+    # from tpch_q3/q5/q18 leaving the fixed core (all still benched,
+    # r8-green, back in the r10+ steady-state cycle)
+    "text_blocklist_phrases",
+    "sim_bm25_topk",
+    "embedding_random_projection",
 )
 
 

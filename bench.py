@@ -114,6 +114,14 @@ HEADLINERS = [
     "multimodal_container_probe",
     "text_bpe_train",
     "curation_snapshot_diff",
+    # latest r9: Aho-Corasick blocklist matching (one automaton pass
+    # per doc, the phrase-count-independent shape), Okapi BM25 (the
+    # query-doc lexical ranker), and the JL sign projection (map-only,
+    # should run at scan throughput — its bench row is the regression
+    # tripwire for accidentally de-codegen-ing the fold).
+    "text_blocklist_phrases",
+    "sim_bm25_topk",
+    "embedding_random_projection",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Multi-phrase blocklist matching (beyond-reference LLM-pipeline op).
+
+Training-data pipelines filter against large phrase lists — spam
+lexicons, adult-content terms, benchmark canaries, licensing strings —
+often 10^4-10^6 phrases. Scanning each document once per phrase
+(`contains`/`instr` per pattern, or a mega-regex alternation) is
+O(phrases x text) and melts at corpus scale; the classic answer is an
+Aho-Corasick automaton: one pass over the text, O(len + matches)
+REGARDLESS of phrase-list size.
+
+Spark shape: the phrase list is tiny next to the corpus, so the
+automaton ships to executors inside the pandas-UDF closure and is
+built ONCE per worker (module-level cache keyed by the phrase tuple).
+Matching is an Arrow-batched pandas UDF — the sanctioned Python slow
+path — over text normalized to a space-joined token stream, so "phrase
+match" means *token-subsequence* match (word boundaries), not raw
+substring. No shuffle: the whole operator is map-only.
+
+The automaton is a fresh implementation of the textbook construction
+(goto/fail/output links via BFS — Aho & Corasick 1975, public
+literature); nothing here derives from the reference repo, which has
+no multi-pattern matching at all.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class AhoCorasick:
+    """Multi-pattern string automaton: one pass, all matches.
+
+    ``find_distinct(text)`` returns the sorted set of patterns that
+    occur in ``text`` as substrings. Word-boundary semantics are the
+    caller's job (pad patterns and text with the boundary character —
+    see :func:`match_phrases`).
+    """
+
+    __slots__ = ("goto", "fail", "out")
+
+    def __init__(self, patterns: tuple[str, ...]):
+        # goto: list of dict[char -> state]; state 0 is the root.
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[str]] = [[]]
+        for pat in patterns:
+            state = 0
+            for ch in pat:
+                nxt = self.goto[state].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[state][ch] = nxt
+                state = nxt
+            self.out[state].append(pat)
+        # Failure links by BFS; output links merge at link time so
+        # matching never walks the fail chain per character.
+        self.fail = [0] * len(self.goto)
+        queue: deque[int] = deque()
+        for nxt in self.goto[0].values():
+            queue.append(nxt)
+        while queue:
+            state = queue.popleft()
+            for ch, nxt in self.goto[state].items():
+                queue.append(nxt)
+                f = self.fail[state]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0)
+                if self.fail[nxt] == nxt:  # root self-loop guard
+                    self.fail[nxt] = 0
+                self.out[nxt] = self.out[nxt] + self.out[self.fail[nxt]]
+
+    def find_distinct(self, text: str) -> list[str]:
+        """Sorted distinct patterns occurring in ``text``."""
+        state = 0
+        hits: set[str] = set()
+        goto, fail, out = self.goto, self.fail, self.out
+        for ch in text:
+            while state and ch not in goto[state]:
+                state = fail[state]
+            state = goto[state].get(ch, 0)
+            if out[state]:
+                hits.update(out[state])
+        return sorted(hits)
+
+
+#: Per-worker automaton cache — the build is O(total pattern chars)
+#: and must not repeat per Arrow batch.
+_AC_CACHE: dict[tuple[str, ...], AhoCorasick] = {}
+
+
+def _automaton(patterns: tuple[str, ...]) -> AhoCorasick:
+    ac = _AC_CACHE.get(patterns)
+    if ac is None:
+        ac = AhoCorasick(patterns)
+        _AC_CACHE[patterns] = ac
+    return ac
+
+
+def match_phrases(col: str | Column, phrases: tuple[str, ...]) -> Column:
+    """Column of comma-joined sorted distinct phrases matched in `col`.
+
+    ``col`` must already be a normalized token stream (lowercase
+    tokens joined by single spaces — ``array_join(tokenize(text), ' ')``);
+    the match is word-boundary-exact: both the text and every phrase
+    are padded with one space so `"scan"` never fires inside
+    `"rescans"`. Empty string when nothing matches (a plain string —
+    not an array — so the cross-engine value hash is representation-
+    free).
+    """
+    padded = tuple(f" {p} " for p in phrases)
+
+    @F.pandas_udf(T.StringType())
+    def _match(s: pd.Series) -> pd.Series:
+        ac = _automaton(padded)
+        return s.map(
+            lambda t: ",".join(
+                m.strip() for m in ac.find_distinct(f" {t} ")
+            )
+            if t is not None
+            else None
+        )
+
+    return _match(F.col(col) if isinstance(col, str) else col)

@@ -61,6 +61,7 @@ DOC_JOBS = (
     "coreset_select",
     "container_probe",
     "snapshot_diff",
+    "blocklist_filter",
 )
 
 
@@ -200,6 +201,20 @@ def build_parser() -> argparse.ArgumentParser:
         "(default plans.similarity.KCENTER_K; center lineage "
         "checkpoints every 8 rounds for large k)",
     )
+    p.add_argument(
+        "--blocklist_file",
+        default=None,
+        help="blocklist_filter: newline-separated phrase list (word-"
+        "boundary, lowercase tokens); default is the built-in fixture "
+        "list. The Aho-Corasick pass costs the same at 10 or 10^6 "
+        "phrases",
+    )
+    p.add_argument(
+        "--drop_matched",
+        action="store_true",
+        help="blocklist_filter: emit the SURVIVING full document rows "
+        "(curation-gate mode) instead of per-doc match annotations",
+    )
     return p
 
 
@@ -338,6 +353,30 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         )
         write_output(df, args, [args.blob_id_col])
         print(json.dumps({"job": args.job}))
+        return 0
+    if args.job == "blocklist_filter":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cc_pyspark_spark.plans.text import (  # noqa: PLC0415
+            BLOCKLIST_PHRASES,
+            blocklist_hits_frame,
+        )
+
+        if args.blocklist_file:
+            with open(args.blocklist_file) as f:
+                phrases = tuple(
+                    line.strip() for line in f if line.strip()
+                )
+        else:
+            phrases = BLOCKLIST_PHRASES
+        scored = blocklist_hits_frame(table, phrases)
+        if args.drop_matched:
+            clean = scored.filter(F.col("n_hits") == 0).select("doc_id")
+            df = table.join(clean, "doc_id")
+        else:
+            df = scored
+        write_output(df, args, ["doc_id"])
+        print(json.dumps({"job": args.job, "n_phrases": len(phrases)}))
         return 0
     if args.job == "dsir_select":
         from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415

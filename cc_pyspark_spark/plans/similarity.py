@@ -1553,3 +1553,260 @@ def kcenter_coreset_frame(
         .filter(F.col("rn") == 1)
         .select("vec_id", "center_id", "d")
     )
+
+
+# --------------------- Okapi BM25 ranking (r9, lexical retrieval)
+#
+# sim_sparse_tfidf_topk covers doc-doc lexical similarity; BM25 is the
+# query-doc half — THE default first-stage ranker for retrieval-based
+# curation (finding benchmark contamination, sourcing domain-specific
+# training data, hybrid-RRF's lexical leg). Classic Okapi scoring with
+# the idf expressed as the log-free rational (N - df + 0.5)/(df + 0.5)
+# — the same convention the tfidf query established (ln() is 1-ulp
+# cross-engine and would break the value hash; the rational is a
+# monotone transform of the Robertson idf wherever it is positive, so
+# top-k ORDER is the textbook order for any query whose terms appear
+# in under half the corpus).
+#
+# Scale shape: the query set is tiny and broadcasts; the corpus-side
+# work is the same (doc_id, token) inverted index every lexical
+# operator here shares; scoring touches ONLY postings of query terms
+# (the token join prunes everything else at the shuffle). Per-doc
+# length norm joins on doc_id — O(matching docs), never O(corpus).
+
+#: Fixed retrieval query set (literal in both engines).
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "table scan"),
+    (2, "hash join order"),
+    (3, "stream batch window"),
+    (4, "customer query"),
+)
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOPK = 10
+
+_BM25_QTERM_VALUES = ",".join(
+    f"({qid},'{tok}')"
+    for qid, q in BM25_QUERIES
+    for tok in sorted(set(q.split()))
+)
+
+
+def _duck_bm25_oracle() -> str:
+    from cc_pyspark_spark.functions.text import TOKEN_PATTERN
+
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), qt(query_id, token) AS (
+  SELECT * FROM (VALUES {_BM25_QTERM_VALUES}) AS v(query_id, token)
+), contrib AS (
+  SELECT qt.query_id, tf.doc_id, tf.token,
+         ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+         / (CAST(tf.tf AS DOUBLE)
+            + {BM25_K1} * (1.0 - {BM25_B}
+                           + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl)) AS c
+  FROM tf JOIN qt USING (token)
+          JOIN df USING (token)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats s
+), scored AS (
+  SELECT query_id, doc_id,
+         list_reduce(list_prepend(0.0, list(c ORDER BY token)),
+                     (a, x) -> a + x) AS score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= {BM25_TOPK}
+"""
+
+
+@register(
+    "sim_bm25_topk",
+    oracle=_duck_bm25_oracle(),
+    description="Okapi BM25 retrieval (beyond-reference): k1=1.2 b=0.75 "
+    "with length normalization against a broadcast 1-row (N, avgdl) "
+    "aggregate; idf is the log-free rational (N-df+0.5)/(df+0.5) so the "
+    "full-value oracle holds bit-for-bit (monotone in the Robertson idf "
+    "for df < N/2 — rank-identical for any discriminative term). The "
+    "query-term join prunes the inverted index to query-term postings "
+    "BEFORE any shuffle, so cost scales with posting length, not corpus "
+    "size; per-query top-k with doc_id tiebreak. The query-doc twin of "
+    "sim_sparse_tfidf_topk and the lexical leg sim_hybrid_rrf fuses",
+    tags=("similarity", "text"),
+)
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.functions.text import tokenize
+
+    t = Catalog(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    df = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    qt = spark.createDataFrame(
+        [
+            (qid, tok_)
+            for qid, q in BM25_QUERIES
+            for tok_ in sorted(set(q.split()))
+        ],
+        "query_id int, token string",
+    )
+    k1, b = float(BM25_K1), float(BM25_B)
+    contrib = (
+        tf.join(F.broadcast(qt), "token")
+        .join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "token",
+            (
+                (
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df").cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl").cast("double")
+                        / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("token", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score")
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "doc_id",
+            "score",
+            "rnk",
+        )
+    )
+
+
+# --------------------- JL random projection (r9, embedding shrink)
+#
+# Johnson-Lindenstrauss sign projection (Achlioptas 2003, public
+# literature): a +-1 matrix preserves pairwise distances within
+# (1 +- eps) w.h.p. at k = O(log n / eps^2) output dims. In a 100 TB
+# pipeline this is the cheapest lever against the REAL ANN cost
+# driver — shuffle bytes: projecting 64-d float vectors to 16-d
+# before the LSH/IVF stages cuts every downstream exchange 4x, and
+# the projection itself is a pure per-row column expression (zero
+# shuffle, whole-stage codegen, folds into the parquet scan
+# projection). The sign matrix derives from md5 at module import —
+# deterministic, seedless, identical literals in both engines.
+
+RP_IN_DIMS = 64
+RP_OUT_DIMS = 16
+
+
+def _rp_signs() -> list[list[float]]:
+    import hashlib  # noqa: PLC0415
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"rp:{j}:{i}".encode()).digest()[0] < 128
+            else -1.0
+            for i in range(RP_IN_DIMS)
+        ]
+        for j in range(RP_OUT_DIMS)
+    ]
+
+
+RP_SIGNS = _rp_signs()
+#: 1/sqrt(RP_OUT_DIMS) — exact in binary (sqrt(16) = 4).
+_RP_SCALE = "4.0"
+
+
+def _duck_rp_oracle() -> str:
+    cols = []
+    for j, signs in enumerate(RP_SIGNS):
+        chain = "0.0"
+        for i, s in enumerate(signs):
+            op = "+" if s > 0 else "-"
+            chain += f" {op} CAST(embedding[{i + 1}] AS DOUBLE)"
+        cols.append(f"({chain}) / {_RP_SCALE} AS p{j:02d}")
+    body = ",\n       ".join(cols)
+    return f"SELECT vec_id,\n       {body}\nFROM embeddings"
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_duck_rp_oracle(),
+    description="Johnson-Lindenstrauss sign random projection (beyond-"
+    "reference, Achlioptas +-1 variant): 64-d -> 16-d via an md5-derived "
+    "deterministic sign matrix, scaled 1/sqrt(k). Pure per-row column "
+    "expressions — zero shuffle, whole-stage codegen, folds into the "
+    "scan projection — so at corpus scale it runs at read throughput "
+    "and cuts every downstream ANN exchange 4x in bytes. Left-assoc "
+    "fold order is pinned identically in both engines, so the full "
+    "double-value oracle holds bit-for-bit",
+    tags=("similarity", "embedding"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    cols = [F.col("vec_id")]
+    for j, signs in enumerate(RP_SIGNS):
+        sarr = F.array(*[F.lit(s) for s in signs])
+        cols.append(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        sarr,
+                        lambda v, s: v.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(float(_RP_SCALE))
+            ).alias(f"p{j:02d}")
+        )
+    return t.embeddings.select(*cols)

@@ -1597,3 +1597,90 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+# --------------------- blocklist phrase matching (r9, Aho-Corasick)
+#
+# Phrase-list filtering (spam lexicons, benchmark canaries, licensing
+# strings) is a standard curation gate. The naive shape — one
+# contains() per phrase, or a mega-regex alternation — is
+# O(phrases x text); the deployment shape is ONE automaton pass per
+# document: O(len + matches) independent of phrase-list size
+# (functions/acmatch.py). The oracle deliberately runs the naive
+# per-phrase strpos join instead — an independent derivation of the
+# same answer, which is exactly what makes it a useful oracle.
+
+#: Word-boundary phrase blocklist over the fixture vocabulary. Multi-
+#: token phrases only match as consecutive tokens; 'scan' alone never
+#: fires inside 'rescans' (space padding on both sides of the match).
+BLOCKLIST_PHRASES: tuple[str, ...] = (
+    "table scan",
+    "hash join",
+    "sort merge",
+    "stream batch",
+    "big vector",
+    "slow filter",
+    "key order",
+    "dup",
+)
+
+_DUCK_NORM = f"array_to_string({_DUCK_TOKS}, ' ')"
+
+_BLOCKLIST_VALUES = ",".join(f"('{p}')" for p in BLOCKLIST_PHRASES)
+
+
+@register(
+    "text_blocklist_phrases",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, ' ' || {_DUCK_NORM} || ' ' AS t FROM documents
+), ph(phrase) AS (
+  SELECT * FROM (VALUES {_BLOCKLIST_VALUES}) AS v(phrase)
+), hit AS (
+  SELECT n.doc_id, p.phrase
+  FROM norm n JOIN ph p ON strpos(n.t, ' ' || p.phrase || ' ') > 0
+)
+SELECT d.doc_id,
+       CAST(COUNT(h.phrase) AS BIGINT) AS n_hits,
+       COALESCE(string_agg(h.phrase, ',' ORDER BY h.phrase), '') AS hits
+FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+GROUP BY d.doc_id
+""",
+    description="Blocklist phrase matching (beyond-reference): word-"
+    "boundary multi-phrase search via a broadcast Aho-Corasick automaton "
+    "inside ONE Arrow-batched pandas UDF pass — O(len + matches) per doc "
+    "independent of phrase-list size, map-only, no shuffle. The naive "
+    "per-phrase contains() is O(phrases x text) and is exactly what the "
+    "DuckDB oracle runs, so the two derivations are independent. At "
+    "10^5+ phrases (real curation lexicons) the automaton is the only "
+    "shape that survives; the per-worker build is cached across batches",
+    tags=("text", "curation"),
+)
+def text_blocklist_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return blocklist_hits_frame(t.documents, BLOCKLIST_PHRASES)
+
+
+def blocklist_hits_frame(
+    documents: DataFrame, phrases: tuple[str, ...] = BLOCKLIST_PHRASES
+) -> DataFrame:
+    """(doc_id, n_hits, hits) — the `blocklist_filter` CLI shares this
+    with the registered query; ``phrases`` comes from ``--blocklist_file``
+    there (one phrase per line, any size — the automaton cost is
+    independent of the list length)."""
+    from cc_pyspark_spark.functions.acmatch import match_phrases
+
+    norm = documents.select(
+        "doc_id", F.array_join(tokenize("text"), " ").alias("t")
+    )
+    hits = norm.select(
+        "doc_id", match_phrases("t", phrases).alias("hits")
+    )
+    return hits.select(
+        "doc_id",
+        F.when(F.col("hits") == "", F.lit(0))
+        .otherwise(F.size(F.split("hits", ",")))
+        .cast("bigint")
+        .alias("n_hits"),
+        "hits",
+    )

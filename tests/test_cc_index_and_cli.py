@@ -511,3 +511,53 @@ def test_cli_snapshot_diff(tmp_path):
         r["doc_id"]: r["change"] for r in spark.read.parquet(out).collect()
     }
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_cli_blocklist_filter(tmp_path):
+    """End-to-end CLI (r9): documents parquet → Aho-Corasick blocklist
+    annotations; --drop_matched emits exactly the zero-hit survivors
+    with full rows; --blocklist_file overrides the built-in phrases."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    scored_out = str(tmp_path / "scored")
+    kept_out = str(tmp_path / "kept")
+    custom_out = str(tmp_path / "custom")
+    rc = main([
+        "blocklist_filter", src, scored_out,
+        "--num_output_partitions", "2", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    rc = main([
+        "blocklist_filter", src, kept_out, "--drop_matched",
+        "--num_output_partitions", "2", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    bl = tmp_path / "phrases.txt"
+    bl.write_text("table scan\nzzz never occurs\n")
+    rc = main([
+        "blocklist_filter", src, custom_out, "--blocklist_file", str(bl),
+        "--num_output_partitions", "2", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    scored = spark.read.parquet(scored_out)
+    assert set(scored.columns) == {"doc_id", "n_hits", "hits"}
+    n_docs = spark.read.parquet(src).count()
+    assert scored.count() == n_docs
+    n_clean = scored.filter("n_hits = 0").count()
+    assert 0 < n_clean < n_docs, "fixture phrases must fire on some docs"
+    kept = spark.read.parquet(kept_out)
+    assert kept.count() == n_clean
+    assert {"doc_id", "text", "lang"} <= set(kept.columns)
+    clean_ids = {r["doc_id"] for r in scored.filter("n_hits = 0").collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == clean_ids
+    custom = spark.read.parquet(custom_out)
+    hits = {r["hits"] for r in custom.filter("n_hits > 0").collect()}
+    assert hits == {"table scan"}, "custom list must replace the default"

@@ -78,6 +78,11 @@ CHECK = [
     # r9: the bitmap-Bloom twin — the bit_or word aggregation and the
     # double ratio must survive re-layout bit-for-bit.
     "text_ngram_novelty_bloom",
+    # r9 late: BM25 folds per-query-term contributions in token order;
+    # the JL projection folds 64 signed terms in dimension order (map-
+    # only, but the zip_with fold is still a float chain worth pinning).
+    "sim_bm25_topk",
+    "embedding_random_projection",
 ]
 
 
