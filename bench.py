@@ -122,6 +122,10 @@ HEADLINERS = [
     "text_blocklist_phrases",
     "sim_bm25_topk",
     "embedding_random_projection",
+    # latest r9: KMV/theta sketch set algebra — the windowed bottom-k
+    # build (WindowGroupLimit) plus a broadcast pairwise stage; its
+    # bench row watches the only per-set window in the sketch family.
+    "agg_theta_sketch_intersect",
 ]
 
 
@@ -155,7 +159,16 @@ def main() -> None:
     # uniform ~+0.3 s to 40 otherwise-unchanged queries, destroying
     # cross-round comparability for no information (construction
     # happens once per job in production, not per 100 TB of input).
-    eager_construction = {"graph_pagerank", "graph_cc_alternating"}
+    # r9 late: text_bpe_train's 10 argmax merge rounds and the theta
+    # sketch's pair-join checkpoint also materialize at construction —
+    # their write-only rows read ~0.05 s, so they join the
+    # construction-inclusive timer.
+    eager_construction = {
+        "graph_pagerank",
+        "graph_cc_alternating",
+        "text_bpe_train",
+        "agg_theta_sketch_intersect",
+    }
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}

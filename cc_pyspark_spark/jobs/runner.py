@@ -62,6 +62,7 @@ DOC_JOBS = (
     "container_probe",
     "snapshot_diff",
     "blocklist_filter",
+    "corpus_overlap",
 )
 
 
@@ -214,6 +215,20 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="blocklist_filter: emit the SURVIVING full document rows "
         "(curation-gate mode) instead of per-doc match annotations",
+    )
+    p.add_argument(
+        "--overlap_set_col",
+        default="source",
+        help="corpus_overlap: grouping column whose shingle sets are "
+        "compared pairwise (e.g. source, lang)",
+    )
+    p.add_argument(
+        "--kmv_k",
+        type=int,
+        default=None,
+        help="corpus_overlap: KMV sketch size (default "
+        "plans.sketches.KMV_K; rel-err ~ 1/sqrt(k-1); k larger than "
+        "the set universe degrades gracefully to exact counts)",
     )
     return p
 
@@ -377,6 +392,19 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
             df = scored
         write_output(df, args, ["doc_id"])
         print(json.dumps({"job": args.job, "n_phrases": len(phrases)}))
+        return 0
+    if args.job == "corpus_overlap":
+        from cc_pyspark_spark.plans.sketches import (  # noqa: PLC0415
+            KMV_K,
+            theta_sketch_pairs_frame,
+        )
+
+        k = args.kmv_k or KMV_K
+        df = theta_sketch_pairs_frame(
+            table, k=k, set_col=args.overlap_set_col
+        )
+        write_output(df, args, ["src_a", "src_b"])
+        print(json.dumps({"job": args.job, "k": k}))
         return 0
     if args.job == "dsir_select":
         from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415

@@ -302,3 +302,210 @@ def agg_exact_median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("n"),
         )
     )
+
+
+# --------------------- KMV theta sketch: set algebra on sketches (r9)
+#
+# HLL unions but cannot intersect; the theta/KMV sketch (k-minimum-
+# values — Beyer et al. 2007, Apache DataSketches theta, public
+# literature) supports BOTH: keep the k smallest distinct hash values
+# per set; theta = k-th smallest. Union of two sketches = k smallest
+# of the merged samples (valid because each sketch holds >= k values
+# below its own theta). Intersection = count common samples below
+# theta_cap = min(theta_a, theta_b), scaled by P/theta_cap — the
+# audience-overlap / corpus-overlap primitive a warehouse cannot get
+# from HLL. Every step is exact integer algebra over the deterministic
+# polynomial char hash, so DuckDB replays the IDENTICAL sketch and the
+# ESTIMATES are value-hash-compared (the count-min convention) —
+# a full-value oracle for an approximate structure.
+#
+# Scale shape: one distinct-aggregation to (set, h), then a windowed
+# bottom-k per set — Spark's WindowGroupLimit pushes the k-limit
+# map-side, so the exchange carries at most k rows per set per input
+# partition, NOT the full distinct stream. Sketches are k longs per
+# set regardless of corpus size; the pairwise stage is a broadcast
+# self-join over 20 sketch rows.
+
+KMV_K = 256
+KMV_SHINGLE = 3
+
+
+def _duck_char_hash(col: str) -> str:
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length({col}) + 1),
+                   i -> ascii(substr({col}, i, 1)))),
+    (a, c) -> (a * 131 + c) % {CM_P})"""
+
+
+def _duck_kmv_est(n: str, theta: str) -> str:
+    return (
+        f"CASE WHEN {n} < {KMV_K} THEN CAST({n} AS DOUBLE) "
+        f"ELSE CAST(({KMV_K} - 1) AS DOUBLE) * {CM_P} "
+        f"/ CAST({theta} AS DOUBLE) END"
+    )
+
+
+@register(
+    "agg_theta_sketch_intersect",
+    oracle=f"""
+WITH t AS (SELECT source, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t WHERE len(toks) >= {KMV_SHINGLE}
+),
+hs AS (SELECT DISTINCT source, {_duck_char_hash("g")} AS h FROM sh),
+rn AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hs
+),
+sk AS (
+  SELECT source, list(h ORDER BY h) AS sk,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM rn WHERE rn <= {KMV_K} GROUP BY source
+),
+th AS (
+  SELECT source, sk, n,
+         CASE WHEN n >= {KMV_K} THEN sk[{KMV_K}] ELSE {CM_P} END AS theta
+  FROM sk
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.sk AS ask, a.n AS an, a.theta AS ath,
+         b.sk AS bsk, b.n AS bn, b.theta AS bth,
+         list_sort(list_distinct(list_concat(a.sk, b.sk))) AS u,
+         least(a.theta, b.theta) AS ti
+  FROM th a JOIN th b ON a.source < b.source
+),
+calc AS (
+  SELECT src_a, src_b,
+         {_duck_kmv_est("an", "ath")} AS est_a,
+         {_duck_kmv_est("bn", "bth")} AS est_b,
+         {_duck_kmv_est("len(u)",
+                        f"u[{KMV_K}]")} AS est_union,
+         CAST(len(list_intersect(list_filter(ask, x -> x < ti),
+                                 list_filter(bsk, x -> x < ti)))
+              AS DOUBLE) * {CM_P} / CAST(ti AS DOUBLE) AS est_intersect
+  FROM pairs
+)
+SELECT src_a, src_b, est_a, est_b, est_union, est_intersect,
+       est_intersect / est_union AS jaccard_est
+FROM calc
+""",
+    description="KMV/theta distinct sketch with set algebra (beyond-"
+    "reference): bottom-256 polynomial-hash samples of each source's "
+    "3-gram shingle set; union = merged bottom-k (re-sketchable), "
+    "intersection = common samples below min(theta) scaled by P/theta "
+    "— the estimate HLL structurally cannot give. The windowed "
+    "bottom-k build rides Spark's WindowGroupLimit (k rows per set "
+    "per partition cross the exchange, not the distinct stream); "
+    "pairwise algebra is a broadcast self-join over 20 k-long sketch "
+    "rows. Exact integer hashing end-to-end, so the DuckDB oracle "
+    "replays the identical sketch and the ESTIMATES value-hash-match; "
+    "accuracy vs exact overlap is pinned in pytest (KMV rel-err "
+    "~1/sqrt(k-1))",
+    tags=("agg", "sketch", "dedup"),
+)
+def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return theta_sketch_pairs_frame(t.documents, k=KMV_K)
+
+
+def theta_sketch_pairs_frame(
+    documents: DataFrame, k: int = KMV_K, set_col: str = "source"
+) -> DataFrame:
+    """Pairwise (union, intersection, jaccard) estimates between the
+    shingle sets of each ``set_col`` group, via exact-replayable KMV
+    sketches. ``k`` > universe size degrades gracefully to exact-mode
+    (theta = P, estimate = true distinct count) — pinned in pytest."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from cc_pyspark_spark.functions.text import shingles  # noqa: PLC0415
+
+    sh = documents.select(
+        F.col(set_col).alias("s"), tokenize("text").alias("toks")
+    ).select("s", F.explode(shingles("toks", KMV_SHINGLE)).alias("g"))
+    hs = sh.select(
+        "s", F.expr(_char_hash_spark("g")).cast("bigint").alias("h")
+    ).distinct()
+    rn = hs.withColumn(
+        "rn", F.row_number().over(W.partitionBy("s").orderBy("h"))
+    ).filter(F.col("rn") <= k)
+    sk = rn.groupBy("s").agg(
+        F.sort_array(F.collect_list("h")).alias("sk"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    th = sk.select(
+        "s",
+        "sk",
+        "n",
+        F.when(F.col("n") >= k, F.element_at("sk", k))
+        .otherwise(F.lit(CM_P))
+        .cast("bigint")
+        .alias("theta"),
+    )
+    # Both sides of the pair self-join reference th; without the
+    # checkpoint Catalyst re-builds the whole corpus-side sketch
+    # subtree (scan -> distinct -> bottom-k) twice. th is one k-long
+    # row per set — materializing it is free and halves the plan.
+    th = th.localCheckpoint(eager=True)
+    a = th.select(
+        F.col("s").alias("src_a"),
+        F.col("sk").alias("ask"),
+        F.col("n").alias("an"),
+        F.col("theta").alias("ath"),
+    )
+    b = th.select(
+        F.col("s").alias("src_b"),
+        F.col("sk").alias("bsk"),
+        F.col("n").alias("bn"),
+        F.col("theta").alias("bth"),
+    )
+    # sketch frames are k longs per set — broadcast the pair join
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        "an",
+        "ath",
+        "bn",
+        "bth",
+        "ask",
+        "bsk",
+        F.array_sort(F.array_distinct(F.concat("ask", "bsk"))).alias("u"),
+        F.least("ath", "bth").alias("ti"),
+    )
+
+    def est(n, theta):
+        return (
+            F.when(n < k, n.cast("double"))
+            .otherwise(
+                F.lit(float(k - 1)) * F.lit(CM_P) / theta.cast("double")
+            )
+        )
+
+    inter_n = F.size(
+        F.array_intersect(
+            F.filter("ask", lambda x: x < F.col("ti")),
+            F.filter("bsk", lambda x: x < F.col("ti")),
+        )
+    ).cast("bigint")
+    calc = pairs.select(
+        "src_a",
+        "src_b",
+        est(F.col("an"), F.col("ath")).alias("est_a"),
+        est(F.col("bn"), F.col("bth")).alias("est_b"),
+        est(F.size("u").cast("bigint"), F.element_at("u", k)).alias(
+            "est_union"
+        ),
+        (
+            inter_n.cast("double")
+            * F.lit(CM_P)
+            / F.col("ti").cast("double")
+        ).alias("est_intersect"),
+    )
+    return calc.select(
+        "*",
+        (F.col("est_intersect") / F.col("est_union")).alias("jaccard_est"),
+    )

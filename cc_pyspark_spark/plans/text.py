@@ -1661,6 +1661,26 @@ def text_blocklist_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_hits_frame(t.documents, BLOCKLIST_PHRASES)
 
 
+def blocklist_annotate(
+    df: DataFrame, phrases: tuple[str, ...] = BLOCKLIST_PHRASES
+) -> DataFrame:
+    """All input columns + (n_hits, hits) — stateless, so the SAME
+    expression serves batch and Structured Streaming (the streaming
+    gate in streaming/curation.py is this plus a filter; parity is
+    structural, pinned in tests/test_streaming_blocklist.py)."""
+    from cc_pyspark_spark.functions.acmatch import match_phrases
+
+    ann = df.withColumn(
+        "hits", match_phrases(F.array_join(tokenize("text"), " "), phrases)
+    )
+    return ann.withColumn(
+        "n_hits",
+        F.when(F.col("hits") == "", F.lit(0))
+        .otherwise(F.size(F.split("hits", ",")))
+        .cast("bigint"),
+    )
+
+
 def blocklist_hits_frame(
     documents: DataFrame, phrases: tuple[str, ...] = BLOCKLIST_PHRASES
 ) -> DataFrame:
@@ -1668,19 +1688,6 @@ def blocklist_hits_frame(
     with the registered query; ``phrases`` comes from ``--blocklist_file``
     there (one phrase per line, any size — the automaton cost is
     independent of the list length)."""
-    from cc_pyspark_spark.functions.acmatch import match_phrases
-
-    norm = documents.select(
-        "doc_id", F.array_join(tokenize("text"), " ").alias("t")
-    )
-    hits = norm.select(
-        "doc_id", match_phrases("t", phrases).alias("hits")
-    )
-    return hits.select(
-        "doc_id",
-        F.when(F.col("hits") == "", F.lit(0))
-        .otherwise(F.size(F.split("hits", ",")))
-        .cast("bigint")
-        .alias("n_hits"),
-        "hits",
+    return blocklist_annotate(documents, phrases).select(
+        "doc_id", "n_hits", "hits"
     )

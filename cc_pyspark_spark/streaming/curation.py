@@ -1,0 +1,43 @@
+"""Streaming curation gates — continuous ingest filtering.
+
+A training-data pipeline that ingests continuously (crawl deltas
+landing as parquet files) wants its cheap gates applied AT INGEST, not
+in a later batch sweep: documents a blocklist would drop should never
+reach the dedup index or the packer. The blocklist gate is stateless
+(one Aho-Corasick pass per document, functions/acmatch.py), so the
+batch expression IS the streaming expression — no watermark, no state
+store, no foreachBatch; Structured Streaming applies it per
+micro-batch and the output is identical to the batch twin by
+construction (pinned in tests/test_streaming_blocklist.py).
+
+The stateful ingest paths (continuous dedup against a persisted index)
+live in streaming/dedup.py; this module is the stateless tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.plans.text import BLOCKLIST_PHRASES, blocklist_annotate
+
+
+def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """readStream over a documents parquet landing directory (schema
+    inferred from the files already present, like stream_events)."""
+    schema = spark.read.parquet(docs_dir).schema
+    return spark.readStream.schema(schema).parquet(docs_dir)
+
+
+def blocklist_gate_stream(
+    docs: DataFrame,
+    phrases: tuple[str, ...] = BLOCKLIST_PHRASES,
+    drop_matched: bool = True,
+) -> DataFrame:
+    """Annotate a (possibly streaming) documents frame with blocklist
+    hits; ``drop_matched`` keeps only clean rows (the ingest-gate
+    mode — matched docs never reach downstream state)."""
+    ann = blocklist_annotate(docs, phrases)
+    if drop_matched:
+        return ann.filter(F.col("n_hits") == 0).drop("n_hits", "hits")
+    return ann

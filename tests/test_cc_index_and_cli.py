@@ -561,3 +561,35 @@ def test_cli_blocklist_filter(tmp_path):
     custom = spark.read.parquet(custom_out)
     hits = {r["hits"] for r in custom.filter("n_hits > 0").collect()}
     assert hits == {"table scan"}, "custom list must replace the default"
+
+
+def test_cli_corpus_overlap(tmp_path):
+    """End-to-end CLI (r9): pairwise KMV overlap estimates between the
+    per-source shingle sets; --kmv_k above the universe gives exact
+    counts, so the lang grouping (5 sets, 10 pairs) is fully checkable."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "overlap")
+    rc = main([
+        "corpus_overlap", src, out, "--overlap_set_col", "lang",
+        "--kmv_k", "1000000",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "src_a", "src_b", "est_a", "est_b", "est_union",
+        "est_intersect", "jaccard_est",
+    }
+    langs = {r["lang"] for r in spark.read.parquet(src).select("lang").distinct().collect()}
+    assert got.count() == len(langs) * (len(langs) - 1) // 2
+    row = got.collect()[0]
+    # exact mode: union <= a + b, intersect = a + b - union, jaccard in (0,1]
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
+    assert abs((row["est_a"] + row["est_b"] - row["est_union"]) - row["est_intersect"]) < 1e-9
+    assert 0.0 < row["jaccard_est"] <= 1.0

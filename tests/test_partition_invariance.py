@@ -83,6 +83,9 @@ CHECK = [
     # only, but the zip_with fold is still a float chain worth pinning).
     "sim_bm25_topk",
     "embedding_random_projection",
+    # r9 late: KMV bottom-k sketches — integer hashes, but the window
+    # rank and array set-algebra must not depend on layout.
+    "agg_theta_sketch_intersect",
 ]
 
 
