@@ -126,6 +126,11 @@ HEADLINERS = [
     # build (WindowGroupLimit) plus a broadcast pairwise stage; its
     # bench row watches the only per-set window in the sketch family.
     "agg_theta_sketch_intersect",
+    # latest r9: weighted priority sampling (TakeOrderedAndProject
+    # head + broadcast tau) and hard-negative mining (broadcast-anchor
+    # exact scoring — the contrastive-training epoch pass).
+    "curation_priority_sample",
+    "sim_hard_negatives",
 ]
 
 
@@ -168,6 +173,7 @@ def main() -> None:
         "graph_cc_alternating",
         "text_bpe_train",
         "agg_theta_sketch_intersect",
+        "curation_priority_sample",
     }
 
     timings: dict[str, float] = {}

@@ -63,6 +63,8 @@ DOC_JOBS = (
     "snapshot_diff",
     "blocklist_filter",
     "corpus_overlap",
+    "priority_sample",
+    "mine_hard_negatives",
 )
 
 
@@ -172,8 +174,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--keep_selected",
         action="store_true",
-        help="dsir_select: emit only above-median documents (joined "
-        "back to the full rows) instead of the full scored frame",
+        help="dsir_select / priority_sample: emit the selected "
+        "documents' full rows (joined back) instead of the scored "
+        "frame",
     )
     p.add_argument(
         "--diff_against",
@@ -229,6 +232,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="corpus_overlap: KMV sketch size (default "
         "plans.sketches.KMV_K; rel-err ~ 1/sqrt(k-1); k larger than "
         "the set universe degrades gracefully to exact counts)",
+    )
+    p.add_argument(
+        "--sample_k",
+        type=int,
+        default=None,
+        help="priority_sample: kept-set size (default "
+        "plans.curation.PRIORITY_SAMPLE_K); with --keep_selected the "
+        "full document rows of the kept set are emitted with their "
+        "unbiased adj_weight",
     )
     return p
 
@@ -405,6 +417,32 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         )
         write_output(df, args, ["src_a", "src_b"])
         print(json.dumps({"job": args.job, "k": k}))
+        return 0
+    if args.job == "priority_sample":
+        from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415
+            PRIORITY_SAMPLE_K,
+            priority_sample_frame,
+        )
+
+        k = args.sample_k or PRIORITY_SAMPLE_K
+        kept = priority_sample_frame(table, k=k)
+        if args.keep_selected:
+            df = table.join(
+                kept.select("doc_id", "adj_weight"), "doc_id"
+            )
+        else:
+            df = kept
+        write_output(df, args, ["doc_id"])
+        print(json.dumps({"job": args.job, "k": k}))
+        return 0
+    if args.job == "mine_hard_negatives":
+        from cc_pyspark_spark.plans.similarity import (  # noqa: PLC0415
+            sim_hard_negatives_frame,
+        )
+
+        df = sim_hard_negatives_frame(table)
+        write_output(df, args, ["q_id", "rnk"])
+        print(json.dumps({"job": args.job}))
         return 0
     if args.job == "dsir_select":
         from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415

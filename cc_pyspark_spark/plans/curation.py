@@ -1213,3 +1213,149 @@ def curation_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_ha").alias("old_md5"),
         F.col("_hb").alias("new_md5"),
     ).where(F.col("change").isNotNull())
+
+
+# --------------- weighted priority sampling (r9, Duffield-Lund-Thorup)
+#
+# Uniform hash gates (curation_hash_sample) keep each document with
+# equal probability; training-data subsampling usually wants
+# probability PROPORTIONAL TO SIZE (token mass), with an unbiased
+# estimator for any subset's total tokens from the sample alone.
+# Priority sampling (Duffield, Lund & Thorup 2007, public literature)
+# is the standard answer: priority = w / u with u uniform in (0, 1],
+# keep the k largest priorities, estimate each kept item's weight as
+# max(w, tau) where tau is the (k+1)-th priority — E[sum] is exactly
+# the population total, with near-optimal variance among k-sample
+# schemes. The exponent-free formulation matters here: the
+# Efraimidis-Spirakis twin (u^(1/w)) needs pow(), which is 1-ulp
+# cross-engine; w/u is one double division and oracles bit-for-bit.
+#
+# u derives from the deterministic polynomial char hash (seedless,
+# never rand()): u = (h+1)/P in (0, 1]. Scale shape: priorities are
+# map-only column algebra; the global top-(k+1) is a
+# TakeOrderedAndProject (per-partition heads, never a full sort); tau
+# is a 1-row broadcast over the checkpointed 101-row head.
+
+PRIORITY_SAMPLE_K = 100
+
+
+#: 16^12 = 2^48 — the md5-nibble hash range. A power of two, so
+#: w * PS_RANGE is EXACT in IEEE doubles for any integer w (exponent
+#: shift only), which is what keeps the priority division bit-stable
+#: cross-engine. (The polynomial char hash used elsewhere is NOT
+#: uniform on short sequential keys like 'ps:123' — the fold barely
+#: wraps the modulus, piling every u into (0.25, 1]; md5 nibbles are.)
+PS_RANGE = 16 ** 12
+
+
+def _duck_ps_hash(col: str) -> str:
+    """First 12 md5 hex nibbles of ``col`` as a bigint in [0, 16^12)."""
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, 13),
+      i -> CAST(instr('0123456789abcdef',
+                      substr(md5({col}), i, 1)) - 1 AS BIGINT))),
+    (a, c) -> a * 16 + c)"""
+
+
+def _spark_ps_hash(col: str) -> str:
+    return (
+        f"aggregate(sequence(1, 13 - 1), 0L, "
+        f"(a, i) -> a * 16 + CAST(instr('0123456789abcdef', "
+        f"substr(md5({col}), i, 1)) - 1 AS BIGINT))"
+    )
+
+
+def _duck_priority_oracle() -> str:
+    k = PRIORITY_SAMPLE_K
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS w,
+         'ps:' || CAST(doc_id AS STRING) AS key
+  FROM documents
+), h AS (
+  SELECT doc_id, w, {_duck_ps_hash("key")} AS h FROM w
+), p AS (
+  SELECT doc_id, w,
+         CAST(w AS DOUBLE) * {PS_RANGE} / CAST(h + 1 AS DOUBLE) AS pri
+  FROM h
+), r AS (
+  SELECT doc_id, w, pri,
+         ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn
+  FROM p
+), tau AS (
+  SELECT pri AS tau FROM r WHERE rn = {k + 1}
+)
+SELECT doc_id, w, pri, greatest(CAST(w AS DOUBLE), tau) AS adj_weight
+FROM r CROSS JOIN tau
+WHERE rn <= {k}
+"""
+
+
+@register(
+    "curation_priority_sample",
+    oracle=_duck_priority_oracle(),
+    description="Weighted priority sampling (beyond-reference, Duffield-"
+    "Lund-Thorup): keep the k=100 documents with largest priority "
+    "w/u (w = token count, u = deterministic hash uniform in (0,1]), "
+    "report max(w, tau) per kept doc with tau = the (k+1)-th priority — "
+    "an UNBIASED estimator of any subset's token mass from the sample "
+    "alone (pinned statistically in pytest). Priorities are map-only "
+    "column algebra; the top-(k+1) is a TakeOrderedAndProject "
+    "(per-partition heads, no global sort); tau broadcasts from the "
+    "checkpointed 101-row head. The exponent-free w/u form (not the "
+    "Efraimidis-Spirakis u^(1/w)) is what makes the full-value oracle "
+    "hold — no pow() crosses the engines",
+    tags=("curation", "sample"),
+)
+def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return priority_sample_frame(t.documents, k=PRIORITY_SAMPLE_K)
+
+
+def priority_sample_frame(
+    documents: DataFrame, k: int = PRIORITY_SAMPLE_K, salt: str = "ps:"
+) -> DataFrame:
+    """``salt`` re-draws the hash uniforms — the unbiasedness pytest
+    averages the estimator across salts; the registered query and the
+    oracle pin the default draw."""
+    w = documents.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("bigint").alias("w"),
+        F.concat(F.lit(salt), F.col("doc_id").cast("string")).alias("key"),
+    )
+    p = w.select(
+        "doc_id",
+        "w",
+        (
+            F.col("w").cast("double")
+            * F.lit(PS_RANGE)
+            / (F.expr(_spark_ps_hash("key")) + F.lit(1)).cast("double")
+        ).alias("pri"),
+    )
+    # TakeOrderedAndProject head; eager checkpoint so tau and the kept
+    # set don't re-run the corpus scan (101 rows).
+    head = (
+        p.orderBy(F.col("pri").desc(), "doc_id")
+        .limit(k + 1)
+        .localCheckpoint(eager=True)
+    )
+    rn = head.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("pri").desc(), "doc_id")
+        ),
+    )
+    tau = rn.filter(F.col("rn") == k + 1).select(F.col("pri").alias("tau"))
+    return (
+        rn.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "w",
+            "pri",
+            F.greatest(F.col("w").cast("double"), F.col("tau")).alias(
+                "adj_weight"
+            ),
+        )
+    )

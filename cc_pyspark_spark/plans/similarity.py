@@ -1810,3 +1810,124 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p{j:02d}")
         )
     return t.embeddings.select(*cols)
+
+
+# --------------------- hard-negative mining (r9, contrastive training)
+#
+# Contrastive/embedding training (SimCLR, sentence-transformers, CLIP
+# fine-tunes) needs NEGATIVES THAT ARE HARD: for each anchor, the
+# most-similar corpus items with a DIFFERENT label, plus the margin to
+# the best same-label positive (FaceNet's semi-hard criterion decides
+# per-triplet whether margin > 0). This is the mining pass a training-
+# data pipeline runs over its labeled embedding table every epoch.
+# Same broadcast-anchors x partitioned-corpus envelope as
+# sim_cosine_topk; at deployment scale the corpus side is IVF-pruned
+# first (sim_ann_ivf's assign CTE) — this query is the exact-scoring
+# core both shapes share.
+
+HARDNEG_TOP_K = 5
+
+
+def _duck_hardneg_oracle() -> str:
+    dot = _DUCK_DOT
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         sqrt({dot.format(a='v', b='v')}) AS nrm
+  FROM e
+), p AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS n_id, c.label AS n_label,
+         {dot.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS cos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), pos AS (
+  SELECT q_id, MAX(cos) AS pos_cos
+  FROM p WHERE n_label = q_label GROUP BY q_id
+), neg AS (
+  SELECT q_id, n_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, n_id) AS rnk
+  FROM p WHERE n_label <> q_label
+)
+SELECT neg.q_id, neg.n_id, neg.cos, neg.rnk,
+       pos.pos_cos, pos.pos_cos - neg.cos AS margin
+FROM neg JOIN pos ON pos.q_id = neg.q_id
+WHERE neg.rnk <= {HARDNEG_TOP_K}
+"""
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_duck_hardneg_oracle(),
+    description="Hard-negative mining for contrastive training (beyond-"
+    "reference): per anchor, the top-5 most-similar DIFFERENT-label "
+    "corpus vectors plus the margin to its best same-label positive "
+    "(the FaceNet semi-hard criterion is margin > 0 per row). Broadcast "
+    "anchors x partitioned corpus, exact cosine; pos_cos is a per-"
+    "anchor max aggregate that broadcasts back onto the ranked "
+    "negatives. MAX of identical doubles is order-free, so the full-"
+    "value oracle holds without an ordered fold",
+    tags=("similarity", "embedding"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return sim_hard_negatives_frame(t.embeddings)
+
+
+def sim_hard_negatives_frame(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = HARDNEG_TOP_K,
+) -> DataFrame:
+    """(q_id, n_id, cos, rnk, pos_cos, margin) — the
+    `mine_hard_negatives` CLI shares this with the registered query.
+    Anchors = vec_id < ``n_queries`` (swap the filter for an anchors
+    table in deployment; the broadcast shape is unchanged)."""
+    dot_self = (
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    emb = embeddings.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    p = c.join(F.broadcast(q), F.col("n_id") != F.col("q_id")).withColumn(
+        "cos", F.expr(dot) / (F.col("qnrm") * F.col("cnrm"))
+    )
+    pos = (
+        p.filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(F.max("cos").alias("pos_cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    neg = (
+        p.filter(F.col("n_label") != F.col("q_label"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+    return neg.join(F.broadcast(pos), "q_id").select(
+        "q_id",
+        "n_id",
+        "cos",
+        "rnk",
+        "pos_cos",
+        (F.col("pos_cos") - F.col("cos")).alias("margin"),
+    )

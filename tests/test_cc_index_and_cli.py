@@ -593,3 +593,68 @@ def test_cli_corpus_overlap(tmp_path):
     assert row["est_union"] <= row["est_a"] + row["est_b"]
     assert abs((row["est_a"] + row["est_b"] - row["est_union"]) - row["est_intersect"]) < 1e-9
     assert 0.0 < row["jaccard_est"] <= 1.0
+
+
+def test_cli_priority_sample(tmp_path):
+    """End-to-end CLI (r9): top-k priority sample with unbiased
+    adj_weight; --keep_selected joins the kept set back to full rows."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    scored_out = str(tmp_path / "scored")
+    kept_out = str(tmp_path / "kept")
+    rc = main([
+        "priority_sample", src, scored_out, "--sample_k", "50",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    rc = main([
+        "priority_sample", src, kept_out, "--sample_k", "50",
+        "--keep_selected",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    scored = spark.read.parquet(scored_out)
+    assert scored.count() == 50
+    assert set(scored.columns) == {"doc_id", "w", "pri", "adj_weight"}
+    # adj_weight = max(w, tau) >= w everywhere
+    assert scored.filter("adj_weight < w").count() == 0
+    kept = spark.read.parquet(kept_out)
+    assert kept.count() == 50
+    assert {"doc_id", "text", "lang", "adj_weight"} <= set(kept.columns)
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in scored.collect()
+    }
+
+
+def test_cli_mine_hard_negatives(tmp_path):
+    """End-to-end CLI (r9): per-anchor hard negatives over the
+    embeddings table; every row's negative label differs from the
+    anchor's and margins reference the best positive."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "negs")
+    rc = main([
+        "mine_hard_negatives", src, out,
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = spark.read.parquet(out)
+    assert got.count() == 50  # 10 anchors x top-5
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(src).select("vec_id", "label").collect()
+    }
+    for r in got.collect():
+        assert labels[r["n_id"]] != labels[r["q_id"]]
+        assert abs((r["pos_cos"] - r["cos"]) - r["margin"]) < 1e-12

@@ -86,6 +86,10 @@ CHECK = [
     # r9 late: KMV bottom-k sketches — integer hashes, but the window
     # rank and array set-algebra must not depend on layout.
     "agg_theta_sketch_intersect",
+    # r9 late: priority sampling's global top-(k+1) head and tau
+    # broadcast; hard-negative cosine folds + per-anchor max.
+    "curation_priority_sample",
+    "sim_hard_negatives",
 ]
 
 

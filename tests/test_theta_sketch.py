@@ -87,3 +87,24 @@ def test_exact_mode_when_k_exceeds_universe(spark):
         # intersection estimate is exact too (modulo hash collisions,
         # absent at this universe size)
         assert r["est_intersect"] == float(len(sets[a] & sets[b]))
+
+
+def test_priority_sample_unbiased_total(spark):
+    """Priority sampling's defining property: for each draw (salt),
+    sum(max(w, tau)) over the kept k estimates the TOTAL token mass;
+    averaging over salts converges on the exact total (DLT 2007)."""
+    from cc_pyspark_spark.plans.curation import priority_sample_frame
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = docs.select(
+        F.sum(F.size(tokenize("text")).cast("bigint")).alias("t")
+    ).collect()[0]["t"]
+    ests = []
+    for i in range(12):
+        kept = priority_sample_frame(docs, k=100, salt=f"s{i}:")
+        est = kept.agg(F.sum("adj_weight").alias("e")).collect()[0]["e"]
+        # every single draw is within the k=100 concentration envelope
+        assert abs(est - exact) / exact < 0.25, (i, est, exact)
+        ests.append(est)
+    mean = sum(ests) / len(ests)
+    assert abs(mean - exact) / exact < 0.06, (mean, exact)
