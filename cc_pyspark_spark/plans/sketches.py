@@ -413,13 +413,13 @@ def agg_theta_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_sketch_pairs_frame(t.documents, k=KMV_K)
 
 
-def theta_sketch_pairs_frame(
+def kmv_sketches_frame(
     documents: DataFrame, k: int = KMV_K, set_col: str = "source"
 ) -> DataFrame:
-    """Pairwise (union, intersection, jaccard) estimates between the
-    shingle sets of each ``set_col`` group, via exact-replayable KMV
-    sketches. ``k`` > universe size degrades gracefully to exact-mode
-    (theta = P, estimate = true distinct count) — pinned in pytest."""
+    """(s, sk, n, theta) — one bottom-k sketch row per ``set_col``
+    group, pre-checkpoint (the plan-shape pytest pins the
+    WindowGroupLimit bottom-k on this frame; theta_sketch_pairs_frame
+    checkpoints it before the pair join)."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     from cc_pyspark_spark.functions.text import shingles  # noqa: PLC0415
@@ -437,7 +437,7 @@ def theta_sketch_pairs_frame(
         F.sort_array(F.collect_list("h")).alias("sk"),
         F.count("*").cast("bigint").alias("n"),
     )
-    th = sk.select(
+    return sk.select(
         "s",
         "sk",
         "n",
@@ -446,11 +446,22 @@ def theta_sketch_pairs_frame(
         .cast("bigint")
         .alias("theta"),
     )
+
+
+def theta_sketch_pairs_frame(
+    documents: DataFrame, k: int = KMV_K, set_col: str = "source"
+) -> DataFrame:
+    """Pairwise (union, intersection, jaccard) estimates between the
+    shingle sets of each ``set_col`` group, via exact-replayable KMV
+    sketches. ``k`` > universe size degrades gracefully to exact-mode
+    (theta = P, estimate = true distinct count) — pinned in pytest."""
     # Both sides of the pair self-join reference th; without the
     # checkpoint Catalyst re-builds the whole corpus-side sketch
     # subtree (scan -> distinct -> bottom-k) twice. th is one k-long
     # row per set — materializing it is free and halves the plan.
-    th = th.localCheckpoint(eager=True)
+    th = kmv_sketches_frame(documents, k=k, set_col=set_col).localCheckpoint(
+        eager=True
+    )
     a = th.select(
         F.col("s").alias("src_a"),
         F.col("sk").alias("ask"),

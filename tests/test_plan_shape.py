@@ -465,3 +465,83 @@ def test_runtime_bloom_filter_available_for_selective_joins(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_blocklist_is_single_arrow_pass_no_shuffle(spark):
+    """One Aho-Corasick ArrowEvalPython stage, zero exchanges, and the
+    scan pruned to (doc_id, text) — the map-only shape that lets the
+    gate run at ingest throughput regardless of phrase-list size."""
+    plan = plan_of(spark, "text_blocklist_phrases")
+    assert _tree_nodes(plan, "ArrowEvalPython") == 1
+    assert _tree_nodes(plan, "Exchange") == 0
+    assert "doc_id" in plan and "n_chars" not in plan
+
+
+def test_random_projection_no_shuffle_no_python(spark):
+    """The JL fold is pure JVM column algebra folded over the scan:
+    no exchange, no Python worker anywhere in the plan."""
+    plan = plan_of(spark, "embedding_random_projection")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_bm25_prunes_index_with_broadcast_terms(spark):
+    """The tiny query-term set must broadcast (pruning the inverted
+    index before the scoring aggregation), and the (N, avgdl) stats
+    row must arrive via a broadcast nested-loop, never a cartesian."""
+    plan = plan_of(spark, "sim_bm25_topk")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_sketch_bottom_k_is_window_group_limit(spark):
+    """The KMV bottom-k must ride WindowGroupLimit both map-side
+    (Partial, before the exchange) and finally — k rows per set per
+    partition cross the wire, not the distinct stream."""
+    from cc_pyspark_spark.plans.sketches import kmv_sketches_frame
+
+    th = kmv_sketches_frame(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    plan = th._sc._jvm.PythonSQLUtils.explainString(
+        th._jdf.queryExecution(), "formatted"
+    )
+    assert _tree_nodes(plan, "WindowGroupLimit") >= 2
+    assert "Partial" in plan
+
+
+def test_priority_sample_head_is_take_ordered(spark):
+    """The global top-(k+1) must be a TakeOrderedAndProject inside the
+    checkpointed head job (per-partition heads, never a full sort).
+    The checkpoint runs at construction, so inspect the head frame
+    directly rather than the final (checkpoint-rooted) plan."""
+    from cc_pyspark_spark.plans.curation import PRIORITY_SAMPLE_K
+    from cc_pyspark_spark.plans.sketches import CM_P  # noqa: F401
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from cc_pyspark_spark.plans import curation as C
+    from pyspark.sql import functions as F
+
+    w = docs.select(
+        "doc_id",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).cast("bigint").alias("w"),
+        F.concat(F.lit("ps:"), F.col("doc_id").cast("string")).alias("key"),
+    )
+    head = w.orderBy(F.col("w").desc(), "doc_id").limit(
+        PRIORITY_SAMPLE_K + 1
+    )
+    plan = head._sc._jvm.PythonSQLUtils.explainString(
+        head._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    """Anchors and the per-anchor positive maxima broadcast; the
+    corpus side never shuffles before the per-anchor rank window."""
+    plan = plan_of(spark, "sim_hard_negatives")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
