@@ -91,7 +91,11 @@ class AhoCorasick:
 
 
 #: Per-worker automaton cache — the build is O(total pattern chars)
-#: and must not repeat per Arrow batch.
+#: and must not repeat per Arrow batch. SINGLE entry: a long-lived
+#: Python worker serving successive jobs with evolving blocklists
+#: would otherwise retain every list variant's automaton forever
+#: (million-phrase tries are worker-memory-sized); the access pattern
+#: is always the current job's one tuple.
 _AC_CACHE: dict[tuple[str, ...], AhoCorasick] = {}
 
 
@@ -99,6 +103,7 @@ def _automaton(patterns: tuple[str, ...]) -> AhoCorasick:
     ac = _AC_CACHE.get(patterns)
     if ac is None:
         ac = AhoCorasick(patterns)
+        _AC_CACHE.clear()
         _AC_CACHE[patterns] = ac
     return ac
 

@@ -390,9 +390,28 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         )
 
         if args.blocklist_file:
+            import re as _re  # noqa: PLC0415
+
+            from cc_pyspark_spark.functions.text import (  # noqa: PLC0415
+                TOKEN_PATTERN,
+            )
+
+            # The match side runs over tokenize()-normalized text
+            # (lowercase tokens, single-space joined) — phrases must
+            # go through the SAME normalization or 'Table Scan' /
+            # 'hash-join' could never match and the gate fails OPEN.
             with open(args.blocklist_file) as f:
                 phrases = tuple(
-                    line.strip() for line in f if line.strip()
+                    dict.fromkeys(  # dedup, preserve order
+                        " ".join(_re.findall(TOKEN_PATTERN, line.lower()))
+                        for line in f
+                    )
+                )
+            phrases = tuple(p for p in phrases if p)
+            if not phrases:
+                raise SystemExit(
+                    f"blocklist file {args.blocklist_file} contains no "
+                    "usable phrases after normalization"
                 )
         else:
             phrases = BLOCKLIST_PHRASES
@@ -411,7 +430,9 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
             theta_sketch_pairs_frame,
         )
 
-        k = args.kmv_k or KMV_K
+        k = args.kmv_k if args.kmv_k is not None else KMV_K
+        if k < 1:
+            raise SystemExit("--kmv_k must be >= 1")
         df = theta_sketch_pairs_frame(
             table, k=k, set_col=args.overlap_set_col
         )
@@ -424,7 +445,9 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
             priority_sample_frame,
         )
 
-        k = args.sample_k or PRIORITY_SAMPLE_K
+        k = args.sample_k if args.sample_k is not None else PRIORITY_SAMPLE_K
+        if k < 1:
+            raise SystemExit("--sample_k must be >= 1")
         kept = priority_sample_frame(table, k=k)
         if args.keep_selected:
             df = table.join(

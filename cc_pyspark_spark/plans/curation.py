@@ -1257,12 +1257,11 @@ def _duck_ps_hash(col: str) -> str:
     (a, c) -> a * 16 + c)"""
 
 
+#: Spark side of the same hash: the repo's established one-line conv()
+#: idiom (snapshot_diff, multimodal nib) — only DuckDB needs the
+#: explicit nibble fold, because DuckDB has no conv().
 def _spark_ps_hash(col: str) -> str:
-    return (
-        f"aggregate(sequence(1, 13 - 1), 0L, "
-        f"(a, i) -> a * 16 + CAST(instr('0123456789abcdef', "
-        f"substr(md5({col}), i, 1)) - 1 AS BIGINT))"
-    )
+    return f"CAST(conv(substr(md5({col}), 1, 12), 16, 10) AS BIGINT)"
 
 
 def _duck_priority_oracle() -> str:
@@ -1284,7 +1283,10 @@ WITH w AS (
          ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn
   FROM p
 ), tau AS (
-  SELECT pri AS tau FROM r WHERE rn = {k + 1}
+  -- always one row: 0.0 when the corpus has <= k docs, so the sample
+  -- degrades to keep-everything with adj_weight = w (DLT n <= k case)
+  SELECT COALESCE(MAX(CASE WHEN rn = {k + 1} THEN pri END), 0.0) AS tau
+  FROM r
 )
 SELECT doc_id, w, pri, greatest(CAST(w AS DOUBLE), tau) AS adj_weight
 FROM r CROSS JOIN tau
@@ -1333,20 +1335,24 @@ def priority_sample_frame(
             / (F.expr(_spark_ps_hash("key")) + F.lit(1)).cast("double")
         ).alias("pri"),
     )
-    # TakeOrderedAndProject head; eager checkpoint so tau and the kept
-    # set don't re-run the corpus scan (101 rows).
-    head = (
-        p.orderBy(F.col("pri").desc(), "doc_id")
-        .limit(k + 1)
-        .localCheckpoint(eager=True)
-    )
+    # TakeOrderedAndProject head (plan-shape-pinned via priority_head);
+    # eager checkpoint so tau and the kept set don't re-run the corpus
+    # scan (<= k+1 rows).
+    head = priority_head(p, k).localCheckpoint(eager=True)
     rn = head.withColumn(
         "rn",
         F.row_number().over(
             Window.orderBy(F.col("pri").desc(), "doc_id")
         ),
     )
-    tau = rn.filter(F.col("rn") == k + 1).select(F.col("pri").alias("tau"))
+    # tau is always one row: 0.0 when the corpus has <= k docs, so the
+    # sample degrades to keep-everything with adj_weight = w (the DLT
+    # n <= k case) instead of annihilating on an empty cross join.
+    tau = rn.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("pri"))), F.lit(0.0)
+        ).alias("tau")
+    )
     return (
         rn.filter(F.col("rn") <= k)
         .crossJoin(F.broadcast(tau))
@@ -1359,3 +1365,10 @@ def priority_sample_frame(
             ),
         )
     )
+
+
+def priority_head(priorities: DataFrame, k: int) -> DataFrame:
+    """Global top-(k+1) of the priority frame — split out so the
+    plan-shape pytest pins TakeOrderedAndProject on the REAL builder,
+    not a lookalike."""
+    return priorities.orderBy(F.col("pri").desc(), "doc_id").limit(k + 1)

@@ -1670,8 +1670,15 @@ def blocklist_annotate(
     structural, pinned in tests/test_streaming_blocklist.py)."""
     from cc_pyspark_spark.functions.acmatch import match_phrases
 
+    # NULL text matches nothing: coalesce to (0, '') so the ingest
+    # gate's n_hits = 0 filter KEEPS null-text rows (NULL n_hits would
+    # silently drop them) and batch/streaming/oracle agree.
     ann = df.withColumn(
-        "hits", match_phrases(F.array_join(tokenize("text"), " "), phrases)
+        "hits",
+        F.coalesce(
+            match_phrases(F.array_join(tokenize("text"), " "), phrases),
+            F.lit(""),
+        ),
     )
     return ann.withColumn(
         "n_hits",

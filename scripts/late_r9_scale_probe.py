@@ -79,7 +79,10 @@ def main() -> None:
         release_caches()
     result: dict[str, dict[str, float]] = {}
     for factor in SCALES:
-        docs = scaled_docs(base, factor).localCheckpoint(eager=True)
+        # persist (not localCheckpoint): unpersist() actually releases
+        # persist()-ed blocks, so scales don't pile 18x corpus into the
+        # block manager and skew the very timings this probe measures.
+        docs = scaled_docs(base, factor).persist()
         n = docs.count()
         row: dict[str, float] = {"n_docs": n}
         for name, op in ops.items():

@@ -82,3 +82,48 @@ def test_blocklist_query_nondegenerate(spark):
         != F.col("n_hits")
     ).count()
     assert bad == 0
+
+
+def test_annotate_keeps_null_text_rows(spark):
+    """NULL text matches nothing: (n_hits=0, hits='') — the ingest
+    gate must KEEP such rows (regression: NULL n_hits used to be
+    silently dropped by the n_hits == 0 filter)."""
+    from cc_pyspark_spark.plans.text import blocklist_annotate
+    from cc_pyspark_spark.streaming.curation import blocklist_gate_stream
+
+    df = spark.createDataFrame(
+        [(1, "table scan here"), (2, None), (3, "clean words only")],
+        "doc_id bigint, text string",
+    )
+    ann = {r["doc_id"]: r for r in blocklist_annotate(df).collect()}
+    assert (ann[2]["n_hits"], ann[2]["hits"]) == (0, "")
+    kept = {r["doc_id"] for r in blocklist_gate_stream(df).collect()}
+    assert kept == {2, 3}
+
+
+def test_cli_blocklist_file_is_normalized(tmp_path):
+    """Phrase files go through the same tokenizer as the match side —
+    'Table Scan' / 'hash-join' must match (regression: raw lines
+    silently never matched, failing the gate OPEN)."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "norm")
+    bl = tmp_path / "phrases.txt"
+    bl.write_text("Table Scan\nHASH-JOIN!\n\n  \n")
+    rc = main([
+        "blocklist_filter", src, out, "--blocklist_file", str(bl),
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = spark.read.parquet(out)
+    hits = {
+        h for r in got.filter("n_hits > 0").collect()
+        for h in r["hits"].split(",")
+    }
+    assert "table scan" in hits, "normalized multi-word phrase must fire"
+    assert hits <= {"table scan", "hash join"}

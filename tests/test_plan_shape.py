@@ -511,27 +511,37 @@ def test_theta_sketch_bottom_k_is_window_group_limit(spark):
 
 
 def test_priority_sample_head_is_take_ordered(spark):
-    """The global top-(k+1) must be a TakeOrderedAndProject inside the
-    checkpointed head job (per-partition heads, never a full sort).
-    The checkpoint runs at construction, so inspect the head frame
-    directly rather than the final (checkpoint-rooted) plan."""
-    from cc_pyspark_spark.plans.curation import PRIORITY_SAMPLE_K
-    from cc_pyspark_spark.plans.sketches import CM_P  # noqa: F401
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    from cc_pyspark_spark.plans import curation as C
+    """The global top-(k+1) must be a TakeOrderedAndProject (per-
+    partition heads, never a full sort) — pinned on the REAL builder's
+    head frame (plans.curation.priority_head over the real priority
+    columns; the final query plan is checkpoint-rooted, so the head is
+    inspected pre-checkpoint)."""
     from pyspark.sql import functions as F
 
-    w = docs.select(
+    from cc_pyspark_spark.plans.curation import (
+        PRIORITY_SAMPLE_K,
+        PS_RANGE,
+        _spark_ps_hash,
+        priority_head,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from cc_pyspark_spark.functions.text import tokenize
+
+    p = docs.select(
         "doc_id",
-        F.size(
-            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
-        ).cast("bigint").alias("w"),
+        F.size(tokenize("text")).cast("bigint").alias("w"),
         F.concat(F.lit("ps:"), F.col("doc_id").cast("string")).alias("key"),
+    ).select(
+        "doc_id",
+        "w",
+        (
+            F.col("w").cast("double")
+            * F.lit(PS_RANGE)
+            / (F.expr(_spark_ps_hash("key")) + F.lit(1)).cast("double")
+        ).alias("pri"),
     )
-    head = w.orderBy(F.col("w").desc(), "doc_id").limit(
-        PRIORITY_SAMPLE_K + 1
-    )
+    head = priority_head(p, PRIORITY_SAMPLE_K)
     plan = head._sc._jvm.PythonSQLUtils.explainString(
         head._jdf.queryExecution(), "formatted"
     )

@@ -108,3 +108,18 @@ def test_priority_sample_unbiased_total(spark):
         ests.append(est)
     mean = sum(ests) / len(ests)
     assert abs(mean - exact) / exact < 0.06, (mean, exact)
+
+
+def test_priority_sample_keeps_everything_when_k_exceeds_corpus(spark):
+    """DLT n <= k degenerate case: tau = 0, every doc kept with
+    adj_weight = its own w (regression: an empty (k+1)-th-priority
+    frame used to annihilate the whole result via the cross join)."""
+    from cc_pyspark_spark.plans.curation import priority_sample_frame
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    kept = priority_sample_frame(docs, k=n + 100)
+    rows = kept.collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r["adj_weight"] == float(r["w"])
