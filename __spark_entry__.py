@@ -24,7 +24,7 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
-#: The fixed 13-query headliner core (TPC-H spine, scale-dedup family,
+#: The fixed 12-query headliner core (TPC-H spine, scale-dedup family,
 #: IVF ANN, streaming-events pair, curation gate/pack/e2e trio)
 #: mirrors ``bench.HEADLINERS`` so the driver gate and the perf gate
 #: cover the same spine.  r9 change inside the core (VERDICT r8 ask
@@ -34,17 +34,17 @@ from cc_pyspark_spark.plans import QUERIES
 #: dedup_embedding_fixture (unbenched, rotation slot below), so the
 #: `scale` tag and the benched name always denote deployed geometry.
 #:
-#: Round-9 rotation (VERDICT r8 ask #1): the 37 non-core slots take
+#: Round-9 rotation (VERDICT r8 ask #1): the 38 non-core slots take
 #: (a) ALL 22 remaining r1-stale names, and (b) first rows for ALL
-#: FIFTEEN names new in r9 (dedup_embedding_fixture, graph_cc_converged,
+#: SIXTEEN names new in r9 (dedup_embedding_fixture, graph_cc_converged,
 #: curation_dsir_importance, text_ngram_novelty,
 #: embedding_kcenter_coreset, text_ngram_novelty_bloom,
 #: multimodal_container_probe, text_bpe_train, curation_snapshot_diff,
 #: text_blocklist_phrases, sim_bm25_topk, embedding_random_projection,
 #: agg_theta_sketch_intersect, curation_priority_sample,
-#: sim_hard_negatives)
-#: — the core shrank by eleven slots (the PQ pair, tpch_q14/q10/q4,
-#: then tpch_q3/q5/q18, sim_cosine_topk, dedup_simhash_scale and
+#: sim_hard_negatives, agg_weighted_percentiles)
+#: — the core shrank by twelve slots (the PQ pair, tpch_q14/q10/q4,
+#: then tpch_q3/q5/q18/q6, sim_cosine_topk, dedup_simhash_scale and
 #: events_tumbling_hourly; all still benched and r8-green) to keep the
 #: rotation tripwire's every-new-name-gets-a-row guarantee structural.
 #:
@@ -57,18 +57,17 @@ from cc_pyspark_spark.plans import QUERIES
 #: text_fingerprint, text_lang_id, text_quality_score,
 #: text_rolling_fingerprint, text_token_stats, text_top_terms_tfidf,
 #: topk_global, tpch_q22_global_sales_opportunity, window_dense_ids,
-#: window_topn_per_group) fit the 37 rotation slots with room for new
+#: window_topn_per_group) fit the 38 rotation slots with room for new
 #: r10 names — after r10 no row is older than r5, and the steady-state
 #: cycle is ~3 rounds for the full registry. Each rotated-out name
 #: stays green in the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
-    # -- fixed 13-headliner core: benched AND driver-gated every round
+    # -- fixed 12-headliner core: benched AND driver-gated every round
     #    (r9: the PQ pair, tpch_q14/q10/q4, then tpch_q3/q5/q18 and
     #    sim_cosine_topk moved to the rotation pool — all still benched and r8-green —
     #    freeing the window slots the rotation tripwire requires for
-    #    first rows of the fifteen new r9 names) --
+    #    first rows of the sixteen new r9 names) --
     "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
     "tpch_q19_disjunctive",
     "text_word_count_tfdf",
     "dedup_exact",
@@ -143,6 +142,9 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # both still benched, r8-green)
     "curation_priority_sample",
     "sim_hard_negatives",
+    # token-weighted percentiles (slot from tpch_q6 leaving the core;
+    # still benched, r8-green)
+    "agg_weighted_percentiles",
 )
 
 

@@ -131,6 +131,9 @@ HEADLINERS = [
     # exact scoring — the contrastive-training epoch pass).
     "curation_priority_sample",
     "sim_hard_negatives",
+    # latest r9: token-weighted percentiles — the distinct-value
+    # cumulative window (the scale claim its bench row watches).
+    "agg_weighted_percentiles",
 ]
 
 

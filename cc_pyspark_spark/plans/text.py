@@ -1698,3 +1698,96 @@ def blocklist_hits_frame(
     return blocklist_annotate(documents, phrases).select(
         "doc_id", "n_hits", "hits"
     )
+
+
+# ------------------ weighted percentiles (r9, token-mass quantiles)
+#
+# agg_percentiles gives row-weighted quantiles; corpus questions are
+# usually TOKEN-weighted ("what document length does the median
+# TRAINING TOKEN live in?" — the packing/curriculum planning number,
+# which row quantiles distort badly when length varies 10x). The
+# lower weighted p-quantile is exact integer algebra: smallest value
+# v whose running token mass reaches p of the total. No interpolation,
+# no floats until the output — the full-value oracle is structural.
+#
+# Scale shape: one (lang, n_chars) pre-aggregation (map-side partial),
+# a per-lang cumulative window over the DISTINCT VALUE frame (tiny:
+# |values| per lang, not |docs|), and a min-aggregate. The window
+# never sees document rows.
+
+WP_PCTS: tuple[tuple[str, int, int], ...] = (
+    ("wp25", 1, 4),
+    ("wp50", 1, 2),
+    ("wp75", 3, 4),
+)
+
+_WP_COLS = ",\n       ".join(
+    f"CAST(MIN(CASE WHEN cum * {den} >= tot * {num} THEN n_chars END) "
+    f"AS BIGINT) AS {name}"
+    for name, num, den in WP_PCTS
+)
+
+
+@register(
+    "agg_weighted_percentiles",
+    oracle=f"""
+WITH w AS (
+  SELECT lang, n_chars,
+         CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS sw
+  FROM documents GROUP BY 1, 2
+), c AS (
+  SELECT lang, n_chars, sw,
+         CAST(SUM(sw) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum,
+         CAST(SUM(sw) OVER (PARTITION BY lang) AS BIGINT) AS tot
+  FROM w
+)
+SELECT lang, MAX(tot) AS total_tokens,
+       {_WP_COLS}
+FROM c GROUP BY lang
+""",
+    description="Token-weighted percentiles of document length per lang "
+    "(beyond-reference): the lower weighted quantile — smallest n_chars "
+    "whose running token mass reaches p of the lang total — answers "
+    "'what length does the median training token live in', which row "
+    "quantiles (agg_percentiles) distort when length varies 10x. Exact "
+    "integer algebra end-to-end (cum*den >= tot*num, no division), so "
+    "the full-value oracle is structural. The cumulative window runs "
+    "over the (lang, n_chars) DISTINCT-VALUE frame, not document rows — "
+    "at 100 TB the window input is |value domain|, bounded and tiny",
+    tags=("agg", "text"),
+)
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    w = (
+        t.documents.select(
+            "lang",
+            "n_chars",
+            F.size(tokenize("text")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("lang", "n_chars")
+        .agg(F.sum("n_tok").cast("bigint").alias("sw"))
+    )
+    c = w.select(
+        "lang",
+        "n_chars",
+        F.sum("sw")
+        .over(W.partitionBy("lang").orderBy("n_chars"))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("sw").over(W.partitionBy("lang")).cast("bigint").alias("tot"),
+    )
+    aggs = [F.max("tot").alias("total_tokens")]
+    for name, num, den in WP_PCTS:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * F.lit(den) >= F.col("tot") * F.lit(num),
+                    F.col("n_chars"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    return c.groupBy("lang").agg(*aggs)
