@@ -63,10 +63,12 @@ from cc_pyspark_spark.plans import QUERIES
 #: stays green in the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
     # -- fixed 12-headliner core: benched AND driver-gated every round
-    #    (r9: the PQ pair, tpch_q14/q10/q4, then tpch_q3/q5/q18 and
-    #    sim_cosine_topk moved to the rotation pool — all still benched and r8-green —
+    #    (r9: twelve names left the core — the PQ pair, tpch_q14/q10/q4,
+    #    tpch_q3/q5/q18/q6, sim_cosine_topk, dedup_simhash_scale, and
+    #    events_tumbling_hourly — all still benched and r8-green —
     #    freeing the window slots the rotation tripwire requires for
-    #    first rows of the sixteen new r9 names) --
+    #    first rows of the sixteen new r9 names; this list mirrors the
+    #    module docstring above — keep both in sync) --
     "tpch_q1_pricing_summary",
     "tpch_q19_disjunctive",
     "text_word_count_tfdf",

@@ -123,36 +123,3 @@ def test_priority_sample_keeps_everything_when_k_exceeds_corpus(spark):
     assert len(rows) == n
     for r in rows:
         assert r["adj_weight"] == float(r["w"])
-
-
-def test_weighted_percentiles_match_independent_python(spark):
-    """The Spark/DuckDB twins share the cum*den >= tot*num algebra; this
-    pin derives the weighted quantiles INDEPENDENTLY (sort + running
-    sum in pure Python) so a shared algebra bug can't hide."""
-    from cc_pyspark_spark.plans import QUERIES
-    from cc_pyspark_spark.plans.text import WP_PCTS
-
-    got = {
-        r["lang"]: r
-        for r in QUERIES["agg_weighted_percentiles"].spark(spark, SF_DIR).collect()
-    }
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "lang", "n_chars", F.size(tokenize("text")).alias("w")
-    ).collect()
-    by_lang: dict[str, list[tuple[int, int]]] = {}
-    for r in docs:
-        by_lang.setdefault(r["lang"], []).append((r["n_chars"], r["w"]))
-    assert set(got) == set(by_lang)
-    for lang, rows in by_lang.items():
-        rows.sort()
-        tot = sum(w for _, w in rows)
-        for name, num, den in WP_PCTS:
-            cum = 0
-            expect = None
-            for v, w in rows:
-                cum += w
-                if cum * den >= tot * num:
-                    expect = v
-                    break
-            assert got[lang][name] == expect, (lang, name)
-        assert got[lang]["total_tokens"] == tot
