@@ -1,0 +1,155 @@
+"""Community structure over edge frames: synchronous label propagation
+and k-core decomposition by iterative peeling (beyond-reference; the
+reference builds host graphs — hostlinks_to_graph.py:1-60 — but runs no
+community analytics).
+
+Both operators follow the repo's graph discipline (operators/
+pagerank.py): the edge frame is cached once, every round is a constant
+number of key-partitioned shuffles over frames whose size never grows,
+and all state is integer-or-string columns so results are bit-identical
+across partitionings, runs, and engines — which is what lets even these
+ITERATIVE algorithms carry full value-hash DuckDB oracles.
+
+Scale shapes (100 TB / 10^9-vertex web graph):
+
+* label_propagation — per round: one join of the O(V) label frame to
+  the cached symmetric adjacency (shuffle keyed by source vertex), one
+  (vertex, label) partial-aggregated count, one per-vertex arg-min.
+  Nothing but the label frame moves per round; the mode-of-neighbors
+  aggregation is map-side combinable because (t, lab) pairs repeat
+  within partitions. Hub vertices receive at most deg(v) distinct
+  labels — fan-in equals degree, the same envelope PageRank's
+  contribution sum already survives.
+* kcore — per round: one degree count over the current edge frame and
+  one double semi-join dropping edges with a dead endpoint. The edge
+  frame only ever SHRINKS, so round cost is monotone non-increasing;
+  the classic result that peeling needs O(n) rounds in the worst case
+  applies to pathological chains — on web graphs the fixture-style
+  2-4 round fixpoint is typical, and `kcore_converged` probes the
+  fixed point with a max-rounds guard for unknown graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cc_pyspark_spark.caching import track_cache
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Canonical undirected (a, b) → directed sym(s, t) both ways."""
+    return edges.select(
+        F.col("a").alias("s"), F.col("b").alias("t")
+    ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("t")))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), fixed
+    round count, deterministic tie-break, self-inclusive voting.
+
+    ``edges``: undirected canonical (a, b), a != b, each pair once.
+    Every vertex starts labeled with its own id; each round every
+    vertex adopts the PLURALITY label among its neighbors PLUS its own
+    current label (one self-vote — equivalently a self-loop at every
+    vertex), ties broken by the SMALLEST label — the arg-min of
+    (-count, label), a total order, so the sweep is deterministic and
+    engine-independent (the async/random-order variant of the paper
+    converges faster but is irreproducible; fixed synchronous rounds
+    are what a regression-gated pipeline wants). The self-vote is the
+    standard damper for the oscillation pure synchronous LPA exhibits
+    on bipartite-ish substructures (two cliques joined by a bridge
+    flip-flop forever without it — pinned in tests).
+
+    Returns (id, community) — community = the round-``rounds`` label.
+    """
+    e = edges.persist().transform(track_cache)
+    verts = (
+        _symmetrize(e).select(F.col("s").alias("id")).distinct()
+    )
+    # neighbor edges + one self-loop per vertex (the self-vote)
+    sym = (
+        _symmetrize(e)
+        .unionAll(verts.select(F.col("id").alias("s"), F.col("id").alias("t")))
+        .persist()
+        .transform(track_cache)
+    )
+    lab = verts.select("id", F.col("id").alias("lab"))
+    for _ in range(rounds):
+        cnt = (
+            sym.join(lab, sym.s == lab.id)
+            .groupBy(sym.t, lab.lab)
+            .agg(F.count("*").alias("cnt"))
+        )
+        # plurality label, smallest label on ties: min over the
+        # lexicographic struct (-cnt, lab) — one aggregation, no window
+        lab = (
+            cnt.groupBy("t")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))).alias("m"))
+            .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
+        )
+    return lab.select("id", F.col("lab").alias("community"))
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+    """k-core by iterative peeling: drop vertices of degree < k, drop
+    edges with a dropped endpoint, repeat ``rounds`` times.
+
+    ``edges``: undirected canonical (a, b), a != b, each pair once.
+    Returns (id, deg) — the degree of each surviving vertex within the
+    surviving edge set. At the fixed point every listed degree is >= k
+    (the defining property of the k-core); callers on unknown graphs
+    should use :func:`kcore_converged`, which probes for the fixed
+    point instead of trusting a round count.
+
+    Lineage: the edge frame is referenced three times per round (two
+    degree legs + the filter join), so the logical plan grows ~4x per
+    round — rounds are truncated with an eager localCheckpoint exactly
+    like cc_alternating (operators/pagerank.py), which also makes each
+    round's shrinking edge set compute once.
+    """
+    cur = edges.select("a", "b")
+    for _ in range(rounds):
+        deg = (
+            _symmetrize(cur)
+            .groupBy("s")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select(F.col("s").alias("v"))
+        cur = (
+            cur.join(alive, cur.a == alive.v, "left_semi")
+            .join(alive, cur.b == alive.v, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
+    return deg.select(F.col("s").alias("id"), "deg")
+
+
+def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
+    """Deployment wrapper: peel until an edge-count fixed point (a
+    round that removes nothing), with a ``max_rounds`` guard.
+
+    The probe is one driver-side scalar count per round — O(1) rows to
+    the driver, same discipline as cc_alternating_converged. Raises if
+    the guard trips (a pathological chain graph peels one vertex per
+    round; the caller should raise the guard knowingly, not silently
+    get a non-core).
+    """
+    cur = edges.select("a", "b").localCheckpoint(eager=True)
+    n = cur.count()
+    for _ in range(max_rounds):
+        deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select(F.col("s").alias("v"))
+        nxt = (
+            cur.join(alive, cur.a == alive.v, "left_semi")
+            .join(alive, cur.b == alive.v, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        if m == n:
+            deg = _symmetrize(nxt).groupBy("s").agg(F.count("*").alias("deg"))
+            return deg.select(F.col("s").alias("id"), "deg")
+        cur, n = nxt, m
+    raise RuntimeError(
+        f"kcore_converged: no fixed point within {max_rounds} rounds"
+    )

@@ -242,3 +242,165 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bfs_hops(edges, sources, max_iter=_BFS_ITER)
+
+
+# ---------------------------------------------------------------------------
+# Community structure (r9): label propagation + k-core peeling.
+# Both oracles are round-chained MATERIALIZED CTEs — a plain CTE chain
+# where round r references round r-1 more than once re-expands
+# exponentially in DuckDB (see plans/dedup.py kcenter / text_bpe_train).
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+#: Shared edge CTE: supplier co-order graph, above-median pair count
+#: (same construction as graph_triangle_stats' oracle — a relative
+#: threshold keeps the sparsification scale-free across SFs).
+_CO_ORDER_EDGE_CTE = """
+os AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+p AS MATERIALIZED (
+  SELECT x.s AS a, y.s AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+  GROUP BY 1, 2
+),
+thr AS (SELECT quantile_cont(c, 0.5) AS thr FROM p),
+e AS MATERIALIZED (
+  SELECT a, b FROM p CROSS JOIN thr WHERE CAST(c AS DOUBLE) > thr
+)"""
+
+
+def _lpa_oracle(rounds: int) -> str:
+    parts = [
+        "WITH " + _CO_ORDER_EDGE_CTE + """,
+nbr AS (
+  SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e
+),
+sym AS MATERIALIZED (
+  SELECT s, t FROM nbr
+  UNION ALL
+  SELECT DISTINCT s, s FROM nbr
+),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lab FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+l{r} AS MATERIALIZED (
+  SELECT id, lab FROM (
+    SELECT c.t AS id, c.lab,
+           ROW_NUMBER() OVER (PARTITION BY c.t
+                              ORDER BY c.cnt DESC, c.lab ASC) AS rn
+    FROM (SELECT sym.t AS t, l{r-1}.lab AS lab,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM sym JOIN l{r-1} ON sym.s = l{r-1}.id
+          GROUP BY 1, 2) c
+  ) WHERE rn = 1
+)""")
+    parts.append(f"\nSELECT id, lab AS community FROM l{rounds}")
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(_LPA_ROUNDS),
+    description="Community detection by synchronous label propagation "
+    "(Raghavan et al. 2007) over the supplier co-order graph, fixed "
+    f"{_LPA_ROUNDS} rounds: every vertex adopts the plurality label "
+    "among its neighbors plus one self-vote (the standard damper for "
+    "sync-LPA oscillation on bipartite-ish substructures), ties to the "
+    "smallest — the arg-min of (-count, label), a total order, so the "
+    "sweep is deterministic and the iterative run carries a full "
+    "value-hash oracle (DuckDB replays each round with an independent "
+    "ROW_NUMBER formulation of the same tie-break; Spark uses a single "
+    "min-over-struct aggregation, no window). Per round only the O(V) "
+    "label frame shuffles against the cached adjacency — the PageRank "
+    "discipline — and the plurality count is map-side combinable",
+    tags=("graph",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.community import label_propagation  # noqa: PLC0415
+
+    return label_propagation(_co_order_edges(spark, sf_dir), rounds=_LPA_ROUNDS)
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-order edges, above-median pair count — the Spark
+    twin of _CO_ORDER_EDGE_CTE (same construction graph_triangle_stats
+    uses inline)."""
+    t = Catalog(spark, sf_dir)
+    os_ = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pairs = (
+        os_.alias("x")
+        .join(os_.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    thr = pairs.agg(F.expr("percentile(c, 0.5)").alias("thr"))
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("c").cast("double") > F.col("thr"))
+        .select("a", "b")
+    )
+
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = ["""WITH raw AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e0 AS MATERIALIZED (SELECT 2 * c AS a, 2 * s + 1 AS b FROM raw)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS v FROM e{r-1} UNION ALL SELECT b AS v FROM e{r-1}
+  ) GROUP BY 1
+),
+a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{r-1}
+  WHERE a IN (SELECT v FROM a{r}) AND b IN (SELECT v FROM a{r})
+)""")
+    parts.append(f"""
+SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT a AS v FROM e{rounds} UNION ALL SELECT b AS v FROM e{rounds}
+) GROUP BY 1""")
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    description=f"k-core decomposition (k={_KCORE_K}) of the customer-"
+    "supplier bipartite graph by iterative peeling: drop vertices of "
+    "degree < k and edges with a dead endpoint, repeat — the standard "
+    "distributed formulation (one degree count + one double semi-join "
+    "per round over an edge frame that only ever SHRINKS). Fixed "
+    f"{_KCORE_ROUNDS} rounds for the oracle twin (the fixture reaches "
+    "its fixed point in 2 — pinned by a convergence tripwire test); "
+    "kcore_converged probes the fixed point for unknown graphs. "
+    "Returns each core vertex with its within-core degree, all-integer, "
+    "so the iterative run hash-matches a DuckDB materialized-CTE replay",
+    tags=("graph",),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.community import kcore  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    raw = (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = raw.select(
+        (2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b")
+    )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
