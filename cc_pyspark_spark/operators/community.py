@@ -44,7 +44,9 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     ).unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("t")))
 
 
-def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 4, checkpoint_every: int = 4
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007), fixed
     round count, deterministic tie-break, self-inclusive voting.
 
@@ -62,6 +64,13 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     flip-flop forever without it — pinned in tests).
 
     Returns (id, community) — community = the round-``rounds`` label.
+
+    Lineage: each round adds one join + two aggregations on top of the
+    previous label frame, so plan DEPTH grows linearly with rounds
+    (execution cost doesn't — the adjacency is cached); past a handful
+    of rounds Catalyst analysis time would dominate, so the label
+    frame truncates every ``checkpoint_every`` rounds, same discipline
+    as pagerank_fixed / cc_alternating (operators/pagerank.py).
     """
     e = edges.persist().transform(track_cache)
     verts = (
@@ -75,7 +84,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .transform(track_cache)
     )
     lab = verts.select("id", F.col("id").alias("lab"))
-    for _ in range(rounds):
+    for i in range(rounds):
         cnt = (
             sym.join(lab, sym.s == lab.id)
             .groupBy(sym.t, lab.lab)
@@ -88,6 +97,8 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))).alias("m"))
             .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            lab = lab.localCheckpoint(eager=True)
     return lab.select("id", F.col("lab").alias("community"))
 
 
