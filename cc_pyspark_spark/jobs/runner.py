@@ -70,7 +70,10 @@ DOC_JOBS = (
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cc-pyspark-spark")
-    p.add_argument("job", choices=sorted([*JOBS, "hostlinks_to_graph", *DOC_JOBS]))
+    p.add_argument(
+        "job",
+        choices=sorted([*JOBS, "hostlinks_to_graph", "graph_analyze", *DOC_JOBS]),
+    )
     p.add_argument("input", help="manifest of WARC/WAT/WET file URIs "
                    "(for hostlinks_to_graph: parquet edge table; for "
                    "dedup_documents/export_training_jsonl: parquet "
@@ -232,6 +235,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="corpus_overlap: KMV sketch size (default "
         "plans.sketches.KMV_K; rel-err ~ 1/sqrt(k-1); k larger than "
         "the set universe degrades gracefully to exact counts)",
+    )
+    p.add_argument(
+        "--graph_algo",
+        default="pagerank",
+        choices=["pagerank", "cc", "lpa", "kcore", "triangles"],
+        help="graph_analyze: algorithm over the (s, t) integer edge "
+        "table (the hostlinks_to_graph edges output). pagerank uses "
+        "the directed edges; cc/lpa/kcore/triangles canonicalize to "
+        "undirected first. cc and kcore run their fixed-point probe "
+        "wrappers (no round count to guess); lpa runs --graph_rounds "
+        "synchronous self-vote rounds",
+    )
+    p.add_argument(
+        "--graph_rounds",
+        type=int,
+        default=None,
+        help="graph_analyze: round count for pagerank (default 10) / "
+        "lpa (default 4); ignored by the fixed-point algorithms",
+    )
+    p.add_argument(
+        "--kcore_k",
+        type=int,
+        default=8,
+        help="graph_analyze --graph_algo kcore: minimum within-core "
+        "degree",
     )
     p.add_argument(
         "--sample_k",
@@ -627,6 +655,61 @@ def main_with_args(args: argparse.Namespace) -> int:
         release_caches()
 
 
+def _run_graph_analyze(spark, args: argparse.Namespace) -> int:
+    """Graph analytics over an integer (s, t) edge table — the
+    downstream consumer of hostlinks_to_graph's edges output (the
+    reference stops at graph CONSTRUCTION, hostlinks_to_graph.py; this
+    is the analytics tier over it)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    edges = spark.read.parquet(args.input).select("s", "t")
+    algo = args.graph_algo
+    if algo == "pagerank":
+        from cc_pyspark_spark.operators.pagerank import pagerank  # noqa: PLC0415
+
+        df = pagerank(edges, n_iter=args.graph_rounds or 10)
+        sort_cols = ["id"]
+    elif algo == "cc":
+        from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
+            cc_alternating_converged,
+        )
+
+        df = cc_alternating_converged(edges)
+        sort_cols = ["id"]
+    else:
+        canon = (
+            edges.select(
+                F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        if algo == "lpa":
+            from cc_pyspark_spark.operators.community import (  # noqa: PLC0415
+                label_propagation,
+            )
+
+            df = label_propagation(canon, rounds=args.graph_rounds or 4)
+            sort_cols = ["id"]
+        elif algo == "kcore":
+            from cc_pyspark_spark.operators.community import (  # noqa: PLC0415
+                kcore_converged,
+            )
+
+            df = kcore_converged(canon, k=args.kcore_k)
+            sort_cols = ["id"]
+        else:  # triangles
+            from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
+                triangle_stats,
+            )
+
+            df = triangle_stats(canon)
+            sort_cols = None
+    write_output(df, args, sort_cols)
+    print(json.dumps({"job": args.job, "algo": algo}))
+    return 0
+
+
 def _dispatch_job(spark, args: argparse.Namespace) -> int:
     if args.job == "hostlinks_to_graph":
         # input = (s, t) edge table (parquet), output = <out>/vertices + <out>/edges
@@ -650,6 +733,8 @@ def _dispatch_job(spark, args: argparse.Namespace) -> int:
                     "compression", args.output_compression
                 ).mode("overwrite").save(f"{base}/{name}")
         return 0
+    if args.job == "graph_analyze":
+        return _run_graph_analyze(spark, args)
     if args.job in DOC_JOBS:
         return _run_doc_job(spark, args)
     job_fn, sort_cols = JOBS[args.job]

@@ -658,3 +658,61 @@ def test_cli_mine_hard_negatives(tmp_path):
     for r in got.collect():
         assert labels[r["n_id"]] != labels[r["q_id"]]
         assert abs((r["pos_cos"] - r["cos"]) - r["margin"]) < 1e-12
+
+
+def test_cli_graph_analyze(spark, tmp_path):
+    """graph_analyze CLI (r9): the analytics tier over
+    hostlinks_to_graph's integer edge output — kcore and lpa on a
+    two-cliques-plus-bridge graph, pagerank shape sanity."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    cliques = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7),
+        (3, 7),
+    ]
+    edges_path = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(int(s), int(t)) for s, t in cliques], "s long, t long"
+    ).write.parquet(edges_path)
+
+    out = str(tmp_path / "kcore")
+    rc = main([
+        "graph_analyze", edges_path, out,
+        "--graph_algo", "kcore", "--kcore_k", "3",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    got = {
+        r["id"]: r["deg"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 4, 4: 3, 5: 3, 6: 3, 7: 4}
+
+    out = str(tmp_path / "lpa")
+    rc = main([
+        "graph_analyze", edges_path, out,
+        "--graph_algo", "lpa", "--graph_rounds", "4",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    comm = {
+        r["id"]: r["community"] for r in spark.read.parquet(out).collect()
+    }
+    assert len({comm[v] for v in (0, 1, 2, 3)}) == 1
+    assert len({comm[v] for v in (4, 5, 6, 7)}) == 1
+    assert comm[0] != comm[4]
+
+    out = str(tmp_path / "pr")
+    rc = main([
+        "graph_analyze", edges_path, out,
+        "--graph_algo", "pagerank", "--graph_rounds", "4",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    pr = spark.read.parquet(out)
+    assert pr.count() == 8
+    total = sum(r["rank"] for r in pr.collect())
+    assert abs(total - 1.0) < 1e-9
