@@ -134,6 +134,10 @@ HEADLINERS = [
     # latest r9: token-weighted percentiles — the distinct-value
     # cumulative window (the scale claim its bench row watches).
     "agg_weighted_percentiles",
+    # latest r9: distributed classifier training — three broadcast-
+    # weight GD rounds whose only shuffle is the 65-key gradient agg;
+    # its bench row watches the per-round overhead of the loop plan.
+    "text_classifier_train",
 ]
 
 

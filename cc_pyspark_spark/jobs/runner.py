@@ -65,6 +65,7 @@ DOC_JOBS = (
     "corpus_overlap",
     "priority_sample",
     "mine_hard_negatives",
+    "classifier_train",
 )
 
 
@@ -383,6 +384,21 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         df = kcenter_coreset_frame(table, k=k)
         write_output(df, args, ["vec_id"])
         print(json.dumps({"job": args.job, "k": k}))
+        return 0
+    if args.job == "classifier_train":
+        from cc_pyspark_spark.plans.text import (  # noqa: PLC0415
+            CLS_TRAIN_LR,
+            CLS_TRAIN_ROUNDS,
+            classifier_train_frame,
+        )
+
+        df = classifier_train_frame(spark, table)
+        write_output(df, args, ["feature_idx"])
+        print(json.dumps({
+            "job": args.job,
+            "rounds": CLS_TRAIN_ROUNDS,
+            "lr": CLS_TRAIN_LR,
+        }))
         return 0
     if args.job == "snapshot_diff":
         from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415

@@ -716,3 +716,29 @@ def test_cli_graph_analyze(spark, tmp_path):
     assert pr.count() == 8
     total = sum(r["rank"] for r in pr.collect())
     assert abs(total - 1.0) < 1e-9
+
+
+def test_cli_classifier_train(spark, tmp_path):
+    """End-to-end CLI (late r9): batch-GD trainer over a documents
+    parquet -> 65-row (feature_idx, mu, sd, weight) model table that
+    matches the registered query on the same table."""
+    from cc_pyspark_spark.jobs.runner import main
+    from cc_pyspark_spark.plans.text import CLS_TRAIN_DIM, text_classifier_train
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "model")
+    rc = main([
+        "classifier_train", src, out,
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+    ])
+    assert rc == 0
+    got = {
+        r["feature_idx"]: r["weight"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["feature_idx"]: r["weight"]
+        for r in text_classifier_train(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) == CLS_TRAIN_DIM + 1
+    assert got == want

@@ -90,6 +90,10 @@ CHECK = [
     # broadcast; hard-negative cosine folds + per-anchor max.
     "curation_priority_sample",
     "sim_hard_negatives",
+    # r9 late: batch-GD trainer — fixed-point gradient/moment sums and
+    # the bucket-ordered zip_with z-fold are the associativity claims;
+    # any layout dependence compounds across the three rounds.
+    "text_classifier_train",
 ]
 
 
