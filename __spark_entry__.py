@@ -34,20 +34,22 @@ from cc_pyspark_spark.plans import QUERIES
 #: dedup_embedding_fixture (unbenched, rotation slot below), so the
 #: `scale` tag and the benched name always denote deployed geometry.
 #:
-#: Round-9 rotation (VERDICT r8 ask #1): the 41 non-core slots take
+#: Round-9 rotation (VERDICT r8 ask #1): the 42 non-core slots take
 #: (a) ALL 22 remaining r1-stale names, and (b) first rows for ALL
-#: NINETEEN names new in r9 (dedup_embedding_fixture, graph_cc_converged,
+#: TWENTY names new in r9 (dedup_embedding_fixture, graph_cc_converged,
 #: curation_dsir_importance, text_ngram_novelty,
 #: embedding_kcenter_coreset, text_ngram_novelty_bloom,
 #: multimodal_container_probe, text_bpe_train, curation_snapshot_diff,
 #: text_blocklist_phrases, sim_bm25_topk, embedding_random_projection,
 #: agg_theta_sketch_intersect, curation_priority_sample,
 #: sim_hard_negatives, agg_weighted_percentiles,
-#: graph_label_propagation, graph_kcore, text_classifier_train)
-#: — the core shrank by fifteen slots (the PQ pair, tpch_q14/q10/q4,
+#: graph_label_propagation, graph_kcore, text_classifier_train,
+#: text_classifier_eval)
+#: — the core shrank by sixteen slots (the PQ pair, tpch_q14/q10/q4,
 #: then tpch_q3/q5/q18/q6, sim_cosine_topk, dedup_simhash_scale,
-#: events_tumbling_hourly, text_gopher_rules, curation_pack_sequences
-#: and text_word_count_tfdf; all still benched and r8-green) to keep
+#: events_tumbling_hourly, text_gopher_rules, curation_pack_sequences,
+#: text_word_count_tfdf and dedup_exact; all still benched and
+#: r8-green) to keep
 #: the rotation tripwire's every-new-name-gets-a-row guarantee
 #: structural.
 #:
@@ -65,18 +67,18 @@ from cc_pyspark_spark.plans import QUERIES
 #: cycle is ~3 rounds for the full registry. Each rotated-out name
 #: stays green in the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
-    # -- fixed 9-headliner core: benched AND driver-gated every round
-    #    (r9: fifteen names left the core — the PQ pair,
+    # -- fixed 8-headliner core: benched AND driver-gated every round
+    #    (r9: sixteen names left the core — the PQ pair,
     #    tpch_q14/q10/q4, tpch_q3/q5/q18/q6, sim_cosine_topk,
     #    dedup_simhash_scale, events_tumbling_hourly, late-r9
     #    text_gopher_rules + curation_pack_sequences, and latest-r9
-    #    text_word_count_tfdf — all still benched and r8-green —
+    #    text_word_count_tfdf + dedup_exact — all still benched and
+    #    r8-green —
     #    freeing the window slots the rotation tripwire requires for
-    #    first rows of the nineteen new r9 names; this list mirrors
+    #    first rows of the twenty new r9 names; this list mirrors
     #    the module docstring above — keep both in sync) --
     "tpch_q1_pricing_summary",
     "tpch_q19_disjunctive",
-    "dedup_exact",
     "dedup_minhash_scale",
     "dedup_embedding_scale_wide",
     "sim_ann_ivf",
@@ -156,8 +158,11 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "graph_kcore",
     # distributed classifier TRAINING — batch-GD distillation of the
     # hashed-feature teacher (slot from text_word_count_tfdf leaving
-    # the core; still benched, r8-green)
+    # the core; still benched, r8-green) — and its confusion-matrix
+    # acceptance gate (slot from dedup_exact leaving the core; still
+    # benched, r8-green)
     "text_classifier_train",
+    "text_classifier_eval",
 )
 
 

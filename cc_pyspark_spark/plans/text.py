@@ -2099,3 +2099,125 @@ def classifier_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .alias("sd"),
         "weight",
     )
+
+
+def _cls_eval_oracle() -> str:
+    """Confusion matrix of the TRAINED model vs the teacher labels —
+    composes the registered trainer oracle verbatim (subquery with its
+    own WITH), so the evaluated model and the evaluation can never
+    drift apart. All-integer output: the strongest oracle form."""
+    d = CLS_TRAIN_DIM
+    return f"""
+WITH model AS MATERIALIZED (
+  SELECT * FROM ({_cls_train_oracle()})
+), lab0 AS MATERIALIZED (
+  SELECT doc_id,
+         CAST({_HASH_CLS_DUCK} AS DOUBLE)
+           / CAST(len({_DUCK_TOKS}) AS BIGINT) AS s,
+         {_CLS_IDX_DUCK} AS idxs
+  FROM documents WHERE len({_DUCK_TOKS}) > 0
+), thr AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(floor(s * 1e12) AS BIGINT)) AS DOUBLE)
+         / (1e12 * CAST(COUNT(*) AS DOUBLE)) AS thr FROM lab0
+), lab AS MATERIALIZED (
+  SELECT doc_id, idxs,
+         CASE WHEN s > (SELECT thr FROM thr) THEN 1.0 ELSE 0.0 END AS y
+  FROM lab0
+), feat AS MATERIALIZED (
+  SELECT l.doc_id, l.y, m.feature_idx AS idx,
+         (CAST(len(list_filter(l.idxs, j -> j = m.feature_idx)) AS DOUBLE)
+            / CAST(len(l.idxs) AS DOUBLE) - m.mu) / m.sd * m.weight AS term
+  FROM lab l JOIN model m ON m.feature_idx < {d}
+  UNION ALL
+  SELECT l.doc_id, l.y, {d} AS idx, 1.0 * m.weight AS term
+  FROM lab l JOIN model m ON m.feature_idx = {d}
+), z AS MATERIALIZED (
+  SELECT doc_id, ANY_VALUE(y) AS y,
+         list_reduce(list_prepend(0.0, list(term ORDER BY idx)),
+                     (a, b) -> a + b) AS z
+  FROM feat GROUP BY doc_id
+)
+SELECT CAST(y AS BIGINT) AS label, z > 0.0 AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM z GROUP BY label, pred
+"""
+
+
+@register(
+    "text_classifier_eval",
+    oracle=_cls_eval_oracle(),
+    description="Train->eval composition: confusion-matrix counts of "
+    "the text_classifier_train weights against the teacher labels on "
+    "the training corpus — the acceptance gate every trained quality "
+    "filter passes before serving (the serving pass itself is "
+    "text_hashed_classifier's map-only shape with these weights "
+    "broadcast). The model arrives as ONE broadcast row of arrays, "
+    "scoring is a map-side zip_with fold in bucket order, and the "
+    "output is a <=4-row integer group-by — so evaluation costs one "
+    "corpus scan beyond training. Composes the trainer's oracle "
+    "verbatim; output is all-integer (counts), the strongest "
+    "cross-engine oracle form",
+    tags=("text", "scale"),
+)
+def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = CLS_TRAIN_DIM
+    t = Catalog(spark, sf_dir)
+    model_row = (
+        text_classifier_train(spark, sf_dir)
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("feature_idx", "mu"))),
+                lambda x: x["mu"],
+            ).alias("ms"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("feature_idx", "sd"))),
+                lambda x: x["sd"],
+            ).alias("sds"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("feature_idx", "weight"))),
+                lambda x: x["weight"],
+            ).alias("ws"),
+        )
+    )
+    base = t.documents.select(
+        "doc_id",
+        F.expr(_CLS_IDX_SPARK).alias("idxs"),
+        (
+            F.expr(_HASH_CLS_SPARK).cast("double")
+            / F.expr(
+                f"size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0))"
+            ).cast("bigint")
+        ).alias("s"),
+    ).filter(F.size("idxs") > 0)
+    thr = base.agg(
+        (
+            F.sum(F.floor(F.col("s") * F.lit(1e12)).cast("bigint")).cast(
+                "double"
+            )
+            / (F.lit(1e12) * F.count("*").cast("double"))
+        ).alias("thr")
+    )
+    lab = base.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "idxs",
+        F.when(F.col("s") > F.col("thr"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    scored = (
+        lab.crossJoin(F.broadcast(model_row))
+        .withColumn(
+            "z",
+            F.expr(
+                f"aggregate(concat(transform(sequence(0, {d - 1}), b -> "
+                "(cast(size(filter(idxs, j -> j = bigint(b))) as double)"
+                " / cast(size(idxs) as double) - ms[b]) / sds[b] * ws[b]), "
+                f"array(1.0D * ws[{d}])), 0.0D, (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    return scored.groupBy(
+        F.col("y").cast("bigint").alias("label"),
+        (F.col("z") > F.lit(0.0)).alias("pred"),
+    ).agg(F.count("*").cast("bigint").alias("n"))

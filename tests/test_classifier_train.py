@@ -139,3 +139,44 @@ def test_weights_touch_only_supported_buckets(replay):
     assert untouched, "fixture should leave some of the 64 buckets empty"
     for b in untouched:
         assert w[b] == 0.0
+
+
+def test_eval_confusion_matches_replay(spark, replay):
+    """text_classifier_eval's integer confusion counts must equal the
+    pure-Python replay's (same folds, same weights)."""
+    import re as _re
+
+    from cc_pyspark_spark.plans.text import text_classifier_eval
+
+    mu, sd, w, _acc, _base = replay
+    docs = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    pat = _re.compile(TOKEN_PATTERN)
+    want: dict[tuple[int, bool], int] = {}
+    toks_all = [pat.findall(t.lower()) for t in docs]
+    toks_all = [t for t in toks_all if t]
+    s = [
+        float(sum((_poly_mix(x) % 65536) - 32768 for x in t)) / float(len(t))
+        for t in toks_all
+    ]
+    thr = float(sum(math.floor(v * 1e12) for v in s)) / (1e12 * float(len(s)))
+    for t, sv in zip(toks_all, s):
+        y = 1 if sv > thr else 0
+        row = [0] * CLS_TRAIN_DIM
+        for x in t:
+            row[_poly_mix(x) % CLS_TRAIN_DIM] += 1
+        acc = 0.0
+        for b in range(CLS_TRAIN_DIM):
+            acc = acc + (float(row[b]) / float(len(t)) - mu[b]) / sd[b] * w[b]
+        acc = acc + 1.0 * w[CLS_TRAIN_DIM]
+        key = (y, acc > 0.0)
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r["label"], r["pred"]): r["n"]
+        for r in text_classifier_eval(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -94,6 +94,10 @@ CHECK = [
     # the bucket-ordered zip_with z-fold are the associativity claims;
     # any layout dependence compounds across the three rounds.
     "text_classifier_train",
+    # r9 late: the eval twin — a doc whose z sits near 0 would flip a
+    # confusion-matrix cell if the fold order ever became layout-
+    # dependent.
+    "text_classifier_eval",
 ]
 
 
