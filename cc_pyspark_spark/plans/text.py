@@ -1863,7 +1863,8 @@ def _cls_train_oracle() -> str:
   FROM tf GROUP BY idx
 ), scale AS MATERIALIZED (
   SELECT idx, m,
-         CASE WHEN m2 - m * m <= 0.0 THEN 1.0 ELSE sqrt(m2 - m * m) END AS sd
+         CASE WHEN m2 - m * m <= 0.0 THEN 1.0
+              ELSE greatest(sqrt(m2 - m * m), 1e-6) END AS sd
   FROM mom
 ), feat AS MATERIALIZED (
   SELECT t.doc_id, l.y, t.idx, (t.x - s.m) / s.sd AS x
@@ -1924,8 +1925,12 @@ FROM w{CLS_TRAIN_ROUNDS} w LEFT JOIN scale s ON w.idx = s.idx
     "zip_with fold in bucket order, and each round's only shuffle is "
     f"the {CLS_TRAIN_DIM + 1}-key gradient aggregation (map-side "
     "partial combine collapses it to keys x partitions). Gradient and "
-    "moment sums are floor(x*1e12) BIGINT fixed point — associative, "
-    "so the trained weights are bit-identical under any partitioning "
+    "moment sums are floor(x*1e12) fixed point summed EXACTLY in "
+    "decimal(38,0) (BIGINT would overflow at ~1e9 docs x 1e12-scaled "
+    "terms; DuckDB's HUGEINT sum is exact natively) with a 1e-6 sd "
+    "clamp bounding each term inside the int64 per-value range — "
+    "associative, so the trained weights are bit-identical under any "
+    "partitioning "
     "and carry a full value-hash oracle (unrolled CTE replay)",
     tags=("text", "scale"),
 )
@@ -1949,9 +1954,9 @@ def classifier_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
     ).filter(F.size("idxs") > 0)
     thr = base.agg(
         (
-            F.sum(F.floor(F.col("s") * F.lit(1e12)).cast("bigint")).cast(
-                "double"
-            )
+            F.sum(
+                F.floor(F.col("s") * F.lit(1e12)).cast("decimal(28,0)")
+            ).cast("double")
             / (F.lit(1e12) * F.count("*").cast("double"))
         ).alias("thr"),
         F.count("*").cast("bigint").alias("nd"),
@@ -1977,15 +1982,15 @@ def classifier_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .groupBy("idx")
         .agg(
             (
-                F.sum(F.floor(F.col("x") * F.lit(1e12)).cast("bigint")).cast(
-                    "double"
-                )
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1e12)).cast("decimal(28,0)")
+                ).cast("double")
                 / (F.lit(1e12) * F.first(nd_col))
             ).alias("m"),
             (
                 F.sum(
                     F.floor(F.col("x") * F.col("x") * F.lit(1e12)).cast(
-                        "bigint"
+                        "decimal(28,0)"
                     )
                 ).cast("double")
                 / (F.lit(1e12) * F.first(nd_col))
@@ -1997,7 +2002,12 @@ def classifier_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
             F.when(
                 F.col("m2") - F.col("m") * F.col("m") <= F.lit(0.0), F.lit(1.0)
             )
-            .otherwise(F.sqrt(F.col("m2") - F.col("m") * F.col("m")))
+            .otherwise(
+                F.greatest(
+                    F.sqrt(F.col("m2") - F.col("m") * F.col("m")),
+                    F.lit(1e-6),
+                )
+            )
             .alias("sd"),
         )
     )
@@ -2061,7 +2071,7 @@ def classifier_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 (
                     F.sum(
                         F.floor(F.col("err") * F.col("x") * F.lit(1e12)).cast(
-                            "bigint"
+                            "decimal(28,0)"
                         )
                     ).cast("double")
                     / (F.lit(1e12) * F.first(nd_col))
@@ -2081,7 +2091,9 @@ def classifier_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
             )
             .select(
                 F.zip_with(
-                    "ws", "gs", lambda w, g: w - F.lit(lr) * g
+                    "ws",
+                    "gs",
+                    lambda w, g: w - F.lit(lr) * F.coalesce(g, F.lit(0.0)),
                 ).alias("ws")
             )
         )
@@ -2091,13 +2103,19 @@ def classifier_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
     return out.select(
         F.col("feature_idx").cast("bigint").alias("feature_idx"),
-        F.when(F.col("feature_idx") < F.lit(d), F.expr("ms[feature_idx]"))
+        F.when(
+            F.col("feature_idx") < F.lit(d),
+            F.coalesce(F.expr("get(ms, feature_idx)"), F.lit(0.0)),
+        )
         .otherwise(F.lit(0.0))
         .alias("mu"),
-        F.when(F.col("feature_idx") < F.lit(d), F.expr("sds[feature_idx]"))
+        F.when(
+            F.col("feature_idx") < F.lit(d),
+            F.coalesce(F.expr("get(sds, feature_idx)"), F.lit(1.0)),
+        )
         .otherwise(F.lit(1.0))
         .alias("sd"),
-        "weight",
+        F.coalesce("weight", F.lit(0.0)).alias("weight"),
     )
 
 
@@ -2192,9 +2210,9 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("idxs") > 0)
     thr = base.agg(
         (
-            F.sum(F.floor(F.col("s") * F.lit(1e12)).cast("bigint")).cast(
-                "double"
-            )
+            F.sum(
+                F.floor(F.col("s") * F.lit(1e12)).cast("decimal(28,0)")
+            ).cast("double")
             / (F.lit(1e12) * F.count("*").cast("double"))
         ).alias("thr")
     )

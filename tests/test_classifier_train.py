@@ -65,7 +65,7 @@ def _replay(
         )
         var = m2 - m * m
         mu.append(m)
-        sd.append(1.0 if var <= 0.0 else math.sqrt(var))
+        sd.append(1.0 if var <= 0.0 else max(math.sqrt(var), 1e-6))
     xz = [
         [(r[b] - mu[b]) / sd[b] for b in range(d)] + [1.0] for r in xtf
     ]
@@ -180,3 +180,17 @@ def test_eval_confusion_matches_replay(spark, replay):
         for r in text_classifier_eval(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_empty_corpus_returns_zero_model(spark):
+    """A corpus the gate filtered to nothing must yield the
+    initialized model (65 rows, w=0, mu=0, sd=1) — matching the
+    oracle's LEFT-JOIN/COALESCE semantics — not an array-index crash."""
+    from cc_pyspark_spark.plans.text import classifier_train_frame
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = classifier_train_frame(spark, empty).collect()
+    assert len(out) == CLS_TRAIN_DIM + 1
+    assert all(
+        r["weight"] == 0.0 and r["mu"] == 0.0 and r["sd"] == 1.0 for r in out
+    )
