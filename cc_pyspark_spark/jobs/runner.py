@@ -66,6 +66,7 @@ DOC_JOBS = (
     "priority_sample",
     "mine_hard_negatives",
     "classifier_train",
+    "classifier_score",
 )
 
 
@@ -181,6 +182,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="dsir_select / priority_sample: emit the selected "
         "documents' full rows (joined back) instead of the scored "
         "frame",
+    )
+    p.add_argument(
+        "--model_path",
+        default=None,
+        help="classifier_score: parquet path of the trained "
+        "(feature_idx, mu, sd, weight) model table (the "
+        "classifier_train output); --score_filter keeps only "
+        "predicted-quality rows",
+    )
+    p.add_argument(
+        "--score_filter",
+        action="store_true",
+        help="classifier_score: drop predicted-negative documents "
+        "instead of annotating",
     )
     p.add_argument(
         "--diff_against",
@@ -384,6 +399,22 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
         df = kcenter_coreset_frame(table, k=k)
         write_output(df, args, ["vec_id"])
         print(json.dumps({"job": args.job, "k": k}))
+        return 0
+    if args.job == "classifier_score":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cc_pyspark_spark.plans.text import (  # noqa: PLC0415
+            classifier_score_frame,
+        )
+
+        if not args.model_path:
+            raise SystemExit("classifier_score requires --model_path MODEL")
+        model = spark.read.parquet(args.model_path)
+        df = classifier_score_frame(table, model)
+        if args.score_filter:
+            df = df.filter(F.col("pred")).drop("pred")
+        write_output(df, args, ["doc_id"])
+        print(json.dumps({"job": args.job, "filter": args.score_filter}))
         return 0
     if args.job == "classifier_train":
         from cc_pyspark_spark.plans.text import (  # noqa: PLC0415

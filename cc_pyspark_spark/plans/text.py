@@ -2239,3 +2239,49 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("bigint").alias("label"),
         (F.col("z") > F.lit(0.0)).alias("pred"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+def classifier_score_frame(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Serving path for a trained (feature_idx, mu, sd, weight) model:
+    score any (doc_id, text) frame — batch OR streaming (the scoring
+    is a stateless map against the broadcast model row, so the batch
+    expression IS the streaming expression; streaming/curation.py
+    wraps it as the ingest gate). Emits the input columns plus
+    ``score`` (the pre-squash margin z) and ``pred`` (z > 0)."""
+    d = CLS_TRAIN_DIM
+    model_row = (
+        model.groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("feature_idx", "mu"))),
+                lambda x: x["mu"],
+            ).alias("ms"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("feature_idx", "sd"))),
+                lambda x: x["sd"],
+            ).alias("sds"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("feature_idx", "weight"))),
+                lambda x: x["weight"],
+            ).alias("ws"),
+        )
+        .withColumn("_mk", F.lit(1))
+    )
+    cols = docs.columns
+    return (
+        docs.withColumn("idxs", F.expr(_CLS_IDX_SPARK))
+        .withColumn("_mk", F.lit(1))
+        .join(F.broadcast(model_row), "_mk")
+        .withColumn(
+            "score",
+            F.when(F.size("idxs") == 0, F.lit(0.0)).otherwise(
+                F.expr(
+                    f"aggregate(concat(transform(sequence(0, {d - 1}), b -> "
+                    "(cast(size(filter(idxs, j -> j = bigint(b))) as double)"
+                    " / cast(size(idxs) as double) - ms[b]) / sds[b] * ws[b]), "
+                    f"array(1.0D * ws[{d}])), 0.0D, (acc, v) -> acc + v)"
+                )
+            ),
+        )
+        .select(*cols, "score", (F.col("score") > F.lit(0.0)).alias("pred"))
+    )

@@ -41,3 +41,24 @@ def blocklist_gate_stream(
     if drop_matched:
         return ann.filter(F.col("n_hits") == 0).drop("n_hits", "hits")
     return ann
+
+
+def classifier_gate_stream(
+    docs: DataFrame,
+    model: DataFrame,
+    drop_negative: bool = True,
+) -> DataFrame:
+    """Quality-classifier ingest gate: score a (possibly streaming)
+    documents frame with a TRAINED (feature_idx, mu, sd, weight) model
+    table — the weights text_classifier_train produced offline. Like
+    the blocklist gate this is stateless (broadcast model row +
+    map-side fold, plans/text.py:classifier_score_frame), so streaming
+    output is identical to the batch twin by construction;
+    ``drop_negative`` keeps only predicted-quality rows so rejected
+    documents never reach downstream state."""
+    from cc_pyspark_spark.plans.text import classifier_score_frame
+
+    scored = classifier_score_frame(docs, model)
+    if drop_negative:
+        return scored.filter(F.col("pred")).drop("pred")
+    return scored

@@ -742,3 +742,37 @@ def test_cli_classifier_train(spark, tmp_path):
     }
     assert len(got) == CLS_TRAIN_DIM + 1
     assert got == want
+
+
+def test_cli_classifier_score(spark, tmp_path):
+    """End-to-end CLI (late r9): train -> score serving round-trip;
+    --score_filter keeps exactly the predicted-positive docs."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    model = str(tmp_path / "model")
+    rc = main([
+        "classifier_train", src, model,
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+    ])
+    assert rc == 0
+    scored = str(tmp_path / "scored")
+    rc = main([
+        "classifier_score", src, scored, "--model_path", model,
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+    ])
+    assert rc == 0
+    ann = spark.read.parquet(scored)
+    assert "score" in ann.columns and "pred" in ann.columns
+    assert ann.count() == spark.read.parquet(src).count()
+    kept_out = str(tmp_path / "kept")
+    rc = main([
+        "classifier_score", src, kept_out, "--model_path", model,
+        "--score_filter",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(kept_out)
+    want = {r["doc_id"] for r in ann.filter("pred").collect()}
+    assert {r["doc_id"] for r in kept.collect()} == want
+    assert 0 < len(want) < ann.count()
