@@ -24,10 +24,13 @@ from cc_pyspark_spark.plans import QUERIES
 
 #: Names the per-round driver gate must see first (its cap is 50).
 #:
-#: The fixed 12-query headliner core (TPC-H spine, scale-dedup family,
-#: IVF ANN, streaming-events pair, curation gate/pack/e2e trio)
-#: mirrors ``bench.HEADLINERS`` so the driver gate and the perf gate
-#: cover the same spine.  r9 change inside the core (VERDICT r8 ask
+#: The fixed EIGHT-query headliner core (TPC-H spine, scale-dedup,
+#: IVF ANN, session windows, BPE, curation e2e) is a subset of
+#: ``bench.HEADLINERS`` (which benches far more), so every
+#: driver-gated core name is also perf-gated every round.  The core
+#: shrank 12 -> 8 during r9 to free rotation slots; the authoritative
+#: count is ``len(DRIVER_CORE)`` below, and the rotation window is
+#: ``50 - len(DRIVER_CORE)`` slots.  r9 change inside the core (VERDICT r8 ask
 #: #2): the embedding-dedup slot now runs dedup_embedding_scale_wide —
 #: the production 16-bit x 8 sign-LSH geometry — and the 4-bit demo
 #: formerly named dedup_embedding_scale is re-registered as

@@ -1822,6 +1822,57 @@ list_transform(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), t ->
 """
 
 
+def _cls_score_expr(
+    idxs: str = "idxs", ms: str = "ms", sds: str = "sds", ws: str = "ws"
+) -> str:
+    """The map-side scoring fold (z margin), shared verbatim by the
+    trainer round, text_classifier_eval, and classifier_score_frame so
+    the three can never drift apart: per bucket b the standardized tf
+    term (tf[b] - mu[b]) / sd[b] * w[b], bias w[d] appended last, summed
+    in bucket order (the same fold order the oracle replays)."""
+    d = CLS_TRAIN_DIM
+    return (
+        f"aggregate(concat(transform(sequence(0, {d - 1}), b -> "
+        f"(cast(size(filter({idxs}, j -> j = bigint(b))) as double)"
+        f" / cast(size({idxs}) as double) - {ms}[b]) / {sds}[b] * {ws}[b]), "
+        f"array(1.0D * {ws}[{d}])), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _cls_base(docs: DataFrame) -> DataFrame:
+    """Teacher featurization shared by trainer and eval: per doc the
+    token->bucket index array plus the normalized teacher score s."""
+    return docs.select(
+        "doc_id",
+        F.expr(_CLS_IDX_SPARK).alias("idxs"),
+        (
+            F.expr(_HASH_CLS_SPARK).cast("double")
+            / F.expr(
+                f"size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0))"
+            ).cast("bigint")
+        ).alias("s"),
+    ).filter(F.size("idxs") > 0)
+
+
+def _cls_model_row(model: DataFrame) -> DataFrame:
+    """Collapse a (feature_idx, mu, sd, weight) model table into ONE
+    row of feature_idx-ordered arrays (ms, sds, ws) for broadcast."""
+    return model.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("feature_idx", "mu"))),
+            lambda x: x["mu"],
+        ).alias("ms"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("feature_idx", "sd"))),
+            lambda x: x["sd"],
+        ).alias("sds"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("feature_idx", "weight"))),
+            lambda x: x["weight"],
+        ).alias("ws"),
+    )
+
+
 def _cls_train_oracle() -> str:
     """Unrolled DuckDB replay of the batch-GD trainer.
 
@@ -1885,7 +1936,7 @@ def _cls_train_oracle() -> str:
   SELECT doc_id, (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS err FROM z{r}
 ), g{r} AS MATERIALIZED (
   SELECT f.idx,
-         CAST(SUM(CAST(floor(e.err * f.x * 1e12) AS BIGINT)) AS BIGINT) AS s
+         SUM(CAST(floor(e.err * f.x * 1e12) AS BIGINT)) AS s
   FROM feat f JOIN e{r} e ON f.doc_id = e.doc_id
   GROUP BY f.idx
 ), w{r + 1} AS MATERIALIZED (
@@ -1942,16 +1993,9 @@ def classifier_train_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Frame-level trainer core (CLI `classifier_train` job reuses it
     over any (doc_id, text) parquet table)."""
     d, lr = CLS_TRAIN_DIM, CLS_TRAIN_LR
-    base = docs.select(
-        "doc_id",
-        F.expr(_CLS_IDX_SPARK).alias("idxs"),
-        (
-            F.expr(_HASH_CLS_SPARK).cast("double")
-            / F.expr(
-                f"size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0))"
-            ).cast("bigint")
-        ).alias("s"),
-    ).filter(F.size("idxs") > 0)
+    # cached: the regex tokenize + hash folds (the expensive per-row
+    # work) feed both the thr aggregate and the lab materialization
+    base = _cls_base(docs).persist().transform(track_cache)
     thr = base.agg(
         (
             F.sum(
@@ -2178,36 +2222,9 @@ FROM z GROUP BY label, pred
     tags=("text", "scale"),
 )
 def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = CLS_TRAIN_DIM
     t = Catalog(spark, sf_dir)
-    model_row = (
-        text_classifier_train(spark, sf_dir)
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("feature_idx", "mu"))),
-                lambda x: x["mu"],
-            ).alias("ms"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("feature_idx", "sd"))),
-                lambda x: x["sd"],
-            ).alias("sds"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("feature_idx", "weight"))),
-                lambda x: x["weight"],
-            ).alias("ws"),
-        )
-    )
-    base = t.documents.select(
-        "doc_id",
-        F.expr(_CLS_IDX_SPARK).alias("idxs"),
-        (
-            F.expr(_HASH_CLS_SPARK).cast("double")
-            / F.expr(
-                f"size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0))"
-            ).cast("bigint")
-        ).alias("s"),
-    ).filter(F.size("idxs") > 0)
+    model_row = _cls_model_row(text_classifier_train(spark, sf_dir))
+    base = _cls_base(t.documents).persist().transform(track_cache)
     thr = base.agg(
         (
             F.sum(
@@ -2223,17 +2240,8 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("y"),
     )
-    scored = (
-        lab.crossJoin(F.broadcast(model_row))
-        .withColumn(
-            "z",
-            F.expr(
-                f"aggregate(concat(transform(sequence(0, {d - 1}), b -> "
-                "(cast(size(filter(idxs, j -> j = bigint(b))) as double)"
-                " / cast(size(idxs) as double) - ms[b]) / sds[b] * ws[b]), "
-                f"array(1.0D * ws[{d}])), 0.0D, (acc, v) -> acc + v)"
-            ),
-        )
+    scored = lab.crossJoin(F.broadcast(model_row)).withColumn(
+        "z", F.expr(_cls_score_expr())
     )
     return scored.groupBy(
         F.col("y").cast("bigint").alias("label"),
@@ -2243,45 +2251,47 @@ def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def classifier_score_frame(docs: DataFrame, model: DataFrame) -> DataFrame:
     """Serving path for a trained (feature_idx, mu, sd, weight) model:
-    score any (doc_id, text) frame — batch OR streaming (the scoring
-    is a stateless map against the broadcast model row, so the batch
-    expression IS the streaming expression; streaming/curation.py
+    score any frame with a ``text`` column — batch OR streaming (the
+    scoring is a stateless map against the broadcast model row, so the
+    batch expression IS the streaming expression; streaming/curation.py
     wraps it as the ingest gate). Emits the input columns plus
-    ``score`` (the pre-squash margin z) and ``pred`` (z > 0)."""
-    d = CLS_TRAIN_DIM
-    model_row = (
-        model.groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("feature_idx", "mu"))),
-                lambda x: x["mu"],
-            ).alias("ms"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("feature_idx", "sd"))),
-                lambda x: x["sd"],
-            ).alias("sds"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("feature_idx", "weight"))),
-                lambda x: x["weight"],
-            ).alias("ws"),
-        )
-        .withColumn("_mk", F.lit(1))
+    ``score`` (the pre-squash margin z) and ``pred`` (z > 0).
+
+    Column contract: existing ``score``/``pred`` columns on the input
+    are REPLACED (re-scoring an annotated frame with a retrained model
+    is idempotent, never duplicate-column); internal working columns
+    are ``__cls``-prefixed, which is the only reserved namespace.
+    NULL ``text`` scores 0.0 / pred false, same as empty text — the
+    ingest gate's drop mode therefore drops them deterministically
+    rather than via NULL-propagating filters."""
+    model_row = _cls_model_row(model).select(
+        F.col("ms").alias("__cls_ms"),
+        F.col("sds").alias("__cls_sds"),
+        F.col("ws").alias("__cls_ws"),
+        F.lit(1).alias("__cls_mk"),
     )
-    cols = docs.columns
+    cols = [c for c in docs.columns if c not in ("score", "pred")]
     return (
-        docs.withColumn("idxs", F.expr(_CLS_IDX_SPARK))
-        .withColumn("_mk", F.lit(1))
-        .join(F.broadcast(model_row), "_mk")
+        docs.withColumn("__cls_idxs", F.expr(_CLS_IDX_SPARK))
+        .withColumn("__cls_mk", F.lit(1))
+        .join(F.broadcast(model_row), "__cls_mk")
         .withColumn(
-            "score",
-            F.when(F.size("idxs") == 0, F.lit(0.0)).otherwise(
+            "__cls_score",
+            F.when(
+                F.col("__cls_idxs").isNull()
+                | (F.size("__cls_idxs") <= 0),
+                F.lit(0.0),
+            ).otherwise(
                 F.expr(
-                    f"aggregate(concat(transform(sequence(0, {d - 1}), b -> "
-                    "(cast(size(filter(idxs, j -> j = bigint(b))) as double)"
-                    " / cast(size(idxs) as double) - ms[b]) / sds[b] * ws[b]), "
-                    f"array(1.0D * ws[{d}])), 0.0D, (acc, v) -> acc + v)"
+                    _cls_score_expr(
+                        "__cls_idxs", "__cls_ms", "__cls_sds", "__cls_ws"
+                    )
                 )
             ),
         )
-        .select(*cols, "score", (F.col("score") > F.lit(0.0)).alias("pred"))
+        .select(
+            *cols,
+            F.col("__cls_score").alias("score"),
+            (F.col("__cls_score") > F.lit(0.0)).alias("pred"),
+        )
     )

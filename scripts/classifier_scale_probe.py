@@ -74,11 +74,16 @@ def main() -> None:
         release_caches()
     result: dict[str, dict[str, float]] = {}
     for factor in SCALES:
-        docs = scaled_docs(base, factor).localCheckpoint(eager=True)
+        # persist (NOT localCheckpoint: unpersist() is a no-op on
+        # checkpoint blocks, so the 1x+2x+5x+10x corpora would pile up
+        # in the block store and the later rows would time under
+        # growing memory pressure)
+        docs = scaled_docs(base, factor).persist()
+        docs.count()  # materialize before timing
         result[f"{factor}x"] = {
             name: timed(lambda op=op: op(docs)) for name, op in ops.items()
         }
-        docs.unpersist()
+        docs.unpersist(blocking=True)
     print(json.dumps({"sf_dir": sf_dir, "scales": result}))
 
 
