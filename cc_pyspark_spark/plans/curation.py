@@ -1117,15 +1117,27 @@ def snapshot_diff_frame(
     'added' (key only in new), 'removed' (only in old), 'changed'
     (both, payload hash differs). Unchanged rows are filtered before
     the result — the common case at 100 TB — so output is O(churn)."""
-    a = old.select(F.col(key), F.md5(F.col(payload).cast("binary")).alias("_ha"))
-    b = new.select(F.col(key), F.md5(F.col(payload).cast("binary")).alias("_hb"))
+    # Presence flags, not digest nullability, drive the classification:
+    # md5(NULL) is NULL, so a key present in both snapshots with a NULL
+    # old payload must still classify as 'changed' (via the null-safe
+    # comparison), never as 'added'.
+    a = old.select(
+        F.col(key),
+        F.md5(F.col(payload).cast("binary")).alias("_ha"),
+        F.lit(True).alias("_ina"),
+    )
+    b = new.select(
+        F.col(key),
+        F.md5(F.col(payload).cast("binary")).alias("_hb"),
+        F.lit(True).alias("_inb"),
+    )
     j = a.join(b, key, "full_outer")
     return (
         j.select(
             key,
-            F.when(F.col("_ha").isNull(), F.lit("added"))
-            .when(F.col("_hb").isNull(), F.lit("removed"))
-            .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+            F.when(F.col("_ina").isNull(), F.lit("added"))
+            .when(F.col("_inb").isNull(), F.lit("removed"))
+            .when(~F.col("_ha").eqNullSafe(F.col("_hb")), F.lit("changed"))
             .alias("change"),
             F.col("_ha").alias("old_md5"),
             F.col("_hb").alias("new_md5"),

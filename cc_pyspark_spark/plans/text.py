@@ -1513,8 +1513,19 @@ m{r} AS MATERIALIZED (
   SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
 ),
 v{r} AS MATERIALIZED (
-  SELECT replace(sym, (SELECT pair FROM m{r}),
-                 (SELECT replace(pair, ' ', '') FROM m{r})) AS sym, f
+  -- symbol-boundary-anchored rewrite (NOT a bare substring replace,
+  -- which would also fire inside neighbouring symbols, e.g. pair
+  -- 'h e' inside 'th e'): double every separator so each boundary
+  -- owns two spaces, match the pair with its internal separator
+  -- doubled and single flanking spaces — consuming one space from
+  -- each neighbouring boundary, never the neighbour's anchor — then
+  -- collapse the doubled separators back. Equivalent to subword-nmt's
+  -- (?<!\\S)pair(?!\\S) regex (brute-checked over 200k random cases).
+  SELECT trim(replace(
+           replace(' ' || replace(sym, ' ', '  ') || ' ',
+                   (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m{r}),
+                   (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m{r})),
+           '  ', ' ')) AS sym, f
   FROM v{r - 1}
 )""")
         selects.append(
@@ -1556,6 +1567,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "f",
         )
+        # Materialize the round-0 vocabulary ONCE so the per-round pair
+        # counts replay from here, never from the corpus scan + word-
+        # count shuffle — this is what makes the per-round cost O(vocab)
+        # rather than O(corpus), as the registered description claims.
+        .localCheckpoint(eager=True)
     )
     merges = []
     for r in range(1, BPE_TRAIN_MERGES + 1):
@@ -1587,10 +1603,20 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cnt",
             )
         )
+        # Symbol-boundary-anchored rewrite (doubled-separator trick —
+        # see the oracle chain's v{r} comment): a bare replace(sym, _p,
+        # merged) would also fire across symbol boundaries ('h e'
+        # matching inside 'th e'), which is not Sennrich BPE.
         vocab = vocab.crossJoin(
             F.broadcast(top.select(F.col("pair").alias("_p")))
         ).select(
-            F.expr("replace(sym, _p, replace(_p, ' ', ''))").alias("sym"),
+            F.expr(
+                "trim(replace("
+                "replace(concat(' ', replace(sym, ' ', '  '), ' '), "
+                "concat(' ', replace(_p, ' ', '  '), ' '), "
+                "concat(' ', replace(_p, ' ', ''), ' ')), "
+                "'  ', ' '))"
+            ).alias("sym"),
             "f",
         )
     out = merges[0]

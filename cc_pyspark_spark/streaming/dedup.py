@@ -138,6 +138,29 @@ def incremental_index_stream(
     )
 
 
+def _read_state(spark, path: str):
+    """Read a persisted state table, distinguishing a genuine cold start
+    (missing path / no readable footers yet -> ``None``) from transient
+    IO, permission, or corrupt-state failures, which MUST propagate and
+    fail the streaming query — silently treating them as cold start
+    would skip pair emission while still appending the batch's state,
+    permanently losing near-dup pairs (ADVICE r9). Same error-class
+    discrimination as streaming/windows.py's schema probe."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as ex:  # noqa: BLE001 — re-raised unless cold start
+        probe = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", None
+        )
+        marker = (probe() if probe else None) or str(ex)
+        if any(
+            tag in str(marker)
+            for tag in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        ):
+            return None
+        raise
+
+
 def ingest_dedup_batch(
     batch: DataFrame,
     batch_id: int,
@@ -162,12 +185,8 @@ def ingest_dedup_batch(
     spark = batch.sparkSession
     if batch.isEmpty():
         return
-    try:
-        idx = spark.read.parquet(index_dir)
-        have_index = True
-    except Exception:  # noqa: BLE001 — cold start: no index yet
-        have_index = False
-    if have_index:
+    idx = _read_state(spark, index_dir)
+    if idx is not None:
         # epoch guard: a replayed batch must not probe its own bands
         idx = idx.filter(F.col("epoch") < batch_id)
         pairs = incremental_minhash_candidates(
@@ -277,13 +296,9 @@ def ingest_embedding_batch(
     spark = batch.sparkSession
     if batch.isEmpty():
         return
-    try:
-        idx = spark.read.parquet(index_dir)
-        vecs = spark.read.parquet(vectors_dir)
-        have_state = True
-    except Exception:  # noqa: BLE001 — cold start: no state yet
-        have_state = False
-    if have_state:
+    idx = _read_state(spark, index_dir)
+    vecs = _read_state(spark, vectors_dir)
+    if idx is not None and vecs is not None:
         # epoch guard: a replayed batch must not probe its own rows
         pairs = incremental_embedding_candidates(
             batch,

@@ -61,7 +61,10 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
         # footers yet. Anything else (corrupt files, mixed schemas)
         # must fail HERE, at setup — not later, mid-stream, far from
         # the root cause (ADVICE r6).
-        marker = getattr(ex, "getErrorClass", lambda: None)() or str(ex)
+        probe = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", None
+        )
+        marker = (probe() if probe else None) or str(ex)
         if not any(
             tag in str(marker)
             for tag in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")

@@ -174,8 +174,12 @@ def _reference_bpe_merges(texts, n_merges):
         top = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append(top)
         merged = top[0].replace(" ", "")
+        # subword-nmt-style boundary-anchored rewrite: the pair only
+        # matches whole symbols, never a suffix/prefix of a neighbour
+        # ('h e' must not fire inside 'th e').
+        pat = re.compile(r"(?<!\S)" + re.escape(top[0]) + r"(?!\S)")
         vocab = Counter(
-            {sym.replace(top[0], merged): f for sym, f in vocab.items()}
+            {pat.sub(merged, sym): f for sym, f in vocab.items()}
         )
     return merges
 
@@ -223,3 +227,32 @@ def test_bpe_train_merges_feed_forward(spark):
     assert got[0] == (1, "a b", "ab")
     assert got[1] == (2, "ab c", "abc")
     assert len(got) <= BPE_TRAIN_MERGES
+
+
+def test_bpe_train_rewrite_is_symbol_boundary_anchored(spark):
+    """The merge rewrite must only fire on whole symbols: with corpus
+    th*20 he*10 the*6 the learned sequence reaches round 4's
+    ('h e</w>' -> 'he</w>'), at which point 'the' is the symbol string
+    'th e</w>'. An unanchored substring replace would also rewrite the
+    'h e</w>' TAIL of 'th e</w>' into 'the</w>' (merging symbols that
+    were never the argmax pair), leaving no pairs for round 5; the
+    anchored rewrite leaves 'th e</w>' intact so round 5 learns it."""
+    from cc_pyspark_spark.plans.text import text_bpe_train
+    import tempfile
+
+    text = " ".join(["th"] * 20 + ["he"] * 10 + ["the"] * 6)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text)], "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        got = [
+            (r["pair"], r["cnt"])
+            for r in text_bpe_train(spark, d).orderBy("merge_rank").collect()
+        ]
+    assert got == [
+        ("t h", 26),
+        ("th </w>", 20),
+        ("e </w>", 16),
+        ("h e</w>", 10),
+        ("th e</w>", 6),
+    ]

@@ -513,6 +513,32 @@ def test_cli_snapshot_diff(tmp_path):
     assert got == {2: "changed", 3: "removed", 4: "added"}
 
 
+def test_snapshot_diff_null_payloads():
+    """NULL payloads must not confuse the classifier: md5(NULL) is NULL,
+    so presence flags (not digest nullability) decide added/removed, and
+    the changed branch uses a null-safe comparison — NULL->'x' and
+    'b'->NULL are 'changed', NULL->NULL is unchanged (filtered), and a
+    key only in new with a NULL payload is still 'added'."""
+    from pyspark.sql import SparkSession
+
+    from cc_pyspark_spark.plans.curation import snapshot_diff_frame
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    old = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None), (5, "e")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff_frame(old, new).collect()
+    }
+    assert got == {1: "changed", 2: "changed", 4: "added", 5: "removed"}
+
+
 def test_cli_blocklist_filter(tmp_path):
     """End-to-end CLI (r9): documents parquet → Aho-Corasick blocklist
     annotations; --drop_matched emits exactly the zero-hit survivors

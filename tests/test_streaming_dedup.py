@@ -301,3 +301,33 @@ def test_incremental_embedding_stream_matches_batch_delta(spark, tmp_path):
         for r in spark.read.parquet(dirs["pairs"]).collect()
     }
     assert replay_pairs == want_pairs
+
+
+def test_ingest_state_read_failures_propagate(spark, tmp_path):
+    """Only a genuinely missing state path is a cold start; a corrupt
+    state table must FAIL the batch (ADVICE r9) — silently treating it
+    as cold start would skip pair emission while appending state,
+    permanently losing near-dup pairs."""
+    from cc_pyspark_spark.streaming.dedup import (
+        _read_state,
+        ingest_embedding_batch,
+    )
+
+    # missing path -> cold start
+    assert _read_state(spark, str(tmp_path / "nope")) is None
+
+    # corrupt parquet footer -> propagates
+    bad = tmp_path / "index"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        _read_state(spark, str(bad))
+
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        ingest_embedding_batch(
+            batch, 1, str(bad), str(tmp_path / "vecs"),
+            str(tmp_path / "pairs"), 0.9, band_bits=4, n_bands=4,
+        )
