@@ -91,81 +91,42 @@ DRIVER_CORE: tuple[str, ...] = (
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
-    # -- r9 rotation (VERDICT r8 ask #1): ALL 22 stale r1 rows cycle
-    #    through the 31 non-core slots this round; the 24 r2-stale
-    #    names take the r10 window.  Each name stays green in the
-    #    sf0.001 parity pytest meanwhile.
-    "join_left_outer_count",
-    "window_range_frame",
-    "agg_arg_max",
-    "events_user_trend",
-    "join_merge_hint",
-    "events_sliding_10m_5m",
-    "json_extract_props",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot_status",
-    "agg_percentiles",
-    "window_running_sum",
-    "window_lag_delta",
-    "window_rank_suite",
-    "set_intersect",
-    "set_except",
-    "set_union_all",
-    # -- first rows for ALL four r9 names (keeps the invariant that no
-    #    registered query has ever lacked a driver row): the renamed
-    #    4-bit sign-LSH demo (dedup_embedding_scale through r8 — its
-    #    green history lives under the old name; the rename re-earns
-    #    it), the auto-convergence CC deployment wrapper (VERDICT r8
-    #    ask #3), DSIR importance resampling, and n-gram novelty --
-    "dedup_embedding_fixture",
-    "graph_cc_converged",
-    "curation_dsir_importance",
-    "text_ngram_novelty",
-    "embedding_kcenter_coreset",
-    "text_ngram_novelty_bloom",
-    # late-r9 additions — the MP4/MP3 structural probe, BPE merge
-    # induction, and dataset release diff; their slots came from
-    # tpch_q14/q10/q4 leaving the fixed core (all still benched,
-    # r8-green, back in the r10+ steady-state cycle)
-    "multimodal_container_probe",
-    "text_bpe_train",
-    "curation_snapshot_diff",
-    # latest-r9 additions — Aho-Corasick blocklist matching, Okapi BM25
-    # retrieval, and the JL sign random projection; their slots came
-    # from tpch_q3/q5/q18 leaving the fixed core (all still benched,
-    # r8-green, back in the r10+ steady-state cycle)
-    "text_blocklist_phrases",
-    "sim_bm25_topk",
-    "embedding_random_projection",
-    # KMV/theta sketch set algebra (slot from sim_cosine_topk leaving
-    # the core; still benched, r8-green)
-    "agg_theta_sketch_intersect",
-    # weighted priority sampling + hard-negative mining (slots from
-    # dedup_simhash_scale / events_tumbling_hourly leaving the core;
-    # both still benched, r8-green)
-    "curation_priority_sample",
-    "sim_hard_negatives",
-    # token-weighted percentiles (slot from tpch_q6 leaving the core;
-    # still benched, r8-green)
-    "agg_weighted_percentiles",
-    # community structure — label propagation + k-core peeling (slots
-    # from text_gopher_rules / curation_pack_sequences leaving the
-    # core; both still benched, r8-green)
-    "graph_label_propagation",
-    "graph_kcore",
-    # distributed classifier TRAINING — batch-GD distillation of the
-    # hashed-feature teacher (slot from text_word_count_tfdf leaving
-    # the core; still benched, r8-green) — and its confusion-matrix
-    # acceptance gate (slot from dedup_exact leaving the core; still
-    # benched, r8-green)
-    "text_classifier_train",
-    "text_classifier_eval",
+    # -- r10 rotation (VERDICT r9 ask #1, executing the committed r10
+    #    plan): ALL 24 remaining r2-stale names cycle through the
+    #    non-core slots this round — after r10 no driver row is older
+    #    than r5 and the steady-state full-registry cycle is ~3 rounds.
+    #    Every rotated-out r9 name stays green in the sf0.001 parity
+    #    pytest meanwhile.
+    "agg_collect_sorted_list",
+    "agg_count_by_key",
+    "agg_distinct_pairs",
+    "curation_contamination",
+    "curation_repetition_signals",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "join_inner_dims",
+    "project_computed",
+    "set_union_distinct",
+    "string_functions",
+    "text_bigram_counts",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_rolling_fingerprint",
+    "text_token_stats",
+    "text_top_terms_tfidf",
+    "topk_global",
+    "tpch_q22_global_sales_opportunity",
+    "window_dense_ids",
+    "window_topn_per_group",
+    # -- first rows for the new r10 names (the rotation tripwire's
+    #    every-new-name-gets-a-row invariant): the WAT link-extraction
+    #    composite (VERDICT r9 ask #3 — the one §2 pipeline previously
+    #    outside the oracle gate) and the additions registered this
+    #    round (appended as they land; slots remain) --
+    "wat_links_host_graph",
 )
 
 

@@ -138,6 +138,16 @@ HEADLINERS = [
     # weight GD rounds whose only shuffle is the 65-key gradient agg;
     # its bench row watches the per-round overhead of the loop plan.
     "text_classifier_train",
+    # r10 (VERDICT r9 ask #2): the remaining iterative/loop plans under
+    # the regression gate — exactly the family where write-only timers
+    # silently under-report and perf regressions hide. LPA is the
+    # 4th-most-expensive query in the repo (6.4 s at sf0.1 per
+    # SCALING.md) and was regression-ungated until now.
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_cc_converged",
+    "embedding_kcenter_coreset",
+    "curation_dsir_importance",
 ]
 
 
@@ -175,12 +185,20 @@ def main() -> None:
     # sketch's pair-join checkpoint also materialize at construction —
     # their write-only rows read ~0.05 s, so they join the
     # construction-inclusive timer.
+    # r10: the four new iterative plans all run checkpointed loops at
+    # construction (LPA every-4-rounds, k-core per-round, converged-CC's
+    # convergence probe, kcenter's per-round center union); DSIR is a
+    # lazy single plan and keeps write-only semantics.
     eager_construction = {
         "graph_pagerank",
         "graph_cc_alternating",
         "text_bpe_train",
         "agg_theta_sketch_intersect",
         "curation_priority_sample",
+        "graph_label_propagation",
+        "graph_kcore",
+        "graph_cc_converged",
+        "embedding_kcenter_coreset",
     }
 
     timings: dict[str, float] = {}
@@ -222,6 +240,25 @@ def main() -> None:
                            "bench_result.json"), "w") as f:
         f.write(payload + "\n")
     print(payload)
+    # The driver records only the LAST ~2000 chars of stdout, and the
+    # full payload (60 queries x timings + spreads) overflows that, so
+    # its head — metric/value — was truncated away and BENCH_r07..r09
+    # recorded "parsed": null (VERDICT r9 ask #8). Emit a compact,
+    # complete record as the FINAL line so the tail always contains a
+    # parseable headline number; the full per-query record lives in the
+    # line above and in bench_result.json.
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": result["value"],
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": {"_full_record": "bench_result.json"},
+            }
+        )
+    )
     spark.stop()
 
 

@@ -53,10 +53,24 @@ def fetch_records_for_query(
     spark: SparkSession,
     sqldf: DataFrame,
     num_input_partitions: int = 32,
+    decode_payload_text: bool = False,
 ) -> DataFrame:
-    coords = sqldf.select(*COORD_COLUMNS)
+    """Matched coordinate rows → byte-range record fetch.
+
+    When the user's index query selected ``content_charset``, forward it
+    through the coordinate projection (sparkcc.py:645-648) so the
+    per-record decode can honour the index-declared charset instead of
+    falling back to the utf-8 → latin-1 chain (sources/warc.py:292-294).
+    """
+    cols = list(COORD_COLUMNS)
+    if "content_charset" in sqldf.columns:
+        cols.append("content_charset")
+    coords = sqldf.select(*cols)
     return fetch_warc_records(
-        spark, coords, num_input_partitions=num_input_partitions
+        spark,
+        coords,
+        num_input_partitions=num_input_partitions,
+        decode_payload_text=decode_payload_text,
     )
 
 

@@ -102,6 +102,82 @@ def label_propagation(
     return lab.select("id", F.col("lab").alias("community"))
 
 
+def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Deployment wrapper for :func:`label_propagation`: iterate until
+    the per-round label-change count hits zero OR a period-2
+    oscillation is detected, with a ``max_rounds`` guard that RAISES —
+    completing the converged-wrapper family (cc_alternating_converged,
+    kcore_converged).
+
+    Synchronous LPA has no convergence guarantee: even WITH the
+    self-vote damper there are graphs whose label frames alternate
+    between two states forever (a 6-vertex example is pinned in tests —
+    exhaustive search over all <=6-vertex graphs finds period-2 cycles,
+    never longer, matching the theory that synchronous threshold/
+    majority dynamics settle into cycles of period at most 2; Goles &
+    Olivos 1980). So the stop rule needs BOTH probes:
+
+    * change-count == 0 -> genuine fixed point, return it;
+    * labels equal to the round-2-ago frame -> period-2 cycle; return
+      the ELEMENTWISE MINIMUM of the two alternating frames — canonical
+      regardless of which phase the detector fires in, so the result is
+      independent of max_rounds and of when detection happens.
+
+    Each probe is one O(V)-row join between two checkpointed label
+    frames producing a driver-side scalar — the same discipline as
+    cc_alternating_converged's count probe (operators/pagerank.py:371).
+    Per round the only moving data is the O(V) label frame against the
+    cached adjacency, identical to the fixed-round plan.
+    """
+    e = edges.persist().transform(track_cache)
+    verts = _symmetrize(e).select(F.col("s").alias("id")).distinct()
+    sym = (
+        _symmetrize(e)
+        .unionAll(verts.select(F.col("id").alias("s"), F.col("id").alias("t")))
+        .persist()
+        .transform(track_cache)
+    )
+
+    def diff_count(a: DataFrame, b: DataFrame) -> int:
+        return (
+            a.join(b.select(F.col("id").alias("id2"), F.col("lab").alias("lab2")),
+                   a.id == F.col("id2"))
+            .filter(F.col("lab") != F.col("lab2"))
+            .count()
+        )
+
+    lab = verts.select("id", F.col("id").alias("lab")).localCheckpoint(eager=True)
+    prev2: DataFrame | None = None
+    for _ in range(max_rounds):
+        cnt = (
+            sym.join(lab, sym.s == lab.id)
+            .groupBy(sym.t, lab.lab)
+            .agg(F.count("*").alias("cnt"))
+        )
+        nxt = (
+            cnt.groupBy("t")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))).alias("m"))
+            .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        if diff_count(nxt, lab) == 0:
+            return nxt.select("id", F.col("lab").alias("community"))
+        if prev2 is not None and diff_count(nxt, prev2) == 0:
+            # period-2 cycle: canonicalize via the elementwise min of
+            # the two alternating phases (nxt and lab are the phases)
+            return (
+                nxt.join(
+                    lab.select(F.col("id").alias("id2"), F.col("lab").alias("lab2")),
+                    nxt.id == F.col("id2"),
+                )
+                .select("id", F.least("lab", "lab2").alias("community"))
+            )
+        prev2, lab = lab, nxt
+    raise RuntimeError(
+        f"lpa_converged: no fixed point or 2-cycle within {max_rounds} rounds"
+    )
+
+
 def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     """k-core by iterative peeling: drop vertices of degree < k, drop
     edges with a dropped endpoint, repeat ``rounds`` times.

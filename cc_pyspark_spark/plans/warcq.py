@@ -154,6 +154,229 @@ def derived_warc_manifest(spark: SparkSession, sf_dir: str) -> str:
     return manifest
 
 
+def _wat_payload(doc_id: int, lang: str) -> tuple[str, bytes]:
+    """(page_url, WAT JSON payload) for one derived document.
+
+    Every link family the extractor walks (jobs/pipelines.py
+    wat_extract_links; reference wat_extract_links.py:158-255) is
+    derived from (doc_id, lang) by fixed modular rules so a SQL oracle
+    can recompute the resulting HOST edge set analytically:
+
+    * body Links with absolute ``url`` (always), protocol-relative
+      ``href`` (``d%2==0``), and a RELATIVE ``href`` that must NOT
+      produce an edge (the extractor only takes body hrefs when
+      absolute — wat_extract_links.py:186-195 parity; the oracle has
+      no corresponding rule, so a regression that starts emitting it
+      breaks the row count);
+    * Head.Link with a relative url (always) — resolved against
+      Head.Base when ``d%4==0`` (base index ``(d%8)//4``) else the
+      page URL (the F6 urljoin + Base seam), plus an absolute Head.Link
+      (``d%7==0``);
+    * Head.Metas og:url (allowlisted property) + a non-allowlisted
+      relative meta that must NOT produce an edge (``d%3==0``);
+    * Head.Scripts (``d%5==0``);
+    * HTTP-header Link — string form ``d%13==0``, JSON-list form
+      ``d%13==1`` (the F11 list-or-scalar variant walk);
+    * ``d%11==0`` records carry NO links at all -> the F18 self-edge.
+    """
+    import json as _json  # noqa: PLC0415
+
+    d = doc_id
+    page = f"http://{lang}{d % 5}.example.org/p{d}"
+    headers: dict = {"Server": "Apache"}
+    html: dict = {}
+    if d % 11 != 0:
+        links = [
+            {"path": "A@/href", "url": f"http://site{d % 7}.example.com/x"},
+            {"path": "A@/href", "href": "/r1"},
+        ]
+        if d % 2 == 0:
+            links.append(
+                {"path": "A@/href", "href": f"//cdn{d % 3}.example.net/y"}
+            )
+        html["Links"] = links
+        head: dict = {"Link": [{"url": "/style.css"}]}
+        if d % 4 == 0:
+            head["Base"] = f"http://base{(d % 8) // 4}.example.net/dir/"
+        if d % 3 == 0:
+            head["Metas"] = [
+                {
+                    "property": "og:url",
+                    "content": f"http://meta{d % 2}.example.org/m",
+                },
+                {"name": "viewport", "content": "width=device-width"},
+            ]
+        if d % 5 == 0:
+            head["Scripts"] = [{"url": f"http://js{d % 2}.example.com/a.js"}]
+        if d % 7 == 0:
+            head["Link"].append({"url": "http://css.example.com/s.css"})
+        html["Head"] = head
+        if d % 13 == 0:
+            headers["Link"] = "<http://hdr0.example.com/l>; rel=preload"
+        elif d % 13 == 1:
+            headers["Link"] = [
+                "<http://hdr1.example.com/l>; rel=preload",
+                "<http://hdr2.example.com/m>; rel=next",
+            ]
+    envelope = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": page,
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "Headers": headers,
+                    "HTML-Metadata": html,
+                }
+            },
+        }
+    }
+    return page, _json.dumps(envelope, separators=(",", ":")).encode()
+
+
+def derived_wat_manifest(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, idempotently, executor-side) the documents-derived
+    WAT corpus for `sf_dir`; return the manifest path. Same sharding,
+    atomic-publish, and backfill discipline as
+    :func:`derived_warc_manifest` — see its docstring for the local-mode
+    filesystem scoping."""
+    import pandas as pd  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join("/tmp", f"cc_pyspark_spark_watq_{tag}")
+    manifest = os.path.join(out_dir, "manifest.txt")
+    if os.path.exists(manifest):
+        return manifest
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from cc_pyspark_spark.sources.warcio_lite import WarcWriter  # noqa: PLC0415
+
+        fi = int(pdf["shard"].iloc[0])
+        path = os.path.join(out_dir, f"docs-{fi:02d}.warc.wat.gz")
+        pdf = pdf.sort_values("doc_id")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            w = WarcWriter(fh, gzip_members=True)
+            w.write_record(
+                "warcinfo",
+                b"software: cc-pyspark-spark derived-wat fixture\r\n",
+                content_type="application/warc-fields",
+            )
+            for r in pdf.itertuples(index=False):
+                page, payload = _wat_payload(int(r.doc_id), str(r.lang))
+                w.write_record(
+                    "metadata",
+                    payload,
+                    target_uri=page,
+                    content_type="application/json",
+                )
+        os.replace(tmp, path)
+        return pd.DataFrame([{"shard": fi, "path": path}])
+
+    (
+        Catalog(spark, sf_dir)
+        .documents.select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") % _N_FILES).cast("int").alias("shard"),
+        )
+        .groupBy("shard")
+        .applyInPandas(write_shard, "shard int, path string")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    paths = [
+        os.path.join(out_dir, f"docs-{fi:02d}.warc.wat.gz")
+        for fi in range(_N_FILES)
+    ]
+    for p in paths:
+        if os.path.exists(p):
+            continue
+        from cc_pyspark_spark.sources.warcio_lite import WarcWriter  # noqa: PLC0415
+
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            w = WarcWriter(fh, gzip_members=True)
+            w.write_record(
+                "warcinfo",
+                b"software: cc-pyspark-spark derived-wat fixture\r\n",
+                content_type="application/warc-fields",
+            )
+        os.replace(tmp, p)
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise RuntimeError(f"WAT fixture shards not published: {missing}")
+    tmp_manifest = manifest + ".tmp"
+    with open(tmp_manifest, "w") as fh:
+        fh.write("\n".join(sorted(paths)) + "\n")
+    os.replace(tmp_manifest, manifest)
+    return manifest
+
+
+@register(
+    "wat_links_host_graph",
+    oracle="""
+WITH d AS (
+  SELECT doc_id AS id,
+         'org.example.' || lang || CAST(doc_id % 5 AS VARCHAR) AS own
+  FROM documents
+), e AS (
+  SELECT own AS s, own AS t FROM d WHERE id % 11 = 0
+  UNION ALL SELECT own, 'com.example.site' || CAST(id % 7 AS VARCHAR)
+    FROM d WHERE id % 11 <> 0
+  UNION ALL SELECT own, CASE WHEN id % 4 = 0
+      THEN 'net.example.base' || CAST((id % 8) // 4 AS VARCHAR) ELSE own END
+    FROM d WHERE id % 11 <> 0
+  UNION ALL SELECT own, 'net.example.cdn' || CAST(id % 3 AS VARCHAR)
+    FROM d WHERE id % 11 <> 0 AND id % 2 = 0
+  UNION ALL SELECT own, 'org.example.meta' || CAST(id % 2 AS VARCHAR)
+    FROM d WHERE id % 11 <> 0 AND id % 3 = 0
+  UNION ALL SELECT own, 'com.example.js' || CAST(id % 2 AS VARCHAR)
+    FROM d WHERE id % 11 <> 0 AND id % 5 = 0
+  UNION ALL SELECT own, 'com.example.css'
+    FROM d WHERE id % 11 <> 0 AND id % 7 = 0
+  UNION ALL SELECT own, 'com.example.hdr0'
+    FROM d WHERE id % 11 <> 0 AND id % 13 = 0
+  UNION ALL SELECT own, 'com.example.hdr1'
+    FROM d WHERE id % 11 <> 0 AND id % 13 = 1
+  UNION ALL SELECT own, 'com.example.hdr2'
+    FROM d WHERE id % 11 <> 0 AND id % 13 = 1
+)
+SELECT DISTINCT s, t FROM e
+""",
+    description="WAT link-extraction pipeline under the oracle gate "
+    "(the reference's largest job, wat_extract_links.py ExtractHostLinks"
+    "Job): a documents-derived WAT corpus (modular link rules per "
+    "doc_id — body url/relative/protocol-relative hrefs, Head Base/"
+    "Link/Metas/Scripts, string AND list HTTP Link headers, no-link "
+    "self-edge docs) is parsed from real .wat.gz archives through the "
+    "typed from_json + VariantType header walk (F11), meta-link "
+    "allowlists (F17), self-node fallback (F18), urljoin resolution "
+    "(F6), and SURT host keys (F7); the DuckDB oracle recomputes the "
+    "distinct host edge set analytically from the same modular rules. "
+    "Archive generation is an idempotent executor-side fixture step, "
+    "not the measured path",
+    tags=("source", "warc", "graph"),
+)
+def wat_links_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.jobs.pipelines import wat_extract_host_links  # noqa: PLC0415
+    from cc_pyspark_spark.sources.warc import warc_records  # noqa: PLC0415
+
+    manifest = derived_wat_manifest(spark, sf_dir)
+    # parse-time record-type pushdown (P10): non-metadata records never
+    # materialize — the shape that matters on a mixed-type crawl segment
+    records = warc_records(
+        spark,
+        manifest,
+        record_types={"metadata"},
+        num_input_partitions=_N_FILES,
+    )
+    return wat_extract_host_links(records).select("s", "t")
+
+
 @register(
     "warc_source_payload_digest",
     oracle=f"""

@@ -34,6 +34,75 @@ def test_index_query_and_fetch(spark, corpus):
     assert fetched.filter("record_type = 'response'").count() == n
 
 
+def test_fetch_forwards_content_charset(spark, tmp_path):
+    """content_charset selected by the index query must reach the
+    per-record decode (sparkcc.py:645-648): a windows-1251 payload that
+    is invalid utf-8 decodes to Cyrillic only if the charset column is
+    forwarded through the coordinate projection — the latin-1 fallback
+    would yield mojibake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cc_pyspark_spark.sources.warcio_lite import (
+        WarcWriter,
+        http_response_block,
+    )
+
+    url = "http://cyrillic.example.com/p"
+    # mostly-ASCII with one Cyrillic letter: invalid as utf-8, and too
+    # little non-ASCII evidence for the statistical sniffer's clear-win
+    # threshold — only the index-declared charset can decode it right
+    payload = "price 100 я ok".encode("windows-1251")
+    warc = str(tmp_path / "one.warc.gz")
+    with open(warc, "wb") as fh:
+        w = WarcWriter(fh, gzip_members=True)
+        block = http_response_block(
+            payload,
+            status=200,
+            headers=[("Content-Type", "text/plain; charset=windows-1251")],
+        )
+        off, length = w.write_record(
+            "response",
+            block,
+            target_uri=url,
+            content_type="application/http; msgtype=response",
+        )
+    idx = str(tmp_path / "ccindex.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": [url],
+                "warc_filename": [warc],
+                "warc_record_offset": [off],
+                "warc_record_length": [length],
+                "content_charset": ["windows-1251"],
+            }
+        ),
+        idx,
+    )
+    load_ccindex(spark, idx, table_name="ccindex_cs")
+    sqldf = execute_query(
+        spark,
+        "SELECT url, warc_filename, warc_record_offset, "
+        "warc_record_length, content_charset FROM ccindex_cs",
+    )
+    got = fetch_records_for_query(
+        spark, sqldf, num_input_partitions=1, decode_payload_text=True
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["payload_text"] == "price 100 я ok"
+
+    # without the charset column the chain falls back to latin-1 —
+    # proving the forwarded column (not a sniffer) did the work above
+    plain = fetch_records_for_query(
+        spark,
+        sqldf.drop("content_charset"),
+        num_input_partitions=1,
+        decode_payload_text=True,
+    ).collect()
+    assert plain[0]["payload_text"] == "price 100 ÿ ok"  # latin-1 fallback mojibake
+
+
 def test_cc_index_word_count(spark, corpus):
     out = cc_index_word_count(
         spark,

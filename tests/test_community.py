@@ -20,6 +20,7 @@ from cc_pyspark_spark.operators.community import (
     kcore,
     kcore_converged,
     label_propagation,
+    lpa_converged,
 )
 from cc_pyspark_spark.plans import QUERIES
 from tests.conftest import SF_DIR
@@ -103,6 +104,46 @@ def test_lpa_star_adopts_hub_label(spark):
     }
     assert got == _py_lpa(star, 1)
     assert got == {v: 10 for v in range(10, 17)}
+
+
+def test_lpa_converged_matches_fixed_rounds(spark):
+    """Deployment wrapper (VERDICT r9 ask #4): on a converging graph
+    (two cliques + bridge reaches its fixed point at round 3) the
+    wrapper's labels equal the fixed-round plan's."""
+    conv = {
+        r["id"]: r["community"]
+        for r in lpa_converged(_edges_df(spark, _TWO_CLIQUES)).collect()
+    }
+    fixed = {
+        r["id"]: r["community"]
+        for r in label_propagation(_edges_df(spark, _TWO_CLIQUES), rounds=4).collect()
+    }
+    assert conv == fixed == _py_lpa(_TWO_CLIQUES, 4)
+
+
+# A genuine period-2 oscillator UNDER the self-vote damper (found by
+# exhaustive search over all graphs with <=6 vertices): labels alternate
+# between {0,0,0,1,1,1} and {0,1,1,0,0,0} forever from round 3 on, so a
+# change-count-only stop rule would spin to the max_rounds guard.
+_LPA_OSCILLATOR = [(0, 1), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5)]
+
+
+def test_lpa_converged_period2_detector(spark):
+    """The round-2-ago comparison fires at round 4 (the first round
+    whose labels equal the round-2-ago frame) and the result is the
+    elementwise min of the two alternating phases — here all-0."""
+    got = {
+        r["id"]: r["community"]
+        for r in lpa_converged(_edges_df(spark, _LPA_OSCILLATOR), max_rounds=4).collect()
+    }
+    assert got == {v: 0 for v in range(6)}
+
+
+def test_lpa_converged_guard_trips(spark):
+    # detection needs 4 rounds on the oscillator; a 3-round budget must
+    # RAISE, never silently return a mid-oscillation frame
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        lpa_converged(_edges_df(spark, _LPA_OSCILLATOR), max_rounds=3)
 
 
 def test_kcore_two_cliques_all_survive(spark):
