@@ -127,6 +127,28 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     #    outside the oracle gate) and the additions registered this
     #    round (appended as they land; slots remain) --
     "wat_links_host_graph",
+    # sparse-layout classifier training (VERDICT r9 ask #6): the
+    # (doc, idx, x) fastText shape for D >> 64, D=4096 here
+    "text_classifier_train_sparse",
+    # -- remaining slots: r8-last-row names re-cycling while new r10
+    #    registrations land (each new registration replaces one of
+    #    these; all stay green in the sf0.001 parity pytest) --
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_shipments",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume",
+    "sim_cosine_topk",
+    "dedup_simhash_scale",
+    "events_tumbling_hourly",
+    "text_gopher_rules",
+    "curation_pack_sequences",
+    "text_word_count_tfdf",
+    "dedup_exact",
+    "embedding_pq_codes",
+    "sim_ann_pq_adc",
 )
 
 

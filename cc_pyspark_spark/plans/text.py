@@ -2321,3 +2321,373 @@ def classifier_score_frame(docs: DataFrame, model: DataFrame) -> DataFrame:
             (F.col("__cls_score") > F.lit(0.0)).alias("pred"),
         )
     )
+
+
+# ----------------- sparse-layout classifier training (r10, ask #6)
+#
+# The dense trainer above materializes a D+1-length array per document —
+# the right layout for D=64, hopeless for fastText-scale feature spaces
+# (D in the 10^5-10^7 range at 100 TB, where docs touch ~10^2 buckets).
+# This twin trains the SAME model family in the sparse (doc, idx, x)
+# layout SCALING.md promised: per document only its occupied buckets
+# exist anywhere in the plan. Standardized-feature GD stays sparse via
+# the offset decomposition
+#     z = sum_sparse (w_b / sd_b) * x_b + (w_bias - C),
+#     C = sum_b w_b / sd_b * mu_b           (folded once per round),
+# and the gradient's dense part factors through the scalar error sum E:
+#     g_b = t1_b / (1e12 nd) - (mu_b / sd_b) * (E / (1e12 nd)),
+#     t1_b = sum_docs floor(err * (x_b / sd_b) * 1e12).
+# Per round: ONE broadcast weight row, one O(nnz) gradient aggregation
+# with D+1 keys (map-side combined), one 1-row error sum — per-round
+# shuffle cost is nnz, never nd x D. All sums are floor(x*1e12) fixed
+# point (decimal(28,0) in Spark, BIGINT->HUGEINT in DuckDB) so weights
+# are bit-identical under any partitioning; every float fold runs in
+# bucket-idx order on both engines.
+
+#: Hashed feature-space size of the sparse twin. 4096 keeps the oracle
+#: replay tractable while being 64x the dense grid — large enough that
+#: a dense per-doc array would already be the wrong layout.
+CLS_SPARSE_DIM = 4096
+
+_CLS_SIDX_SPARK = f"""
+transform(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0), t ->
+  (aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+      0L, (a, c) -> (a * 31 + c) % 1000003) * 2654435761L) % {CLS_SPARSE_DIM}L)
+"""
+
+_CLS_SIDX_DUCK = f"""
+list_transform(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'), t ->
+  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(t) + 1),
+                     i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+      (a, c) -> (a * 31 + c) % 1000003) * 2654435761) % {CLS_SPARSE_DIM})
+"""
+
+
+def _cls_sparse_train_oracle() -> str:
+    """Unrolled DuckDB replay of the sparse batch-GD trainer — the same
+    offset/factored-gradient algebra as the Spark plan, arithmetic
+    mirrored term for term (see the section comment)."""
+    d, lr = CLS_SPARSE_DIM, CLS_TRAIN_LR
+    ctes = [f"""lab0 AS MATERIALIZED (
+  SELECT doc_id,
+         CAST({_HASH_CLS_DUCK} AS DOUBLE)
+           / CAST(len({_DUCK_TOKS}) AS BIGINT) AS s,
+         {_CLS_SIDX_DUCK} AS idxs
+  FROM documents WHERE len({_DUCK_TOKS}) > 0
+), thr AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(floor(s * 1e12) AS BIGINT)) AS DOUBLE)
+         / (1e12 * CAST(COUNT(*) AS DOUBLE)) AS thr FROM lab0
+), lab AS MATERIALIZED (
+  SELECT doc_id, idxs,
+         CASE WHEN s > (SELECT thr FROM thr) THEN 1.0 ELSE 0.0 END AS y
+  FROM lab0
+), tf AS MATERIALIZED (
+  SELECT doc_id, idx,
+         CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(n) AS DOUBLE) AS x
+  FROM (SELECT doc_id, unnest(idxs) AS idx, len(idxs) AS n FROM lab)
+  GROUP BY doc_id, idx
+), nd AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM lab
+), mom AS MATERIALIZED (
+  SELECT idx,
+         CAST(SUM(CAST(floor(x * 1e12) AS BIGINT)) AS DOUBLE)
+           / (1e12 * CAST((SELECT nd FROM nd) AS DOUBLE)) AS m,
+         CAST(SUM(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE)
+           / (1e12 * CAST((SELECT nd FROM nd) AS DOUBLE)) AS m2
+  FROM tf GROUP BY idx
+), scale AS MATERIALIZED (
+  SELECT idx, m,
+         CASE WHEN m2 - m * m <= 0.0 THEN 1.0
+              ELSE greatest(sqrt(m2 - m * m), 1e-6) END AS sd
+  FROM mom
+), w0 AS (
+  SELECT unnest(range(0, {d} + 1)) AS idx, 0.0 AS w
+)"""]
+    for r in range(CLS_TRAIN_ROUNDS):
+        ctes.append(f"""c{r} AS MATERIALIZED (
+  SELECT list_reduce(list_prepend(0.0, list(w.w / s.sd * s.m ORDER BY s.idx)),
+                     (a, b) -> a + b) AS c
+  FROM scale s JOIN w{r} w ON w.idx = s.idx
+), off{r} AS MATERIALIZED (
+  SELECT (SELECT w FROM w{r} WHERE idx = {d}) - (SELECT c FROM c{r}) AS off
+), z{r} AS MATERIALIZED (
+  SELECT t.doc_id, ANY_VALUE(l.y) AS y,
+         list_reduce(list_prepend(0.0, list(w.w / s.sd * t.x ORDER BY t.idx)),
+                     (a, b) -> a + b) + (SELECT off FROM off{r}) AS z
+  FROM tf t JOIN scale s ON t.idx = s.idx JOIN w{r} w ON w.idx = t.idx
+       JOIN lab l ON t.doc_id = l.doc_id
+  GROUP BY t.doc_id
+), e{r} AS MATERIALIZED (
+  SELECT doc_id, (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS err FROM z{r}
+), ee{r} AS MATERIALIZED (
+  SELECT SUM(CAST(floor(err * 1e12) AS BIGINT)) AS efp FROM e{r}
+), g{r} AS MATERIALIZED (
+  SELECT t.idx,
+         SUM(CAST(floor(e.err * (t.x / s.sd) * 1e12) AS BIGINT)) AS t1
+  FROM tf t JOIN scale s ON t.idx = s.idx JOIN e{r} e ON t.doc_id = e.doc_id
+  GROUP BY t.idx
+), w{r + 1} AS MATERIALIZED (
+  SELECT w.idx,
+         CASE WHEN w.idx = {d} THEN
+           w.w - {lr} * (CAST((SELECT efp FROM ee{r}) AS DOUBLE)
+                         / (1e12 * CAST((SELECT nd FROM nd) AS DOUBLE)))
+         WHEN g.idx IS NOT NULL THEN
+           w.w - {lr} * ((CAST(g.t1 AS DOUBLE)
+                          / (1e12 * CAST((SELECT nd FROM nd) AS DOUBLE)))
+                         - (s.m / s.sd)
+                           * (CAST((SELECT efp FROM ee{r}) AS DOUBLE)
+                              / (1e12 * CAST((SELECT nd FROM nd) AS DOUBLE))))
+         ELSE w.w END AS w
+  FROM w{r} w LEFT JOIN g{r} g ON w.idx = g.idx
+       LEFT JOIN scale s ON w.idx = s.idx
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT w.idx AS feature_idx, s.m AS mu, s.sd AS sd, w.w AS weight
+FROM w{CLS_TRAIN_ROUNDS} w JOIN scale s ON w.idx = s.idx
+UNION ALL
+SELECT {d}, 0.0, 1.0,
+       (SELECT w FROM w{CLS_TRAIN_ROUNDS} WHERE idx = {d})
+"""
+    )
+
+
+@register(
+    "text_classifier_train_sparse",
+    oracle=_cls_sparse_train_oracle(),
+    description="Sparse-layout classifier TRAINING — the production "
+    f"fastText shape for D >> 64 ({CLS_SPARSE_DIM} hashed buckets here): "
+    "per document only its occupied buckets exist anywhere in the plan "
+    "as sorted (idx, x) struct arrays; standardized-feature GD stays "
+    "sparse via the offset decomposition z = sum_sparse (w/sd)x + "
+    "(w_bias - sum_b w mu/sd), and the gradient's dense part factors "
+    "through the scalar error sum, so each of the "
+    f"{CLS_TRAIN_ROUNDS} rounds costs ONE broadcast weight row, one "
+    "O(nnz) map-side-combined gradient aggregation, and a 1-row error "
+    "sum — per-round shuffle is nnz, never nd x D. Same fixed-point "
+    "floor(x*1e12) algebra as the dense twin (partition-invariant, "
+    "bit-identical weights), every float fold in bucket order on both "
+    "engines; model rows emitted only for occupied buckets (+ bias)",
+    tags=("text", "llm", "scale"),
+)
+def text_classifier_train_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_train_sparse_frame(
+        spark, Catalog(spark, sf_dir).documents
+    )
+
+
+def classifier_train_sparse_frame(
+    spark: SparkSession, docs: DataFrame
+) -> DataFrame:
+    """Frame-level sparse trainer core (same contract as
+    classifier_train_frame; see the section comment for the algebra)."""
+    d, lr = CLS_SPARSE_DIM, CLS_TRAIN_LR
+    base = docs.select(
+        "doc_id",
+        F.expr(_CLS_SIDX_SPARK).alias("idxs"),
+        (
+            F.expr(_HASH_CLS_SPARK).cast("double")
+            / F.expr(
+                f"size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0))"
+            ).cast("bigint")
+        ).alias("s"),
+    ).filter(F.size("idxs") > 0)
+    base = base.persist().transform(track_cache)
+    thr = base.agg(
+        (
+            F.sum(
+                F.floor(F.col("s") * F.lit(1e12)).cast("decimal(28,0)")
+            ).cast("double")
+            / (F.lit(1e12) * F.count("*").cast("double"))
+        ).alias("thr"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    # per-doc SPARSE features: sorted (idx, x) structs over occupied
+    # buckets only — the layout difference vs the dense twin's xtf array
+    lab = (
+        base.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "nd",
+            F.when(F.col("s") > F.col("thr"), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+            F.expr(
+                "transform(array_sort(array_distinct(idxs)), i -> struct("
+                "i as idx, "
+                "cast(size(filter(idxs, j -> j = i)) as double)"
+                " / cast(size(idxs) as double) as x))"
+            ).alias("feats"),
+        )
+        .persist()
+        .transform(track_cache)
+    )
+    nd_d = F.col("nd").cast("double")
+
+    sp = lab.select("nd", F.explode("feats").alias("f")).select(
+        "nd", F.col("f.idx").alias("idx"), F.col("f.x").alias("x")
+    )
+    mom = (
+        sp.groupBy("idx")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1e12)).cast("decimal(28,0)")
+                ).cast("double")
+                / (F.lit(1e12) * F.first(nd_d))
+            ).alias("m"),
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.col("x") * F.lit(1e12)).cast(
+                        "decimal(28,0)"
+                    )
+                ).cast("double")
+                / (F.lit(1e12) * F.first(nd_d))
+            ).alias("m2"),
+        )
+        .select(
+            "idx",
+            "m",
+            F.when(
+                F.col("m2") - F.col("m") * F.col("m") <= F.lit(0.0), F.lit(1.0)
+            )
+            .otherwise(
+                F.greatest(
+                    F.sqrt(F.col("m2") - F.col("m") * F.col("m")),
+                    F.lit(1e-6),
+                )
+            )
+            .alias("sd"),
+        )
+        .persist()
+        .transform(track_cache)
+    )
+    # one broadcast row: idx->(m, sd) map for per-doc lookups + the
+    # idx-sorted (idx, m, sd) array for the C fold
+    mom_row = mom.groupBy().agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("idx").alias("k"),
+                        F.struct("m", "sd").alias("v"),
+                    )
+                )
+            )
+        ).alias("mm"),
+        F.array_sort(F.collect_list(F.struct("idx", "m", "sd"))).alias("moms"),
+    )
+
+    w_row = spark.range(1).select(
+        F.expr(f"transform(sequence(0, {d}), b -> 0.0D)").alias("ws")
+    )
+    for _ in range(CLS_TRAIN_ROUNDS):
+        woff = w_row.crossJoin(F.broadcast(mom_row)).select(
+            "ws",
+            "mm",
+            F.expr(
+                f"get(ws, {d}) - aggregate(moms, 0.0D, (acc, e) -> "
+                "acc + get(ws, cast(e.idx as int)) / e.sd * e.m)"
+            ).alias("off"),
+        )
+        scored = (
+            lab.crossJoin(F.broadcast(woff))
+            .withColumn(
+                "z",
+                F.expr(
+                    "aggregate(feats, 0.0D, (acc, e) -> acc + "
+                    "get(ws, cast(e.idx as int)) / element_at(mm, e.idx).sd"
+                    " * e.x) + off"
+                ),
+            )
+            .select(
+                "doc_id",
+                "nd",
+                "feats",
+                "mm",
+                (
+                    F.lit(0.5)
+                    + F.lit(0.5) * (F.col("z") / (F.lit(1.0) + F.abs("z")))
+                    - F.col("y")
+                ).alias("err"),
+            )
+        )
+        err_sum = scored.agg(
+            F.sum(
+                F.floor(F.col("err") * F.lit(1e12)).cast("decimal(28,0)")
+            ).alias("efp")
+        )
+        grad = (
+            scored.select(
+                "nd", "err", F.explode("feats").alias("f"), "mm"
+            )
+            .select(
+                "nd",
+                F.col("f.idx").alias("idx"),
+                F.floor(
+                    F.col("err")
+                    * (F.col("f.x") / F.expr("element_at(mm, f.idx).sd"))
+                    * F.lit(1e12)
+                ).cast("decimal(28,0)").alias("t1p"),
+            )
+            .groupBy("idx")
+            .agg(F.sum("t1p").alias("t1"), F.first(nd_d).alias("ndd"))
+            .join(F.broadcast(mom), "idx")
+            .crossJoin(F.broadcast(err_sum))
+            .select(
+                "idx",
+                (
+                    (F.col("t1").cast("double") / (F.lit(1e12) * F.col("ndd")))
+                    - (F.col("m") / F.col("sd"))
+                    * (
+                        F.col("efp").cast("double")
+                        / (F.lit(1e12) * F.col("ndd"))
+                    )
+                ).alias("g"),
+            )
+        )
+        grad_row = grad.groupBy().agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("idx").alias("k"), F.col("g").alias("v"))
+                    )
+                )
+            ).alias("gm")
+        )
+        nd_row = lab.agg(F.first(nd_d).alias("ndd"))
+        w_row = (
+            w_row.crossJoin(F.broadcast(grad_row))
+            .crossJoin(F.broadcast(err_sum))
+            .crossJoin(F.broadcast(nd_row))
+            .select(
+                F.expr(
+                    f"transform(sequence(0, {d}), b -> CASE WHEN b < {d} "
+                    f"THEN get(ws, b) - {lr}D * coalesce("
+                    "element_at(gm, bigint(b)), 0.0D) "
+                    f"ELSE get(ws, b) - {lr}D * (cast(efp as double)"
+                    " / (1e12D * ndd)) END)"
+                ).alias("ws")
+            )
+        )
+
+    bias = w_row.select(
+        F.lit(d).cast("bigint").alias("feature_idx"),
+        F.lit(0.0).alias("mu"),
+        F.lit(1.0).alias("sd"),
+        F.expr(f"get(ws, {d})").alias("weight"),
+    )
+    out = (
+        mom.crossJoin(F.broadcast(w_row))
+        .select(
+            F.col("idx").cast("bigint").alias("feature_idx"),
+            F.col("m").alias("mu"),
+            "sd",
+            F.expr("get(ws, cast(idx as int))").alias("weight"),
+        )
+        .unionAll(bias)
+    )
+    return out

@@ -98,6 +98,10 @@ CHECK = [
     # confusion-matrix cell if the fold order ever became layout-
     # dependent.
     "text_classifier_eval",
+    # r10: the sparse twin — the O(nnz) gradient aggregation and the
+    # idx-ordered sparse z/C folds replace the dense array fold; the
+    # factored-E gradient must survive re-layout bit-for-bit too.
+    "text_classifier_train_sparse",
 ]
 
 
