@@ -130,16 +130,19 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # sparse-layout classifier training (VERDICT r9 ask #6): the
     # (doc, idx, x) fastText shape for D >> 64, D=4096 here
     "text_classifier_train_sparse",
+    # per-domain cap, token-budget apportionment, vocab coverage (r10)
+    "curation_domain_cap",
+    "curation_token_budget_mix",
+    "text_vocab_coverage",
     # -- remaining slots: r8-last-row names re-cycling while new r10
     #    registrations land (each new registration replaces one of
     #    these; all stay green in the sf0.001 parity pytest) --
-    "tpch_q3_shipping_priority",
-    "tpch_q4_late_shipments",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume",
+    # URL canonicalization dedup + HITS (r10)
+    "dedup_url_canonical",
+    "graph_hits",
+    # MMR diversified re-ranking + WebDataset tar-shard indexing (r10)
+    "sim_mmr_rerank",
+    "multimodal_tar_index",
     "sim_cosine_topk",
     "dedup_simhash_scale",
     "events_tumbling_hourly",

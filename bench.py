@@ -201,9 +201,19 @@ def main() -> None:
         "embedding_kcenter_coreset",
     }
 
+    # SPARK_GRAFT_ONLY="name1,name2" re-measures a subset (same warm-up
+    # and timing discipline) — for deciding noise vs regression on
+    # movers without paying a full run.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    names = (
+        [n for n in HEADLINERS if n in set(only.split(","))]
+        if only
+        else HEADLINERS
+    )
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name in HEADLINERS:
+    for name in names:
         samples: list[float] = []
         for i in range(6):  # run 0 = per-query warm-up, untimed
             if name in eager_construction:
@@ -236,9 +246,11 @@ def main() -> None:
     # The driver's stdout-tail capture truncated BENCH_r07 (first 18
     # timings lost to a 2000-char cap) — persist the full record in the
     # repo as well so the artifact never depends on the tail alone.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_result.json"), "w") as f:
-        f.write(payload + "\n")
+    # (Subset runs via SPARK_GRAFT_ONLY never overwrite the full record.)
+    if not only:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_result.json"), "w") as f:
+            f.write(payload + "\n")
     print(payload)
     # The driver records only the LAST ~2000 chars of stdout, and the
     # full payload (60 queries x timings + spreads) overflows that, so

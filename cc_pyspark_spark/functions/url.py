@@ -111,3 +111,51 @@ def register_sql_functions(spark) -> None:
         lambda b, l: _urljoin(b or "", l) if l is not None else None,
         T.StringType(),
     )
+
+
+#: Tracking query parameters stripped by canonicalize_url (the de facto
+#: standard remove-list: UTM campaign tags + click ids).
+TRACKING_PARAM_PATTERN = "^(utm_[a-z]+|fbclid|gclid|msclkid)="
+
+
+def canonicalize_url(col: F.Column | str) -> F.Column:
+    """Crawl-style URL canonicalization as a PURE Catalyst expression —
+    no Python, runs at scan throughput:
+
+    * scheme + host lower-cased; ``www.`` stripped when the host keeps
+      >= 2 labels; default ports dropped (``parse_url``'s HOST already
+      excludes the port, and the scheme is re-emitted canonically);
+    * fragment dropped (parse_url never returns it);
+    * tracking query params removed (``utm_*``, fbclid, gclid,
+      msclkid), remaining params sorted bytewise, ``?`` dropped when
+      nothing survives;
+    * percent-encoding left as-is (documented non-goal: unreserved-
+      character normalization needs a decode table, i.e. a UDF — the
+      cheap rules above already collapse the overwhelming majority of
+      real-crawl duplicate URLs).
+
+    NULL/unparseable URLs (no host) canonicalize to NULL.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    host = F.when(
+        host.startswith("www.") & (F.size(F.split(host, "[.]")) > 2),
+        F.regexp_replace(host, "^www[.]", ""),
+    ).otherwise(host)
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != F.lit(""))
+            & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        host.isNull() | (host == "") | scheme.isNull(),
+        F.lit(None).cast(T.StringType()),
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))

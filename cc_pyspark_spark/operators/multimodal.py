@@ -1003,3 +1003,57 @@ def probe_containers(
             yield pd.DataFrame(rows, columns=names)
 
     return blobs_df.mapInPandas(run, schema)
+
+
+# ------------------------------------------------- TAR member walk (r10)
+
+
+def tar_members(
+    blobs_df: DataFrame, id_col: str = "shard_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Member listing of USTAR archives in a binary column — the
+    WebDataset-shard indexing primitive (multimodal training data ships
+    as tar shards of {key}.{ext} member groups; indexing them is the
+    first pass of every loader/curation job over such corpora).
+
+    Hand-rolled 512-byte header walk (name NUL-terminated at offset 0,
+    size as octal ASCII at 124:136, typeflag at 156) — deliberately NOT
+    the stdlib tarfile reader, so fixture construction (which may use
+    stdlib) and this parser are independent implementations. Regular
+    members only (typeflag '0' or NUL); a corrupt header ends the walk
+    for that blob (emitting what parsed so far) rather than failing the
+    task. Map-only: one Arrow batch in, one exploded typed batch out,
+    no shuffle; cost is O(members), not O(bytes) — data blocks are
+    skipped by offset arithmetic.
+    """
+    schema = f"{id_col} long, name string, size long, offset long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                pos = 0
+                while pos + 512 <= len(b):
+                    hdr = b[pos : pos + 512]
+                    if hdr == b"\x00" * 512:  # end-of-archive marker
+                        break
+                    name = hdr[0:100].split(b"\x00", 1)[0].decode(
+                        "utf-8", "replace"
+                    )
+                    try:
+                        size = int(
+                            hdr[124:136].split(b"\x00", 1)[0].strip() or b"0",
+                            8,
+                        )
+                    except ValueError:  # corrupt header: stop this blob
+                        break
+                    typeflag = hdr[156:157]
+                    if typeflag in (b"0", b"\x00"):
+                        rows.append((int(_id), name, size, pos))
+                    pos += 512 + ((size + 511) // 512) * 512
+            yield pd.DataFrame(
+                rows, columns=[id_col, "name", "size", "offset"]
+            )
+
+    return blobs_df.mapInPandas(run, schema)

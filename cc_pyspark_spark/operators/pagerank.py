@@ -533,3 +533,68 @@ def bfs_hops(
             settled = settled.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     return verts.join(settled, "id", "left").select("id", "hops")
+
+
+def hits_fixed(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) by ``rounds`` power-
+    iteration steps in EXACT integer arithmetic — no per-round float
+    normalization, so every score is an associative BIGINT sum and the
+    run carries a full value-hash oracle like pagerank_fixed.
+
+    Update order is the standard one: from hub0 = 1, each round does
+    auth(v) = sum of hub over in-neighbors, then hub(u) = sum of auth
+    over out-neighbors. Unnormalized scores grow as deg^(2*rounds):
+    with the default 2 rounds they stay inside int64 for max degree up
+    to ~30k; host-level web graphs pass that only after the standard
+    degree capping, and a deployment needing more rounds or hotter hubs
+    switches the sums to decimal(38,0) (Spark) / HUGEINT (DuckDB) —
+    same algebra, wider lanes. Output normalizes once at the end by the
+    per-kind maximum (one broadcast row; exact integer division to
+    double is engine-identical).
+
+    Per round: two shuffles (one keyed by target, one by source) over
+    the O(V) score frame against the cached edge frame — the PageRank
+    ship-edges-once discipline.
+    """
+    e = edges.select("s", "t").persist().transform(track_cache)
+    # round 1 auth: hub0 = 1 everywhere -> auth1(v) = in-degree
+    auth = (
+        e.groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("v"))
+        .select(F.col("t").alias("id"), "v")
+    )
+    hub = (
+        e.join(auth, e.t == auth.id)
+        .groupBy("s")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+        .select(F.col("s").alias("id"), "v")
+    )
+    for _ in range(rounds - 1):
+        auth = (
+            e.join(hub, e.s == hub.id)
+            .groupBy("t")
+            .agg(F.sum("v").cast("bigint").alias("v"))
+            .select(F.col("t").alias("id"), "v")
+            .localCheckpoint(eager=True)
+        )
+        hub = (
+            e.join(auth, e.t == auth.id)
+            .groupBy("s")
+            .agg(F.sum("v").cast("bigint").alias("v"))
+            .select(F.col("s").alias("id"), "v")
+            .localCheckpoint(eager=True)
+        )
+    out = []
+    for kind, frame in (("auth", auth), ("hub", hub)):
+        mx = frame.agg(F.max("v").alias("mx"))
+        out.append(
+            frame.crossJoin(F.broadcast(mx)).select(
+                "id",
+                F.lit(kind).alias("kind"),
+                F.col("v").alias("score_fp"),
+                (F.col("v").cast("double") / F.col("mx").cast("double")).alias(
+                    "score"
+                ),
+            )
+        )
+    return out[0].unionAll(out[1])

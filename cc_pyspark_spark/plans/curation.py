@@ -1384,3 +1384,187 @@ def priority_head(priorities: DataFrame, k: int) -> DataFrame:
     plan-shape pytest pins TakeOrderedAndProject on the REAL builder,
     not a lookalike."""
     return priorities.orderBy(F.col("pri").desc(), "doc_id").limit(k + 1)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document caps (r10): real crawls are head-heavy — a few
+# domains contribute millions of near-template pages. Capping documents
+# per domain by a deterministic priority (here content length, doc_id
+# tie-break; any score column plugs in) is the standard head-domain
+# downsampler every production corpus applies before dedup. The scale
+# shape is the keyed rank window: Spark >= 3.5 rewrites rank <= K
+# filters into WindowGroupLimit, which keeps only K rows PER GROUP on
+# the map side before the exchange — so a 10^8-page head domain ships K
+# rows, not 10^8, through the shuffle (plan-pinned in
+# tests/test_plan_shape.py).
+
+#: Documents kept per source domain by the registered query.
+DOMAIN_CAP_K = 15
+
+
+@register(
+    "curation_domain_cap",
+    oracle=f"""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP_K}
+""",
+    description="Per-domain document cap (head-domain downsampling): "
+    f"keep the top {DOMAIN_CAP_K} documents per source domain by "
+    "(n_chars desc, doc_id asc) — a total order, so the kept set is "
+    "deterministic and engine-independent. The rank <= K filter rides "
+    "WindowGroupLimit (plan-pinned): each domain ships K rows through "
+    "the exchange regardless of its size, which is what makes the cap "
+    "viable on head-heavy crawls where one domain holds 10^8 pages",
+    tags=("curation", "scale"),
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return domain_cap_frame(t.documents, DOMAIN_CAP_K)
+
+
+def domain_cap_frame(
+    docs: DataFrame, k: int, domain_col: str = "source"
+) -> DataFrame:
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col(domain_col).alias("source"),
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mix allocation (r10): multilingual/multi-source training
+# runs fix a TOTAL token budget and apportion it across strata with
+# temperature-scaled weights (alpha=0.5 here — sqrt damping, the
+# standard multilingual-sampling temperature), then need EXACT integer
+# allocations that sum to the budget. This is Hamilton largest-remainder
+# apportionment run distributed: per-stratum token counts (one grouped
+# agg), sqrt weights in floor(x*1e6) fixed point (sqrt is IEEE
+# correctly-rounded, so the fixed-point weights are bit-identical across
+# engines), integer-exact quotas via one division, floors, and the
+# leftover distributed to the largest fractional remainders (lang
+# tie-break). The rank window runs over the STRATA frame (a handful of
+# rows — same K-row-frame discipline as priority sampling's tau), never
+# over documents.
+
+#: Total token budget the registered query apportions.
+MIX_BUDGET = 1_000_000
+
+
+@register(
+    "curation_token_budget_mix",
+    oracle=f"""
+WITH c AS (
+  SELECT lang,
+         CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wfp
+  FROM c
+), s AS (
+  SELECT CAST(SUM(wfp) AS BIGINT) AS s FROM w
+), q AS (
+  SELECT lang, n_tokens, wfp,
+         CAST({MIX_BUDGET} * wfp AS DOUBLE) / CAST((SELECT s FROM s) AS DOUBLE)
+           AS quota
+  FROM w
+), b AS (
+  SELECT lang, n_tokens, wfp,
+         CAST(floor(quota) AS BIGINT) AS base,
+         quota - floor(quota) AS frac
+  FROM q
+), lo AS (
+  SELECT {MIX_BUDGET} - CAST(SUM(base) AS BIGINT) AS leftover FROM b
+)
+SELECT lang, n_tokens, wfp,
+       base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, lang)
+                        <= (SELECT leftover FROM lo)
+                   THEN 1 ELSE 0 END AS alloc
+FROM b
+""",
+    description="Token-budget mix apportionment (Hamilton largest-"
+    "remainder) across language strata with temperature-0.5 weights: "
+    "per-lang token counts (one grouped agg over the corpus — the only "
+    "data-sized stage), sqrt weights in floor(x*1e6) fixed point "
+    "(sqrt is correctly rounded, so weights are engine-identical), "
+    f"exact integer quotas of the {MIX_BUDGET}-token budget, floors, "
+    "and leftover units to the largest fractional remainders. The rank "
+    "window runs over the STRATA frame (|langs| rows), never documents; "
+    "output is all-integer and sums exactly to the budget (pinned)",
+    tags=("curation", "llm"),
+)
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return token_budget_mix_frame(t.documents, MIX_BUDGET)
+
+
+def token_budget_mix_frame(docs: DataFrame, budget: int) -> DataFrame:
+    c = docs.groupBy("lang").agg(
+        F.sum(
+            F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0))")
+        )
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    w = c.select(
+        "lang",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("wfp"),
+    )
+    s = w.agg(F.sum("wfp").cast("bigint").alias("s"))
+    b = w.crossJoin(F.broadcast(s)).select(
+        "lang",
+        "n_tokens",
+        "wfp",
+        F.floor(
+            (F.lit(budget) * F.col("wfp")).cast("double")
+            / F.col("s").cast("double")
+        )
+        .cast("bigint")
+        .alias("base"),
+        (
+            (F.lit(budget) * F.col("wfp")).cast("double")
+            / F.col("s").cast("double")
+            - F.floor(
+                (F.lit(budget) * F.col("wfp")).cast("double")
+                / F.col("s").cast("double")
+            )
+        ).alias("frac"),
+    )
+    lo = b.agg(
+        (F.lit(budget) - F.sum("base")).cast("bigint").alias("leftover")
+    )
+    rk = Window.orderBy(F.col("frac").desc(), F.col("lang"))
+    return (
+        b.crossJoin(F.broadcast(lo))
+        .select(
+            "lang",
+            "n_tokens",
+            "wfp",
+            (
+                F.col("base")
+                + F.when(
+                    F.row_number().over(rk).cast("bigint")
+                    <= F.col("leftover"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )

@@ -1449,3 +1449,82 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("a_id", "b_id", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (r10): the crawl-engine staple BEFORE
+# content dedup — the same page reached via www/non-www hosts, default
+# ports, tracking params, param order, case-varied scheme/host, and
+# fragments must collapse to one canonical URL. The canonicalizer
+# (functions/url.py canonicalize_url) is a pure Catalyst expression, so
+# this dedup runs at scan throughput with ONE exchange (the group on
+# the canonical key). The fixture derives a messy URL per document from
+# (doc_id, lang) by fixed modular rules; the DuckDB oracle does NOT
+# re-canonicalize — it recomputes the canonical form analytically from
+# the same rules, so the two derivations are independent.
+
+
+def _messy_url() -> F.Column:
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("lang"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org"),
+    )
+    return F.concat(
+        F.when(F.col("doc_id") % 9 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 9 == 0, F.upper(host)).otherwise(host),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("?b=2&a=1"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("?utm_campaign=z"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id,
+         'http://' || lang || CAST(doc_id % 5 AS VARCHAR) || '.example.org/p'
+           || CAST(doc_id % 50 AS VARCHAR)
+           || CASE WHEN doc_id % 7 IN (0, 1) THEN '?a=1&b=2' ELSE '' END
+           AS canon_url
+  FROM documents
+)
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper
+FROM canon GROUP BY canon_url
+""",
+    description="URL canonicalization dedup: per-document messy URLs "
+    "(www/non-www, default :80 ports, case-varied scheme+host, utm_*/"
+    "clickid tracking params, unsorted params, fragments — all derived "
+    "from (doc_id, lang) by fixed modular rules) collapse through the "
+    "pure-Catalyst canonicalizer (lowercase, www-strip, default-port "
+    "drop, fragment drop, tracking-param removal, bytewise param sort) "
+    "and group on the canonical key — one exchange, scan-throughput "
+    "expression work, no UDF. The oracle recomputes the canonical form "
+    "ANALYTICALLY from the same rules — an independent derivation, so "
+    "any canonicalizer regression (wrong strip, wrong sort, fragment "
+    "leak) breaks the value hash",
+    tags=("dedup", "url", "scale"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.functions.url import canonicalize_url  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    return (
+        t.documents.select("doc_id", _messy_url().alias("url"))
+        .select("doc_id", canonicalize_url("url").alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+        )
+    )

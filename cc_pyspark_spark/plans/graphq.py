@@ -404,3 +404,65 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b")
     )
     return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_HITS_ROUNDS = 2
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+WITH raw AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS MATERIALIZED (SELECT 2 * c AS s, 2 * s + 1 AS t FROM raw),
+a1 AS MATERIALIZED (
+  SELECT t AS id, CAST(COUNT(*) AS BIGINT) AS v FROM e GROUP BY t
+),
+h1 AS MATERIALIZED (
+  SELECT e.s AS id, CAST(SUM(a1.v) AS BIGINT) AS v
+  FROM e JOIN a1 ON e.t = a1.id GROUP BY e.s
+),
+a2 AS MATERIALIZED (
+  SELECT e.t AS id, CAST(SUM(h1.v) AS BIGINT) AS v
+  FROM e JOIN h1 ON e.s = h1.id GROUP BY e.t
+),
+h2 AS MATERIALIZED (
+  SELECT e.s AS id, CAST(SUM(a2.v) AS BIGINT) AS v
+  FROM e JOIN a2 ON e.t = a2.id GROUP BY e.s
+)
+SELECT id, 'auth' AS kind, v AS score_fp,
+       CAST(v AS DOUBLE) / CAST((SELECT MAX(v) FROM a2) AS DOUBLE) AS score
+FROM a2
+UNION ALL
+SELECT id, 'hub', v,
+       CAST(v AS DOUBLE) / CAST((SELECT MAX(v) FROM h2) AS DOUBLE)
+FROM h2
+""",
+    description="HITS hubs & authorities (Kleinberg) over the DIRECTED "
+    f"customer->supplier order graph, {_HITS_ROUNDS} power-iteration "
+    "rounds in exact integer arithmetic: from hub=1, each round sums "
+    "hub over in-neighbors (auth) then auth over out-neighbors (hub) — "
+    "associative BIGINT sums, bit-identical under any partitioning, so "
+    "the iterative run carries a full value-hash oracle (chained "
+    "MATERIALIZED CTE replay). Scores normalize ONCE at the end by the "
+    "per-kind max (broadcast row; exact int->double division). "
+    "Unnormalized growth is deg^(2*rounds) — inside int64 here; hotter "
+    "graphs widen the sums to decimal(38,0)/HUGEINT, same algebra. Per "
+    "round: two O(V)-frame shuffles against the cached edge frame",
+    tags=("graph", "scale"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.pagerank import hits_fixed  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    raw = (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = raw.select(
+        (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
+    )
+    return hits_fixed(edges, rounds=_HITS_ROUNDS)

@@ -554,3 +554,104 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         "payload_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard indexing (r10): multimodal training corpora ship
+# as tar shards whose members group into samples by name prefix
+# ({key}.txt, {key}.cls, {key}.jpg ...). Indexing the shards — member
+# names, sizes, sample counts — is the first pass of every loader and
+# curation job over such data. The shard fixture is built executor-side
+# from `documents` (applyInPandas per shard, stdlib tarfile, fixed
+# mtime) and the index walks headers with the hand-rolled parser in
+# operators/multimodal.py tar_members — two independent implementations
+# — while the DuckDB oracle recomputes every aggregate analytically
+# from `documents` without ever touching a tar byte.
+
+_TAR_SHARDS = 25
+
+
+@register(
+    "multimodal_tar_index",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id % {_TAR_SHARDS} AS shard_id,
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+         CAST(strlen(text) AS BIGINT) AS tlen,
+         CAST(strlen(lang) AS BIGINT) AS llen
+  FROM documents
+), mem AS (
+  SELECT shard_id, key, key || '.txt' AS name, tlen AS size FROM m
+  UNION ALL
+  SELECT shard_id, key, key || '.cls', llen FROM m
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_samples,
+       CAST(SUM(size) AS BIGINT) AS total_payload,
+       md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+FROM mem GROUP BY shard_id
+""",
+    description="WebDataset shard indexing: documents pack into "
+    f"{_TAR_SHARDS} USTAR tar shards of ({{key}}.txt, {{key}}.cls) "
+    "sample members (executor-side applyInPandas build, stdlib writer, "
+    "deterministic bytes), then the hand-rolled 512-byte header walk "
+    "(operators/multimodal.py tar_members — O(members) offset "
+    "arithmetic, map-only, never the stdlib reader) lists every member "
+    "and the index aggregates per shard: member/sample counts, payload "
+    "bytes, and an md5 over the sorted member names. The oracle "
+    "recomputes all of it analytically from `documents` without "
+    "building or parsing a single tar byte",
+    tags=("multimodal", "pandas-udf", "source"),
+)
+def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.multimodal import tar_members  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import io  # noqa: PLC0415
+        import tarfile  # noqa: PLC0415
+
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for r in pdf.itertuples(index=False):
+                key = f"{int(r.doc_id):08d}"
+                for ext, payload in (
+                    ("txt", str(r.text).encode("utf-8")),
+                    ("cls", str(r.lang).encode("utf-8")),
+                ):
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(payload)
+                    info.mtime = 0
+                    tf.addfile(info, io.BytesIO(payload))
+        return pd.DataFrame(
+            [{"shard_id": int(pdf["shard"].iloc[0]), "blob": buf.getvalue()}]
+        )
+
+    shards = (
+        t.documents.select(
+            "doc_id",
+            "text",
+            "lang",
+            (F.col("doc_id") % _TAR_SHARDS).cast("long").alias("shard"),
+        )
+        .groupBy("shard")
+        .applyInPandas(build, "shard_id long, blob binary")
+    )
+    members = tar_members(shards)
+    return members.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.countDistinct(F.split(F.col("name"), "[.]").getItem(0))
+        .cast("bigint")
+        .alias("n_samples"),
+        F.sum("size").cast("bigint").alias("total_payload"),
+        F.md5(
+            F.expr("encode(concat_ws(',', array_sort(collect_list(name))), 'UTF-8')")
+        ).alias("names_md5"),
+    )

@@ -1931,3 +1931,154 @@ def sim_hard_negatives_frame(
         "pos_cos",
         (F.col("pos_cos") - F.col("cos")).alias("margin"),
     )
+
+
+# --------------------- MMR diversified re-ranking (r10)
+#
+# Retrieval for curation (dataset sourcing, eval-set construction,
+# contrastive-pair mining) wants relevant-AND-diverse results; Maximal
+# Marginal Relevance (Carbonell & Goldstein 1998) is the standard
+# greedy re-ranker. Scale shape: stage 1 is the ordinary distributed
+# exact-cosine top-N over the corpus (TakeOrderedAndProject — the
+# corpus never shuffles); stage 2 runs the greedy MMR chain on the
+# N-row candidate frame, collect-free (the selected set is a grown-by-
+# union DataFrame, always broadcast) — its cost is O(k*N) independent
+# of corpus size, the kcenter discipline applied to retrieval.
+
+MMR_POOL = 16
+MMR_K = 8
+MMR_QUERY_ID = 0
+
+_MMR_DOT_QP = (
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+)
+_MMR_DOT_PS = (
+    "aggregate(zip_with(p.v, s.v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+)
+
+
+def _duck_mmr_oracle(pool: int = MMR_POOL, k: int = MMR_K) -> str:
+    dot_qc = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])), (a, b) -> a + b)"
+    )
+    dot_ps = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "range(1, len(p2.v) + 1), i -> p2.v[i] * s.v[i])), (a, b) -> a + b)"
+    )
+    parts = [
+        """e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+), q AS (SELECT v, nrm FROM n WHERE vec_id = """
+        + str(MMR_QUERY_ID)
+        + f"""),
+pool AS MATERIALIZED (
+  SELECT c.vec_id, c.v, c.nrm, {dot_qc} / (q.nrm * c.nrm) AS rel
+  FROM n c CROSS JOIN q WHERE c.vec_id <> {MMR_QUERY_ID}
+  ORDER BY rel DESC, c.vec_id LIMIT {pool}
+),
+sel1 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS rnk, vec_id, v, nrm, rel FROM pool
+  ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    ]
+    for r in range(1, k):
+        parts.append(f"""n{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS rnk, p.vec_id, p.v, p.nrm, p.rel
+  FROM pool p JOIN (
+    SELECT p2.vec_id, MAX({dot_ps} / (p2.nrm * s.nrm)) AS maxsim
+    FROM pool p2 CROSS JOIN sel{r} s
+    WHERE p2.vec_id NOT IN (SELECT vec_id FROM sel{r})
+    GROUP BY p2.vec_id
+  ) m ON p.vec_id = m.vec_id
+  ORDER BY 0.7 * p.rel - 0.3 * m.maxsim DESC, p.vec_id LIMIT 1
+),
+sel{r + 1} AS MATERIALIZED (
+  SELECT * FROM sel{r} UNION ALL SELECT * FROM n{r}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT rnk, vec_id, rel FROM sel{k}"
+    )
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_duck_mmr_oracle(),
+    description="Maximal-Marginal-Relevance diversified re-ranking: "
+    f"exact-cosine top-{MMR_POOL} candidates for the query vector "
+    f"(TakeOrdered over the corpus — no corpus shuffle), then {MMR_K} "
+    "greedy rounds each selecting argmax of 0.7*relevance - "
+    "0.3*max-similarity-to-selected (ties to vec_id — a total order). "
+    "Collect-free: the selected set is a grown-by-union DataFrame "
+    "broadcast into each round's candidate scoring, so stage-2 cost is "
+    "O(k*pool) regardless of corpus size (the kcenter discipline). All "
+    "cosine folds run in dimension order on both engines; the DuckDB "
+    "oracle replays the greedy chain as generated per-round SQL",
+    tags=("similarity", "curation"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    dot_self = (
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    emb = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel", F.expr(_MMR_DOT_QP) / (F.col("qnrm") * F.col("nrm"))
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .select("vec_id", "v", "nrm", "rel")
+        # referenced by every greedy round: materialize once
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        pool.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(F.lit(0).cast("bigint").alias("rnk"), "vec_id", "v", "nrm", "rel")
+    )
+    for r in range(1, MMR_K):
+        remaining = pool.join(sel.select("vec_id"), "vec_id", "left_anti")
+        maxsim = (
+            remaining.alias("p")
+            .crossJoin(F.broadcast(sel.alias("s")))
+            .select(
+                F.col("p.vec_id").alias("vec_id"),
+                (
+                    F.expr(_MMR_DOT_PS) / (F.col("p.nrm") * F.col("s.nrm"))
+                ).alias("sim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        nxt = (
+            maxsim.join(pool, "vec_id")
+            .orderBy(
+                (
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("maxsim")
+                ).desc(),
+                F.asc("vec_id"),
+            )
+            .limit(1)
+            .select(
+                F.lit(r).cast("bigint").alias("rnk"), "vec_id", "v", "nrm", "rel"
+            )
+        )
+        sel = sel.unionAll(nxt)
+    return sel.select("rnk", "vec_id", "rel")

@@ -2691,3 +2691,92 @@ def classifier_train_sparse_frame(
         .unionAll(bias)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (r10): the tokenizer-design question — how
+# much of the corpus do the top-V types cover? — needs cumulative token
+# mass in global frequency order. The naive shape is a single-partition
+# ORDER BY window over the full vocabulary (10^7+ types on a real
+# corpus); the scale shape reuses the W2 range-prefix-scan discipline
+# (operators/ids.py): one range shuffle over the TYPE frame, window-free
+# broadcast prefix offsets, parallel per-partition running sums.
+
+#: Vocabulary-size checkpoints of the coverage curve.
+VOCAB_COVERAGE_SIZES = (1, 2, 4, 8, 16, 32, 64)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS t
+  FROM documents
+), c AS (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t
+), r AS (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM c
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c
+)
+SELECT v.vocab_size,
+       COALESCE(MAX(CASE WHEN r.rk <= v.vocab_size THEN r.cum END),
+                CAST(0 AS BIGINT)) AS covered_tokens,
+       (SELECT total FROM tot) AS total_tokens
+FROM (VALUES {",".join(f"(CAST({v} AS BIGINT))" for v in VOCAB_COVERAGE_SIZES)})
+     v(vocab_size)
+CROSS JOIN r
+GROUP BY v.vocab_size
+""",
+    description="Vocabulary coverage curve: cumulative token mass of "
+    "the top-V types at V in {1,2,4,...,64} — the how-big-must-the-"
+    "vocab-be curve tokenizer design reads off. Scale shape: type "
+    "counts are one grouped agg; the global (cnt desc, token asc) "
+    "cumulative sum runs as a range-prefix scan over the TYPE frame "
+    "(operators/ids.py range_prefix_scan — range shuffle + broadcast "
+    "prefix offsets + parallel local scans, NO single-partition "
+    "window); the checkpoint readout is one conditional aggregation. "
+    "All-integer output",
+    tags=("text", "llm", "scale"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.ids import range_prefix_scan  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    counts = (
+        t.documents.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select("token", "cnt", (-F.col("cnt")).alias("negcnt"), F.lit(1).cast("bigint").alias("one"))
+    )
+    scanned = range_prefix_scan(
+        counts, ["negcnt", "token"], [("cnt", "sum"), ("one", "sum")]
+    ).select(
+        F.col("scan_sum_one").alias("rk"), F.col("scan_sum_cnt").alias("cum"), "cnt"
+    )
+    agg = scanned.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        *[
+            F.max(F.when(F.col("rk") <= F.lit(v), F.col("cum")))
+            .alias(f"c{v}")
+            for v in VOCAB_COVERAGE_SIZES
+        ],
+    )
+    stack = ", ".join(
+        f"bigint({v}), coalesce(c{v}, 0L)" for v in VOCAB_COVERAGE_SIZES
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(VOCAB_COVERAGE_SIZES)}, {stack}) "
+            "as (vocab_size, covered_tokens)"
+        ),
+        F.col("total").alias("total_tokens"),
+    )

@@ -555,3 +555,57 @@ def test_hard_negatives_broadcasts_anchors(spark):
     plan = plan_of(spark, "sim_hard_negatives")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_is_window_group_limit(spark):
+    """The per-domain rank <= K filter must ride WindowGroupLimit
+    (map-side Partial before the exchange) — a head domain ships K rows
+    through the shuffle, never its full page count."""
+    plan = plan_of(spark, "curation_domain_cap")
+    assert _tree_nodes(plan, "WindowGroupLimit") >= 2
+    assert "Partial" in plan
+
+
+def test_url_canonical_is_pure_codegen(spark):
+    """The canonicalizer is a Catalyst expression: no Python worker in
+    the plan, and exactly the one exchange the group-by needs."""
+    plan = plan_of(spark, "dedup_url_canonical")
+    assert "Python" not in plan
+    assert _tree_nodes(plan, "Exchange") <= 2  # partial/final agg pair
+
+
+def test_mmr_pool_is_take_ordered(spark):
+    """Stage 1's top-pool candidate cut must be TakeOrderedAndProject
+    over the corpus — the corpus itself never shuffles; stage 2's
+    greedy rounds only ever broadcast the selected set."""
+    from cc_pyspark_spark.plans.similarity import MMR_QUERY_ID
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dot_self = (
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    ).withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    q = e.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    pool_plan = (
+        e.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel",
+            F.expr(
+                "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D,"
+                " (acc, z) -> acc + z)"
+            )
+            / (F.col("qnrm") * F.col("nrm")),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(16)
+    )
+    plan = pool_plan._sc._jvm.PythonSQLUtils.explainString(
+        pool_plan._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
