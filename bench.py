@@ -148,6 +148,24 @@ HEADLINERS = [
     "graph_cc_converged",
     "embedding_kcenter_coreset",
     "curation_dsir_importance",
+    # r10 new operators — each carries a bench row from birth: the WAT
+    # link pipeline (the reference's largest job: archive scan + typed
+    # JSON walk + urljoin/SURT UDFs), the sparse-layout trainer (O(nnz)
+    # per-round gradient agg), HITS (2 integer power rounds), MMR
+    # (TakeOrdered pool + greedy broadcast rounds), URL canonical dedup
+    # (pure-codegen canonicalizer — its row is the de-codegen tripwire),
+    # head-domain capping (WindowGroupLimit), Hamilton budget mix,
+    # vocab coverage (range-prefix scan), and WebDataset tar indexing
+    # (applyInPandas build + header-walk probe).
+    "wat_links_host_graph",
+    "text_classifier_train_sparse",
+    "graph_hits",
+    "sim_mmr_rerank",
+    "dedup_url_canonical",
+    "curation_domain_cap",
+    "curation_token_budget_mix",
+    "text_vocab_coverage",
+    "multimodal_tar_index",
 ]
 
 
@@ -199,6 +217,12 @@ def main() -> None:
         "graph_kcore",
         "graph_cc_converged",
         "embedding_kcenter_coreset",
+        # r10: HITS checkpoints its round-2 frames, MMR eagerly
+        # materializes the candidate pool, vocab coverage's range-prefix
+        # scan checkpoint-pins its range exchange.
+        "graph_hits",
+        "sim_mmr_rerank",
+        "text_vocab_coverage",
     }
 
     # SPARK_GRAFT_ONLY="name1,name2" re-measures a subset (same warm-up

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from cc_pyspark_spark.operators.community import (
     kcore,
@@ -234,3 +235,23 @@ def test_fixture_lpa_matches_independent_python(spark):
         for r in QUERIES["graph_label_propagation"].spark(spark, SF_DIR).collect()
     }
     assert got == _py_lpa(pairs, _LPA_ROUNDS)
+
+
+def test_fixture_lpa_converged_terminates_and_covers(spark):
+    """The deployment wrapper must terminate on the real fixture graph
+    (fixed point or detected 2-cycle) inside the guard and label every
+    vertex."""
+    from cc_pyspark_spark.plans.graphq import _co_order_edges
+
+    edges = _co_order_edges(spark, SF_DIR)
+    conv = {
+        r["id"]: r["community"]
+        for r in lpa_converged(edges, max_rounds=32).collect()
+    }
+    n_verts = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert len(conv) == n_verts
