@@ -143,8 +143,9 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # MMR diversified re-ranking + WebDataset tar-shard indexing (r10)
     "sim_mmr_rerank",
     "multimodal_tar_index",
-    "sim_cosine_topk",
-    "dedup_simhash_scale",
+    # mix execution + margin bitext mining (r10)
+    "curation_mix_execute",
+    "sim_bitext_mine",
     "events_tumbling_hourly",
     "text_gopher_rules",
     "curation_pack_sequences",

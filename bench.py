@@ -166,6 +166,11 @@ HEADLINERS = [
     "curation_token_budget_mix",
     "text_vocab_coverage",
     "multimodal_tar_index",
+    # r10 continuation: mix execution (global range-prefix scan turned
+    # per-stratum by broadcast bases) and margin bitext mining (one
+    # map-only scoring pass, WindowGroupLimit top-k on |X| keys).
+    "curation_mix_execute",
+    "sim_bitext_mine",
 ]
 
 
@@ -223,6 +228,12 @@ def main() -> None:
         "graph_hits",
         "sim_mmr_rerank",
         "text_vocab_coverage",
+        # the sparse trainer checkpoints its <= d+2-row gradient table
+        # per round (the fused E+gradient aggregation), so the loop
+        # executes at construction.
+        "text_classifier_train_sparse",
+        # bitext scoring materializes once (read by both top-k passes).
+        "sim_bitext_mine",
     }
 
     # SPARK_GRAFT_ONLY="name1,name2" re-measures a subset (same warm-up

@@ -1462,10 +1462,11 @@ def domain_cap_frame(
 MIX_BUDGET = 1_000_000
 
 
-@register(
-    "curation_token_budget_mix",
-    oracle=f"""
-WITH c AS (
+def _mix_alloc_ctes(budget: int) -> str:
+    """The Hamilton-apportionment CTE chain (shared by the mix query's
+    oracle and the mix-execution query's oracle): ends in an ``alloc``
+    CTE with (lang, n_tokens, wfp, alloc)."""
+    return f"""c AS (
   SELECT lang,
          CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')))
               AS BIGINT) AS n_tokens
@@ -1478,7 +1479,7 @@ WITH c AS (
   SELECT CAST(SUM(wfp) AS BIGINT) AS s FROM w
 ), q AS (
   SELECT lang, n_tokens, wfp,
-         CAST({MIX_BUDGET} * wfp AS DOUBLE) / CAST((SELECT s FROM s) AS DOUBLE)
+         CAST({budget} * wfp AS DOUBLE) / CAST((SELECT s FROM s) AS DOUBLE)
            AS quota
   FROM w
 ), b AS (
@@ -1487,14 +1488,21 @@ WITH c AS (
          quota - floor(quota) AS frac
   FROM q
 ), lo AS (
-  SELECT {MIX_BUDGET} - CAST(SUM(base) AS BIGINT) AS leftover FROM b
-)
-SELECT lang, n_tokens, wfp,
-       base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, lang)
-                        <= (SELECT leftover FROM lo)
-                   THEN 1 ELSE 0 END AS alloc
-FROM b
-""",
+  SELECT {budget} - CAST(SUM(base) AS BIGINT) AS leftover FROM b
+), alloc AS (
+  SELECT lang, n_tokens, wfp,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, lang)
+                          <= (SELECT leftover FROM lo)
+                     THEN 1 ELSE 0 END AS alloc
+  FROM b
+)"""
+
+
+@register(
+    "curation_token_budget_mix",
+    oracle="WITH "
+    + _mix_alloc_ctes(MIX_BUDGET)
+    + "\nSELECT lang, n_tokens, wfp, alloc FROM alloc",
     description="Token-budget mix apportionment (Hamilton largest-"
     "remainder) across language strata with temperature-0.5 weights: "
     "per-lang token counts (one grouped agg over the corpus — the only "
@@ -1567,4 +1575,99 @@ def token_budget_mix_frame(docs: DataFrame, budget: int) -> DataFrame:
             .cast("bigint")
             .alias("alloc"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mix EXECUTION (r10): the apportionment above says how many tokens
+# each stratum gets; this operator actually selects the documents —
+# greedy prefix fill per stratum in a deterministic priority order
+# (n_chars desc, doc_id) until the next document would cross the
+# stratum's allocation. Scale shape: the per-stratum cumulative token
+# sum does NOT run as a per-stratum window (a head stratum would land
+# on one reducer) — it reuses the W2 range-prefix scan over the
+# lang-major global order, then subtracts each stratum's broadcast
+# exclusive-prefix base, turning the global running sum into per-lang
+# running sums with zero extra shuffles.
+
+#: Token budget of the registered EXECUTION query — deliberately
+#: smaller than the corpus at every sf so the greedy cutoff bites.
+MIX_EXEC_BUDGET = 8_000
+
+_NTOK = f"size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0))"
+_DUCK_NTOK = f"len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))"
+
+
+@register(
+    "curation_mix_execute",
+    oracle="WITH "
+    + _mix_alloc_ctes(MIX_EXEC_BUDGET)
+    + f""",
+d AS (
+  SELECT doc_id, lang, n_chars, CAST({_DUCK_NTOK} AS BIGINT) AS n_tok
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY lang
+              ORDER BY n_chars DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM d
+)
+SELECT r.doc_id, r.lang, r.n_tok, r.cum_tok
+FROM r JOIN alloc a ON r.lang = a.lang
+WHERE r.cum_tok <= a.alloc
+""",
+    description="Token-budget mix EXECUTION: documents fill each "
+    "language stratum's Hamilton allocation greedily in (n_chars desc, "
+    "doc_id) priority order until the next document would cross the "
+    f"budget ({MIX_EXEC_BUDGET} tokens — below every sf's corpus so "
+    "the cutoff always bites). Scale shape: per-stratum running token "
+    "sums come from ONE global range-prefix scan in lang-major order "
+    "minus each stratum's broadcast exclusive-prefix base — never a "
+    "per-stratum window, so a head stratum cannot single-reducer the "
+    "plan; the allocation table is |langs| rows and broadcasts. "
+    "Composes curation_token_budget_mix's apportionment (shared CTE "
+    "generator in the oracle — the two can never drift)",
+    tags=("curation", "llm", "scale"),
+)
+def curation_mix_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.ids import range_prefix_scan  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    alloc = token_budget_mix_frame(t.documents, MIX_EXEC_BUDGET).select(
+        "lang", "alloc"
+    )
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        F.expr(_NTOK).cast("bigint").alias("n_tok"),
+        (-F.col("n_chars")).alias("negchars"),
+    )
+    scanned = range_prefix_scan(
+        d, ["lang", "negchars", "doc_id"], [("n_tok", "sum")]
+    )
+    # exclusive per-lang prefix base: total tokens of all langs sorting
+    # BEFORE this one (|langs|-row frame, broadcast self-join)
+    totals = d.groupBy("lang").agg(F.sum("n_tok").cast("bigint").alias("tt"))
+    prior = totals.select(
+        F.col("lang").alias("plang"), F.col("tt").alias("ptt")
+    )
+    base = (
+        totals.join(F.broadcast(prior), F.col("plang") < F.col("lang"), "left")
+        .groupBy("lang")
+        .agg(F.coalesce(F.sum("ptt"), F.lit(0)).cast("bigint").alias("base"))
+    )
+    return (
+        scanned.join(F.broadcast(base), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            (F.col("scan_sum_n_tok") - F.col("base"))
+            .cast("bigint")
+            .alias("cum_tok"),
+        )
+        .join(F.broadcast(alloc), "lang")
+        .filter(F.col("cum_tok") <= F.col("alloc"))
+        .select("doc_id", "lang", "n_tok", "cum_tok")
     )

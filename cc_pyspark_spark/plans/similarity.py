@@ -2082,3 +2082,171 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionAll(nxt)
     return sel.select("rnk", "vec_id", "rel")
+
+
+# --------------------- margin-based bitext mining (r10)
+#
+# Parallel-corpus mining (Artetxe & Schwenk 2019; the CCMatrix /
+# LASER recipe): candidate translation pairs are MUTUAL nearest
+# neighbors whose cosine clears a margin over each side's average
+# k-NN similarity — the ratio margin kills hub vectors that are
+# near-everything. Scale shape here: the X side is a broadcast-sized
+# query set (the sim_cosine_topk convention), so scoring is ONE
+# map-only pass over the Y corpus with X broadcast; per-X top-k rides
+# WindowGroupLimit on |X| keys, per-Y top-k is row-local array algebra
+# (each Y row already holds all |X| scores). No Y-Y or all-pairs work
+# anywhere. For corpus-x-corpus mining both sides go through the IVF
+# index (sim_ann_ivf) first and this operator runs per bucket-pair.
+
+BITEXT_K = 4
+BITEXT_NX = 30
+
+
+def _duck_bitext_oracle() -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, z -> CAST(z AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(v, z -> z * z)),
+                          (a, b) -> a + b)) AS nrm
+  FROM e
+), x AS (SELECT * FROM n WHERE vec_id % 2 = 0 AND vec_id < {2 * BITEXT_NX}),
+y AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+s AS MATERIALIZED (
+  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+         {dot} / (x.nrm * y.nrm) AS cos
+  FROM x CROSS JOIN y
+), xr AS (
+  SELECT x_id, y_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS rk
+  FROM s
+), xa AS (
+  SELECT x_id,
+         list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC, y_id)),
+                     (a, b) -> a + b) / {BITEXT_K}.0 AS ax,
+         MIN(CASE WHEN rk = 1 THEN y_id END) AS y1
+  FROM xr WHERE rk <= {BITEXT_K} GROUP BY x_id
+), yr AS (
+  SELECT x_id, y_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS rk
+  FROM s
+), ya AS (
+  SELECT y_id,
+         list_reduce(list_prepend(0.0, list(cos ORDER BY cos DESC, x_id)),
+                     (a, b) -> a + b) / {BITEXT_K}.0 AS ay,
+         MIN(CASE WHEN rk = 1 THEN x_id END) AS x1
+  FROM yr WHERE rk <= {BITEXT_K} GROUP BY y_id
+)
+SELECT s.x_id, s.y_id, s.cos,
+       s.cos / ((xa.ax + ya.ay) / 2.0) AS margin
+FROM s JOIN xa ON s.x_id = xa.x_id AND s.y_id = xa.y1
+       JOIN ya ON s.y_id = ya.y_id AND s.x_id = ya.x1
+WHERE s.cos / ((xa.ax + ya.ay) / 2.0) > 1.0
+"""
+
+
+@register(
+    "sim_bitext_mine",
+    oracle=_duck_bitext_oracle(),
+    description="Margin-based bitext mining (Artetxe & Schwenk ratio "
+    "margin, the CCMatrix recipe): mutual nearest neighbors between "
+    f"the X side ({BITEXT_NX} broadcast query vectors) and the Y "
+    "corpus whose cosine clears cos / ((avgK_x + avgK_y)/2) > 1.0 "
+    f"with k={BITEXT_K} — the hub-vector killer. One map-only scoring "
+    "pass (X broadcast into the Y scan); per-X top-k on |X| window "
+    "keys, per-Y top-k computed row-locally from the |X| scores each "
+    "Y row already holds; every float fold runs in (cos desc, id) "
+    "order on both engines. Corpus-x-corpus deployments run this per "
+    "IVF bucket-pair (sim_ann_ivf) instead of broadcasting X",
+    tags=("similarity", "llm", "scale"),
+)
+def sim_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    dot_self = (
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    )
+    emb = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn("nrm", F.expr(f"sqrt({dot_self})"))
+    x = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * BITEXT_NX)
+    ).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("v").alias("xv"),
+        F.col("nrm").alias("xnrm"),
+    )
+    y = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("v").alias("yv"),
+        F.col("nrm").alias("ynrm"),
+    )
+    dot = "aggregate(zip_with(xv, yv, (a, b) -> a * b), 0D, (acc, z) -> acc + z)"
+    s = (
+        y.crossJoin(F.broadcast(x))
+        .withColumn("cos", F.expr(dot) / (F.col("xnrm") * F.col("ynrm")))
+        .select("x_id", "y_id", "cos")
+        # scored once, read by both top-k passes
+        .localCheckpoint(eager=True)
+    )
+    k = BITEXT_K
+    wx = W.partitionBy("x_id").orderBy(F.desc("cos"), F.asc("y_id"))
+    xa = (
+        s.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= k)
+        .groupBy(F.col("x_id").alias("xa_xid"))
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(-cos as nc, y_id, cos))), e -> e.cos), "
+                    "0D, (acc, z) -> acc + z)"
+                )
+                / F.lit(float(k))
+            ).alias("ax"),
+            F.min(F.when(F.col("rk") == 1, F.col("y_id"))).alias("y1"),
+        )
+    )
+    wy = W.partitionBy("y_id").orderBy(F.desc("cos"), F.asc("x_id"))
+    ya = (
+        s.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= k)
+        .groupBy(F.col("y_id").alias("ya_yid"))
+        .agg(
+            (
+                F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(-cos as nc, x_id, cos))), e -> e.cos), "
+                    "0D, (acc, z) -> acc + z)"
+                )
+                / F.lit(float(k))
+            ).alias("ay"),
+            F.min(F.when(F.col("rk") == 1, F.col("x_id"))).alias("x1"),
+        )
+    )
+    out = (
+        s.join(
+            xa,
+            (F.col("x_id") == F.col("xa_xid")) & (F.col("y_id") == F.col("y1")),
+        )
+        .join(
+            ya,
+            (F.col("y_id") == F.col("ya_yid")) & (F.col("x_id") == F.col("x1")),
+        )
+        .select(
+            "x_id",
+            "y_id",
+            "cos",
+            (F.col("cos") / ((F.col("ax") + F.col("ay")) / F.lit(2.0))).alias(
+                "margin"
+            ),
+        )
+        .filter(F.col("margin") > 1.0)
+    )
+    return out

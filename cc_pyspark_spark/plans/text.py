@@ -2615,28 +2615,53 @@ def classifier_train_sparse_frame(
                 ).alias("err"),
             )
         )
-        err_sum = scored.agg(
-            F.sum(
-                F.floor(F.col("err") * F.lit(1e12)).cast("decimal(28,0)")
-            ).alias("efp")
-        )
-        grad = (
+        # ONE aggregation per round: the bias pseudo-feature (idx=d,
+        # x=1.0, sd=1.0) makes its fixed-point term floor(err*1e12),
+        # i.e. the error sum E rides the same groupBy as the sparse
+        # gradient — `scored` is referenced exactly once, so the
+        # per-round map stage never replays (a separate E aggregation
+        # doubled the un-checkpointed subtree each round: 8x replay of
+        # round-1 work by round 3 — caught by the 10x probe). The
+        # aggregated table is <= d+2 rows; the eager checkpoint makes
+        # its two consumers (E row, gradient map) free and truncates
+        # the loop lineage.
+        grad_all = (
             scored.select(
-                "nd", "err", F.explode("feats").alias("f"), "mm"
+                "nd",
+                "err",
+                F.explode(
+                    F.expr(
+                        f"concat(feats, array(struct(bigint({d}) as idx, "
+                        "1.0D as x)))"
+                    )
+                ).alias("f"),
+                "mm",
             )
             .select(
                 "nd",
                 F.col("f.idx").alias("idx"),
                 F.floor(
                     F.col("err")
-                    * (F.col("f.x") / F.expr("element_at(mm, f.idx).sd"))
+                    * (
+                        F.col("f.x")
+                        / F.coalesce(
+                            F.expr("element_at(mm, f.idx).sd"), F.lit(1.0)
+                        )
+                    )
                     * F.lit(1e12)
                 ).cast("decimal(28,0)").alias("t1p"),
             )
             .groupBy("idx")
             .agg(F.sum("t1p").alias("t1"), F.first(nd_d).alias("ndd"))
+            .localCheckpoint(eager=True)
+        )
+        err_sum = grad_all.filter(F.col("idx") == d).select(
+            F.col("t1").alias("efp"), "ndd"
+        )
+        grad = (
+            grad_all.filter(F.col("idx") < d)
             .join(F.broadcast(mom), "idx")
-            .crossJoin(F.broadcast(err_sum))
+            .crossJoin(F.broadcast(err_sum.select("efp")))
             .select(
                 "idx",
                 (
@@ -2658,11 +2683,9 @@ def classifier_train_sparse_frame(
                 )
             ).alias("gm")
         )
-        nd_row = lab.agg(F.first(nd_d).alias("ndd"))
         w_row = (
             w_row.crossJoin(F.broadcast(grad_row))
             .crossJoin(F.broadcast(err_sum))
-            .crossJoin(F.broadcast(nd_row))
             .select(
                 F.expr(
                     f"transform(sequence(0, {d}), b -> CASE WHEN b < {d} "
