@@ -146,8 +146,9 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # mix execution + margin bitext mining (r10)
     "curation_mix_execute",
     "sim_bitext_mine",
-    "events_tumbling_hourly",
-    "text_gopher_rules",
+    # Kneser-Ney LM estimation + ZIP central-directory probe (r10)
+    "text_kneser_ney_bigram",
+    "multimodal_zip_probe",
     "curation_pack_sequences",
     "text_word_count_tfdf",
     "dedup_exact",

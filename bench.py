@@ -171,6 +171,11 @@ HEADLINERS = [
     # map-only scoring pass, WindowGroupLimit top-k on |X| keys).
     "curation_mix_execute",
     "sim_bitext_mine",
+    # r10 continuation: Kneser-Ney estimation (two map-side-combinable
+    # aggs over the bigram frame) and the ZIP central-directory probe
+    # (Catalyst-built real archives + end-anchored O(members) walk).
+    "text_kneser_ney_bigram",
+    "multimodal_zip_probe",
 ]
 
 

@@ -1057,3 +1057,67 @@ def tar_members(
             )
 
     return blobs_df.mapInPandas(run, schema)
+
+
+# --------------------------------------------- ZIP central directory (r10)
+
+
+def zip_central_directory(
+    blobs_df: DataFrame, id_col: str = "blob_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Member listing of ZIP archives via the END-anchored walk real
+    tooling uses: scan back from the tail for the EOCD signature
+    (PK\\x05\\x06, comment-tolerant within the trailing 64 KiB), read
+    the central-directory offset/size/count, then walk the 46-byte CD
+    entries — never the local headers, so listing cost is
+    O(members + comment), independent of archive size; this is what
+    makes ZIP randomly accessible where tar must stream. Corrupt or
+    signature-less blobs yield zero rows for that id (skip-and-count
+    discipline). Map-only Arrow batches, no shuffle."""
+    import struct as _struct  # noqa: PLC0415
+
+    schema = (
+        f"{id_col} long, name string, method int, usize long, "
+        "csize long, crc32 long, lho long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                tail = b[-(65536 + 22):]
+                at = tail.rfind(b"PK\x05\x06")
+                if at < 0 or at + 22 > len(tail):
+                    continue
+                n_total, cd_size, cd_off = _struct.unpack(
+                    "<HII", tail[at + 10 : at + 20]
+                )
+                pos, seen = cd_off, 0
+                while seen < n_total and pos + 46 <= len(b):
+                    if b[pos : pos + 4] != b"PK\x01\x02":
+                        break
+                    (method,) = _struct.unpack("<H", b[pos + 10 : pos + 12])
+                    crc, csize, usize = _struct.unpack(
+                        "<III", b[pos + 16 : pos + 28]
+                    )
+                    nlen, elen, clen = _struct.unpack(
+                        "<HHH", b[pos + 28 : pos + 34]
+                    )
+                    (lho,) = _struct.unpack("<I", b[pos + 42 : pos + 46])
+                    name = b[pos + 46 : pos + 46 + nlen].decode(
+                        "utf-8", "replace"
+                    )
+                    rows.append(
+                        (int(_id), name, method, usize, csize, crc, lho)
+                    )
+                    pos += 46 + nlen + elen + clen
+                    seen += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "name", "method", "usize", "csize", "crc32", "lho"
+                ],
+            )
+
+    return blobs_df.mapInPandas(run, schema)

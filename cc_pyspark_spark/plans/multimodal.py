@@ -655,3 +655,147 @@ def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("encode(concat_ws(',', array_sort(collect_list(name))), 'UTF-8')")
         ).alias("names_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP probe (r10): the random-access counterpart of the tar index —
+# ZIP's end-anchored central directory is why data bundles that need
+# per-member random access ship as zip. Blobs are REAL zip archives
+# (stored method, genuine CRC32s via F.crc32) built as pure Catalyst
+# byte expressions from `documents` — same discipline as the ISO-BMFF
+# fixture above — and the probe walks EOCD -> central directory only.
+# The oracle recomputes member names, sizes, and every OFFSET
+# analytically (fixed header arithmetic), so a probe that misreads its
+# own little-endian fields cannot agree with it.
+
+
+def _le(col: F.Column, width: int) -> F.Column:
+    """Integer column -> little-endian `width`-byte binary."""
+    parts = [
+        F.unhex(
+            F.lpad(
+                F.hex((col / F.lit(256 ** i)).cast("long") % 256), 2, "0"
+            )
+        )
+        for i in range(width)
+    ]
+    return F.concat(*parts)
+
+
+def zip_fixture_blobs(documents: DataFrame) -> DataFrame:
+    """(blob_id, blob) REAL two-member stored zips derived from a
+    documents frame — pure Catalyst byte expressions, genuine CRC32s
+    (stdlib-zipfile interop pinned in tests)."""
+    d = documents.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.expr("encode(text, 'UTF-8')")), 1, 2), 16, 10)
+            .cast("long")
+            % 32
+            + 1
+        ).alias("l1"),
+        F.expr("encode(text, 'UTF-8')").alias("tb"),
+        F.expr("encode(lang, 'UTF-8')").alias("lb"),
+    ).select(
+        "doc_id",
+        "l1",
+        F.expr("substring(tb, 1, cast(l1 as int))").alias("d1"),
+        F.col("lb").alias("d2"),
+    )
+
+    def lfh(name: bytes, data_col: str, len_col: F.Column) -> F.Column:
+        return F.concat(
+            F.lit(b"PK\x03\x04"),
+            F.lit((20).to_bytes(2, "little") + b"\x00\x00\x00\x00"),
+            F.lit(b"\x00\x00\x21\x00"),  # modtime 0, moddate 0x21
+            _le(F.crc32(F.col(data_col)), 4),
+            _le(len_col, 4),
+            _le(len_col, 4),
+            F.lit(len(name).to_bytes(2, "little") + b"\x00\x00"),
+            F.lit(name),
+            F.col(data_col),
+        )
+
+    def cde(name: bytes, data_col: str, len_col: F.Column, lho: F.Column) -> F.Column:
+        return F.concat(
+            F.lit(b"PK\x01\x02"),
+            F.lit((20).to_bytes(2, "little") * 2 + b"\x00\x00\x00\x00"),
+            F.lit(b"\x00\x00\x21\x00"),
+            _le(F.crc32(F.col(data_col)), 4),
+            _le(len_col, 4),
+            _le(len_col, 4),
+            F.lit(len(name).to_bytes(2, "little") + b"\x00" * 12),
+            _le(lho, 4),
+            F.lit(name),
+        )
+
+    l1 = F.col("l1").cast("long")
+    l2 = F.lit(2).cast("long")
+    lho2 = (F.lit(35) + l1).cast("long")  # 30 + len('a.txt') + l1
+    cd_off = (lho2 + F.lit(37)).cast("long")  # + 30 + 5 + 2
+    cd_size = F.lit(46 + 5 + 46 + 5).cast("long")
+    eocd = F.concat(
+        F.lit(b"PK\x05\x06" + b"\x00" * 4),
+        F.lit((2).to_bytes(2, "little") * 2),
+        _le(cd_size, 4),
+        _le(cd_off, 4),
+        F.lit(b"\x00\x00"),
+    )
+    blobs = d.select(
+        F.col("doc_id").alias("blob_id"),
+        F.concat(
+            lfh(b"a.txt", "d1", l1),
+            lfh(b"b.cls", "d2", l2),
+            cde(b"a.txt", "d1", l1, F.lit(0).cast("long")),
+            cde(b"b.cls", "d2", l2, lho2),
+            eocd,
+        ).alias("blob"),
+    )
+    return blobs
+
+
+@register(
+    "multimodal_zip_probe",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 32
+           + 1 AS l1
+  FROM documents
+), m AS (
+  SELECT doc_id, 'a.txt' AS name, CAST(0 AS INTEGER) AS method,
+         CAST(l1 AS BIGINT) AS usize, CAST(0 AS BIGINT) AS lho
+  FROM h
+  UNION ALL
+  SELECT doc_id, 'b.cls', 0, 2, CAST(30 + 5 + l1 AS BIGINT) FROM h
+)
+SELECT doc_id, name, method, usize, lho FROM m
+""",
+    description="ZIP central-directory probe: each document becomes a "
+    "REAL two-member stored-method zip (a.txt = an md5-nibble-sized "
+    "text prefix, b.cls = the lang code; genuine CRC32s via F.crc32; "
+    "headers assembled as pure Catalyst little-endian byte "
+    "expressions), and the probe does what real tooling does — scan "
+    "back for EOCD, walk ONLY the 46-byte central-directory entries — "
+    "O(members), never O(bytes), the random-access property that "
+    "distinguishes zip from tar. The oracle recomputes names, sizes, "
+    "and every local-header OFFSET analytically from the fixed header "
+    "arithmetic, so endianness or offset bugs in the walker break the "
+    "value hash",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_zip_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.multimodal import (  # noqa: PLC0415
+        zip_central_directory,
+    )
+
+    t = Catalog(spark, sf_dir)
+    blobs = zip_fixture_blobs(t.documents)
+    return zip_central_directory(blobs).select(
+        F.col("blob_id").alias("doc_id"),
+        "name",
+        "method",
+        "usize",
+        "lho",
+    )

@@ -2803,3 +2803,111 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("total").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM estimation (r10): the repo can SCORE with a
+# bigram LM (text_bigram_lm_score) and train classifiers/BPE; this is
+# the LM TRAINING side — interpolated Kneser-Ney, the standard n-gram
+# smoother (and the scoring backbone of KenLM-style quality filters).
+# Every ingredient is an integer count (bigram counts, context totals,
+# distinct-continuation counts), so the smoothed probabilities are
+# deterministic rational compositions — no log/exp anywhere — and the
+# whole estimate carries a value-hash oracle. Scale shape: two grouped
+# aggregations over the bigram frame (by w1, by w2) + one 1-row total,
+# all map-side combinable; the output cut is a TakeOrdered head.
+
+KN_DISCOUNT = "0.75"
+KN_TOPK = 50
+
+_SPARK_BIGRAMS = f"""
+transform(slice(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0), 1,
+  greatest(size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)) - 1, 0)),
+  (x, i) -> struct(x as w1,
+    element_at(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0), i + 2) as w2))
+"""
+
+_DUCK_BIGRAMS = f"""
+list_transform(range(1, greatest(len({_DUCK_TOKS}) - 1, 0) + 1),
+  i -> struct_pack(w1 := {_DUCK_TOKS}[i], w2 := {_DUCK_TOKS}[i + 1]))
+"""
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+WITH bg AS (
+  SELECT b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT unnest({_DUCK_BIGRAMS}) AS b FROM documents)
+), c AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx,
+         CAST(COUNT(*) AS BIGINT) AS n1fwd
+  FROM c GROUP BY w1
+), back AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1back FROM c GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM c
+)
+SELECT c.w1, c.w2, c.c,
+       (greatest(CAST(c.c AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+        + {KN_DISCOUNT} * CAST(ctx.n1fwd AS DOUBLE)
+          * (CAST(back.n1back AS DOUBLE)
+             / CAST((SELECT n1tot FROM tot) AS DOUBLE)))
+       / CAST(ctx.ctx AS DOUBLE) AS pkn
+FROM c JOIN ctx ON c.w1 = ctx.w1 JOIN back ON c.w2 = back.w2
+ORDER BY c.c DESC, c.w1, c.w2 LIMIT {KN_TOPK}
+""",
+    description="Interpolated Kneser-Ney bigram LM estimation (d=0.75) "
+    "— the LM-TRAINING complement of text_bigram_lm_score: absolute "
+    "discounting with the continuation-probability backoff, every "
+    "ingredient an integer count (bigram counts, context totals, "
+    "distinct continuations fwd/back, distinct-bigram total) so the "
+    "smoothed probabilities are deterministic rational compositions "
+    "with no log/exp, hash-stable across engines. Two map-side-"
+    f"combinable aggregations over the bigram frame; top-{KN_TOPK} "
+    "output by (count desc, w1, w2) rides TakeOrderedAndProject",
+    tags=("text", "llm", "scale"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    bg = t.documents.select(
+        F.explode(F.expr(_SPARK_BIGRAMS)).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
+    ctx = c.groupBy(F.col("w1").alias("cw1")).agg(
+        F.sum("c").cast("bigint").alias("ctx"),
+        F.count("*").cast("bigint").alias("n1fwd"),
+    )
+    back = c.groupBy(F.col("w2").alias("bw2")).agg(
+        F.count("*").cast("bigint").alias("n1back")
+    )
+    tot = c.agg(F.count("*").cast("bigint").alias("n1tot"))
+    d = KN_DISCOUNT
+    return (
+        c.join(ctx, F.col("w1") == F.col("cw1"))
+        .join(back, F.col("w2") == F.col("bw2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (
+                (
+                    F.greatest(
+                        F.col("c").cast("double") - F.expr(d), F.lit(0.0)
+                    )
+                    + F.expr(d)
+                    * F.col("n1fwd").cast("double")
+                    * (
+                        F.col("n1back").cast("double")
+                        / F.col("n1tot").cast("double")
+                    )
+                )
+                / F.col("ctx").cast("double")
+            ).alias("pkn"),
+        )
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOPK)
+    )

@@ -130,3 +130,30 @@ def test_tar_index_matches_stdlib_listing(spark):
         spark.createDataFrame([(2, bad)], "shard_id long, blob binary")
     ).collect()
     assert [(r["name"], r["size"]) for r in got_bad] == [("00000001.txt", 11)]
+
+
+def test_zip_blobs_are_real_zips(spark):
+    """The Catalyst-built fixture must be a genuine archive: stdlib
+    zipfile opens the actual bytes, lists the same members, the CRCs
+    verify (testzip), and extraction returns the exact payloads."""
+    import hashlib
+    import io
+    import zipfile
+
+    from cc_pyspark_spark.plans.multimodal import zip_fixture_blobs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = docs.orderBy("doc_id").limit(1).collect()[0]
+    blob = bytes(
+        zip_fixture_blobs(docs.limit(1)).collect()[0]["blob"]
+    )
+    l1 = int(hashlib.md5(row["text"].encode()).hexdigest()[:2], 16) % 32 + 1
+    want = {
+        "a.txt": row["text"].encode()[:l1],
+        "b.cls": row["lang"].encode(),
+    }
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert zf.testzip() is None  # every CRC verifies
+        assert {i.filename for i in zf.infolist()} == set(want)
+        for name, payload in want.items():
+            assert zf.read(name) == payload
