@@ -37,49 +37,31 @@ from cc_pyspark_spark.plans import QUERIES
 #: dedup_embedding_fixture (unbenched, rotation slot below), so the
 #: `scale` tag and the benched name always denote deployed geometry.
 #:
-#: Round-9 rotation (VERDICT r8 ask #1): the 42 non-core slots take
-#: (a) ALL 22 remaining r1-stale names, and (b) first rows for ALL
-#: TWENTY names new in r9 (dedup_embedding_fixture, graph_cc_converged,
-#: curation_dsir_importance, text_ngram_novelty,
-#: embedding_kcenter_coreset, text_ngram_novelty_bloom,
-#: multimodal_container_probe, text_bpe_train, curation_snapshot_diff,
-#: text_blocklist_phrases, sim_bm25_topk, embedding_random_projection,
-#: agg_theta_sketch_intersect, curation_priority_sample,
-#: sim_hard_negatives, agg_weighted_percentiles,
-#: graph_label_propagation, graph_kcore, text_classifier_train,
-#: text_classifier_eval)
-#: — the core shrank by sixteen slots (the PQ pair, tpch_q14/q10/q4,
-#: then tpch_q3/q5/q18/q6, sim_cosine_topk, dedup_simhash_scale,
-#: events_tumbling_hourly, text_gopher_rules, curation_pack_sequences,
-#: text_word_count_tfdf and dedup_exact; all still benched and
-#: r8-green) to keep
-#: the rotation tripwire's every-new-name-gets-a-row guarantee
-#: structural.
+#: Round-10 rotation (VERDICT r9 ask #1, executing the committed r10
+#: plan): the 42 non-core slots take (a) ALL 24 remaining r2-stale
+#: names — after r10 no driver row predates r5 — plus (b) first rows
+#: for ALL THIRTEEN names new in r10 (wat_links_host_graph,
+#: text_classifier_train_sparse, curation_domain_cap,
+#: curation_token_budget_mix, text_vocab_coverage,
+#: dedup_url_canonical, graph_hits, sim_mmr_rerank,
+#: multimodal_tar_index, curation_mix_execute, sim_bitext_mine,
+#: text_kneser_ney_bigram, multimodal_zip_probe), and (c) five
+#: refresh slots for r8-last-row names (curation_pack_sequences,
+#: text_word_count_tfdf, dedup_exact, embedding_pq_codes,
+#: sim_ann_pq_adc).
 #:
-#: r10 rotation plan: the 24 r2-stale names
-#: (agg_collect_sorted_list, agg_count_by_key, agg_distinct_pairs,
-#: curation_contamination, curation_repetition_signals,
-#: dedup_embedding_cosine, dedup_minhash_lsh, dedup_ngram_jaccard,
-#: dedup_simhash, join_inner_dims, project_computed,
-#: set_union_distinct, string_functions, text_bigram_counts,
-#: text_fingerprint, text_lang_id, text_quality_score,
-#: text_rolling_fingerprint, text_token_stats, text_top_terms_tfidf,
-#: topk_global, tpch_q22_global_sales_opportunity, window_dense_ids,
-#: window_topn_per_group) fit the 38 rotation slots with room for new
-#: r10 names — after r10 no row is older than r5, and the steady-state
-#: cycle is ~3 rounds for the full registry. Each rotated-out name
-#: stays green in the sf0.001 parity pytest meanwhile.
+#: r11 rotation plan: the remaining r8-last-row names (tpch_q3/q4/q5/
+#: q6/q10/q14/q18, sim_cosine_topk, dedup_simhash_scale,
+#: events_tumbling_hourly, text_gopher_rules) plus the oldest r9 rows
+#: (the 20 r9-first-row names listed in git history at r9's
+#: __spark_entry__) cycle through the non-core slots, leaving room for
+#: new r11 names; steady-state full-registry cycle stays ~4 rounds at
+#: 187 registered queries. Each rotated-out name stays green in the
+#: sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
     # -- fixed 8-headliner core: benched AND driver-gated every round
-    #    (r9: sixteen names left the core — the PQ pair,
-    #    tpch_q14/q10/q4, tpch_q3/q5/q18/q6, sim_cosine_topk,
-    #    dedup_simhash_scale, events_tumbling_hourly, late-r9
-    #    text_gopher_rules + curation_pack_sequences, and latest-r9
-    #    text_word_count_tfdf + dedup_exact — all still benched and
-    #    r8-green —
-    #    freeing the window slots the rotation tripwire requires for
-    #    first rows of the twenty new r9 names; this list mirrors
-    #    the module docstring above — keep both in sync) --
+    #    (stable since r9; every former core name remains benched and
+    #    cycles through the rotation slots) --
     "tpch_q1_pricing_summary",
     "tpch_q19_disjunctive",
     "dedup_minhash_scale",
