@@ -131,8 +131,9 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # Kneser-Ney LM estimation + ZIP central-directory probe (r10)
     "text_kneser_ney_bigram",
     "multimodal_zip_probe",
-    "curation_pack_sequences",
-    "text_word_count_tfdf",
+    # modularity of the LPA partition + soft dedup reweighting (r10)
+    "graph_modularity",
+    "curation_soft_dedup",
     "dedup_exact",
     "embedding_pq_codes",
     "sim_ann_pq_adc",

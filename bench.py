@@ -176,6 +176,10 @@ HEADLINERS = [
     # (Catalyst-built real archives + end-anchored O(members) walk).
     "text_kneser_ney_bigram",
     "multimodal_zip_probe",
+    # r10 continuation: modularity (LPA + two keyed edge-label joins)
+    # and soft dedup (cluster components + a reciprocal reweight).
+    "graph_modularity",
+    "curation_soft_dedup",
 ]
 
 
@@ -239,6 +243,12 @@ def main() -> None:
         "text_classifier_train_sparse",
         # bitext scoring materializes once (read by both top-k passes).
         "sim_bitext_mine",
+        # soft dedup composes the convergence-probed components loop
+        # (count probes run at construction).
+        "curation_soft_dedup",
+        # modularity composes LPA whose checkpointed rounds may run at
+        # construction for larger round budgets.
+        "graph_modularity",
     }
 
     # SPARK_GRAFT_ONLY="name1,name2" re-measures a subset (same warm-up

@@ -72,6 +72,16 @@ def label_propagation(
     frame truncates every ``checkpoint_every`` rounds, same discipline
     as pagerank_fixed / cc_alternating (operators/pagerank.py).
     """
+    return label_propagation_history(edges, rounds, checkpoint_every)[-1]
+
+
+def label_propagation_history(
+    edges: DataFrame, rounds: int, checkpoint_every: int = 4
+) -> list[DataFrame]:
+    """Per-round label frames of :func:`label_propagation` (element r-1
+    is the round-r partition) — exposed so partition-quality metrics
+    (graph_modularity's Q-vs-round curve) can evaluate every sweep
+    without re-running the propagation."""
     e = edges.persist().transform(track_cache)
     verts = (
         _symmetrize(e).select(F.col("s").alias("id")).distinct()
@@ -84,6 +94,7 @@ def label_propagation(
         .transform(track_cache)
     )
     lab = verts.select("id", F.col("id").alias("lab"))
+    history: list[DataFrame] = []
     for i in range(rounds):
         cnt = (
             sym.join(lab, sym.s == lab.id)
@@ -99,7 +110,8 @@ def label_propagation(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
             lab = lab.localCheckpoint(eager=True)
-    return lab.select("id", F.col("lab").alias("community"))
+        history.append(lab.select("id", F.col("lab").alias("community")))
+    return history
 
 
 def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:

@@ -1528,3 +1528,45 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("keeper"),
         )
     )
+
+
+@register(
+    "curation_soft_dedup",
+    oracle=f"""
+WITH base AS (
+{_duck_cluster_oracle()}
+), sz AS (
+  SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM base GROUP BY keep_id
+)
+SELECT b.doc_id, b.keep_id, s.cluster_size,
+       1.0 / CAST(s.cluster_size AS DOUBLE) AS weight
+FROM base b JOIN sz s ON b.keep_id = s.keep_id
+""",
+    description="Soft deduplication (SoftDeDup-style): instead of "
+    "DROPPING near-duplicates, every document keeps a training weight "
+    "1/cluster_size from its minhash near-dup component — the modern "
+    "recipe that preserves information mass while removing the "
+    "duplication gradient bias. Composes dedup_cluster_canonical's "
+    "collect-free connected components verbatim (the oracle wraps the "
+    "same recursive-CTE replay); one extra grouped count + one keyed "
+    "join beyond clustering. Weight is an exact integer reciprocal — "
+    "deterministic cross-engine",
+    tags=("curation", "dedup", "llm"),
+)
+def curation_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "keep_id")
+    sz = base.groupBy(F.col("keep_id").alias("sz_keep")).agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        base.join(sz, base.keep_id == F.col("sz_keep"))
+        .select(
+            "doc_id",
+            "keep_id",
+            "cluster_size",
+            (F.lit(1.0) / F.col("cluster_size").cast("double")).alias(
+                "weight"
+            ),
+        )
+    )

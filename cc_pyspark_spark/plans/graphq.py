@@ -466,3 +466,138 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
     )
     return hits_fixed(edges, rounds=_HITS_ROUNDS)
+_MODULARITY_ROUNDS = 4
+
+
+def _modularity_oracle(rounds: int = _MODULARITY_ROUNDS) -> str:
+    """Q-vs-round replay: LPA rounds over the bipartite customer-
+    supplier graph, each round's partition scored with Newman
+    modularity terms — chained MATERIALIZED CTEs (the kcenter/BPE
+    convention for round-referencing chains)."""
+    parts = ["""raw AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+e AS MATERIALIZED (SELECT 2 * c AS a, 2 * s + 1 AS b FROM raw),
+nbr AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e),
+sym AS MATERIALIZED (
+  SELECT s, t FROM nbr UNION ALL SELECT DISTINCT s, s FROM nbr
+),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lab FROM sym),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+deg AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY s)"""]
+    selects = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""l{r} AS MATERIALIZED (
+  SELECT id, lab FROM (
+    SELECT c.t AS id, c.lab,
+           ROW_NUMBER() OVER (PARTITION BY c.t
+                              ORDER BY c.cnt DESC, c.lab ASC) AS rn
+    FROM (SELECT sym.t AS t, l{r - 1}.lab AS lab,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM sym JOIN l{r - 1} ON sym.s = l{r - 1}.id
+          GROUP BY 1, 2) c
+  ) WHERE rn = 1
+),
+comm{r} AS MATERIALIZED (
+  SELECT l.lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(deg.deg) AS BIGINT) AS d_tot
+  FROM l{r} l JOIN deg ON l.id = deg.id GROUP BY l.lab
+),
+ein{r} AS MATERIALIZED (
+  SELECT la.lab AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM e JOIN l{r} la ON e.a = la.id JOIN l{r} lb ON e.b = lb.id
+  WHERE la.lab = lb.lab GROUP BY la.lab
+)""")
+        selects.append(f"""SELECT CAST({r} AS BIGINT) AS round,
+       c.community, c.n_members,
+       COALESCE(ein{r}.e_in, CAST(0 AS BIGINT)) AS e_in, c.d_tot,
+       (CAST(COALESCE(ein{r}.e_in, 0) AS DOUBLE)
+          / CAST((SELECT m FROM m) AS DOUBLE))
+       - ((CAST(c.d_tot AS DOUBLE) / (2.0 * CAST((SELECT m FROM m) AS DOUBLE)))
+          * (CAST(c.d_tot AS DOUBLE)
+             / (2.0 * CAST((SELECT m FROM m) AS DOUBLE)))) AS q_term
+FROM comm{r} c LEFT JOIN ein{r} ON c.community = ein{r}.community""")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+    description="Newman-modularity-vs-round curve of label propagation "
+    "on the bipartite customer-supplier graph — the partition-QUALITY "
+    "readout that tells you which LPA sweep to deploy (Q collapses when "
+    "LPA over-merges; the curve makes the merge visible). For each of "
+    f"the {_MODULARITY_ROUNDS} rounds, every community's member count, "
+    "internal edge count, total degree, and modularity term "
+    "e_c/m - (d_c/2m)^2 — all row-level math over exact integer "
+    "aggregates (no cross-row float fold, so no fold-order "
+    "sensitivity; per-round Q = sum of q_term). Cost beyond LPA (whose "
+    "per-round labels are reused, not re-run — "
+    "label_propagation_history): per round two keyed edge-label joins "
+    "+ two grouped aggs",
+    tags=("graph", "scale"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.community import (  # noqa: PLC0415
+        label_propagation_history,
+    )
+
+    t = Catalog(spark, sf_dir)
+    raw = (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = raw.select(
+        (2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b")
+    ).persist().transform(track_cache)
+    m_row = edges.agg(F.count("*").cast("bigint").alias("m"))
+    sym = edges.select(F.col("a").alias("id")).unionAll(
+        edges.select(F.col("b").alias("id"))
+    )
+    deg = sym.groupBy("id").agg(F.count("*").cast("bigint").alias("deg"))
+
+    history = label_propagation_history(edges, rounds=_MODULARITY_ROUNDS)
+    md = F.col("m").cast("double")
+    dt = F.col("d_tot").cast("double")
+    out = None
+    for r, labels in enumerate(history, start=1):
+        comm = (
+            labels.join(deg, "id")
+            .groupBy("community")
+            .agg(
+                F.count("*").cast("bigint").alias("n_members"),
+                F.sum("deg").cast("bigint").alias("d_tot"),
+            )
+        )
+        la = labels.select(
+            F.col("id").alias("a"), F.col("community").alias("ca")
+        )
+        lb = labels.select(
+            F.col("id").alias("b"), F.col("community").alias("cb")
+        )
+        ein = (
+            edges.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("ca") == F.col("cb"))
+            .groupBy(F.col("ca").alias("ein_c"))
+            .agg(F.count("*").cast("bigint").alias("e_in"))
+        )
+        part = (
+            comm.join(ein, comm.community == F.col("ein_c"), "left")
+            .crossJoin(F.broadcast(m_row))
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                "community",
+                "n_members",
+                F.coalesce("e_in", F.lit(0).cast("bigint")).alias("e_in"),
+                "d_tot",
+                (
+                    F.coalesce("e_in", F.lit(0)).cast("double") / md
+                    - (dt / (F.lit(2.0) * md)) * (dt / (F.lit(2.0) * md))
+                ).alias("q_term"),
+            )
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
