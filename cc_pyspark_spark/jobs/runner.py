@@ -67,6 +67,9 @@ DOC_JOBS = (
     "mine_hard_negatives",
     "classifier_train",
     "classifier_score",
+    "domain_cap",
+    "mix_select",
+    "soft_dedup",
 )
 
 
@@ -285,6 +288,23 @@ def build_parser() -> argparse.ArgumentParser:
         "plans.curation.PRIORITY_SAMPLE_K); with --keep_selected the "
         "full document rows of the kept set are emitted with their "
         "unbiased adj_weight",
+    )
+    p.add_argument(
+        "--cap_k",
+        type=int,
+        default=None,
+        help="domain_cap: documents kept per source domain (default "
+        "plans.curation.DOMAIN_CAP_K); with --keep_selected the full "
+        "document rows of the kept set are emitted",
+    )
+    p.add_argument(
+        "--mix_budget",
+        type=int,
+        default=None,
+        help="mix_select: total token budget apportioned across "
+        "language strata (default plans.curation.MIX_EXEC_BUDGET); "
+        "with --keep_selected the full document rows of the kept set "
+        "are emitted",
     )
     return p
 
@@ -532,6 +552,60 @@ def _run_doc_job(spark, args: argparse.Namespace) -> int:
             df = kept
         write_output(df, args, ["doc_id"])
         print(json.dumps({"job": args.job, "k": k}))
+        return 0
+    if args.job == "domain_cap":
+        from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415
+            DOMAIN_CAP_K,
+            domain_cap_frame,
+        )
+
+        k = args.cap_k if args.cap_k is not None else DOMAIN_CAP_K
+        if k < 1:
+            raise SystemExit("--cap_k must be >= 1")
+        kept = domain_cap_frame(table, k)
+        if args.keep_selected:
+            df = table.join(kept.select("doc_id", "rk"), "doc_id")
+        else:
+            df = kept
+        write_output(df, args, ["doc_id"])
+        print(json.dumps({"job": args.job, "cap_k": k}))
+        return 0
+    if args.job == "mix_select":
+        from cc_pyspark_spark.plans.curation import (  # noqa: PLC0415
+            MIX_EXEC_BUDGET,
+            mix_execute_frame,
+        )
+
+        budget = (
+            args.mix_budget if args.mix_budget is not None else MIX_EXEC_BUDGET
+        )
+        if budget < 1:
+            raise SystemExit("--mix_budget must be >= 1")
+        kept = mix_execute_frame(table, budget)
+        if args.keep_selected:
+            df = table.join(kept.select("doc_id", "cum_tok"), "doc_id")
+        else:
+            df = kept
+        write_output(df, args, ["doc_id"])
+        print(json.dumps({"job": args.job, "mix_budget": budget}))
+        return 0
+    if args.job == "soft_dedup":
+        from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+            minhash_lsh_pairs,
+            soft_dedup_weights,
+        )
+
+        pairs = minhash_lsh_pairs(table, threshold=args.jaccard_threshold)
+        weights = soft_dedup_weights(table, pairs)
+        if args.keep_selected:
+            # full rows annotated with their training weight
+            df = table.join(
+                weights.select("doc_id", "cluster_size", "weight"), "doc_id"
+            )
+        else:
+            df = weights
+        write_output(df, args, ["doc_id"])
+        print(json.dumps({"job": args.job}))
         return 0
     if args.job == "mine_hard_negatives":
         from cc_pyspark_spark.plans.similarity import (  # noqa: PLC0415

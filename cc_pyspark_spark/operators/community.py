@@ -76,12 +76,21 @@ def label_propagation(
 
 
 def label_propagation_history(
-    edges: DataFrame, rounds: int, checkpoint_every: int = 4
+    edges: DataFrame,
+    rounds: int,
+    checkpoint_every: int = 4,
+    checkpoint_each: bool = False,
 ) -> list[DataFrame]:
     """Per-round label frames of :func:`label_propagation` (element r-1
     is the round-r partition) — exposed so partition-quality metrics
     (graph_modularity's Q-vs-round curve) can evaluate every sweep
-    without re-running the propagation."""
+    without re-running the propagation.
+
+    Callers that consume EVERY round's frame (each metric reads a frame
+    several times) pass ``checkpoint_each=True``: every round is then
+    eagerly materialized once, so downstream multi-reference cost is
+    O(rounds), not multiplicative lineage replay (the modularity bench
+    row read 29 s before this, 3^rounds replays of round 1)."""
     e = edges.persist().transform(track_cache)
     verts = (
         _symmetrize(e).select(F.col("s").alias("id")).distinct()
@@ -108,7 +117,9 @@ def label_propagation_history(
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))).alias("m"))
             .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+        if checkpoint_each or (
+            (i + 1) % checkpoint_every == 0 and (i + 1) < rounds
+        ):
             lab = lab.localCheckpoint(eager=True)
         history.append(lab.select("id", F.col("lab").alias("community")))
     return history

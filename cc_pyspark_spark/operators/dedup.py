@@ -994,3 +994,46 @@ def prefix_filter_jaccard_pairs(
         .select("a_id", "b_id", jac.alias("jac"))
         .filter(F.col("jac") >= threshold)
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """SoftDeDup-style reweighting twin of :func:`canonical_survivors`:
+    instead of keeping one survivor per near-dup cluster, every
+    document gets training weight 1/cluster_size — the reweight-not-
+    remove recipe. One grouped count + one keyed join beyond the
+    components; the weight is an exact integer reciprocal. Deployment
+    twin of the oracled registry query `curation_soft_dedup`."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.pagerank import connected_components  # noqa: PLC0415
+
+    edges = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+    comp = connected_components(edges, probe_every=2, checkpoint_every=2)
+    base = docs.select(id_col)
+    keyed = (
+        base.join(comp, base[id_col] == comp.id, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col))
+            .cast("bigint")
+            .alias("keep_id"),
+        )
+    )
+    sz = keyed.groupBy(F.col("keep_id").alias("sz_keep")).agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        keyed.join(sz, keyed.keep_id == F.col("sz_keep"))
+        .select(
+            id_col,
+            "keep_id",
+            "cluster_size",
+            (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+        )
+    )

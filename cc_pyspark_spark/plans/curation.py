@@ -1631,13 +1631,17 @@ WHERE r.cum_tok <= a.alloc
     tags=("curation", "llm", "scale"),
 )
 def curation_mix_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return mix_execute_frame(t.documents, MIX_EXEC_BUDGET)
+
+
+def mix_execute_frame(docs: DataFrame, budget: int) -> DataFrame:
+    """Frame-level mix execution (the `mix_select` CLI job reuses it
+    over any (doc_id, lang, n_chars, text) table)."""
     from cc_pyspark_spark.operators.ids import range_prefix_scan  # noqa: PLC0415
 
-    t = Catalog(spark, sf_dir)
-    alloc = token_budget_mix_frame(t.documents, MIX_EXEC_BUDGET).select(
-        "lang", "alloc"
-    )
-    d = t.documents.select(
+    alloc = token_budget_mix_frame(docs, budget).select("lang", "alloc")
+    d = docs.select(
         "doc_id",
         "lang",
         F.expr(_NTOK).cast("bigint").alias("n_tok"),

@@ -556,9 +556,17 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(F.col("a").alias("id")).unionAll(
         edges.select(F.col("b").alias("id"))
     )
-    deg = sym.groupBy("id").agg(F.count("*").cast("bigint").alias("deg"))
+    # consumed by every round's comm aggregation — computed once
+    deg = (
+        sym.groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .persist()
+        .transform(track_cache)
+    )
 
-    history = label_propagation_history(edges, rounds=_MODULARITY_ROUNDS)
+    history = label_propagation_history(
+        edges, rounds=_MODULARITY_ROUNDS, checkpoint_each=True
+    )
     md = F.col("m").cast("double")
     dt = F.col("d_tot").cast("double")
     out = None

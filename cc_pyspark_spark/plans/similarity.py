@@ -2080,7 +2080,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(r).cast("bigint").alias("rnk"), "vec_id", "v", "nrm", "rel"
             )
         )
-        sel = sel.unionAll(nxt)
+        # The selected frame is consumed 3x per round (anti-join,
+        # broadcast scoring, union) — un-checkpointed, each round's
+        # TakeOrdered(1) subtree would replay multiplicatively (~3^k
+        # tiny jobs; the first bench row read 144 s of scheduler
+        # overhead at sf0.1). The frame is <= k rows; checkpointing it
+        # per round makes the loop linear.
+        sel = sel.unionAll(nxt).localCheckpoint(eager=True)
     return sel.select("rnk", "vec_id", "rel")
 
 

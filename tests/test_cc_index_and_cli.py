@@ -871,3 +871,68 @@ def test_cli_classifier_score(spark, tmp_path):
     want = {r["doc_id"] for r in ann.filter("pred").collect()}
     assert {r["doc_id"] for r in kept.collect()} == want
     assert 0 < len(want) < ann.count()
+
+
+def test_cli_domain_cap(tmp_path):
+    """End-to-end CLI (r10): per-domain cap keeps at most K docs per
+    source; --keep_selected emits full annotated rows."""
+    from pyspark.sql import SparkSession
+
+    from cc_pyspark_spark.jobs.runner import main
+
+    out = str(tmp_path / "capped")
+    rc = main([
+        "domain_cap", "/root/testdata/sf0.001/documents.parquet", out,
+        "--cap_k", "5", "--num_output_partitions", "1",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    got = spark.read.parquet(out)
+    per = {r["source"]: r["n"] for r in
+           got.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert per and all(n <= 5 for n in per.values())
+
+
+def test_cli_mix_select(tmp_path):
+    """End-to-end CLI (r10): kept docs' token mass never exceeds the
+    apportioned budget, and the cutoff bites."""
+    from pyspark.sql import SparkSession
+
+    from cc_pyspark_spark.jobs.runner import main
+
+    out = str(tmp_path / "mix")
+    rc = main([
+        "mix_select", "/root/testdata/sf0.001/documents.parquet", out,
+        "--mix_budget", "4000", "--num_output_partitions", "1",
+        "--spark_master", "local[4]", "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    rows = spark.read.parquet(out).collect()
+    assert rows
+    assert sum(r["n_tok"] for r in rows) <= 4000
+    assert len(rows) < 500  # the budget cutoff actually dropped docs
+
+
+def test_cli_soft_dedup(tmp_path):
+    """End-to-end CLI (r10): every document keeps weight
+    1/cluster_size; singletons weigh 1.0 and at least one genuine
+    near-dup cluster exists in the fixture."""
+    from pyspark.sql import SparkSession
+
+    from cc_pyspark_spark.jobs.runner import main
+
+    out = str(tmp_path / "soft")
+    rc = main([
+        "soft_dedup", "/root/testdata/sf0.001/documents.parquet", out,
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 500  # every document kept (reweighted, not dropped)
+    assert all(abs(r["weight"] * r["cluster_size"] - 1.0) < 1e-12 for r in rows)
+    assert any(r["cluster_size"] > 1 for r in rows)
+    assert any(r["cluster_size"] == 1 and r["weight"] == 1.0 for r in rows)
