@@ -62,3 +62,59 @@ def classifier_gate_stream(
     if drop_negative:
         return scored.filter(F.col("pred")).drop("pred")
     return scored
+
+
+# --------------------------------------------- per-domain quota gate (r10)
+
+#: Output schema of the quota gate — the documents-table shape.
+_QUOTA_OUT = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def domain_quota_gate(stream, cap: int):
+    """Streaming ADMISSION twin of the batch domain cap
+    (plans/curation.py domain_cap_frame): admit at most ``cap``
+    documents per source domain across the stream's LIFETIME, with the
+    admitted count held in group state (applyInPandasWithState keyed by
+    domain — the custom-stateful-operator API, NoTimeout state).
+
+    Semantics differ from the batch cap by design and are documented:
+    the batch cap RANKS (keep the best K per domain — needs the full
+    set); the streaming gate is quota ADMISSION (first-come under a
+    deterministic within-batch order: doc_id ascending), which is the
+    only cap an unbounded stream can enforce. A replayed batch with the
+    same rows admits the same prefix (state counts only move forward
+    with admitted rows, and ordering is deterministic), pinned in the
+    batch-parity pytest.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    def gate(key, pdfs, state):
+        import pandas as pd  # noqa: PLC0415
+
+        (n,) = state.get if state.exists else (0,)
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            room = cap - n
+            if room <= 0:
+                continue
+            take = pdf.iloc[:room]
+            n += len(take)
+            out.append(take[cols])
+        state.update((n,))
+        yield (
+            pd.concat(out)
+            if out
+            else pd.DataFrame({c: [] for c in cols})
+        )
+
+    return stream.groupBy("source").applyInPandasWithState(
+        gate,
+        outputStructType=_QUOTA_OUT,
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
