@@ -2165,11 +2165,12 @@ WHERE s.cos / ((xa.ax + ya.ay) / 2.0) > 1.0
     f"the X side ({BITEXT_NX} broadcast query vectors) and the Y "
     "corpus whose cosine clears cos / ((avgK_x + avgK_y)/2) > 1.0 "
     f"with k={BITEXT_K} — the hub-vector killer. One map-only scoring "
-    "pass (X broadcast into the Y scan); per-X top-k on |X| window "
-    "keys, per-Y top-k computed row-locally from the |X| scores each "
-    "Y row already holds; every float fold runs in (cos desc, id) "
-    "order on both engines. Corpus-x-corpus deployments run this per "
-    "IVF bucket-pair (sim_ann_ivf) instead of broadcasting X",
+    "pass (X broadcast into the Y scan); per-X top-k rides "
+    "WindowGroupLimit on |X| keys, per-Y top-k on the y_id-keyed "
+    "window (|Y| keys, k rows per key cross the exchange); every "
+    "float fold runs in (cos desc, id) order on both engines. "
+    "Corpus-x-corpus deployments run this per IVF bucket-pair "
+    "(sim_ann_ivf) instead of broadcasting X",
     tags=("similarity", "llm", "scale"),
 )
 def sim_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
