@@ -123,8 +123,9 @@ def canonicalize_url(col: F.Column | str) -> F.Column:
     no Python, runs at scan throughput:
 
     * scheme + host lower-cased; ``www.`` stripped when the host keeps
-      >= 2 labels; default ports dropped (``parse_url``'s HOST already
-      excludes the port, and the scheme is re-emitted canonically);
+      >= 2 labels; DEFAULT ports dropped (http:80 / https:443) while
+      non-default ports are preserved — they name distinct origins
+      (recovered from AUTHORITY; parse_url has no PORT part);
     * fragment dropped (parse_url never returns it);
     * tracking query params removed (``utm_*``, fbclid, gclid,
       msclkid), remaining params sorted bytewise, ``?`` dropped when
@@ -143,6 +144,21 @@ def canonicalize_url(col: F.Column | str) -> F.Column:
         host.startswith("www.") & (F.size(F.split(host, "[.]")) > 2),
         F.regexp_replace(host, "^www[.]", ""),
     ).otherwise(host)
+    # parse_url has no PORT part and HOST excludes it — recover the
+    # port from AUTHORITY and keep it unless it is the scheme default
+    # (a NON-default port names a different resource; dropping it would
+    # merge distinct origins).
+    port = F.regexp_extract(
+        F.coalesce(F.try_parse_url(u, F.lit("AUTHORITY")), F.lit("")),
+        ":(\\d+)$",
+        1,
+    )
+    default_port = F.when(scheme == "http", F.lit("80")).when(
+        scheme == "https", F.lit("443")
+    ).otherwise(F.lit(""))
+    portpart = F.when(
+        (port != "") & (port != default_port), F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
     path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     query = F.try_parse_url(u, F.lit("QUERY"))
     kept = F.array_sort(
@@ -158,4 +174,4 @@ def canonicalize_url(col: F.Column | str) -> F.Column:
     return F.when(
         host.isNull() | (host == "") | scheme.isNull(),
         F.lit(None).cast(T.StringType()),
-    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qpart))
+    ).otherwise(F.concat(scheme, F.lit("://"), host, portpart, path, qpart))

@@ -61,6 +61,11 @@ def test_canonicalize_url_rules(spark):
          .replace("www.", "")),
         # two-label host keeps its www (stripping would change the host)
         ("http://www.com/p", "http://www.com/p"),
+        # NON-default ports name distinct origins and must survive;
+        # scheme defaults (http:80, https:443) are dropped
+        ("http://a.example.com:8080/p", "http://a.example.com:8080/p"),
+        ("https://a.example.com:443/p", "https://a.example.com/p"),
+        ("https://a.example.com:80/p", "https://a.example.com:80/p"),
         ("not a url", None),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
