@@ -95,19 +95,23 @@ def domain_quota_gate(stream, cap: int):
 
         (n,) = state.get if state.exists else (0,)
         cols = ["doc_id", "text", "lang", "source", "n_chars"]
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            room = cap - n
-            if room <= 0:
-                continue
-            take = pdf.iloc[:room]
-            n += len(take)
-            out.append(take[cols])
+        # Concatenate BEFORE sorting: a group may arrive as several
+        # Arrow chunks, and per-chunk sorting would admit chunk-1 rows
+        # ahead of smaller doc_ids in chunk-2 — breaking the
+        # deterministic within-batch admission order the replay
+        # guarantee rests on.
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        )
+        batch = batch.sort_values("doc_id")
+        room = max(cap - n, 0)
+        take = batch.iloc[:room]
+        n += len(take)
         state.update((n,))
         yield (
-            pd.concat(out)
-            if out
+            take[cols]
+            if len(take)
             else pd.DataFrame({c: [] for c in cols})
         )
 
