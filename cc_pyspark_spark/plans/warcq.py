@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 from cc_pyspark_spark.catalog import Catalog
 from cc_pyspark_spark.plans.registry import register
 
+#: Bump when ANY derivation rule changes (payload template, link
+#: modular rules, sharding): the version is part of the /tmp fixture
+#: path, so rule changes can never silently reuse a stale exists-skip
+#: corpus built by an earlier code version.
+_FIXTURE_VERSION = 1
+
 #: Archives per derived corpus — one InputPartition each, so the scan
 #: parallelizes exactly as a real crawl segment would.
 _N_FILES = 4
@@ -66,7 +72,9 @@ def derived_warc_manifest(spark: SparkSession, sf_dir: str) -> str:
     import pandas as pd  # noqa: PLC0415
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out_dir = os.path.join("/tmp", f"cc_pyspark_spark_warcq_{tag}")
+    out_dir = os.path.join(
+        "/tmp", f"cc_pyspark_spark_warcq_{tag}_v{_FIXTURE_VERSION}"
+    )
     manifest = os.path.join(out_dir, "manifest.txt")
     if os.path.exists(manifest):
         return manifest
@@ -244,7 +252,9 @@ def derived_wat_manifest(spark: SparkSession, sf_dir: str) -> str:
     import pandas as pd  # noqa: PLC0415
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out_dir = os.path.join("/tmp", f"cc_pyspark_spark_watq_{tag}")
+    out_dir = os.path.join(
+        "/tmp", f"cc_pyspark_spark_watq_{tag}_v{_FIXTURE_VERSION}"
+    )
     manifest = os.path.join(out_dir, "manifest.txt")
     if os.path.exists(manifest):
         return manifest
