@@ -114,8 +114,11 @@ def register_sql_functions(spark) -> None:
 
 
 #: Tracking query parameters stripped by canonicalize_url (the de facto
-#: standard remove-list: UTM campaign tags + click ids).
-TRACKING_PARAM_PATTERN = "^(utm_[a-z]+|fbclid|gclid|msclkid)="
+#: standard remove-list: UTM campaign tags + click ids). The trailing
+#: ``(=|$)`` also catches the VALUELESS form (``?fbclid``,
+#: ``?utm_source`` with no ``=``) — real crawls carry both, and a
+#: surviving bare click id would split one canonical URL in two.
+TRACKING_PARAM_PATTERN = "^(utm_[a-z]+|fbclid|gclid|msclkid)(=|$)"
 
 
 def canonicalize_url(col: F.Column | str) -> F.Column:

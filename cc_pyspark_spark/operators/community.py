@@ -71,7 +71,18 @@ def label_propagation(
     of rounds Catalyst analysis time would dominate, so the label
     frame truncates every ``checkpoint_every`` rounds, same discipline
     as pagerank_fixed / cc_alternating (operators/pagerank.py).
+
+    ``rounds=0`` returns the round-0 identity labeling (every vertex
+    its own community) — the loop-free contract the history variant
+    can't express (its history would be empty).
     """
+    if rounds <= 0:
+        return (
+            _symmetrize(edges)
+            .select(F.col("s").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("community"))
+        )
     return label_propagation_history(edges, rounds, checkpoint_every)[-1]
 
 

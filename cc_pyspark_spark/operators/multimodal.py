@@ -1071,8 +1071,17 @@ def zip_central_directory(
     the central-directory offset/size/count, then walk the 46-byte CD
     entries — never the local headers, so listing cost is
     O(members + comment), independent of archive size; this is what
-    makes ZIP randomly accessible where tar must stream. Corrupt or
-    signature-less blobs yield zero rows for that id (skip-and-count
+    makes ZIP randomly accessible where tar must stream. As real
+    tooling does, the recorded cd_off is corrected by the delta
+    between the EOCD's actual position and ``cd_off + cd_size`` —
+    archives with PREPENDED data (self-extracting zips, tail-of-
+    stream captures) record offsets relative to the original archive
+    start, so both the CD position and every member's local-header
+    offset shift by that delta. ZIP64 archives (0xFFFF member-count /
+    0xFFFFFFFF offset-size sentinels in the EOCD) are explicitly
+    SKIPPED (zero rows for that id) rather than misparsed — the
+    46-byte walk would need the ZIP64 EOCD locator. Corrupt or
+    signature-less blobs likewise yield zero rows (skip-and-count
     discipline). Map-only Arrow batches, no shuffle."""
     import struct as _struct  # noqa: PLC0415
 
@@ -1093,7 +1102,21 @@ def zip_central_directory(
                 n_total, cd_size, cd_off = _struct.unpack(
                     "<HII", tail[at + 10 : at + 20]
                 )
-                pos, seen = cd_off, 0
+                if (
+                    n_total == 0xFFFF
+                    or cd_size == 0xFFFFFFFF
+                    or cd_off == 0xFFFFFFFF
+                ):  # ZIP64 sentinel: skip, don't misparse
+                    continue
+                # prepended-data correction: the EOCD sits immediately
+                # after the CD, so its true position minus
+                # (cd_off + cd_size) is the shift every recorded
+                # offset needs (0 for archives with nothing prepended)
+                eocd_pos = len(b) - len(tail) + at
+                delta = eocd_pos - (cd_off + cd_size)
+                if delta < 0:  # offsets past the EOCD: corrupt
+                    continue
+                pos, seen = cd_off + delta, 0
                 while seen < n_total and pos + 46 <= len(b):
                     if b[pos : pos + 4] != b"PK\x01\x02":
                         break
@@ -1108,8 +1131,11 @@ def zip_central_directory(
                     name = b[pos + 46 : pos + 46 + nlen].decode(
                         "utf-8", "replace"
                     )
+                    # local-header offsets shift by the same prepend
+                    # delta (stdlib zipfile's `concat` correction)
                     rows.append(
-                        (int(_id), name, method, usize, csize, crc, lho)
+                        (int(_id), name, method, usize, csize, crc,
+                         lho + delta)
                     )
                     pos += 46 + nlen + elen + clen
                     seen += 1

@@ -1012,7 +1012,9 @@ def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the standard public tracking-param families (Google Analytics utm_*,
 #: click IDs). Kept as a literal tuple so both engines replay the same
 #: membership test.
-TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)="
+#: ``(=|$)`` also matches the valueless form (``?fbclid`` with no
+#: ``=``) — same RE2-safe pattern in both engines.
+TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)(=|$)"
 
 
 def _duck_url_normalize_oracle() -> str:
@@ -1481,6 +1483,11 @@ def _messy_url() -> F.Column:
         F.when(F.col("doc_id") % 7 == 0, F.lit("?utm_source=x&b=2&a=1"))
         .when(F.col("doc_id") % 7 == 1, F.lit("?b=2&a=1"))
         .when(F.col("doc_id") % 7 == 2, F.lit("?utm_campaign=z"))
+        # bare VALUELESS click id (no '='): must strip to no query at
+        # all — pins the (=|$) tail of TRACKING_PARAM_PATTERN under the
+        # oracle gate (the analytic oracle keeps a query only for
+        # doc_id % 7 IN (0, 1))
+        .when(F.col("doc_id") % 7 == 3, F.lit("?fbclid"))
         .otherwise(F.lit("")),
         F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )

@@ -698,8 +698,15 @@ def zip_fixture_blobs(documents: DataFrame) -> DataFrame:
         F.expr("encode(lang, 'UTF-8')").alias("lb"),
     ).select(
         "doc_id",
-        "l1",
-        F.expr("substring(tb, 1, cast(l1 as int))").alias("d1"),
+        # clamp the declared size to the ACTUAL payload length: a
+        # document shorter than 32 bytes would otherwise declare more
+        # bytes than substring() yields, desynchronizing every
+        # downstream offset (lho2, cd_off, EOCD) from the real blob
+        # bytes (mirrored by least(..., strlen(text)) in the oracle)
+        F.least(F.col("l1"), F.length("tb")).alias("l1"),
+        F.expr(
+            "substring(tb, 1, cast(least(l1, length(tb)) as int))"
+        ).alias("d1"),
         F.col("lb").alias("d2"),
     )
 
@@ -759,9 +766,9 @@ def zip_fixture_blobs(documents: DataFrame) -> DataFrame:
     oracle="""
 WITH h AS (
   SELECT doc_id,
-         ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         least(((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
           + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 32
-           + 1 AS l1
+           + 1, strlen(text)) AS l1
   FROM documents
 ), m AS (
   SELECT doc_id, 'a.txt' AS name, CAST(0 AS INTEGER) AS method,
