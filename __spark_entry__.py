@@ -50,14 +50,26 @@ from cc_pyspark_spark.plans import QUERIES
 #: text_word_count_tfdf, dedup_exact, embedding_pq_codes,
 #: sim_ann_pq_adc).
 #:
-#: r11 rotation plan: the remaining r8-last-row names (tpch_q3/q4/q5/
-#: q6/q10/q14/q18, sim_cosine_topk, dedup_simhash_scale,
-#: events_tumbling_hourly, text_gopher_rules) plus the oldest r9 rows
-#: (the 20 r9-first-row names listed in git history at r9's
-#: __spark_entry__) cycle through the non-core slots, leaving room for
-#: new r11 names; steady-state full-registry cycle stays ~4 rounds at
-#: 187 registered queries. Each rotated-out name stays green in the
-#: sf0.001 parity pytest meanwhile.
+#: Round-11 rotation (VERDICT r10 ask #1) — OLDEST-FIRST, which
+#: deviates from the verdict's named list deliberately: the verdict
+#: asked for the r8-last-row cohort and "no driver row predates r8
+#: after r11", but the last-row ledger (CORRECTNESS_r01..r10) shows
+#: the stalest rows are the r5 cohort (8 names), then r6 (25), then
+#: r7 (26) — 59 pre-r8 names in total, more than the 42 slots one
+#: round has, so the verdict's floor is unreachable as stated.
+#: Rotating strictly oldest-first lifts the floor from r5 to r7 in
+#: one round (all r5 + all r6 names re-pass here, plus the 6
+#: alphabetically-first r7 names); the remaining 20 r7 names and the
+#: verdict's r8 cohort head the r12 plan. New r11 registrations
+#: (graph_lpa_converged, graph_kcore_converged,
+#: curation_quota_semantics) take first-row slots per the tripwire.
+#:
+#: r12 rotation plan: the 20 remaining r7-last-row names + the r8
+#: cohort (tpch_q3/q4/q5/q6/q10/q14/q18, sim_cosine_topk,
+#: dedup_simhash_scale, events_tumbling_hourly, text_gopher_rules,
+#: ...) cycle next; steady-state full-registry cycle stays ~4 rounds
+#: at 192 registered queries. Each rotated-out name stays green in
+#: the sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
     # -- fixed 8-headliner core: benched AND driver-gated every round
     #    (stable since r9; every former core name remains benched and
@@ -73,70 +85,58 @@ DRIVER_CORE: tuple[str, ...] = (
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
-    # -- r10 rotation (VERDICT r9 ask #1, executing the committed r10
-    #    plan): ALL 24 remaining r2-stale names cycle through the
-    #    non-core slots this round — after r10 no driver row is older
-    #    than r5 and the steady-state full-registry cycle is ~3 rounds.
-    #    Every rotated-out r9 name stays green in the sf0.001 parity
-    #    pytest meanwhile.
-    "agg_collect_sorted_list",
-    "agg_count_by_key",
-    "agg_distinct_pairs",
-    "curation_contamination",
-    "curation_repetition_signals",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "join_inner_dims",
-    "project_computed",
-    "set_union_distinct",
-    "string_functions",
-    "text_bigram_counts",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_rolling_fingerprint",
-    "text_token_stats",
-    "text_top_terms_tfidf",
-    "topk_global",
-    "tpch_q22_global_sales_opportunity",
-    "window_dense_ids",
-    "window_topn_per_group",
-    # -- first rows for the new r10 names (the rotation tripwire's
-    #    every-new-name-gets-a-row invariant): the WAT link-extraction
-    #    composite (VERDICT r9 ask #3 — the one §2 pipeline previously
-    #    outside the oracle gate) and the additions registered this
-    #    round (appended as they land; slots remain) --
-    "wat_links_host_graph",
-    # sparse-layout classifier training (VERDICT r9 ask #6): the
-    # (doc, idx, x) fastText shape for D >> 64, D=4096 here
-    "text_classifier_train_sparse",
-    # per-domain cap, token-budget apportionment, vocab coverage (r10)
-    "curation_domain_cap",
-    "curation_token_budget_mix",
-    "text_vocab_coverage",
-    # -- remaining slots: r8-last-row names re-cycling while new r10
-    #    registrations land (each new registration replaces one of
-    #    these; all stay green in the sf0.001 parity pytest) --
-    # URL canonicalization dedup + HITS (r10)
-    "dedup_url_canonical",
-    "graph_hits",
-    # MMR diversified re-ranking + WebDataset tar-shard indexing (r10)
-    "sim_mmr_rerank",
-    "multimodal_tar_index",
-    # mix execution + margin bitext mining (r10)
-    "curation_mix_execute",
-    "sim_bitext_mine",
-    # Kneser-Ney LM estimation + ZIP central-directory probe (r10)
-    "text_kneser_ney_bigram",
-    "multimodal_zip_probe",
-    # modularity of the LPA partition + soft dedup reweighting (r10)
-    "graph_modularity",
-    "curation_soft_dedup",
-    "dedup_exact",
-    "embedding_pq_codes",
-    "sim_ann_pq_adc",
+    # -- first rows for the new r11 names (the rotation tripwire's
+    #    every-new-name-gets-a-row invariant): the two converged
+    #    deployment wrappers under the oracle gate (VERDICT r10 ask
+    #    #3) and the batch-vs-streaming quota-semantics contract
+    #    (ask #7) --
+    "graph_lpa_converged",
+    "graph_kcore_converged",
+    "curation_quota_semantics",
+    # -- ALL 8 r5-last-row names (stalest in the ledger) --
+    "curation_hash_sample",
+    "curation_split_assign",
+    "dedup_cluster_canonical",
+    "dedup_semantic_clustered",
+    "dedup_url_normalize",
+    "embedding_quantize_int8",
+    "text_token_rarity",
+    "url_host_reverse",
+    # -- ALL 25 r6-last-row names --
+    "curation_mix_weights",
+    "curation_pack_sequences_bpe",
+    "curation_pii_redact",
+    "curation_reservoir_per_lang",
+    "dedup_substring_spans",
+    "events_asof_join",
+    "events_range_join",
+    "merge_upsert",
+    "multimodal_audio_features",
+    "multimodal_blob_stats",
+    "multimodal_decode_resize",
+    "scan_filter_project",
+    "sql_passthrough",
+    "text_c4_line_rules",
+    "text_html_extract",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_potential_promotion",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "url_tld_validation_counts",
+    "window_distributed_ids",
+    # -- 6 oldest r7-last-row names (alphabetical head; the other 20
+    #    r7 names lead the r12 plan). New r11 registrations displace
+    #    from THIS block first. --
+    "agg_approx_count_distinct",
+    "agg_approx_percentile_bound",
+    "agg_count_min_heavy_hitters",
+    "agg_exact_median_histogram",
+    "agg_hll_sketch_union",
+    "agg_salted_distinct_count",
 )
 
 

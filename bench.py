@@ -180,6 +180,14 @@ HEADLINERS = [
     # and soft dedup (cluster components + a reciprocal reweight).
     "graph_modularity",
     "curation_soft_dedup",
+    # r11: the converged deployment wrappers (fixed-point probes add
+    # one O(V) diff-count action per round on top of the fixed-round
+    # twins — their bench rows price exactly that overhead) and the
+    # batch-vs-streaming quota-semantics contract (two row_number
+    # windows sharing one domain-keyed exchange).
+    "graph_lpa_converged",
+    "graph_kcore_converged",
+    "curation_quota_semantics",
 ]
 
 
@@ -249,6 +257,10 @@ def main() -> None:
         # modularity composes LPA whose checkpointed rounds may run at
         # construction for larger round budgets.
         "graph_modularity",
+        # r11: both converged wrappers run their probe loops (eager
+        # checkpoints + driver-side scalar probes) at construction.
+        "graph_lpa_converged",
+        "graph_kcore_converged",
     }
 
     # SPARK_GRAFT_ONLY="name1,name2" re-measures a subset (same warm-up
@@ -261,11 +273,16 @@ def main() -> None:
         else HEADLINERS
     )
 
+    # SPARK_GRAFT_RUNS: timed samples per query (default 5, plus one
+    # untimed warm-up). One-off giant-SF sweeps (the SCALING.md sf1
+    # suite run) drop it to 1 to keep wall-clock sane.
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "5"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in names:
         samples: list[float] = []
-        for i in range(6):  # run 0 = per-query warm-up, untimed
+        for i in range(n_runs + 1):  # run 0 = per-query warm-up, untimed
             if name in eager_construction:
                 start = time.perf_counter()
                 df = QUERIES[name].spark(spark, sf_dir)
@@ -278,8 +295,23 @@ def main() -> None:
         med = statistics.median(samples)
         timings[name] = round(med, 4)
         spread[name] = round((max(samples) - min(samples)) / med, 3)
+        # Self-describing per-row record (VERDICT r10 ask #2): median,
+        # relative spread, and sample count travel together so a
+        # cross-round reader never has to guess the estimator; rows
+        # whose median exceeds 2 s — exactly the iterative plans where
+        # host drift (the measured 7.7-12.1 s same-code band on
+        # graph_triangle_stats) can hide a real regression — also
+        # carry the RAW samples, so any future comparison can pool
+        # distributions instead of comparing two point medians.
+        stats[name] = {
+            "median": timings[name],
+            "spread": spread[name],
+            "n_runs": len(samples),
+        }
+        if med > 2.0:
+            stats[name]["samples"] = [round(s, 4) for s in samples]
         # Free this query's operator-internal caches before the next
-        # one: within-query warm/timed semantics are unchanged (all 6
+        # one: within-query warm/timed semantics are unchanged (all
         # runs share the caches), but 45 queries' LSH/adjacency blocks
         # no longer accumulate into eviction pressure on later names.
         release_caches()
@@ -290,6 +322,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "stats": stats,
         "sf": sf,
     }
     payload = json.dumps(result)

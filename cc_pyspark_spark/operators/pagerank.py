@@ -598,3 +598,104 @@ def hits_fixed(edges: DataFrame, rounds: int = 2) -> DataFrame:
             )
         )
     return out[0].unionAll(out[1])
+
+
+def hits_converged(
+    edges: DataFrame,
+    scale_bits: int = 20,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Deployment wrapper for :func:`hits_fixed` (r11, completing the
+    converged family: cc_alternating_converged, kcore_converged,
+    lpa_converged): QUANTIZED power iteration run to an exact integer
+    fixed point, with a ``max_rounds`` guard that RAISES.
+
+    Raw HITS scores grow as deg^(2*rounds) — exact integer arithmetic
+    overflows after a handful of rounds, and the normalized vector
+    converges to an (irrational) eigenvector, so a float L1 threshold
+    would reintroduce partition-order nondeterminism. Instead each
+    round renormalizes IN FIXED POINT: after every hub/auth sum the
+    frame rescales to ``floor(v * 2^scale_bits / max(v))`` — all-BIGINT
+    arithmetic (the multiply is split ``(v div m)*S + ((v mod m)*S)
+    div m`` so no intermediate exceeds ``max_raw * 2^scale_bits``,
+    inside int64 for max weighted degree < 2^(63 - scale_bits)).
+    Quantization makes the iterate a deterministic map on a FINITE
+    state space, so geometric eigenvector convergence reaches an exact
+    integer rest state in finitely many rounds: the stop probe is
+    L-infinity delta <= 1 ulp on BOTH frames (the 1-ulp tolerance
+    absorbs the adjacent-level flicker a floor can oscillate between),
+    one O(V) join between checkpointed frames per round — the
+    lpa_converged discipline.
+
+    Returns (id, kind, score_fp, score) like hits_fixed: score_fp is
+    the fixed-point integer (max = 2^scale_bits by construction),
+    score = score_fp / 2^scale_bits. Agreement with hits_fixed's
+    normalized scores at the fixture's fixed point is pinned in
+    tests/test_community.py-style tolerance tests; the wrapper itself
+    is bit-deterministic across partitionings.
+    """
+    scale = 1 << scale_bits
+    e = edges.select("s", "t").persist().transform(track_cache)
+
+    def rescale(frame: DataFrame) -> DataFrame:
+        mx = frame.agg(F.max("v").alias("m"))
+        return (
+            frame.crossJoin(F.broadcast(mx))
+            .select(
+                "id",
+                F.expr(
+                    f"(v DIV m) * {scale}L + ((v % m) * {scale}L) DIV m"
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def linf(a: DataFrame, b: DataFrame) -> int:
+        row = (
+            a.join(
+                b.select(F.col("id").alias("id2"), F.col("v").alias("v2")),
+                a.id == F.col("id2"),
+            )
+            .agg(F.max(F.abs(F.col("v") - F.col("v2"))).alias("d"))
+            .collect()[0]
+        )
+        return int(row["d"]) if row["d"] is not None else 0
+
+    verts_s = e.select(F.col("s").alias("id")).distinct()
+    hub = verts_s.select("id", F.lit(scale).cast("bigint").alias("v"))
+    prev_auth = prev_hub = None
+    for _ in range(max_rounds):
+        auth = rescale(
+            e.join(hub, e.s == hub.id)
+            .groupBy("t")
+            .agg(F.sum("v").cast("bigint").alias("v"))
+            .select(F.col("t").alias("id"), "v")
+        )
+        nxt_hub = rescale(
+            e.join(auth, e.t == auth.id)
+            .groupBy("s")
+            .agg(F.sum("v").cast("bigint").alias("v"))
+            .select(F.col("s").alias("id"), "v")
+        )
+        if (
+            prev_auth is not None
+            and linf(auth, prev_auth) <= 1
+            and linf(nxt_hub, prev_hub) <= 1
+        ):
+            out = []
+            for kind, frame in (("auth", auth), ("hub", nxt_hub)):
+                out.append(
+                    frame.select(
+                        "id",
+                        F.lit(kind).alias("kind"),
+                        F.col("v").alias("score_fp"),
+                        (F.col("v").cast("double") / F.lit(float(scale))).alias(
+                            "score"
+                        ),
+                    )
+                )
+            return out[0].unionAll(out[1])
+        prev_auth, prev_hub, hub = auth, nxt_hub, nxt_hub
+    raise RuntimeError(
+        f"hits_converged: no integer fixed point within {max_rounds} rounds"
+    )

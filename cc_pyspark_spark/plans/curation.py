@@ -1443,6 +1443,87 @@ def domain_cap_frame(
     )
 
 
+def quota_admission_frame(
+    docs: DataFrame, k: int, domain_col: str = "source"
+) -> DataFrame:
+    """Batch replay of the STREAMING per-domain quota gate
+    (streaming/curation.py domain_quota_gate): admit the first ``k``
+    documents per domain in the gate's deterministic arrival order
+    (doc_id ascending) — first-come ADMISSION, not rank-best-K. The
+    streaming gate over the same rows admits exactly this set (its
+    batch-parity pytest pins the equality), so this frame is the
+    batch-side contract for the one cap an unbounded stream can
+    enforce."""
+    w = Window.partitionBy(domain_col).orderBy(F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            F.col(domain_col).alias("source"),
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+@register(
+    "curation_quota_semantics",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS rk_rank,
+         ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY doc_id) AS rk_adm
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(CASE WHEN rk_rank <= {DOMAIN_CAP_K} THEN 1 ELSE 0 END
+            AS BIGINT) AS rank_kept,
+       CAST(CASE WHEN rk_adm <= {DOMAIN_CAP_K} THEN 1 ELSE 0 END
+            AS BIGINT) AS admitted
+FROM r
+WHERE (rk_rank <= {DOMAIN_CAP_K}) <> (rk_adm <= {DOMAIN_CAP_K})
+""",
+    description="Batch-vs-streaming quota-gate semantics as a "
+    "hash-checked CONTRACT (VERDICT r10 ask #7): the batch domain cap "
+    f"RANKS (best {DOMAIN_CAP_K} per domain by n_chars desc, doc_id) "
+    "while the streaming gate ADMITS (first-come in doc_id order — "
+    "the only cap an unbounded stream can enforce); this query "
+    "computes BOTH policies on the same documents frame and emits the "
+    "DISAGREEMENT set (rows kept by exactly one policy, with 0/1 "
+    "flags per policy). Both row_number windows share the domain "
+    "partition key, so the plan pays ONE exchange and two in-partition "
+    "sorts; the analytic oracle replays both windows independently. "
+    "The admission side equals the real applyInPandasWithState gate's "
+    "output by the batch-parity pin in tests/test_streaming_quota.py",
+    tags=("curation", "streaming", "llm"),
+)
+def curation_quota_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    k = DOMAIN_CAP_K
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    w_adm = Window.partitionBy("source").orderBy(F.col("doc_id"))
+    flagged = t.documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.row_number().over(w_rank) <= k).alias("rank_kept_b"),
+        (F.row_number().over(w_adm) <= k).alias("admitted_b"),
+    )
+    return flagged.filter(
+        F.col("rank_kept_b") != F.col("admitted_b")
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("rank_kept_b").cast("bigint").alias("rank_kept"),
+        F.col("admitted_b").cast("bigint").alias("admitted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token-budget mix allocation (r10): multilingual/multi-source training
 # runs fix a TOTAL token budget and apportion it across strata with

@@ -46,6 +46,17 @@ def test_quota_gate_single_batch_matches_batch_prefix(spark, docs_dir):
         .collect()
     }
     assert got == want
+    # ... and the batch-side contract frame (plans/curation.py
+    # quota_admission_frame — the admission leg of the registered
+    # curation_quota_semantics query) replays the SAME set, tying the
+    # driver-gated query to the real applyInPandasWithState gate
+    from cc_pyspark_spark.plans.curation import quota_admission_frame
+
+    contract = {
+        (r["doc_id"], r["source"])
+        for r in quota_admission_frame(docs, CAP).collect()
+    }
+    assert contract == got
     per = {}
     for _, s in got:
         per[s] = per.get(s, 0) + 1
