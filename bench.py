@@ -330,9 +330,15 @@ def main() -> None:
     # timings lost to a 2000-char cap) — persist the full record in the
     # repo as well so the artifact never depends on the tail alone.
     # (Subset runs via SPARK_GRAFT_ONLY never overwrite the full record.)
+    # SPARK_GRAFT_RESULT_PATH redirects the persisted record (one-off
+    # scaled-SF sweeps must not clobber the round artifact).
     if not only:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_result.json"), "w") as f:
+        path = os.environ.get(
+            "SPARK_GRAFT_RESULT_PATH",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_result.json"),
+        )
+        with open(path, "w") as f:
             f.write(payload + "\n")
     print(payload)
     # The driver records only the LAST ~2000 chars of stdout, and the
