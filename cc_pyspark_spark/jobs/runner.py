@@ -258,13 +258,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--graph_algo",
         default="pagerank",
-        choices=["pagerank", "cc", "lpa", "kcore", "triangles"],
+        choices=[
+            "pagerank",
+            "pagerank_converged",
+            "cc",
+            "lpa",
+            "lpa_converged",
+            "kcore",
+            "hits",
+            "hits_converged",
+            "triangles",
+        ],
         help="graph_analyze: algorithm over the (s, t) integer edge "
-        "table (the hostlinks_to_graph edges output). pagerank uses "
-        "the directed edges; cc/lpa/kcore/triangles canonicalize to "
-        "undirected first. cc and kcore run their fixed-point probe "
-        "wrappers (no round count to guess); lpa runs --graph_rounds "
-        "synchronous self-vote rounds",
+        "table (the hostlinks_to_graph edges output). pagerank/hits "
+        "use the directed edges; cc/lpa/kcore/triangles canonicalize "
+        "to undirected first. The *_converged variants and cc/kcore "
+        "run their fixed-point probe wrappers (no round count to "
+        "guess; exhaustion RAISES); pagerank/lpa/hits run "
+        "--graph_rounds fixed rounds",
     )
     p.add_argument(
         "--graph_rounds",
@@ -790,6 +801,25 @@ def _run_graph_analyze(spark, args: argparse.Namespace) -> int:
 
         df = pagerank(edges, n_iter=args.graph_rounds or 10)
         sort_cols = ["id"]
+    elif algo == "pagerank_converged":
+        from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
+            pagerank_converged,
+        )
+
+        df = pagerank_converged(edges)
+        sort_cols = ["id"]
+    elif algo == "hits":
+        from cc_pyspark_spark.operators.pagerank import hits_fixed  # noqa: PLC0415
+
+        df = hits_fixed(edges, rounds=args.graph_rounds or 2)
+        sort_cols = ["id", "kind"]
+    elif algo == "hits_converged":
+        from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
+            hits_converged,
+        )
+
+        df = hits_converged(edges)
+        sort_cols = ["id", "kind"]
     elif algo == "cc":
         from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
             cc_alternating_converged,
@@ -811,6 +841,13 @@ def _run_graph_analyze(spark, args: argparse.Namespace) -> int:
             )
 
             df = label_propagation(canon, rounds=args.graph_rounds or 4)
+            sort_cols = ["id"]
+        elif algo == "lpa_converged":
+            from cc_pyspark_spark.operators.community import (  # noqa: PLC0415
+                lpa_converged,
+            )
+
+            df = lpa_converged(canon)
             sort_cols = ["id"]
         elif algo == "kcore":
             from cc_pyspark_spark.operators.community import (  # noqa: PLC0415

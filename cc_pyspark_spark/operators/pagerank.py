@@ -197,6 +197,124 @@ def pagerank_fixed(
     )
 
 
+def pagerank_converged(
+    edges: DataFrame,
+    tol_units: int = 10**9,
+    damping_pct: int = 85,
+    max_rounds: int = 128,
+    probe_every: int = 4,
+    assume_no_dangling: bool = False,
+) -> DataFrame:
+    """Deployment wrapper for :func:`pagerank_fixed` (r11, completing
+    the converged family across every iterative operator:
+    cc_alternating_converged, kcore_converged, lpa_converged,
+    hits_converged): iterate the SAME all-BIGINT fixed-point update to
+    an L1 stop, with a ``max_rounds`` guard that RAISES.
+
+    Stop rule: the probe compares the current frame against the one
+    from ``probe_every`` rounds ago and stops when the TOTAL moved
+    mass across that span is ``<= tol_units`` (default 10^9 units =
+    10^-6 of total rank mass) — a strictly stronger condition than a
+    single-step delta, so probing sparsely never stops early. Damped
+    power iteration is an affine contraction with factor
+    ``damping_pct/100`` in L1, so moved mass shrinks geometrically
+    REGARDLESS of graph structure — the stop fires within
+    ``log(mass/tol)/log(100/p)`` rounds (~85 at p=85 / tol=1e-6) and
+    the guard exists for the caller who tightens tol below the 1-unit
+    quantization floor. The probe is one O(V) join between
+    checkpointed rank frames -> a scalar, every ``probe_every``
+    rounds (default 4 = pagerank_fixed's checkpoint cadence, which
+    also truncates the dangling-mass fork's lineage before it can
+    replay multiplicatively), the connected_components trade. All arithmetic is
+    the bit-reproducible integer update of pagerank_fixed, so the
+    returned frame is identical across partitionings and runs.
+
+    Returns (id, r BIGINT, rank DOUBLE) like pagerank_fixed.
+    """
+    vertices = (
+        edges.select(F.col("s").alias("id"))
+        .union(edges.select(F.col("t").alias("id")))
+        .distinct()
+        .persist().transform(track_cache)
+    )
+    n = vertices.count()
+    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist().transform(track_cache)
+    base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
+    adj = (
+        edges.join(out_deg, "s")
+        .select("s", "t", "deg")
+        .repartition("s")
+        .persist().transform(track_cache)
+    )
+    adj.count()
+
+    def one_round(ranks: DataFrame) -> DataFrame:
+        contribs = (
+            adj.join(ranks, adj.s == ranks.id)
+            .select(F.col("t").alias("id"), F.expr("r div deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new = vertices.join(contribs, "id", "left")
+        if assume_no_dangling:
+            new = new.withColumn(
+                "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
+            )
+        else:
+            dangling_df = (
+                ranks.join(out_deg, ranks.id == out_deg.s, "left_anti")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
+                        "dangling"
+                    )
+                )
+            )
+            new = new.crossJoin(F.broadcast(dangling_df)).withColumn(
+                "inflow",
+                F.coalesce("contrib", F.lit(0).cast("bigint"))
+                + F.expr(f"dangling div {n}"),
+            )
+        return new.select(
+            "id",
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(f"({damping_pct} * inflow) div 100")
+            ).alias("r"),
+        )
+
+    def moved_mass(a: DataFrame, b: DataFrame) -> int:
+        row = (
+            a.join(
+                b.select(F.col("id").alias("id2"), F.col("r").alias("r2")),
+                a.id == F.col("id2"),
+            )
+            .agg(F.sum(F.abs(F.col("r") - F.col("r2"))).alias("d"))
+            .collect()[0]
+        )
+        return int(row["d"]) if row["d"] is not None else 0
+
+    ranks = vertices.withColumn(
+        "r", F.lit(PAGERANK_SCALE // n).cast("bigint")
+    ).localCheckpoint(eager=True)
+    for i in range(max_rounds):
+        nxt = one_round(ranks)
+        if (i + 1) % probe_every == 0 or i == max_rounds - 1:
+            nxt = nxt.localCheckpoint(eager=True)
+            if moved_mass(nxt, ranks) <= tol_units:
+                return nxt.select(
+                    "id",
+                    "r",
+                    (F.col("r") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
+                )
+            ranks = nxt
+        else:
+            ranks = nxt
+    raise RuntimeError(
+        f"pagerank_converged: moved mass above {tol_units} units after "
+        f"{max_rounds} rounds"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,

@@ -813,6 +813,61 @@ def test_cli_graph_analyze(spark, tmp_path):
     assert abs(total - 1.0) < 1e-9
 
 
+def test_cli_graph_analyze_converged_variants(spark, tmp_path):
+    """r11: every converged wrapper is reachable from the CLI — the
+    deployment surface, not just the operator layer."""
+    from cc_pyspark_spark.jobs.runner import main
+
+    edges_path = str(tmp_path / "edges")
+    # directed star with a back-edge: exercises hits (directed) and the
+    # undirected canonicalization paths alike
+    spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 9), (9, 1)], "s long, t long"
+    ).write.parquet(edges_path)
+
+    out = str(tmp_path / "hits_conv")
+    rc = main([
+        "graph_analyze", edges_path, out,
+        "--graph_algo", "hits_converged",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    got = {
+        (r["id"], r["kind"]): r["score"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[(9, "auth")] == 1.0 and got[(1, "hub")] == 1.0
+
+    out = str(tmp_path / "lpa_conv")
+    rc = main([
+        "graph_analyze", edges_path, out,
+        "--graph_algo", "lpa_converged",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    comm = {
+        r["id"]: r["community"] for r in spark.read.parquet(out).collect()
+    }
+    assert len(set(comm.values())) == 1  # one connected blob
+
+    out = str(tmp_path / "pr_conv")
+    rc = main([
+        "graph_analyze", edges_path, out,
+        "--graph_algo", "pagerank_converged",
+        "--num_output_partitions", "1", "--spark_master", "local[4]",
+        "--output_compression", "snappy",
+    ])
+    assert rc == 0
+    pr = spark.read.parquet(out)
+    assert pr.count() == 5
+    total = sum(r["r"] for r in pr.collect())
+    from cc_pyspark_spark.operators.pagerank import PAGERANK_SCALE
+
+    assert PAGERANK_SCALE * 0.999 < total <= PAGERANK_SCALE
+
+
 def test_cli_classifier_train(spark, tmp_path):
     """End-to-end CLI (late r9): batch-GD trainer over a documents
     parquet -> 65-row (feature_idx, mu, sd, weight) model table that
