@@ -134,9 +134,13 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "agg_approx_count_distinct",
     "agg_approx_percentile_bound",
     "agg_count_min_heavy_hitters",
-    "agg_exact_median_histogram",
-    "agg_hll_sketch_union",
-    "agg_salted_distinct_count",
+    # CCNet paragraph-level dedup, per-lang tokenizer fertility, and
+    # strided chunking — new in r11 (displaced agg_exact_median_
+    # histogram, agg_hll_sketch_union, agg_salted_distinct_count back
+    # to the r12 queue per the displacement rule above)
+    "dedup_paragraph",
+    "text_tokenizer_fertility",
+    "curation_chunk_overlap",
 )
 
 

@@ -188,6 +188,17 @@ HEADLINERS = [
     "graph_lpa_converged",
     "graph_kcore_converged",
     "curation_quota_semantics",
+    # r11: CCNet paragraph-level dedup — posexplode + digest-keyed
+    # first-occurrence agg + doc-keyed reconstruct; its bench row
+    # watches the two keyed exchanges staying partial-agg'd.
+    "dedup_paragraph",
+    # r11: tokenizer fertility by lang — one BPE pandas-UDF pass + one
+    # grouped sum; the row watches the UDF pass staying the only
+    # Python stage.
+    "text_tokenizer_fertility",
+    # r11: strided chunking — map-only, zero-shuffle; its row is the
+    # de-codegen / accidental-exchange tripwire for the chunker.
+    "curation_chunk_overlap",
 ]
 
 

@@ -1756,3 +1756,76 @@ def mix_execute_frame(docs: DataFrame, budget: int) -> DataFrame:
         .filter(F.col("cum_tok") <= F.col("alloc"))
         .select("doc_id", "lang", "n_tok", "cum_tok")
     )
+
+
+# ----------------------------------- strided chunking (r11)
+
+#: Chunk capacity and stride for the registered chunking query. A
+#: 64-token window with stride 48 (16-token overlap) is the classic
+#: long-document prep shape scaled to the fixture's 30-110-token
+#: documents; production swaps in 2048/1920 etc. — the plan is
+#: identical at any width.
+CHUNK_MAX_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "curation_chunk_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(len(list_slice(toks, start + 1, start + {CHUNK_MAX_TOKENS}))
+            AS BIGINT) AS n_tokens,
+       array_to_string(
+           list_slice(toks, start + 1, start + {CHUNK_MAX_TOKENS}), ' ')
+         AS chunk_text
+FROM s
+""",
+    description="Strided long-document chunking — the complement of "
+    "sequence packing (packing merges short docs; this splits long "
+    f"ones): token windows of {CHUNK_MAX_TOKENS} with stride "
+    f"{CHUNK_STRIDE} ({CHUNK_MAX_TOKENS - CHUNK_STRIDE}-token overlap "
+    "so no context is lost at chunk boundaries — the standard "
+    "pre-training / embedding-indexing prep). Pure Catalyst: one "
+    "tokenize, sequence() of window starts, posexplode, slice + "
+    "array_join — map-only end to end, NO shuffle at all (the plan's "
+    "scale claim: chunking 100 TB is scan-throughput work). The "
+    "oracle replays windows with DuckDB range()/list_slice "
+    "(exclusive-stop range == Spark's inclusive sequence(0, n-1) on "
+    "every boundary case, incl. exact-multiple token counts)",
+    tags=("curation", "llm", "scale"),
+)
+def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.functions.text import tokenize  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).withColumn(
+        "starts",
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size("toks") - 1, F.lit(0)),
+            F.lit(CHUNK_STRIDE),
+        ),
+    )
+    ex = toks.select(
+        "doc_id", "toks", F.explode("starts").alias("start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_MAX_TOKENS)
+    return ex.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

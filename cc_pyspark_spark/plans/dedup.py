@@ -1577,3 +1577,93 @@ def curation_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (r11) — the CCNet/RefinedWeb level BETWEEN
+# whole-document exact dedup and span-level substring dedup: web pages
+# share boilerplate paragraphs (headers, nav, footers) that document
+# hashing can't see and span k-grams only catch piecewise. CCNet's
+# recipe: hash every paragraph, keep ONE occurrence corpus-wide (the
+# first in document order), drop the rest, reconstruct documents from
+# their surviving paragraphs. The fixture builds a page per document in
+# the zip/WARC-fixture convention — a per-source header boilerplate
+# paragraph, two body paragraphs cut from the document text, and a
+# per-lang footer boilerplate — so boilerplate repeats across many
+# pages exactly as crawled HTML does.
+
+
+@register(
+    "dedup_paragraph",
+    oracle="""
+WITH p0 AS (
+  SELECT doc_id, 0 AS pos, 'hdr ' || source AS para FROM documents
+  UNION ALL
+  SELECT doc_id, 1, substr(text, 1, 100) FROM documents
+  UNION ALL
+  SELECT doc_id, 2, substr(text, 101) FROM documents
+  UNION ALL
+  SELECT doc_id, 3, 'footer ' || lang FROM documents
+), p AS (
+  SELECT doc_id, pos, para, doc_id * 4 + pos AS ik
+  FROM p0 WHERE para <> ''
+), k AS (
+  SELECT para, MIN(ik) AS mk FROM p GROUP BY para
+), kept AS (
+  SELECT p.doc_id, p.pos, p.para FROM p
+  JOIN k ON p.para = k.para AND p.ik = k.mk
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(length(para)) AS BIGINT) AS kept_chars,
+       string_agg(para, ' | ' ORDER BY pos) AS kept_text
+FROM kept GROUP BY doc_id
+""",
+    description="Paragraph-level exact dedup (CCNet recipe): every page "
+    "paragraph is hashed and only the corpus-wide FIRST occurrence (by "
+    "(doc_id, pos), encoded as one BIGINT) survives; documents are then "
+    "reconstructed from their surviving paragraphs in position order — "
+    "the dedup level between whole-doc hashing (misses shared "
+    "boilerplate) and span k-grams (piecewise). Plan: map-side "
+    "posexplode; ONE digest-keyed exchange for the first-occurrence agg "
+    "(md5 before the shuffle — the dedup_exact discipline, partial "
+    "min combines map-side so a 10^9-copy boilerplate paragraph ships "
+    "one row per map partition); the join back is digest-keyed with "
+    "bodies crossing once (hot boilerplate keys -> AQE skew-join); one "
+    "doc-keyed exchange reconstructs. Fixture pages: per-source header "
+    "+ two body cuts + per-lang footer, so boilerplate repeats across "
+    "pages exactly as crawled HTML does",
+    tags=("dedup", "scale", "llm"),
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    hdr = F.concat(F.lit("hdr "), F.col("source"))
+    b1 = F.substring("text", 1, 100)
+    b2 = F.expr("substring(text, 101)")
+    ftr = F.concat(F.lit("footer "), F.col("lang"))
+    paras = (
+        t.documents.select(
+            "doc_id", F.posexplode(F.array(hdr, b1, b2, ftr)).alias("pos", "para")
+        )
+        .filter(F.col("para") != "")
+        .select(
+            "doc_id",
+            "pos",
+            "para",
+            F.md5(F.col("para").cast("binary")).alias("fp"),
+            (F.col("doc_id") * 4 + F.col("pos")).cast("bigint").alias("ik"),
+        )
+    )
+    keep = paras.groupBy("fp").agg(F.min("ik").alias("mk"))
+    kept = paras.join(keep, "fp").filter(F.col("ik") == F.col("mk"))
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum(F.length("para")).cast("bigint").alias("kept_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " | ",
+        ).alias("kept_text"),
+    )

@@ -2911,3 +2911,87 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
         .limit(KN_TOPK)
     )
+
+
+# --------------------------------------- tokenizer fertility (r11)
+
+
+def _fertility_oracle() -> str:
+    """Per-lang fertility replay: BPE counts come from the vendored
+    md5(text)->count fixture (the text_bpe_token_count convention —
+    BPE is not SQL-expressible), words and bytes are computed
+    independently in DuckDB; every aggregate is an exact integer sum
+    and both ratios are single int/int -> double divisions, so the
+    value hash is engine-identical."""
+    import os  # noqa: PLC0415
+
+    from cc_pyspark_spark.plans.registry import fixture_values  # noqa: PLC0415
+
+    values = fixture_values(
+        os.path.join(
+            os.path.dirname(__file__), "..", "functions",
+            "bpe_token_fixture.json",
+        )
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT d.lang,
+         CAST(f.n_tokens AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}'))
+              AS BIGINT) AS n_words,
+         CAST(strlen(d.text) AS BIGINT) AS n_bytes
+  FROM documents d JOIN (VALUES {values}) AS f(h, n_tokens)
+    ON md5(d.text) = f.h
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+         AS fertility,
+       CAST(SUM(n_bytes) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+         AS bytes_per_token
+FROM per_doc GROUP BY lang
+"""
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=_fertility_oracle(),
+    description="Tokenizer fertility by language — the standard "
+    "multilingual tokenizer evaluation (tokens per word; a tokenizer "
+    "trained on English-heavy data fragments other scripts, inflating "
+    "their effective sequence cost) plus bytes-per-token compression. "
+    "One Arrow-batched BPE pass (the vendored byte-level tokenizer), "
+    "word counts from the JVM-side regex tokenizer, byte counts from "
+    "octet_length — then ONE map-side-combinable grouped sum per lang; "
+    "ratios are exact int/int divisions of the summed totals, never "
+    "averages of per-doc floats, so the value hash is engine-identical "
+    "and the metric is the corpus-level fertility (not a doc-mean "
+    "proxy). Oracle: the md5->count BPE fixture joined in DuckDB with "
+    "independent word/byte computation",
+    tags=("text", "tokenizer", "llm"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.functions.bpe import token_count_udf  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    per_doc = t.documents.select(
+        "lang",
+        token_count_udf()(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.size(tokenize("text")).cast("bigint").alias("n_words"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        (
+            F.sum("n_tokens").cast("double") / F.sum("n_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.sum("n_bytes").cast("double") / F.sum("n_tokens").cast("double")
+        ).alias("bytes_per_token"),
+    )

@@ -102,6 +102,13 @@ CHECK = [
     # idx-ordered sparse z/C folds replace the dense array fold; the
     # factored-E gradient must survive re-layout bit-for-bit too.
     "text_classifier_train_sparse",
+    # r11: keep-first paragraph dedup (min-BIGINT keeper per digest)
+    # and the pos-sorted reconstruct — both must be layout-free.
+    "dedup_paragraph",
+    # r11: fertility ratios are single int/int divisions of summed
+    # totals — the pin is that the sums (and thus the doubles) never
+    # see a float fold.
+    "text_tokenizer_fertility",
 ]
 
 

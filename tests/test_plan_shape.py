@@ -609,3 +609,25 @@ def test_mmr_pool_is_take_ordered(spark):
         pool_plan._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_overlap_is_pure_map_no_shuffle(spark):
+    """r11: strided chunking must stream through the scan — tokenize,
+    sequence of starts, explode, slice are all row-local; ANY Exchange
+    or Python stage here would turn scan-throughput chunking of 100 TB
+    into a shuffle."""
+    plan = plan_of(spark, "curation_chunk_overlap")
+    assert _tree_nodes(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_two_keyed_exchanges_partial_agg(spark):
+    """r11: CCNet paragraph dedup pays exactly the designed wide
+    stages — digest-keyed first-occurrence agg (+ its join back) and
+    the doc-keyed reconstruct — with the min-keeper aggregation
+    partial/final so a 10^9-copy boilerplate paragraph ships one row
+    per map partition, and md5 digests (not paragraph bodies) as the
+    agg key."""
+    plan = plan_of(spark, "dedup_paragraph")
+    assert 2 <= _tree_nodes(plan, "Exchange") <= 3, plan
+    assert _tree_nodes(plan, "HashAggregate") >= 2  # partial + final min
