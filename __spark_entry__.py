@@ -132,15 +132,17 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     #    r7 names lead the r12 plan). New r11 registrations displace
     #    from THIS block first. --
     "agg_approx_count_distinct",
-    "agg_approx_percentile_bound",
-    "agg_count_min_heavy_hitters",
-    # CCNet paragraph-level dedup, per-lang tokenizer fertility, and
-    # strided chunking — new in r11 (displaced agg_exact_median_
-    # histogram, agg_hll_sketch_union, agg_salted_distinct_count back
-    # to the r12 queue per the displacement rule above)
+    # Five new r11 registrations (CCNet paragraph dedup, tokenizer
+    # fertility, strided chunking, cluster-size histogram, degree
+    # assortativity) displaced agg_approx_percentile_bound,
+    # agg_count_min_heavy_hitters, agg_exact_median_histogram,
+    # agg_hll_sketch_union, agg_salted_distinct_count back to the r12
+    # queue per the displacement rule above.
     "dedup_paragraph",
     "text_tokenizer_fertility",
     "curation_chunk_overlap",
+    "dedup_cluster_histogram",
+    "graph_degree_assortativity",
 )
 
 

@@ -199,6 +199,11 @@ HEADLINERS = [
     # r11: strided chunking — map-only, zero-shuffle; its row is the
     # de-codegen / accidental-exchange tripwire for the chunker.
     "curation_chunk_overlap",
+    # r11: cluster-size histogram (composes the components loop — the
+    # histogram stage must stay asymptotically free next to it) and
+    # degree assortativity (two degree joins + one scalar agg).
+    "dedup_cluster_histogram",
+    "graph_degree_assortativity",
 ]
 
 
@@ -263,8 +268,10 @@ def main() -> None:
         # bitext scoring materializes once (read by both top-k passes).
         "sim_bitext_mine",
         # soft dedup composes the convergence-probed components loop
-        # (count probes run at construction).
+        # (count probes run at construction); the cluster histogram
+        # composes the same loop.
         "curation_soft_dedup",
+        "dedup_cluster_histogram",
         # modularity composes LPA whose checkpointed rounds may run at
         # construction for larger round budgets.
         "graph_modularity",

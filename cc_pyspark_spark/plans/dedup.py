@@ -1667,3 +1667,38 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             " | ",
         ).alias("kept_text"),
     )
+
+
+@register(
+    "dedup_cluster_histogram",
+    oracle=f"""
+WITH base AS (
+{_duck_cluster_oracle()}
+), sz AS (
+  SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM base GROUP BY keep_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY cluster_size
+""",
+    description="Near-dup cluster-size histogram — the dedup REPORT "
+    "every production run emits (how much mass sits in how-big "
+    "clusters; survivors = n_clusters, removed = n_docs - n_clusters "
+    "per row): composes dedup_cluster_canonical's collect-free "
+    "components, then two grouped counts — the second over the "
+    "CLUSTER frame (one row per cluster), so the histogram stage is "
+    "asymptotically free next to clustering. Oracle wraps the same "
+    "recursive-CTE replay",
+    tags=("dedup", "llm"),
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "keep_id")
+    sz = base.groupBy("keep_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )

@@ -692,3 +692,90 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH raw AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), e AS (SELECT 2 * c AS a, 2 * s + 1 AS b FROM raw),
+sym AS (
+  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+), deg AS (
+  SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), xy AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM sym JOIN deg du ON sym.u = du.id JOIN deg dv ON sym.v = dv.id
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM xy
+)
+SELECT n, sx, sy, sxy, sx2, sy2,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS assortativity
+FROM sums
+""",
+    description="Degree assortativity (Newman r) of the customer-"
+    "supplier graph — the web-graph mixing diagnostic (real web graphs "
+    "are disassortative: hubs link to leaves; a positive r on a crawl "
+    "slice usually means mirror farms). Both edge orientations enter "
+    "the Pearson correlation of endpoint degrees, as the standard "
+    "estimator requires. Every aggregate is an EXACT integer sum "
+    "(degree products stay in int64 for deg^2 * E < 2^63 — wider "
+    "graphs switch the sums to decimal(38,0)/HUGEINT, same algebra); "
+    "r itself is computed ROW-LEVEL from the six exact scalars with "
+    "IEEE-correct sqrt, so the double hashes identically cross-engine. "
+    "Plan: one degree agg + two broadcast-able degree joins + one "
+    "partial/final scalar agg — no window, no iteration",
+    tags=("graph",),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    raw = (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e = raw.select((2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b"))
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    xy = (
+        sym.join(deg.select(F.col("id").alias("iu"), F.col("d").alias("x")),
+                 sym.u == F.col("iu"))
+        .join(deg.select(F.col("id").alias("iv"), F.col("d").alias("y")),
+              sym.v == F.col("iv"))
+        .select("x", "y")
+    )
+    sums = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sx2, sy2 = F.col("sxy").cast("double"), F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    return sums.select(
+        "n", "sx", "sy", "sxy", "sx2", "sy2",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("assortativity"),
+    )
