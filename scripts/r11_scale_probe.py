@@ -11,9 +11,10 @@ the benched plan. Timing mirrors bench.py: eager-construction
 queries time construction + execution; median of 2, one warm-up at
 1x per query.
 
-Usage: python scripts/r11_scale_probe.py [base_sf_dir]
+Usage: python scripts/r11_scale_probe.py [base_sf_dir] [name ...]
   (expects .scale/sf0.2 and .scale/sf1 to exist — run
-   gen_scaled_sf.py first)
+   gen_scaled_sf.py first; extra args override the default TARGETS,
+   so the same harness probes any registered query)
 """
 
 from __future__ import annotations
@@ -43,11 +44,15 @@ EAGER = {
     "curation_soft_dedup",
     "sim_bitext_mine",
     "sim_mmr_rerank",
+    "graph_lpa_converged",
+    "graph_kcore_converged",
+    "dedup_cluster_histogram",
 }
 
 
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    targets = tuple(sys.argv[2:]) or TARGETS
     dirs = {"1x": base, "2x": ".scale/sf0.2", "10x": ".scale/sf1"}
     spark = build_session(
         app_name="r11-scale-probe", master="local[32]", shuffle_partitions=32
@@ -67,12 +72,12 @@ def main() -> None:
             release_caches()
         return round(statistics.median(samples), 3)
 
-    for name in TARGETS:  # warm-up: JIT + codegen at 1x
+    for name in targets:  # warm-up: JIT + codegen at 1x
         one(name, base, runs=1)
 
     result: dict[str, dict[str, float]] = {}
     for scale, d in dirs.items():
-        result[scale] = {name: one(name, d) for name in TARGETS}
+        result[scale] = {name: one(name, d) for name in targets}
         print(json.dumps({scale: result[scale]}), flush=True)
     print(json.dumps({"base": base, "scales": result}))
     spark.stop()
