@@ -64,12 +64,23 @@ from cc_pyspark_spark.plans import QUERIES
 #: (graph_lpa_converged, graph_kcore_converged,
 #: curation_quota_semantics) take first-row slots per the tripwire.
 #:
-#: r12 rotation plan: the 20 remaining r7-last-row names + the r8
-#: cohort (tpch_q3/q4/q5/q6/q10/q14/q18, sim_cosine_topk,
-#: dedup_simhash_scale, events_tumbling_hourly, text_gopher_rules,
-#: ...) cycle next; steady-state full-registry cycle stays ~4 rounds
-#: at 192 registered queries. Each rotated-out name stays green in
-#: the sf0.001 parity pytest meanwhile.
+#: r12 rotation plan (in priority order): (a) the 20 remaining
+#: r7-last-row names — agg_approx_percentile_bound,
+#: agg_count_min_heavy_hitters, agg_exact_median_histogram,
+#: agg_hll_sketch_union, agg_salted_distinct_count (the five
+#: displaced from r11's tail by new registrations) plus
+#: curation_pipeline_full, dedup_prefix_jaccard, dedup_simhash_pairs,
+#: events_funnel_conversion, events_gapfill_locf,
+#: events_hypertable_rollup, events_retention_cohorts,
+#: events_rolling_zscore, graph_pagerank, graph_triangle_stats,
+#: sim_ann_pq_rerank, sim_hybrid_rrf, sim_sparse_tfidf_topk,
+#: text_bigram_lm_score, text_drift_chi2, tpch_q13/q17/q21/q2,
+#: warc_source_payload_digest; then (b) the r8 cohort (tpch_q3/q4/q5/
+#: q6/q10/q14/q18, sim_cosine_topk, dedup_simhash_scale,
+#: events_tumbling_hourly, text_gopher_rules, ...). Steady-state
+#: full-registry cycle ~4-5 rounds at 197 registered queries. Each
+#: rotated-out name stays green in the sf0.001 parity pytest
+#: meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
     # -- fixed 8-headliner core: benched AND driver-gated every round
     #    (stable since r9; every former core name remains benched and
