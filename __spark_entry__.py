@@ -64,11 +64,11 @@ from cc_pyspark_spark.plans import QUERIES
 #: (graph_lpa_converged, graph_kcore_converged,
 #: curation_quota_semantics) take first-row slots per the tripwire.
 #:
-#: r12 rotation plan (in priority order): (a) the 20 remaining
-#: r7-last-row names — agg_approx_percentile_bound,
+#: r12 rotation plan (in priority order): (a) ALL 26 r7-last-row
+#: names — agg_approx_count_distinct, agg_approx_percentile_bound,
 #: agg_count_min_heavy_hitters, agg_exact_median_histogram,
-#: agg_hll_sketch_union, agg_salted_distinct_count (the five
-#: displaced from r11's tail by new registrations) plus
+#: agg_hll_sketch_union, agg_salted_distinct_count (the six displaced
+#: from r11's tail by new registrations) plus
 #: curation_pipeline_full, dedup_prefix_jaccard, dedup_simhash_pairs,
 #: events_funnel_conversion, events_gapfill_locf,
 #: events_hypertable_rollup, events_retention_cohorts,
@@ -142,18 +142,20 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # -- 6 oldest r7-last-row names (alphabetical head; the other 20
     #    r7 names lead the r12 plan). New r11 registrations displace
     #    from THIS block first. --
-    "agg_approx_count_distinct",
-    # Five new r11 registrations (CCNet paragraph dedup, tokenizer
+    # Six new r11 registrations (CCNet paragraph dedup, tokenizer
     # fertility, strided chunking, cluster-size histogram, degree
-    # assortativity) displaced agg_approx_percentile_bound,
-    # agg_count_min_heavy_hitters, agg_exact_median_histogram,
-    # agg_hll_sketch_union, agg_salted_distinct_count back to the r12
-    # queue per the displacement rule above.
+    # assortativity, LSH blow-up report) displaced the whole
+    # 6-name r7 head block (agg_approx_count_distinct,
+    # agg_approx_percentile_bound, agg_count_min_heavy_hitters,
+    # agg_exact_median_histogram, agg_hll_sketch_union,
+    # agg_salted_distinct_count) back to the r12 queue per the
+    # displacement rule above.
     "dedup_paragraph",
     "text_tokenizer_fertility",
     "curation_chunk_overlap",
     "dedup_cluster_histogram",
     "graph_degree_assortativity",
+    "dedup_lsh_blowup_report",
 )
 
 

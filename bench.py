@@ -204,6 +204,9 @@ HEADLINERS = [
     # degree assortativity (two degree joins + one scalar agg).
     "dedup_cluster_histogram",
     "graph_degree_assortativity",
+    # r11: the LSH blow-up estimator — its row watches the O(corpus)
+    # claim (banding scan + bucket count, never the pair join).
+    "dedup_lsh_blowup_report",
 ]
 
 

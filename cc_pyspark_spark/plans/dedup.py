@@ -1702,3 +1702,52 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "dedup_lsh_blowup_report",
+    oracle=f"""
+WITH {_duck_minhash_bands()},
+b AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM bands GROUP BY band, key
+), p AS (
+  SELECT band, key, n_docs,
+         CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_pairs
+  FROM b WHERE n_docs >= 2
+), tot AS (
+  SELECT CAST(COALESCE(SUM(n_pairs), 0) AS BIGINT) AS total_pairs FROM p
+)
+SELECT band, key, n_docs, n_pairs,
+       (SELECT total_pairs FROM tot) AS total_pairs
+FROM p ORDER BY n_pairs DESC, band, key LIMIT 10
+""",
+    description="LSH bucket blow-up estimator — the pre-flight report "
+    "every at-scale pair-generation run needs: per-(band, key) bucket "
+    "sizes from the SAME signature/banding algebra the dedup queries "
+    "use, each bucket's pair contribution n(n-1)/2, the predicted "
+    "TOTAL candidate-pair count (broadcast 1-row aggregate), and the "
+    "10 hottest buckets (deterministic (pairs desc, band, key) order, "
+    "TakeOrderedAndProject) — the decision input for bucket capping / "
+    "salting BEFORE paying the pair join. Cost: the banding scan plus "
+    "one partial-aggregated count by bucket key — estimating the "
+    "explosion is O(corpus), never O(pairs), which is the point",
+    tags=("dedup", "scale", "llm"),
+)
+def dedup_lsh_blowup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    _sh, bands = _minhash_sh_bands(t)
+    b = bands.groupBy("band", "key").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    p = b.filter(F.col("n_docs") >= 2).withColumn(
+        "n_pairs", F.expr("(n_docs * (n_docs - 1)) div 2").cast("bigint")
+    )
+    tot = p.agg(
+        F.coalesce(F.sum("n_pairs"), F.lit(0)).cast("bigint").alias("total_pairs")
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n_pairs").desc(), "band", "key")
+        .limit(10)
+    )
