@@ -64,23 +64,25 @@ from cc_pyspark_spark.plans import QUERIES
 #: (graph_lpa_converged, graph_kcore_converged,
 #: curation_quota_semantics) take first-row slots per the tripwire.
 #:
-#: r12 rotation plan (in priority order): (a) ALL 26 r7-last-row
-#: names — agg_approx_count_distinct, agg_approx_percentile_bound,
-#: agg_count_min_heavy_hitters, agg_exact_median_histogram,
-#: agg_hll_sketch_union, agg_salted_distinct_count (the six displaced
-#: from r11's tail by new registrations) plus
-#: curation_pipeline_full, dedup_prefix_jaccard, dedup_simhash_pairs,
-#: events_funnel_conversion, events_gapfill_locf,
-#: events_hypertable_rollup, events_retention_cohorts,
-#: events_rolling_zscore, graph_pagerank, graph_triangle_stats,
-#: sim_ann_pq_rerank, sim_hybrid_rrf, sim_sparse_tfidf_topk,
-#: text_bigram_lm_score, text_drift_chi2, tpch_q13/q17/q21/q2,
-#: warc_source_payload_digest; then (b) the r8 cohort (tpch_q3/q4/q5/
-#: q6/q10/q14/q18, sim_cosine_topk, dedup_simhash_scale,
-#: events_tumbling_hourly, text_gopher_rules, ...). Steady-state
-#: full-registry cycle ~4-5 rounds at 197 registered queries. Each
-#: rotated-out name stays green in the sf0.001 parity pytest
-#: meanwhile.
+#: Round-12 rotation (VERDICT r11 ask #1): executes the committed r12
+#: plan verbatim — all 26 r7-last-row names + the 14 alphabetically-
+#: first r8 names, with two first-row slots for the new r12
+#: registrations (dedup_minhash_capped, dedup_minhash_salted — the
+#: second displaced events_ks_drift back to the r13 queue per the
+#: displacement rule). Rotation floor after r12: r8.
+#:
+#: r13 rotation plan (in priority order): (a) the 24 remaining
+#: r8-last-row names — events_ks_drift, events_tumbling_hourly, filter_in_like,
+#: graph_bfs_hops, graph_cc_alternating, layout_zorder_stats,
+#: multimodal_image_neardup, multimodal_image_phash, sim_ann_ivf_pq,
+#: sim_ann_ivfpq_residual, sim_cosine_topk, sim_eval_recall_at_k,
+#: sim_eval_recall_matrix, subquery_correlated, text_gopher_rules,
+#: text_hashed_classifier, text_word_count_tfdf, tpch_q10/q14/q18/
+#: q3/q4/q5/q6; then (b) the r9 cohort head as slots allow, minus
+#: first-row slots for new r13 registrations per the displacement
+#: rule. Steady-state full-registry cycle ~4-5 rounds at 200
+#: registered queries. Each rotated-out name stays green in the
+#: sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
     # -- fixed 8-headliner core: benched AND driver-gated every round
     #    (stable since r9; every former core name remains benched and
@@ -96,66 +98,66 @@ DRIVER_CORE: tuple[str, ...] = (
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
-    # -- first rows for the new r11 names (the rotation tripwire's
-    #    every-new-name-gets-a-row invariant): the two converged
-    #    deployment wrappers under the oracle gate (VERDICT r10 ask
-    #    #3) and the batch-vs-streaming quota-semantics contract
-    #    (ask #7) --
-    "graph_lpa_converged",
-    "graph_kcore_converged",
-    "curation_quota_semantics",
-    # -- ALL 8 r5-last-row names (stalest in the ledger) --
-    "curation_hash_sample",
-    "curation_split_assign",
-    "dedup_cluster_canonical",
-    "dedup_semantic_clustered",
-    "dedup_url_normalize",
-    "embedding_quantize_int8",
-    "text_token_rarity",
-    "url_host_reverse",
-    # -- ALL 25 r6-last-row names --
-    "curation_mix_weights",
-    "curation_pack_sequences_bpe",
-    "curation_pii_redact",
-    "curation_reservoir_per_lang",
-    "dedup_substring_spans",
-    "events_asof_join",
-    "events_range_join",
-    "merge_upsert",
-    "multimodal_audio_features",
-    "multimodal_blob_stats",
-    "multimodal_decode_resize",
-    "scan_filter_project",
-    "sql_passthrough",
-    "text_c4_line_rules",
-    "text_html_extract",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_potential_promotion",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "url_tld_validation_counts",
-    "window_distributed_ids",
-    # -- 6 oldest r7-last-row names (alphabetical head; the other 20
-    #    r7 names lead the r12 plan). New r11 registrations displace
-    #    from THIS block first. --
-    # Six new r11 registrations (CCNet paragraph dedup, tokenizer
-    # fertility, strided chunking, cluster-size histogram, degree
-    # assortativity, LSH blow-up report) displaced the whole
-    # 6-name r7 head block (agg_approx_count_distinct,
-    # agg_approx_percentile_bound, agg_count_min_heavy_hitters,
-    # agg_exact_median_histogram, agg_hll_sketch_union,
-    # agg_salted_distinct_count) back to the r12 queue per the
-    # displacement rule above.
-    "dedup_paragraph",
-    "text_tokenizer_fertility",
-    "curation_chunk_overlap",
-    "dedup_cluster_histogram",
-    "graph_degree_assortativity",
-    "dedup_lsh_blowup_report",
+    # ================= r12 rotation (VERDICT r11 ask #1) =============
+    # Executes the committed r12 plan exactly: 42 non-core slots =
+    # 2 first-rows for the new r12 registrations (the tripwire's
+    # every-new-name-gets-a-row invariant) + ALL 26 r7-last-row names
+    # (the stalest cohort in the CORRECTNESS_r01..r11 ledger:
+    # histogram r7:26, r8:39, r9:42, r10:42, r11:50) + the 14
+    # alphabetically-first r8-last-row names. After r12 the rotation
+    # floor is r8 (24 r8 names remain; they head the r13 plan,
+    # then the r9 cohort). Steady-state full-registry cycle stays
+    # ~4-5 rounds at 200 registered queries.
+    #
+    # -- first rows: the enforced LSH bucket cap (VERDICT r11 ask #2,
+    #    the blow-up estimator's teeth) in both modes — drop and the
+    #    deterministic-salt partial-recall twin --
+    "dedup_minhash_capped",
+    "dedup_minhash_salted",
+    # -- ALL 26 r7-last-row names --
+    "agg_approx_count_distinct",
+    "agg_approx_percentile_bound",
+    "agg_count_min_heavy_hitters",
+    "agg_exact_median_histogram",
+    "agg_hll_sketch_union",
+    "agg_salted_distinct_count",
+    "curation_pipeline_full",
+    "dedup_prefix_jaccard",
+    "dedup_simhash_pairs",
+    "events_funnel_conversion",
+    "events_gapfill_locf",
+    "events_hypertable_rollup",
+    "events_retention_cohorts",
+    "events_rolling_zscore",
+    "graph_pagerank",
+    "graph_triangle_stats",
+    "sim_ann_pq_rerank",
+    "sim_hybrid_rrf",
+    "sim_sparse_tfidf_topk",
+    "text_bigram_lm_score",
+    "text_drift_chi2",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "warc_source_payload_digest",
+    # -- 14 oldest r8-last-row names (alphabetical head; the other 24
+    #    r8 names lead the r13 plan — the second r12 registration
+    #    displaced events_ks_drift per the displacement rule). --
+    "array_functions",
+    "conditional_functions",
+    "curation_dataset_card",
+    "curation_difficulty_bins",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "date_functions",
+    "dedup_edit_distance",
+    "dedup_embedding_delta",
+    "dedup_embedding_scale_probe",
+    "dedup_minhash_delta",
+    "dedup_simhash_scale",
+    "embedding_kmeans_lloyd",
+    "events_cusum_changepoint",
 )
 
 

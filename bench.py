@@ -207,10 +207,156 @@ HEADLINERS = [
     # r11: the LSH blow-up estimator — its row watches the O(corpus)
     # claim (banding scan + bucket count, never the pair join).
     "dedup_lsh_blowup_report",
+    # r12 (VERDICT r11 asks #4/#5): the last two iterative operators
+    # without a perf gate — pagerank_converged and hits_converged run
+    # via EXTRA_OPS builders on the same co-order bipartite graph as
+    # their fixed-round twins (they have no registered query: round
+    # count is data-dependent, no SQL replay), pricing the probe/
+    # checkpoint overhead r11's LPA data showed is material; plus
+    # curation_pipeline_full, the heaviest registered query (144-row
+    # e2e composition), previously driver-gated but unbenched.
+    "pagerank_converged",
+    "hits_converged",
+    "curation_pipeline_full",
+    # r12: the enforced LSH bucket cap — its row watches the cap's
+    # window count sharing the pair join's (band, key) exchange.
+    "dedup_minhash_capped",
 ]
 
 
+def _co_order_raw(spark, sf_dir):
+    """Distinct (customer, supplier) co-order pairs — the edge base
+    every graph_* query uses (plans/graphq.py)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.catalog import Catalog  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
+def _bench_pagerank_converged(spark, sf_dir):
+    """graph_pagerank's symmetrized tagged bipartite edges through the
+    converged wrapper. tol = 10^14 (1e-1 of total mass) stops at the
+    FOURTH probe, round 16, on this graph (4-round-span L1 decays
+    x0.52 per probe: 2.0e14 at rounds 4->8, 5.5e13 at 12->16 — the
+    crossing), so the row prices four full probe/checkpoint cycles ON
+    TOP of the 8-round fixed twin without the ~85 rounds a deployment
+    tol=1e-6 would run (a cluster-sized budget, not a bench row; tol
+    is the caller's knob either way)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.pagerank import pagerank_converged  # noqa: PLC0415
+
+    raw = _co_order_raw(spark, sf_dir)
+    edges = raw.select(
+        (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
+    ).unionAll(
+        raw.select((2 * F.col("s") + 1).alias("s"), (2 * F.col("c")).alias("t"))
+    )
+    return pagerank_converged(
+        edges, tol_units=10**14, assume_no_dangling=True
+    )
+
+
+def _bench_hits_converged(spark, sf_dir):
+    """graph_hits' directed bipartite edges through the quantized
+    fixed-point HITS wrapper (runs to its exact integer rest state)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.pagerank import hits_converged  # noqa: PLC0415
+
+    raw = _co_order_raw(spark, sf_dir)
+    edges = raw.select(
+        (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
+    )
+    return hits_converged(edges)
+
+
+#: Bench-only builders for operators with no registered query (round
+#: count is data-dependent, so no DuckDB oracle exists — correctness
+#: lives in pytest; the bench row gates performance).
+EXTRA_OPS = {
+    "pagerank_converged": _bench_pagerank_converged,
+    "hits_converged": _bench_hits_converged,
+}
+
+
+# Queries that materialize EAGERLY at construction (iterative
+# localCheckpoint(eager=True) loops): a write-only timer records
+# ~0 s for exactly the family the regression gate must watch
+# (graph_pagerank read 0.03 s in the first r8 run), so these time
+# construction + execution. Everything else keeps the r1-r7
+# write-only semantics — measuring py4j plan construction added a
+# uniform ~+0.3 s to 40 otherwise-unchanged queries, destroying
+# cross-round comparability for no information (construction
+# happens once per job in production, not per 100 TB of input).
+# r9 late: text_bpe_train's 10 argmax merge rounds and the theta
+# sketch's pair-join checkpoint also materialize at construction —
+# their write-only rows read ~0.05 s, so they join the
+# construction-inclusive timer.
+# r10: the four new iterative plans all run checkpointed loops at
+# construction (LPA every-4-rounds, k-core per-round, converged-CC's
+# convergence probe, kcenter's per-round center union); DSIR is a
+# lazy single plan and keeps write-only semantics.
+EAGER_CONSTRUCTION = {
+    "graph_pagerank",
+    "graph_cc_alternating",
+    "text_bpe_train",
+    "agg_theta_sketch_intersect",
+    "curation_priority_sample",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_cc_converged",
+    "embedding_kcenter_coreset",
+    # r10: HITS checkpoints its round-2 frames, MMR eagerly
+    # materializes the candidate pool, vocab coverage's range-prefix
+    # scan checkpoint-pins its range exchange.
+    "graph_hits",
+    "sim_mmr_rerank",
+    "text_vocab_coverage",
+    # the sparse trainer checkpoints its <= d+2-row gradient table
+    # per round (the fused E+gradient aggregation), so the loop
+    # executes at construction.
+    "text_classifier_train_sparse",
+    # bitext scoring materializes once (read by both top-k passes).
+    "sim_bitext_mine",
+    # soft dedup composes the convergence-probed components loop
+    # (count probes run at construction); the cluster histogram
+    # composes the same loop.
+    "curation_soft_dedup",
+    "dedup_cluster_histogram",
+    # modularity composes LPA whose checkpointed rounds may run at
+    # construction for larger round budgets.
+    "graph_modularity",
+    # r11: both converged wrappers run their probe loops (eager
+    # checkpoints + driver-side scalar probes) at construction.
+    "graph_lpa_converged",
+    "graph_kcore_converged",
+    # r12: same probe-loop shape for the two newly gated wrappers;
+    # pipeline_full composes the connected_components probe loop.
+    "pagerank_converged",
+    "hits_converged",
+    "curation_pipeline_full",
+}
+
+
+def _n_runs() -> int:
+    """Timed samples per query. Validates up front: 0/negative would
+    execute the untimed warm-up then crash statistics.median on an
+    empty sample list, after the queries already ran (r11 ADVICE)."""
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "5"))
+    if n_runs < 1:
+        raise SystemExit(f"SPARK_GRAFT_RUNS must be >= 1, got {n_runs}")
+    return n_runs
+
+
 def main() -> None:
+    _n_runs()  # fail fast, before the session or any warm-up query
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -231,58 +377,6 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Queries that materialize EAGERLY at construction (iterative
-    # localCheckpoint(eager=True) loops): a write-only timer records
-    # ~0 s for exactly the family the regression gate must watch
-    # (graph_pagerank read 0.03 s in the first r8 run), so these time
-    # construction + execution. Everything else keeps the r1-r7
-    # write-only semantics — measuring py4j plan construction added a
-    # uniform ~+0.3 s to 40 otherwise-unchanged queries, destroying
-    # cross-round comparability for no information (construction
-    # happens once per job in production, not per 100 TB of input).
-    # r9 late: text_bpe_train's 10 argmax merge rounds and the theta
-    # sketch's pair-join checkpoint also materialize at construction —
-    # their write-only rows read ~0.05 s, so they join the
-    # construction-inclusive timer.
-    # r10: the four new iterative plans all run checkpointed loops at
-    # construction (LPA every-4-rounds, k-core per-round, converged-CC's
-    # convergence probe, kcenter's per-round center union); DSIR is a
-    # lazy single plan and keeps write-only semantics.
-    eager_construction = {
-        "graph_pagerank",
-        "graph_cc_alternating",
-        "text_bpe_train",
-        "agg_theta_sketch_intersect",
-        "curation_priority_sample",
-        "graph_label_propagation",
-        "graph_kcore",
-        "graph_cc_converged",
-        "embedding_kcenter_coreset",
-        # r10: HITS checkpoints its round-2 frames, MMR eagerly
-        # materializes the candidate pool, vocab coverage's range-prefix
-        # scan checkpoint-pins its range exchange.
-        "graph_hits",
-        "sim_mmr_rerank",
-        "text_vocab_coverage",
-        # the sparse trainer checkpoints its <= d+2-row gradient table
-        # per round (the fused E+gradient aggregation), so the loop
-        # executes at construction.
-        "text_classifier_train_sparse",
-        # bitext scoring materializes once (read by both top-k passes).
-        "sim_bitext_mine",
-        # soft dedup composes the convergence-probed components loop
-        # (count probes run at construction); the cluster histogram
-        # composes the same loop.
-        "curation_soft_dedup",
-        "dedup_cluster_histogram",
-        # modularity composes LPA whose checkpointed rounds may run at
-        # construction for larger round budgets.
-        "graph_modularity",
-        # r11: both converged wrappers run their probe loops (eager
-        # checkpoints + driver-side scalar probes) at construction.
-        "graph_lpa_converged",
-        "graph_kcore_converged",
-    }
 
     # SPARK_GRAFT_ONLY="name1,name2" re-measures a subset (same warm-up
     # and timing discipline) — for deciding noise vs regression on
@@ -297,18 +391,19 @@ def main() -> None:
     # SPARK_GRAFT_RUNS: timed samples per query (default 5, plus one
     # untimed warm-up). One-off giant-SF sweeps (the SCALING.md sf1
     # suite run) drop it to 1 to keep wall-clock sane.
-    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "5"))
+    n_runs = _n_runs()
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name in names:
         samples: list[float] = []
+        builder = EXTRA_OPS.get(name) or QUERIES[name].spark
         for i in range(n_runs + 1):  # run 0 = per-query warm-up, untimed
-            if name in eager_construction:
+            if name in EAGER_CONSTRUCTION:
                 start = time.perf_counter()
-                df = QUERIES[name].spark(spark, sf_dir)
+                df = builder(spark, sf_dir)
             else:
-                df = QUERIES[name].spark(spark, sf_dir)
+                df = builder(spark, sf_dir)
                 start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             if i > 0:

@@ -787,6 +787,14 @@ def main_with_args(args: argparse.Namespace) -> int:
         release_caches()
 
 
+def _rounds(args: argparse.Namespace, default: int) -> int:
+    """Per-algorithm --graph_rounds default that still honours an
+    explicit 0 (``or default`` would swallow it — the
+    label_propagation rounds=0 identity contract is CLI-reachable
+    only with a None-test; r11 ADVICE)."""
+    return args.graph_rounds if args.graph_rounds is not None else default
+
+
 def _run_graph_analyze(spark, args: argparse.Namespace) -> int:
     """Graph analytics over an integer (s, t) edge table — the
     downstream consumer of hostlinks_to_graph's edges output (the
@@ -799,7 +807,7 @@ def _run_graph_analyze(spark, args: argparse.Namespace) -> int:
     if algo == "pagerank":
         from cc_pyspark_spark.operators.pagerank import pagerank  # noqa: PLC0415
 
-        df = pagerank(edges, n_iter=args.graph_rounds or 10)
+        df = pagerank(edges, n_iter=_rounds(args, 10))
         sort_cols = ["id"]
     elif algo == "pagerank_converged":
         from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
@@ -811,7 +819,7 @@ def _run_graph_analyze(spark, args: argparse.Namespace) -> int:
     elif algo == "hits":
         from cc_pyspark_spark.operators.pagerank import hits_fixed  # noqa: PLC0415
 
-        df = hits_fixed(edges, rounds=args.graph_rounds or 2)
+        df = hits_fixed(edges, rounds=_rounds(args, 2))
         sort_cols = ["id", "kind"]
     elif algo == "hits_converged":
         from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
@@ -840,7 +848,7 @@ def _run_graph_analyze(spark, args: argparse.Namespace) -> int:
                 label_propagation,
             )
 
-            df = label_propagation(canon, rounds=args.graph_rounds or 4)
+            df = label_propagation(canon, rounds=_rounds(args, 4))
             sort_cols = ["id"]
         elif algo == "lpa_converged":
             from cc_pyspark_spark.operators.community import (  # noqa: PLC0415

@@ -296,19 +296,24 @@ def pagerank_converged(
     ranks = vertices.withColumn(
         "r", F.lit(PAGERANK_SCALE // n).cast("bigint")
     ).localCheckpoint(eager=True)
+    # last_probed only advances AT probe rounds, so the probe join
+    # really spans `probe_every` rounds (r11 ADVICE: reassigning
+    # `ranks` every round silently degraded the documented span
+    # probe to a single-step delta) and both sides of the join are
+    # always checkpointed frames.
+    last_probed = ranks
     for i in range(max_rounds):
         nxt = one_round(ranks)
         if (i + 1) % probe_every == 0 or i == max_rounds - 1:
             nxt = nxt.localCheckpoint(eager=True)
-            if moved_mass(nxt, ranks) <= tol_units:
+            if moved_mass(nxt, last_probed) <= tol_units:
                 return nxt.select(
                     "id",
                     "r",
                     (F.col("r") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
                 )
-            ranks = nxt
-        else:
-            ranks = nxt
+            last_probed = nxt
+        ranks = nxt
     raise RuntimeError(
         f"pagerank_converged: moved mass above {tol_units} units after "
         f"{max_rounds} rounds"

@@ -1751,3 +1751,216 @@ def dedup_lsh_blowup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pairs").desc(), "band", "key")
         .limit(10)
     )
+
+
+#: Pair-join bucket cap for the capped minhash query (r12, VERDICT r11
+#: ask #2). 3 is deliberately BELOW the sf0.01 max bucket size (5), so
+#: the cap provably fires at the gate SF: 8 hot buckets / 52 dropped
+#: pairs at sf0.01 — the audit columns are live numbers, not zeros.
+#: At 100 TB this knob is set from dedup_lsh_blowup_report's output
+#: (e.g. 10_000), bounding any bucket's fan-out to cap*(cap-1)/2 pairs.
+LSH_MAX_BUCKET = 3
+
+
+@register(
+    "dedup_minhash_capped",
+    oracle=f"""
+WITH {{bands}},
+b AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bands GROUP BY band, key
+), hot AS (
+  SELECT band, key, n FROM b WHERE n > {{cap}}
+), audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS capped_buckets,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS hot_docs,
+         CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+           AS dropped_pairs_est
+  FROM hot
+), kept AS (
+  SELECT bs.doc_id, bs.band, bs.key
+  FROM bands bs JOIN b USING (band, key) WHERE b.n <= {{cap}}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+  FROM kept a JOIN kept b2
+    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, i * 1.0 / (sn.n + so.n - i) AS jac,
+       audit.capped_buckets, audit.hot_docs, audit.dropped_pairs_est
+FROM inter
+JOIN sizes sn ON a_id = sn.doc_id
+JOIN sizes so ON b_id = so.doc_id
+CROSS JOIN audit
+WHERE i * 1.0 / (sn.n + so.n - i) >= {{thr}}
+""".format(bands=_duck_minhash_bands(), cap=LSH_MAX_BUCKET, thr=JACCARD_THRESHOLD),
+    description="ENFORCED LSH bucket cap (the blow-up estimator's "
+    "teeth, VERDICT r11 ask #2): buckets larger than LSH_MAX_BUCKET "
+    "are dropped BEFORE the band self-join via operators.dedup."
+    "cap_lsh_buckets (one window count on the join's own (band, key) "
+    "shuffle key), so per-bucket fan-out is bounded by cap*(cap-1)/2 "
+    "no matter how pathological the corpus — at 100 TB, boilerplate "
+    "clusters make million-doc buckets a certainty and one uncapped "
+    "bucket is an O(n^2) executor-killer. Survivor pairs are exact-"
+    "Jaccard-verified as usual; every row carries the broadcast audit "
+    "(capped_buckets, hot_docs, dropped_pairs_est) because a cap "
+    "nobody audits silently redefines recall. The salt mode (split "
+    "hot buckets into deterministic sub-buckets, partial recall "
+    "instead of none) is the pytest-pinned twin in "
+    "tests/test_lsh_cap.py. Oracle replays the identical cap rule",
+    tags=("dedup", "scale", "llm"),
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import cap_lsh_buckets  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    sh, bands = _minhash_sh_bands(t)
+    kept, audit = cap_lsh_buckets(bands, LSH_MAX_BUCKET, on_exceed="drop")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("b_id"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .crossJoin(F.broadcast(audit))
+    )
+
+
+@register(
+    "dedup_minhash_salted",
+    oracle=f"""
+WITH {{bands}},
+b AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bands GROUP BY band, key
+), hot AS (
+  SELECT band, key, n FROM b WHERE n > {{cap}}
+), audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS capped_buckets,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS hot_docs,
+         CAST(COALESCE(SUM(
+           n * (n - 1) // 2
+           - (n // {{cap}}) * {{cappairs}}
+           - (n % {{cap}}) * ((n % {{cap}}) - 1) // 2
+         ), 0) AS BIGINT) AS dropped_pairs_est
+  FROM hot
+), salted AS (
+  SELECT bs.doc_id, bs.band, bs.key,
+         CASE WHEN b.n <= {{cap}} THEN 0
+              ELSE (ROW_NUMBER() OVER (
+                      PARTITION BY bs.band, bs.key ORDER BY bs.doc_id
+                    ) - 1) // {{cap}}
+         END AS sub
+  FROM bands bs JOIN b USING (band, key)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+  FROM salted a JOIN salted b2
+    ON a.band = b2.band AND a.key = b2.key AND a.sub = b2.sub
+   AND a.doc_id < b2.doc_id
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a_id
+  JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, i * 1.0 / (sn.n + so.n - i) AS jac,
+       audit.capped_buckets, audit.hot_docs, audit.dropped_pairs_est
+FROM inter
+JOIN sizes sn ON a_id = sn.doc_id
+JOIN sizes so ON b_id = so.doc_id
+CROSS JOIN audit
+WHERE i * 1.0 / (sn.n + so.n - i) >= {{thr}}
+""".format(
+        bands=_duck_minhash_bands(),
+        cap=LSH_MAX_BUCKET,
+        cappairs=LSH_MAX_BUCKET * (LSH_MAX_BUCKET - 1) // 2,
+        thr=JACCARD_THRESHOLD,
+    ),
+    description="SALT-mode LSH bucket cap (dedup_minhash_capped's "
+    "partial-recall twin, same cap_lsh_buckets operator): hot buckets "
+    "split into ceil(n/cap) deterministic sub-buckets (row_number "
+    "over doc_id within the bucket — layout- and run-independent), "
+    "so pairs survive WITHIN each sub-bucket instead of vanishing "
+    "with the whole bucket; fan-out stays bounded by cap*(cap-1)/2 "
+    "per sub-bucket. The curation stance when hot buckets are NOT "
+    "disposable boilerplate (e.g. the corpus is known-templated and "
+    "cross-template pairs still matter sampled). Audit columns count "
+    "exactly the cross-sub pairs sacrificed: n(n-1)/2 minus "
+    "q*cap(cap-1)/2 minus r(r-1)/2 per hot bucket (q = n div cap, "
+    "r = n mod cap). Oracle replays the identical row_number split",
+    tags=("dedup", "scale", "llm"),
+)
+def dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import cap_lsh_buckets  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    sh, bands = _minhash_sh_bands(t)
+    salted, audit = cap_lsh_buckets(bands, LSH_MAX_BUCKET, on_exceed="salt")
+    a, b = salted.alias("a"), salted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("a_id"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("b_id"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .crossJoin(F.broadcast(audit))
+    )

@@ -10,15 +10,22 @@ UNMODIFIED against the scaled directory via their normal Catalog scans
 bench.py run the whole headliner suite at sf1 (SCALING.md, VERDICT r10
 asks #5/#6).
 
+Replica content (r12, VERDICT r11 ask #3): by default documents.text
+and embeddings.embedding are deterministically perturbed per replica
+(see salt_replica) so replicas are NOT near-duplicates of the base —
+within-replica similarity structure is preserved exactly, cross-
+replica pairs vanish, and the dedup/similarity families' scale rows
+measure the PLAN, not a generator artifact. `--no-salt` restores the
+r11 verbatim replication (pair counts quadratic in the factor — read
+those rows as upper bounds only).
+
 Known probe artifacts (documented, deliberate):
-  * string columns (text, source, lang, event_type) replicate
-    verbatim, so content-keyed group sizes grow by the factor and
-    NEAR-DUP PAIR counts in the dedup families grow ~quadratically
-    within unchanged LSH buckets — read those rows as upper bounds,
-    not linear-scaling claims.
+  * categorical columns (source, lang, event_type) replicate
+    verbatim, so their group COUNTS grow by the factor (domains are
+    meant to repeat, like TPC-H dims).
   * dims (region, nation) copy unscaled, like TPC-H's fixed dims.
 
-Usage: python scripts/gen_scaled_sf.py <base_sf_dir> <out_dir> <factor>
+Usage: python scripts/gen_scaled_sf.py <base_sf_dir> <out_dir> <factor> [--no-salt]
 """
 
 from __future__ import annotations
@@ -53,7 +60,74 @@ SHIFT_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def scaled_table(base, factor: int, keys: tuple[str, ...]):
+def check_key_ranges(base, name: str, keys: tuple[str, ...]) -> None:
+    """Fail loudly if any surrogate key falls outside [0, KEY_SHIFT):
+    replica i occupies [i*KEY_SHIFT, (i+1)*KEY_SHIFT) per key, so a
+    base key >= KEY_SHIFT would silently overlap the next replica's
+    range and corrupt every join cardinality downstream (r11 ADVICE —
+    the no-collision property was previously a comment, not a check).
+    One cheap min/max agg per table."""
+    if not keys:
+        return
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
+    row = base.agg(*aggs).collect()[0]
+    for k in keys:
+        lo, hi = row[f"min_{k}"], row[f"max_{k}"]
+        if lo is None:
+            continue  # empty table: nothing to shift
+        if lo < 0 or hi >= KEY_SHIFT:
+            raise SystemExit(
+                f"gen_scaled_sf: {name}.{k} range [{lo}, {hi}] escapes "
+                f"[0, {KEY_SHIFT}) — replica key ranges would overlap; "
+                "raise KEY_SHIFT or shrink the base SF"
+            )
+
+
+def salt_replica(rep, name: str, i: int):
+    """Deterministic per-replica content perturbation (r12, VERDICT
+    r11 ask #3): replicas must stop being exact near-duplicates of
+    the base, or every pair-generating family's scale ratio is a
+    generator artifact (the r11 sf1 table's 14-45x "upper bound"
+    rows), while WITHIN-replica similarity structure must be
+    preserved exactly so the workload stays the same shape.
+
+    * documents.text — every [A-Za-z0-9]+ token gets the suffix
+      ``zq{i}``. Appending a fixed suffix is injective on tokens, so
+      the token->salted-token map is a bijection per replica: every
+      within-replica shingle-set size, intersection, and therefore
+      Jaccard is EXACTLY the base value, while cross-replica token
+      sets are disjoint (no shared shingles, no cross-replica LSH
+      candidates). n_chars is recomputed to match the salted text.
+    * embeddings.embedding — circular shift of the 64-dim vector by
+      ``i % 64`` positions. A coordinate permutation is orthogonal:
+      all within-replica cosines/norms are EXACTLY the base values;
+      cross-replica cosine to the base vector decorrelates. (factor
+      <= 64 keeps shifts distinct and nonzero.)
+    * everything else (dims, categorical lang/source/event_type,
+      numerics) replicates verbatim — those columns' domains are
+      meant to repeat, like TPC-H dims.
+    """
+    if name == "documents":
+        salted = F.regexp_replace("text", "([A-Za-z0-9]+)", f"$1zq{i}")
+        rep = rep.withColumn("text", salted).withColumn(
+            "n_chars", F.length("text").cast("bigint")
+        )
+    elif name == "embeddings":
+        shift = i % 64
+        if shift:
+            rep = rep.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", shift + 1, 64 - shift),
+                    F.slice("embedding", 1, shift),
+                ),
+            )
+    return rep
+
+
+def scaled_table(base, factor: int, keys: tuple[str, ...], name: str, salt: bool):
     if not keys or factor <= 1:
         return base
     out = base
@@ -61,22 +135,30 @@ def scaled_table(base, factor: int, keys: tuple[str, ...]):
         rep = base
         for k in keys:
             rep = rep.withColumn(k, F.col(k) + F.lit(i * KEY_SHIFT))
+        if salt:
+            rep = salt_replica(rep, name, i)
         out = out.unionAll(rep)
     return out
 
 
 def main() -> None:
     base_dir, out_dir, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # --no-salt reproduces the r11 verbatim-replica behavior (every
+    # replica an exact near-dup of the base — pair counts quadratic in
+    # the factor); default is salted replicas (ask #3).
+    salt = "--no-salt" not in sys.argv[4:]
     spark = build_session(
         app_name="gen-scaled-sf", master="local[32]", shuffle_partitions=32
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         df = load_table(spark, base_dir, name)
-        scaled_table(df, factor, SHIFT_COLS[name]).write.mode(
+        if factor > 1:
+            check_key_ranges(df, name, SHIFT_COLS[name])
+        scaled_table(df, factor, SHIFT_COLS[name], name, salt).write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/{name}.parquet")
-        print(f"{name}: written x{factor}")
+        print(f"{name}: written x{factor}{' salted' if salt else ''}")
     spark.stop()
 
 

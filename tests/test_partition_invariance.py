@@ -109,6 +109,17 @@ CHECK = [
     # totals — the pin is that the sums (and thus the doubles) never
     # see a float fold.
     "text_tokenizer_fertility",
+    # r12 (VERDICT r11 ask #6): Newman assortativity r is a double
+    # derived row-level from six exact BIGINT scalar sums — invariant
+    # by construction, but pinned here like every other float-emitting
+    # query instead of argued.
+    "graph_degree_assortativity",
+    # r12: the capped pair join emits jac doubles AND its window-count
+    # cap decision must not depend on layout.
+    "dedup_minhash_capped",
+    # r12: the salt twin adds a row_number sub-bucket split — the
+    # doc_id-ordered window must assign identical subs at any layout.
+    "dedup_minhash_salted",
 ]
 
 
