@@ -65,23 +65,31 @@ from cc_pyspark_spark.plans import QUERIES
 #: curation_quota_semantics) take first-row slots per the tripwire.
 #:
 #: Round-12 rotation (VERDICT r11 ask #1): executes the committed r12
-#: plan verbatim — all 26 r7-last-row names + the 14 alphabetically-
-#: first r8 names, with two first-row slots for the new r12
-#: registrations (dedup_minhash_capped, dedup_minhash_salted — the
-#: second displaced events_ks_drift back to the r13 queue per the
-#: displacement rule). Rotation floor after r12: r8.
+#: plan — all 26 r7-last-row names + the alphabetically-first r8
+#: names, with TEN first-row slots for the new r12 registrations
+#: (dedup_minhash_capped, dedup_minhash_salted, dedup_containment,
+#: events_scd2_asof, layout_bucketed_join, text_boilerplate_shingles,
+#: graph_link_prediction, events_ohlc_bars, text_code_detect,
+#: layout_partition_pruning). Each new name displaced one r8 tail
+#: name back to the r13 queue per the displacement rule, so the
+#: in-window r8 cohort is the 6 alphabetically-first names and the
+#: other 32 r8 names head the r13 plan. Rotation floor after r12: r8.
 #:
-#: r13 rotation plan (in priority order): (a) the 24 remaining
-#: r8-last-row names — events_ks_drift, events_tumbling_hourly, filter_in_like,
-#: graph_bfs_hops, graph_cc_alternating, layout_zorder_stats,
-#: multimodal_image_neardup, multimodal_image_phash, sim_ann_ivf_pq,
-#: sim_ann_ivfpq_residual, sim_cosine_topk, sim_eval_recall_at_k,
-#: sim_eval_recall_matrix, subquery_correlated, text_gopher_rules,
-#: text_hashed_classifier, text_word_count_tfdf, tpch_q10/q14/q18/
-#: q3/q4/q5/q6; then (b) the r9 cohort head as slots allow, minus
-#: first-row slots for new r13 registrations per the displacement
-#: rule. Steady-state full-registry cycle ~4-5 rounds at 200
-#: registered queries. Each rotated-out name stays green in the
+#: r13 rotation plan (in priority order): (a) the 32 remaining
+#: r8-last-row names —
+#: date_functions, dedup_edit_distance, dedup_embedding_delta,
+#: dedup_embedding_scale_probe,
+#: dedup_minhash_delta, dedup_simhash_scale, embedding_kmeans_lloyd,
+#: events_cusum_changepoint, events_ks_drift, events_tumbling_hourly,
+#: filter_in_like, graph_bfs_hops, graph_cc_alternating,
+#: layout_zorder_stats, multimodal_image_neardup,
+#: multimodal_image_phash, sim_ann_ivf_pq, sim_ann_ivfpq_residual,
+#: sim_cosine_topk, sim_eval_recall_at_k, sim_eval_recall_matrix,
+#: subquery_correlated, text_gopher_rules, text_hashed_classifier,
+#: text_word_count_tfdf, tpch_q10/q14/q18/q3/q4/q5/q6; then (b) the
+#: r9 cohort head as slots allow, minus first-row slots for new r13
+#: registrations per the displacement rule. Steady-state
+#: full-registry cycle ~4-5 rounds at ~200 registered queries. Each rotated-out name stays green in the
 #: sf0.001 parity pytest meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
     # -- fixed 8-headliner core: benched AND driver-gated every round
@@ -111,9 +119,19 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     #
     # -- first rows: the enforced LSH bucket cap (VERDICT r11 ask #2,
     #    the blow-up estimator's teeth) in both modes — drop and the
-    #    deterministic-salt partial-recall twin --
+    #    deterministic-salt partial-recall twin — plus the four other
+    #    r12 registrations (containment dedup, SCD2 as-of join,
+    #    co-located bucketed join, source-scoped boilerplate) --
     "dedup_minhash_capped",
     "dedup_minhash_salted",
+    "dedup_containment",
+    "events_scd2_asof",
+    "layout_bucketed_join",
+    "text_boilerplate_shingles",
+    "graph_link_prediction",
+    "events_ohlc_bars",
+    "text_code_detect",
+    "layout_partition_pruning",
     # -- ALL 26 r7-last-row names --
     "agg_approx_count_distinct",
     "agg_approx_percentile_bound",
@@ -141,23 +159,16 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
     "warc_source_payload_digest",
-    # -- 14 oldest r8-last-row names (alphabetical head; the other 24
-    #    r8 names lead the r13 plan — the second r12 registration
-    #    displaced events_ks_drift per the displacement rule). --
+    # -- 6 oldest r8-last-row names (alphabetical head; the other 32
+    #    r8 names lead the r13 plan — each of the ten r12
+    #    registrations displaced one tail name per the displacement
+    #    rule). --
     "array_functions",
     "conditional_functions",
     "curation_dataset_card",
     "curation_difficulty_bins",
     "curation_pack_sequences",
     "curation_stratified_sample",
-    "date_functions",
-    "dedup_edit_distance",
-    "dedup_embedding_delta",
-    "dedup_embedding_scale_probe",
-    "dedup_minhash_delta",
-    "dedup_simhash_scale",
-    "embedding_kmeans_lloyd",
-    "events_cusum_changepoint",
 )
 
 

@@ -221,6 +221,19 @@ HEADLINERS = [
     # r12: the enforced LSH bucket cap — its row watches the cap's
     # window count sharing the pair join's (band, key) exchange.
     "dedup_minhash_capped",
+    # r12 late: the DF-capped containment self-join and the
+    # source-scoped boilerplate join both ride shingle exchanges —
+    # the two places a fixture change could quietly reintroduce a
+    # fan-out blow-up; the SCD2 build stacks two windows + an island
+    # agg on one user ordering (window-chain regression canary); the
+    # hub-capped wedge join prices candidate generation; the bucketed
+    # join row times construction (two bucketed writes) + the
+    # zero-exchange query, pricing the pay-shuffle-once trade.
+    "dedup_containment",
+    "text_boilerplate_shingles",
+    "events_scd2_asof",
+    "graph_link_prediction",
+    "layout_bucketed_join",
 ]
 
 
@@ -342,6 +355,10 @@ EAGER_CONSTRUCTION = {
     "pagerank_converged",
     "hits_converged",
     "curation_pipeline_full",
+    # r12 late: the bucketed-join row prices the two bucketed writes +
+    # catalog registration at construction — that's the trade being
+    # measured (pay the shuffle once in the sink).
+    "layout_bucketed_join",
 }
 
 

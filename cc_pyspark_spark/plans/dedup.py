@@ -1964,3 +1964,95 @@ def dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .crossJoin(F.broadcast(audit))
     )
+
+
+#: Containment-query parameters: shingles seen in more than DF_CAP docs
+#: are dropped from the inverted index (non-discriminative boilerplate
+#: grams — exactly the hot keys that would otherwise quadratically
+#: dominate the shingle self-join), and a pair is reported when the
+#: SMALLER document's surviving shingles are >= CONTAINMENT_T contained
+#: in the larger's.
+CONTAINMENT_DF_CAP = 5
+CONTAINMENT_T = 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+sh0 AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
+df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+sh AS (SELECT doc_id, s FROM sh0 JOIN df USING (s)
+       WHERE df <= {CONTAINMENT_DF_CAP}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, CAST(i AS BIGINT) AS shared,
+       i * 1.0 / LEAST(sa.n, sb.n) AS containment,
+       i * 1.0 / (sa.n + sb.n - i) AS jac
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE i * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_T}
+""",
+    description="Asymmetric n-gram CONTAINMENT dedup (quote/subset "
+    "detection): C(A,B) = |sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|) — "
+    "catches a short doc embedded verbatim inside a long one, which "
+    "symmetric Jaccard misses (|A∩B|/|A∪B| stays small when the sizes "
+    "differ; jac emitted alongside for exactly that contrast). The "
+    "inverted-index self-join is protected by a DOCUMENT-FREQUENCY cap "
+    "(df <= 5 here): shingle DF is computed first (one narrow agg keyed "
+    "by shingle, partial combines map-side) and non-discriminative "
+    "boilerplate grams are dropped BEFORE the join — same discipline as "
+    "the LSH bucket cap, applied to the exact-index path. At 100 TB "
+    "the df frame doubles as the boilerplate report, and the cap bounds "
+    "per-key fan-out of the pair join to DF_CAP*(DF_CAP-1)/2. "
+    "Containment denominators use the SAME capped universe, so "
+    "containment=1.0 means every informative shingle of the smaller "
+    "doc appears in the larger",
+    tags=("dedup", "llm"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    sh0 = t.documents.select("doc_id", tokenize("text").alias("toks")).select(
+        "doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s")
+    )
+    df = sh0.groupBy("s").agg(F.count("*").alias("df"))
+    # Cap BEFORE persist: the cached frame is the already-pruned index,
+    # reused by the self-join (twice) and the per-doc sizes.
+    sh = (
+        sh0.join(df.filter(F.col("df") <= CONTAINMENT_DF_CAP), "s")
+        .select("doc_id", "s")
+        .persist()
+        .transform(track_cache)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    cont = F.col("i") * 1.0 / F.least(F.col("sa.n"), F.col("sb.n"))
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("i").cast("bigint").alias("shared"),
+            cont.alias("containment"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_T)
+    )

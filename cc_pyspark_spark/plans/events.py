@@ -821,3 +821,164 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum"
         ),
     )
+
+
+@register(
+    "events_scd2_asof",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         LEAST(3, CAST(FLOOR(value / 50) AS BIGINT)) AS tier
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, event_id, tier,
+         CASE WHEN LAG(tier) OVER w IS NULL
+                OR LAG(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts, tier, chg,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM c
+), iv AS (
+  SELECT user_id, grp, MIN(tier) AS tier, MIN(ts) AS valid_from
+  FROM g GROUP BY 1, 2
+), scd AS (
+  SELECT user_id, tier, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, grp) AS valid_to
+  FROM iv
+)
+SELECT scd.tier,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') f
+JOIN scd ON f.user_id = scd.user_id AND f.ts >= scd.valid_from
+        AND (scd.valid_to IS NULL OR f.ts < scd.valid_to)
+GROUP BY 1
+""",
+    description="SCD2 dimension build + temporal fact join (the "
+    "warehouse pattern Spark has no primitive for, as composition): "
+    "purchase events define a per-user tier attribute; gaps-and-islands "
+    "(lag-change flag -> running-sum group id, both over ONE "
+    "(user, ts, event_id) window ordering) collapses consecutive "
+    "same-tier runs into SCD2 validity intervals [valid_from, "
+    "valid_to); clicks then join to the interval covering their "
+    "timestamp. Interval tie-break: two intervals sharing valid_from "
+    "(equal-ts purchases) order by group id, so the earlier run gets "
+    "an empty [t, t) interval that matches nothing — deterministic in "
+    "both engines. Plan: the two windows and the island agg SHARE the "
+    "user_id partition key (one Exchange, three in-partition sorts); "
+    "the fact join is user_id-keyed equi + range residual, so SMJ "
+    "co-partitions both sides — never a pairwise time crossjoin. At "
+    "100 TB the dimension frame is tiny next to facts; clicks shuffle "
+    "once by user_id",
+    tags=("events", "join", "window"),
+)
+def events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    tier = F.least(
+        F.lit(3), F.floor(F.col("value") / 50).cast("bigint")
+    ).cast("bigint")
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", tier.alias("tier")
+    )
+    w1 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_tier = F.lag("tier").over(w1)
+    chg = F.when(
+        lag_tier.isNull() | (lag_tier != F.col("tier")), 1
+    ).otherwise(0)
+    g = p.withColumn("chg", chg).withColumn(
+        "grp",
+        F.sum("chg").over(w1.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    iv = g.groupBy("user_id", "grp").agg(
+        F.min("tier").alias("tier"), F.min("ts").alias("valid_from")
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "grp")
+    scd = iv.select(
+        "user_id",
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    # Both frames descend from the same events scan, so disambiguate
+    # with explicit aliases (df["col"] against shared lineage emits a
+    # trivially-true-predicate warning and relies on dataset-id
+    # resolution; alias-qualified names are unambiguous).
+    f = (
+        t.events.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+        .alias("f")
+    )
+    joined = f.join(
+        scd.alias("scd"),
+        (F.col("f.user_id") == F.col("scd.user_id"))
+        & (F.col("f.ts") >= F.col("scd.valid_from"))
+        & (
+            F.col("scd.valid_to").isNull()
+            | (F.col("f.ts") < F.col("scd.valid_to"))
+        ),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").cast("bigint").alias("n_clicks"),
+        F.countDistinct("f.user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("f.value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("click_value"),
+    )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (MIN({'ts': ts, 'event_id': event_id, 'value': value})).value AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (MAX({'ts': ts, 'event_id': event_id, 'value': value})).value AS close,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    description="OHLC bars (the canonical time-series downsample: "
+    "open/high/low/close + volume per hour per event_type). "
+    "First/last are TIE-DETERMINISTIC: open/close come from a "
+    "struct-min/max over (ts, event_id, value) — lexicographic struct "
+    "comparison IS the total order, so equal-timestamp events resolve "
+    "by event_id identically in both engines (Spark's min_by/first "
+    "make no such promise; the oracle replays the same order via "
+    "arg_min over a (ts, event_id) tuple). high/low/count/sum are "
+    "plain exact aggregates (decimal sum -> double, no float fold). "
+    "Plan: ONE hash aggregate keyed by (hour, event_type), partial "
+    "combines map-side — downsampling 100 TB of ticks is a single "
+    "shuffle of one row per (bar, type) per map partition",
+    tags=("events", "window"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    key = F.struct("ts", "event_id", "value")
+    return (
+        t.events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            _dsum_value(),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+            "sum_value",
+        )
+    )

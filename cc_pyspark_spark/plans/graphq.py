@@ -779,3 +779,97 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
         ).alias("assortativity"),
     )
+
+
+#: Link-prediction parameters. Wedge centers with degree above the hub
+#: cap are excluded from candidate generation: a hub of degree d emits
+#: d*(d-1)/2 candidate pairs (quadratic — THE blow-up at 100 TB), and
+#: common-neighbor evidence through a promiscuous hub is the weakest
+#: signal anyway (same reasoning as the containment DF cap and the LSH
+#: bucket cap: the hottest keys are the least informative). CN_MIN
+#: keeps only pairs with at least 2 independent witnesses.
+LP_HUB_CAP = 64
+LP_CN_MIN = 2
+
+
+@register(
+    "graph_link_prediction",
+    oracle="WITH " + _CO_ORDER_EDGE_CTE + f""",
+sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+ctr AS (SELECT id FROM deg WHERE d <= {LP_HUB_CAP}),
+w AS (SELECT s.u, s.v FROM sym s JOIN ctr ON s.u = ctr.id),
+cand AS (
+  SELECT m1.v AS u, m2.v AS v, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM w m1 JOIN w m2 ON m1.u = m2.u AND m1.v < m2.v
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.u, c.v, c.cn FROM cand c
+  ANTI JOIN e ON c.u = e.a AND c.v = e.b
+)
+SELECT ne.u, ne.v, ne.cn, du.d AS deg_u, dv.d AS deg_v,
+       ne.cn * 1.0 / (du.d + dv.d - ne.cn) AS jac
+FROM nonedge ne
+JOIN deg du ON ne.u = du.id
+JOIN deg dv ON ne.v = dv.id
+WHERE ne.cn >= {LP_CN_MIN}
+""",
+    description="Link prediction on the supplier co-order graph: "
+    "common-neighbor count + neighbor-set Jaccard for every "
+    "NON-adjacent pair with >= 2 shared neighbors (the triadic-closure "
+    "candidates a recommender would rank). Wedge generation is the "
+    "adjacency self-join keyed by the CENTER vertex, and centers are "
+    "degree-capped (deg <= 64) BEFORE the join — a hub of degree d "
+    "emits d^2/2 wedges, so the cap is what keeps candidate count "
+    "~linear in edges at 100 TB (the same hot-key discipline as the "
+    "LSH bucket cap; hub-mediated evidence is also the weakest "
+    "signal). Existing edges leave via a broadcast-able anti-join; "
+    "jac = cn/(deg_u + deg_v - cn) is one division of exact BIGINTs "
+    "(no float folds). Oracle replays the identical cap + anti-join "
+    "with DuckDB's joins",
+    tags=("graph", "join", "llm"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _co_order_edges(spark, sf_dir).persist().transform(track_cache)
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    # Hub cap on wedge CENTERS only: u/v endpoints keep full degrees
+    # (the Jaccard denominator must see the true neighborhood size).
+    ctr = deg.filter(F.col("d") <= LP_HUB_CAP).select("id")
+    w = sym.join(ctr, sym.u == ctr.id).select("u", "v")
+    cand = (
+        w.alias("m1")
+        .join(
+            w.alias("m2"),
+            (F.col("m1.u") == F.col("m2.u"))
+            & (F.col("m1.v") < F.col("m2.v")),
+        )
+        .groupBy(F.col("m1.v").alias("u"), F.col("m2.v").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("cn"))
+        .filter(F.col("cn") >= LP_CN_MIN)
+    )
+    nonedge = cand.join(
+        e, (cand.u == e.a) & (cand.v == e.b), "left_anti"
+    )
+    du = deg.select(F.col("id").alias("iu"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("id").alias("iv"), F.col("d").alias("deg_v"))
+    return (
+        nonedge.join(du, nonedge.u == du.iu)
+        .join(dv, nonedge.v == dv.iv)
+        .select(
+            "u",
+            "v",
+            "cn",
+            "deg_u",
+            "deg_v",
+            (
+                F.col("cn") * 1.0
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn"))
+            ).alias("jac"),
+        )
+    )

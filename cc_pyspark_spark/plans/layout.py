@@ -92,3 +92,144 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sk").cast("bigint").alias("max_sk"),
         )
     )
+
+
+#: Bucket count for the co-located join demo — matched on BOTH tables
+#: (equal counts are what lets SMJ read buckets pairwise).
+_N_BUCKETS = 8
+
+
+@register(
+    "layout_bucketed_join",
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+    description="Co-located join over BUCKETED managed tables (the "
+    "pay-the-shuffle-once layout write_bucketed_table exists for): "
+    "orders and customer are hash-bucketed 8-ways on custkey + "
+    "bucket-sorted at WRITE time, so the custkey SortMergeJoin reads "
+    "buckets pairwise with ZERO exchanges and zero sorts below it — "
+    "the only Exchange in the whole plan is the final mktsegment agg "
+    "(pinned in tests/test_plan_shape.py). Construction is eager (two "
+    "bucketed writes into a per-sf_dir scratch location + catalog "
+    "registration, overwrite-idempotent); the query half is the plan a "
+    "100 TB deployment runs EVERY TIME against tables it bucketed "
+    "once — where every tpch_* twin pays the custkey shuffle per run. "
+    "Oracle joins the raw parquet: bucketing must never change results, "
+    "only exchanges",
+    tags=("layout", "join", "scale"),
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from cc_pyspark_spark.sources.tables import (  # noqa: PLC0415
+        write_bucketed_table,
+    )
+
+    t = Catalog(spark, sf_dir)
+    # Scratch location keyed by sf_dir so concurrent SFs never collide;
+    # the catalog entry (in-memory per session) points at this path.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(
+        tempfile.gettempdir(), "ccps_bucketed", tag
+    )
+    names = {}
+    for name, df, key in (
+        ("orders", t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+         "o_custkey"),
+        ("customer", t.customer.select("c_custkey", "c_mktsegment"),
+         "c_custkey"),
+    ):
+        tbl = f"ccps_bkt_{name}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        write_bucketed_table(
+            df, tbl, key, num_buckets=_N_BUCKETS, sort_cols=key,
+            path=os.path.join(base, name),
+        )
+        names[name] = tbl
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"])
+    joined = o.hint("merge").join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+#: Date slice for the pruning query: 3 of the corpus's 30 event days.
+_PRUNE_LO, _PRUNE_HI = "2024-01-07", "2024-01-09"
+
+
+@register(
+    "layout_partition_pruning",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}'
+GROUP BY 1
+""",
+    description="Hive-partitioned layout + partition pruning (the "
+    "OTHER write-time layout next to bucketing and z-order): events "
+    "are written partitionBy(event_date), so a date-sliced query "
+    "prunes to 3 of 30 directories AT PLANNING TIME — the scan's "
+    "PartitionFilters line (pinned in tests/test_plan_shape.py) shows "
+    "the predicate applied to the directory listing, not the rows; "
+    "27/30 of the data is never opened. At 100 TB with daily "
+    "partitions this is the difference between reading 3 days and "
+    "reading 3 years. Construction is eager (one partitioned write "
+    "into a per-sf_dir scratch location, overwrite-idempotent); the "
+    "oracle runs the same slice against the raw unpartitioned "
+    "parquet — layout must never change results, only bytes read",
+    tags=("layout", "events", "scale"),
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    t = Catalog(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "ccps_partitioned", tag, "events")
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            t.events.withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(base)
+        )
+    ev = spark.read.parquet(base)
+    return (
+        ev.filter(
+            F.col("event_date").between(
+                F.lit(_PRUNE_LO).cast("date"), F.lit(_PRUNE_HI).cast("date")
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

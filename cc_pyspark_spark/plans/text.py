@@ -2995,3 +2995,235 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("double") / F.sum("n_tokens").cast("double")
         ).alias("bytes_per_token"),
     )
+
+
+#: Source-scoped boilerplate: a shingle present in at least this many
+#: DISTINCT docs of one source counts as that source's boilerplate
+#: (site chrome / nav / template text). Fixture-tuned absolute count;
+#: at production scale the threshold is a fraction of the source's doc
+#: count — the plan is identical (the sdocs frame below already
+#: carries the denominator).
+BOILER_MIN_DOCS = 2
+
+
+@register(
+    "text_boilerplate_shingles",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+       FROM t),
+sdf AS (SELECT source, s, CAST(COUNT(*) AS BIGINT) AS df
+        FROM sh GROUP BY 1, 2),
+boiler AS (SELECT source, s, df FROM sdf WHERE df >= {BOILER_MIN_DOCS}),
+hit AS (
+  SELECT sh.source, sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM sh JOIN boiler ON sh.source = boiler.source AND sh.s = boiler.s
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS occ_total,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM sh GROUP BY source)
+SELECT tot.source,
+       tot.n_docs,
+       COALESCE(b.n_boiler, 0) AS n_boiler_shingles,
+       COALESCE(h.docs_hit, 0) AS docs_affected,
+       COALESCE(h.occ_removed, 0) AS occ_removed,
+       COALESCE(h.occ_removed, 0) * 1.0 / tot.occ_total AS boiler_frac
+FROM tot
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_boiler
+           FROM boiler GROUP BY source) b ON tot.source = b.source
+LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_hit,
+                  CAST(SUM(n_occ) AS BIGINT) AS occ_removed
+           FROM hit GROUP BY source) h ON tot.source = h.source
+""",
+    description="Source-scoped boilerplate detection (the per-SITE "
+    "complement of corpus-global paragraph dedup): a 3-gram shingle "
+    "appearing in >= 2 distinct docs of the SAME source is that "
+    "source's template text (site chrome, nav, footers — repeated "
+    "within a host, informative across hosts, so the global-DF cap "
+    "never catches it). Report per source: boilerplate-shingle count, "
+    "docs affected, occurrences that removal would strip, and the "
+    "stripped fraction of the source's shingle mass. Plan: one "
+    "(source, shingle)-keyed count (partial combines map-side — a "
+    "10^6-page template site ships one row per map partition per "
+    "shingle), a source+shingle equi-join back (co-partitioned: both "
+    "sides keyed by the same compound key, AQE handles template-heavy "
+    "hot sources), then source-keyed aggs. No UDFs, no windows — "
+    "whole-stage codegen throughout. At 100 TB this is CCNet-style "
+    "boilerplate removal keyed by host instead of corpus",
+    tags=("text", "llm"),
+)
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "doc_id", "source", tokenize("text").alias("toks")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingles("toks"))).alias("s"),
+        )
+        .persist()
+        .transform(track_cache)
+    )
+    sdf = sh.groupBy("source", "s").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    boiler = sdf.filter(F.col("df") >= BOILER_MIN_DOCS)
+    hit = (
+        sh.join(boiler.select("source", "s"), ["source", "s"])
+        .groupBy("source", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+    )
+    tot = sh.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("occ_total"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    b = boiler.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_boiler")
+    )
+    h = hit.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs_hit"),
+        F.sum("n_occ").cast("bigint").alias("occ_removed"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        tot.join(b, "source", "left")
+        .join(h, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_boiler", z).alias("n_boiler_shingles"),
+            F.coalesce("docs_hit", z).alias("docs_affected"),
+            F.coalesce("occ_removed", z).alias("occ_removed"),
+            (
+                F.coalesce("occ_removed", z) * 1.0 / F.col("occ_total")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+#: Deterministic code snippets mixed into the synthetic corpus by
+#: doc_id (the tld-validation pattern: both engines synthesize
+#: IDENTICAL input, then the detector math is what's under test).
+_CODE_PY = (
+    "\ndef f(x):\n    y = {1: 2};\n    return x + 1\n"
+)
+_CODE_JS = (
+    "function main() {\n    var x = 0;\n    x = x + 1;\n    return x;\n}\n"
+)
+_CODE_C = "\n#include <stdio.h>\nint main() { return 0; }\n"
+_CODE_KEYWORDS = ("def ", "return", "function ", "#include", "var ")
+
+
+def _duck_code_detect_oracle() -> str:
+    py, js, c = (s.replace("\n", "' || chr(10) || '") for s in (_CODE_PY, _CODE_JS, _CODE_C))
+    kw_sum = " + ".join(
+        f"(length(content) - length(replace(content, '{k}', ''))) // {len(k)}"
+        for k in _CODE_KEYWORDS
+    )
+    sym_sum = " + ".join(
+        f"(length(content) - length(replace(content, '{ch}', '')))"
+        for ch in "{});="
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN text
+           WHEN 1 THEN text || '{py}'
+           WHEN 2 THEN repeat('{js}', CAST(1 + doc_id % 3 AS INTEGER))
+           ELSE text || '{c}'
+         END AS content
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(length(content) AS BIGINT) AS n_chars,
+         CAST({sym_sum} AS BIGINT) AS n_sym,
+         CAST({kw_sum} AS BIGINT) AS kw_hits,
+         CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(content, chr(10)),
+              l -> starts_with(l, '    '))) AS BIGINT) AS n_indent
+  FROM m
+)
+SELECT doc_id, n_sym, kw_hits,
+       n_sym * 100.0 / n_chars AS sym_per_100c,
+       n_indent * 1.0 / n_lines AS indent_frac,
+       CAST(CASE WHEN n_sym * 100 >= 2 * n_chars
+                   OR (kw_hits >= 2 AND n_sym > 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_code
+FROM s
+"""
+
+
+@register(
+    "text_code_detect",
+    oracle=_duck_code_detect_oracle(),
+    description="Code-vs-prose detection (the pretraining-mix router: "
+    "code goes to a different tokenizer/budget than prose): symbol "
+    "density ({});= per 100 chars), code-keyword hits (def/return/"
+    "function/#include/var via replace-diff occurrence counts), and "
+    "indented-line fraction, each an EXACT integer count with the "
+    "ratios single divisions — the is_code gate itself compares "
+    "integers (n_sym*100 >= 2*n_chars) so no float threshold can "
+    "drift between engines. Input is the synthetic corpus with "
+    "deterministic doc_id-keyed code snippets mixed in (the "
+    "tld-validation pattern — both engines build identical content, "
+    "the detector math is what's under test). All whole-stage-codegen "
+    "string expressions, zero shuffles, zero UDFs: detecting code in "
+    "100 TB is scan-throughput work",
+    tags=("text", "llm", "curation"),
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    did = F.col("doc_id")
+    content = (
+        F.when(did % 4 == 0, F.col("text"))
+        .when(did % 4 == 1, F.concat(F.col("text"), F.lit(_CODE_PY)))
+        .when(
+            did % 4 == 2,
+            F.repeat(F.lit(_CODE_JS), (1 + did % 3).cast("int")),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(_CODE_C)))
+    )
+    m = t.documents.select("doc_id", content.alias("content"))
+    n_sym = None
+    for ch in "{});=":
+        d = F.length("content") - F.length(F.replace(F.col("content"), F.lit(ch)))
+        n_sym = d if n_sym is None else n_sym + d
+    kw = None
+    for k in _CODE_KEYWORDS:
+        d = (
+            F.length("content")
+            - F.length(F.replace(F.col("content"), F.lit(k)))
+        ) / len(k)
+        kw = d if kw is None else kw + d
+    lines = F.split("content", "\n", -1)
+    s = m.select(
+        "doc_id",
+        F.length("content").cast("bigint").alias("n_chars"),
+        n_sym.cast("bigint").alias("n_sym"),
+        kw.cast("bigint").alias("kw_hits"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.startswith("    "))
+        ).cast("bigint").alias("n_indent"),
+    )
+    return s.select(
+        "doc_id",
+        "n_sym",
+        "kw_hits",
+        (F.col("n_sym") * 100.0 / F.col("n_chars")).alias("sym_per_100c"),
+        (F.col("n_indent") * 1.0 / F.col("n_lines")).alias("indent_frac"),
+        F.when(
+            (F.col("n_sym") * 100 >= 2 * F.col("n_chars"))
+            | ((F.col("kw_hits") >= 2) & (F.col("n_sym") > 0)),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_code"),
+    )

@@ -103,6 +103,7 @@ def write_bucketed_table(
     num_buckets: int = 32,
     sort_cols: list[str] | str | None = None,
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """K1 at scale: hash-bucketed managed table for co-located joins.
 
@@ -113,6 +114,10 @@ def write_bucketed_table(
     joins on the same key (doc_id, host, custkey): pay the shuffle once
     in the sink, never in the queries. Optional sort_cols additionally
     pre-sorts within buckets, eliminating the sort in sort-merge joins.
+    Optional ``path`` makes the table EXTERNAL at that location (the
+    bucketing metadata still lives in the catalog — Spark only trusts
+    bucket layout it recorded itself), keeping scratch data out of the
+    default warehouse directory.
     """
     if isinstance(bucket_cols, str):
         bucket_cols = [bucket_cols]
@@ -121,6 +126,8 @@ def write_bucketed_table(
         .mode("overwrite")
         .bucketBy(num_buckets, *bucket_cols)
     )
+    if path is not None:
+        writer = writer.option("path", path)
     if sort_cols:
         if isinstance(sort_cols, str):
             sort_cols = [sort_cols]

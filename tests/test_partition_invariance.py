@@ -120,6 +120,23 @@ CHECK = [
     # r12: the salt twin adds a row_number sub-bucket split — the
     # doc_id-ordered window must assign identical subs at any layout.
     "dedup_minhash_salted",
+    # r12 late: containment/jac doubles are single divisions of exact
+    # BIGINT intersection counts — pin that the DF-capped index (and
+    # thus the counts) is layout-free.
+    "dedup_containment",
+    # r12 late: the SCD2 interval build stacks two windows and an
+    # island agg on one user_id ordering; the decimal(18,6)->double
+    # click_value sum must survive re-layout exactly.
+    "events_scd2_asof",
+    # r12 late: boiler_frac is a ratio of exact BIGINT occurrence
+    # sums; the per-source DF threshold decision must be layout-free.
+    "text_boilerplate_shingles",
+    # r12 late: jac is one division of exact BIGINTs — the pin is on
+    # the hub-capped candidate set (and cn counts) being layout-free.
+    "graph_link_prediction",
+    # r12 late: open/close come from a struct-min/max total order —
+    # layout must not change which event wins a bar's endpoints.
+    "events_ohlc_bars",
 ]
 
 

@@ -631,3 +631,65 @@ def test_paragraph_dedup_two_keyed_exchanges_partial_agg(spark):
     plan = plan_of(spark, "dedup_paragraph")
     assert 2 <= _tree_nodes(plan, "Exchange") <= 3, plan
     assert _tree_nodes(plan, "HashAggregate") >= 2  # partial + final min
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """r12: the co-located bucketed join is the whole point of
+    write_bucketed_table — both sides hash-bucketed 8-ways on custkey
+    at write time, so the custkey SortMergeJoin must read buckets
+    pairwise with ZERO exchanges below it. The only Exchange allowed
+    in the plan is the final mktsegment aggregation. If a refactor
+    drops the bucketing (or mismatches bucket counts), a second
+    Exchange appears and this pins the regression."""
+    plan = plan_of(spark, "layout_bucketed_join")
+    assert _tree_nodes(plan, "SortMergeJoin") == 1, plan
+    assert _tree_nodes(plan, "Exchange") == 1, plan
+    # and that one Exchange is the agg's, keyed by mktsegment
+    import re as _re
+
+    m = _re.search(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan)
+    assert m and "mktsegment" in m.group(1), plan
+
+
+def test_containment_index_caps_df_before_join(spark):
+    """r12: the containment self-join must join the DF-capped index
+    frame (cached, reused three ways), never the raw shingle frame —
+    the df<=cap filter is what bounds per-key fan-out at 100 TB."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "InMemoryTableScan" in plan, plan
+    # the hot self-join reads the cached capped index on both sides
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_partition_pruning_reaches_directory_listing(spark):
+    """r12: the date slice must prune PARTITIONS (directory listing),
+    not rows — the scan's PartitionFilters carries the event_date
+    predicate and the row-level PushedFilters does NOT need it. A
+    regression that derives the date per-row (e.g. filtering on
+    to_date(ts)) would read all 30 days."""
+    plan = plan_of(spark, "layout_partition_pruning")
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+
+
+def test_code_detect_is_pure_map_no_shuffle(spark):
+    """r12: code detection is per-row string algebra — any Exchange or
+    Python stage would turn a scan-throughput router into a shuffle."""
+    plan = plan_of(spark, "text_code_detect")
+    assert _tree_nodes(plan, "Exchange") == 0
+    assert "EvalPython" not in plan
+
+
+def test_link_prediction_caps_wedge_centers(spark):
+    """r12: the wedge self-join must consume the hub-capped adjacency
+    (deg <= LP_HUB_CAP filtered BEFORE the join) — the cached edge
+    frame feeds it, and no BroadcastNestedLoop/cartesian may appear."""
+    plan = plan_of(spark, "graph_link_prediction")
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ: the 1-row median-threshold broadcast inside
+    # _co_order_edges (the designed pattern) — the wedge join itself
+    # must be a keyed join, never nested-loop
+    assert _tree_nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan
+    assert "InMemoryTableScan" in plan
