@@ -234,6 +234,12 @@ HEADLINERS = [
     "events_scd2_asof",
     "graph_link_prediction",
     "layout_bucketed_join",
+    # r12 late: the forced-SMJ salted join prices the 8x dim
+    # replication + (k, salt) exchange; epoch shuffle prices E range
+    # shuffles through the W2 operator (construction-inclusive — the
+    # checkpoint pin executes the range exchange at build).
+    "join_skew_salted",
+    "curation_epoch_shuffle",
 ]
 
 
@@ -357,8 +363,10 @@ EAGER_CONSTRUCTION = {
     "curation_pipeline_full",
     # r12 late: the bucketed-join row prices the two bucketed writes +
     # catalog registration at construction — that's the trade being
-    # measured (pay the shuffle once in the sink).
+    # measured (pay the shuffle once in the sink); epoch shuffle's W2
+    # operator eagerly checkpoints the range exchange at build.
     "layout_bucketed_join",
+    "curation_epoch_shuffle",
 }
 
 

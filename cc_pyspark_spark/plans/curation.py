@@ -1829,3 +1829,80 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+#: Epochs assigned by the training-order shuffle. Each epoch is an
+#: independent pseudorandom permutation of the corpus.
+_SHUFFLE_EPOCHS = 3
+
+
+@register(
+    "curation_epoch_shuffle",
+    oracle=f"""
+WITH ep AS (
+  SELECT d.doc_id, e.epoch,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+           AS digest
+  FROM documents d,
+       (SELECT unnest(range(1, {_SHUFFLE_EPOCHS + 1})) AS epoch) e
+)
+SELECT epoch, doc_id, digest,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                               ORDER BY digest, doc_id) AS BIGINT) AS rank
+FROM ep
+""",
+    description="Per-epoch training-order shuffle (the data-loader "
+    "contract: every epoch is an independent, REPRODUCIBLE "
+    "pseudorandom permutation, identical on any cluster layout): "
+    "order key = md5(epoch:doc_id) — a keyed hash, so epoch 2's order "
+    "is uncorrelated with epoch 1's and any worker can recompute any "
+    "slice without coordination. Ranks are assigned by the W2 "
+    "collect-free range-shuffle operator (assign_sequential_ids over "
+    "(epoch, digest, doc_id)) — global ids convert to within-epoch "
+    "ranks by subtracting (epoch-1)*n_docs with n_docs a broadcast "
+    "1-row count, so NO single-partition window anywhere: the oracle "
+    "replays the same order with the per-epoch global window Spark "
+    "must not use at 100 TB. Epoch fan-out is a 3x explode before the "
+    "range exchange — shuffling E epochs of 100 TB costs E range "
+    "shuffles and nothing else",
+    tags=("curation", "llm", "scale"),
+)
+def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.ids import (  # noqa: PLC0415
+        assign_sequential_ids,
+    )
+
+    t = Catalog(spark, sf_dir)
+    ep = (
+        t.documents.select("doc_id")
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_SHUFFLE_EPOCHS))
+            ),
+        )
+        .withColumn(
+            "digest",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+    )
+    ids = assign_sequential_ids(
+        ep, ["epoch", "digest", "doc_id"], id_col="gid"
+    )
+    n_docs = F.broadcast(
+        t.documents.agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    return ids.crossJoin(n_docs).select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "doc_id",
+        "digest",
+        (
+            F.col("gid") - (F.col("epoch") - 1).cast("bigint") * F.col("n_docs")
+        ).alias("rank"),
+    )

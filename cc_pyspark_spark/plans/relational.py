@@ -1011,3 +1011,79 @@ def agg_salted_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(
         t.lineitem, ["l_returnflag"], "l_partkey", n_salts=16
     )
+
+
+#: Salt fan-out for the skew-join demo: the hot key's rows spread over
+#: this many sub-keys. Production sizes this to (hot-key rows /
+#: target-partition rows); 8 is plenty for the fixture.
+_SKEW_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+WITH big AS (
+  SELECT CASE WHEN l_suppkey % 4 = 0 THEN 0 ELSE l_suppkey END AS k,
+         l_extendedprice
+  FROM lineitem
+), dim AS (
+  SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS grp FROM supplier
+  UNION ALL SELECT 0, CAST(-1 AS BIGINT)
+)
+SELECT dim.grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(big.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM big JOIN dim ON big.k = dim.k
+GROUP BY 1
+""",
+    description="Salted skew join (the 100 TB hot-key pattern, "
+    "explicitly constructed): a quarter of lineitem collapses onto "
+    "key 0 — a vanilla shuffle join would send every hot row to ONE "
+    "reducer. The fact side gets salt = l_orderkey % 8; the dim side "
+    "replicates each row 8x via explode(sequence(0,7)); the join keys "
+    "on (k, salt), so the hot key's rows spread over 8 partitions and "
+    "each fact row still matches EXACTLY one dim replica — results "
+    "are salt-invariant by construction, which is why the oracle is "
+    "the PLAIN unsalted join (salting must change the exchange, never "
+    "the answer). hint('merge') pins the shuffle plan so the salted "
+    "exchange is what actually executes at any SF (AQE would "
+    "broadcast this fixture dim and hide the pattern; at production "
+    "scale the dim side is a fact table too and broadcast is off the "
+    "table). Dim replication is 8x a SMALL side — the salt trades "
+    "bounded replication for bounded per-partition fan-in, same "
+    "shape AQE's skew-join mitigation applies at runtime; this is "
+    "the static variant you reach for when the skew is KNOWN",
+    tags=("join", "scale"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    big = t.lineitem.select(
+        F.when(F.col("l_suppkey") % 4 == 0, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .alias("k"),
+        (F.col("l_orderkey") % _SKEW_SALT).cast("int").alias("salt"),
+        "l_extendedprice",
+    )
+    dim = (
+        t.supplier.select(
+            F.col("s_suppkey").alias("k"),
+            F.col("s_nationkey").cast("bigint").alias("grp"),
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit(0).alias("k"), F.lit(-1).cast("bigint").alias("grp")
+            )
+        )
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SKEW_SALT - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    joined = big.hint("merge").join(dim, ["k", "salt"])
+    return joined.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

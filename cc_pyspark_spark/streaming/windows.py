@@ -310,3 +310,39 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def ohlc_bars(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of plans/events.events_ohlc_bars: per-bar OHLC
+    under a watermark. open/close use the same struct-min/max total
+    order as the batch plan — (ts, event_id, value) — so a bar closed
+    by the watermark equals the batch bar exactly (the parity test
+    pins it); state per open bar is two structs + three scalars,
+    bounded by the watermark horizon."""
+    key = F.struct("ts", "event_id", "value")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+            "sum_value",
+        )
+    )

@@ -137,6 +137,10 @@ CHECK = [
     # r12 late: open/close come from a struct-min/max total order —
     # layout must not change which event wins a bar's endpoints.
     "events_ohlc_bars",
+    # r12 late: epoch ranks ride the W2 range shuffle (reservoir-
+    # sampled boundaries) — ids must equal the global-window oracle at
+    # ANY input layout, same claim window_distributed_ids pins.
+    "curation_epoch_shuffle",
 ]
 
 

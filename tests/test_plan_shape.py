@@ -693,3 +693,43 @@ def test_link_prediction_caps_wedge_centers(spark):
     # must be a keyed join, never nested-loop
     assert _tree_nodes(plan, "BroadcastNestedLoopJoin") <= 1, plan
     assert "InMemoryTableScan" in plan
+
+
+def test_skew_salted_join_keys_include_salt(spark):
+    """r12: the whole point of join_skew_salted is that the join
+    exchange hashes on (k, salt) — if a refactor drops the salt from
+    the key, the hot key funnels into one reducer again. Pin the salt
+    column into the join-side Exchange's hashpartitioning arguments,
+    and that the join stayed a merge join (AQE broadcast would hide
+    the pattern the query exists to demonstrate)."""
+    plan = plan_of(spark, "join_skew_salted")
+    assert _tree_nodes(plan, "SortMergeJoin") == 1, plan
+    import re as _re
+
+    ex_args = _re.findall(
+        r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)", plan
+    )
+    salted = [a for a in ex_args if "hashpartitioning" in a and "salt" in a]
+    assert len(salted) >= 2, ex_args  # both join inputs keyed by salt
+
+
+def test_epoch_shuffle_has_no_single_partition_window(spark):
+    """r12: epoch ranks must come from the W2 range-shuffle operator —
+    a refactor to a naive per-epoch global window would show up as a
+    SinglePartition exchange (or a 3-partition window over epochs)."""
+    plan = plan_of(spark, "curation_epoch_shuffle")
+    # the one allowed SinglePartition exchange is the 1-row n_docs
+    # count (partial counts combine map-side; one row per partition
+    # reaches the single reducer) — metadata-sized, not data-sized
+    assert plan.count("SinglePartition") <= 1, plan
+    # the range exchange itself ran at construction (the W2 operator
+    # localCheckpoints it — see operators/ids.py), so the final plan
+    # reads the checkpoint; the visible guarantee is the row_number
+    # window being partitioned by __pid, one group per range
+    # partition, never a global (empty-partition-spec) window
+    import re as _re
+
+    wins = _re.findall(
+        r"\(\d+\) Window\n(?:.*\n)*?Arguments: ([^\n]*)", plan
+    )
+    assert wins and all("__pid" in w for w in wins), plan

@@ -348,3 +348,32 @@ def test_tws_running_totals_equals_apply_in_pandas_with_state(
         for r in spark.sql("SELECT * FROM running_legacy_test").collect()
     }
     assert got == want
+
+
+def test_streaming_ohlc_matches_batch(spark, events_dir, max_ts_epoch):
+    """r12: the OHLC downsample under a watermark — open/close ride a
+    struct-min/max total order, so every bar the stream closes must
+    equal the batch bar bit-for-bit (ties and all)."""
+    from cc_pyspark_spark.streaming.windows import ohlc_bars
+
+    stream = ohlc_bars(stream_events(spark, events_dir), watermark="1 second")
+    q = run_available_now(stream, "ohlc_test", "append")
+    _drain(q)
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["n"], r["open"], r["high"], r["low"], r["close"], r["sum_value"]
+        )
+        for r in spark.sql("SELECT * FROM ohlc_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (
+            r["n"], r["open"], r["high"], r["low"], r["close"], r["sum_value"]
+        )
+        for r in QUERIES["events_ohlc_bars"].spark(spark, SF_DIR).collect()
+    }
+    assert got, "no bars emitted"
+    for k, v in got.items():
+        assert want[k] == v
+    for (ws, _etype), _v in want.items():
+        if (ws, _etype) not in got:
+            assert ws + 3600 > max_ts_epoch - 1
