@@ -219,7 +219,7 @@ WAT_ENVELOPE_SCHEMA = (
     "Link: array<struct<url: string>>, "
     "Metas: array<struct<name: string, property: string, content: string>>, "
     "Scripts: array<struct<url: string>>>, "
-    "Links: array<struct<path: string, url: string, href: string>>"
+    "Links: array<struct<path: string, url: string, href: string, text: string>>"
     ">>>>>"
 )
 
@@ -410,3 +410,45 @@ def warc_to_documents(
     return assign_sequential_ids(docs, ["url", "text"], id_col="doc_id").select(
         "doc_id", "url", "text", "lang", "n_chars", "quality_ok"
     )
+
+
+def wat_anchor_texts(records: DataFrame) -> DataFrame:
+    """Anchor-text extraction from WAT body links (beyond-reference:
+    the classic anchor-text aggregation over ExtractLinksJob's input —
+    the reference keeps only the edge, this keeps what the linking
+    page SAYS about the target). Emits (t, anchor) for every body
+    <a href> whose url is recorded absolute AND whose anchor text is
+    non-empty; t is the SURT host key (F7), so downstream aggregation
+    is host-level like the host graph. Typed from_json walk only —
+    no header/meta/script families (those links carry no text)."""
+    wat = records.filter(
+        (F.col("record_type") == "metadata")
+        & F.col("content_type").contains("application/json")
+    )
+    w = F.from_json(F.expr(PAYLOAD_TEXT), WAT_ENVELOPE_SCHEMA)
+    meta_root = "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`"
+    parsed = (
+        wat.select(w.alias("w"))
+        .filter(
+            F.col("w.Envelope.`WARC-Header-Metadata`.`WARC-Type`")
+            == "response"
+        )
+        .select(
+            F.col(f"{meta_root}.`HTML-Metadata`.Links").alias("links")
+        )
+        .filter(F.col("links").isNotNull())
+    )
+    pairs = parsed.select(
+        F.explode(
+            F.filter(
+                F.col("links"),
+                lambda l: l.getField("url").isNotNull()
+                & l.getField("text").isNotNull()
+                & (l.getField("text") != ""),
+            )
+        ).alias("l")
+    ).select(
+        surt_host_udf(F.col("l.url")).alias("t"),
+        F.col("l.text").alias("anchor"),
+    )
+    return pairs.filter(F.col("t").isNotNull())

@@ -31,7 +31,7 @@ from cc_pyspark_spark.plans.registry import register
 #: modular rules, sharding): the version is part of the /tmp fixture
 #: path, so rule changes can never silently reuse a stale exists-skip
 #: corpus built by an earlier code version.
-_FIXTURE_VERSION = 1
+_FIXTURE_VERSION = 2  # v2: body links carry anchor text (wat_anchor_topk)
 
 #: Archives per derived corpus — one InputPartition each, so the scan
 #: parallelizes exactly as a real crawl segment would.
@@ -195,7 +195,13 @@ def _wat_payload(doc_id: int, lang: str) -> tuple[str, bytes]:
     html: dict = {}
     if d % 11 != 0:
         links = [
-            {"path": "A@/href", "url": f"http://site{d % 7}.example.com/x"},
+            # anchor text keyed off d%3 -> each target host (d%7) sees
+            # up to 3 anchor variants with analytic multiplicities
+            {
+                "path": "A@/href",
+                "url": f"http://site{d % 7}.example.com/x",
+                "text": f"a{d % 3}",
+            },
             {"path": "A@/href", "href": "/r1"},
         ]
         if d % 2 == 0:
@@ -430,4 +436,65 @@ def warc_source_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_uri").alias("url"),
         F.length("payload").cast("bigint").alias("payload_len"),
         F.md5("payload").alias("payload_md5"),
+    )
+
+
+#: Anchors kept per target host in the top-k report.
+_ANCHOR_TOPK = 3
+
+
+@register(
+    "wat_anchor_topk",
+    oracle=f"""
+WITH a AS (
+  SELECT 'com.example.site' || CAST(doc_id % 7 AS VARCHAR) AS t,
+         'a' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+  FROM documents WHERE doc_id % 11 <> 0
+), c AS (
+  SELECT t, anchor, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1, 2
+)
+SELECT t, anchor, n, rank FROM (
+  SELECT t, anchor, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY t
+                                 ORDER BY n DESC, anchor) AS BIGINT) AS rank
+  FROM c
+) WHERE rank <= {_ANCHOR_TOPK}
+""",
+    description="Anchor-text aggregation over the WAT corpus "
+    "(beyond-reference on the reference's own input: what the web "
+    "SAYS about each host — the classic ranking/labeling signal the "
+    "host-graph job throws away): body-link (target, anchor) pairs "
+    "from the v2 fixture's typed from_json walk, SURT host keys, one "
+    "(host, anchor) count (partial combines map-side — a million "
+    "identical 'click here' anchors ship one row per map partition), "
+    "then top-3 per host via a host-partitioned row_number with a "
+    "deterministic (n DESC, anchor) tie-break — the W4 group-limit "
+    "shape, never a global sort. The oracle recomputes counts "
+    "analytically from the fixture's modular rules (anchor a{{d%3}} "
+    "-> host site{{d%7}} for every linking doc), so extractor, SURT "
+    "keys, and the window are all hash-checked",
+    tags=("source", "warc", "text"),
+)
+def wat_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from cc_pyspark_spark.jobs.pipelines import wat_anchor_texts  # noqa: PLC0415
+    from cc_pyspark_spark.sources.warc import warc_records  # noqa: PLC0415
+
+    manifest = derived_wat_manifest(spark, sf_dir)
+    records = warc_records(
+        spark,
+        manifest,
+        record_types={"metadata"},
+        num_input_partitions=_N_FILES,
+    )
+    counts = (
+        wat_anchor_texts(records)
+        .groupBy("t", "anchor")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("t").orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _ANCHOR_TOPK)
     )

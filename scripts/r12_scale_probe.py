@@ -52,35 +52,47 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     targets = tuple(sys.argv[2:]) or TARGETS
     dirs = {"1x": base, "2x": ".scale/sf0.2", "10x": ".scale/sf1"}
-    spark = build_session(
-        app_name="r12-scale-probe", master="local[32]", shuffle_partitions=32
-    )
-
 
     def one(name: str, sf_dir: str, runs: int = 2) -> float:
-        builder = EXTRA_OPS.get(name) or QUERIES[name].spark
-        samples = []
-        for _ in range(runs):
-            if name in EAGER_CONSTRUCTION:
-                t0 = time.time()
-                df = builder(spark, sf_dir)
-            else:
-                df = builder(spark, sf_dir)
-                t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-            release_caches()
-        return round(statistics.median(samples), 3)
-
-    for name in targets:  # warm-up: JIT + codegen at 1x
-        one(name, base, runs=1)
+        """Each (query, scale) gets a FRESH SparkSession. The r11-style
+        shared-session probe wedged non-deterministically once the
+        converged wrappers' checkpoint blocks + released caches
+        accumulated: a later query's object-hash aggregate would fall
+        back to sort-based aggregation inside an AQE-coalesced
+        single partition and spill-loop for CPU-hours (observed twice,
+        jstack-verified, same queries instant in a fresh session).
+        Session isolation trades ~10 s startup per cell for
+        reproducible, state-free measurements — and one warm-up run
+        inside the session keeps JIT/codegen out of the sample."""
+        spark = build_session(
+            app_name=f"r12-scale-probe-{name}",
+            master="local[32]",
+            shuffle_partitions=32,
+        )
+        try:
+            builder = EXTRA_OPS.get(name) or QUERIES[name].spark
+            samples = []
+            for _ in range(runs + 1):  # first iteration = in-session warm-up
+                if name in EAGER_CONSTRUCTION:
+                    t0 = time.time()
+                    df = builder(spark, sf_dir)
+                else:
+                    df = builder(spark, sf_dir)
+                    t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                release_caches()
+            return round(statistics.median(samples[1:]), 3)
+        finally:
+            spark.stop()
 
     result: dict[str, dict[str, float]] = {}
     for scale, d in dirs.items():
-        result[scale] = {name: one(name, d) for name in targets}
-        print(json.dumps({scale: result[scale]}), flush=True)
+        result[scale] = {}
+        for name in targets:
+            result[scale][name] = one(name, d)
+            print(json.dumps({scale: {name: result[scale][name]}}), flush=True)
     print(json.dumps({"base": base, "scales": result}))
-    spark.stop()
 
 
 if __name__ == "__main__":
