@@ -93,13 +93,25 @@ def salt_replica(rep, name: str, i: int):
     rows), while WITHIN-replica similarity structure must be
     preserved exactly so the workload stays the same shape.
 
-    * documents.text — every [A-Za-z0-9]+ token gets the suffix
-      ``zq{i}``. Appending a fixed suffix is injective on tokens, so
-      the token->salted-token map is a bijection per replica: every
-      within-replica shingle-set size, intersection, and therefore
-      Jaccard is EXACTLY the base value, while cross-replica token
-      sets are disjoint (no shared shingles, no cross-replica LSH
-      candidates). n_chars is recomputed to match the salted text.
+    * documents.text — tokens are deterministically PERMUTED within
+      each document (sort by md5(replica:doc_id:pos:token)). The
+      token MULTISET of every doc is exactly the base multiset, so
+      every token-level statistic scales faithfully: each token's
+      document frequency grows exactly with the factor, df/n_docs is
+      invariant, and tf/norm/tfidf weights are bit-identical per
+      replica doc. Shingle (n-gram) sets, by contrast, decorrelate:
+      a permuted doc shares few 3-grams with its base, so replicas
+      stop being near-duplicates and pair-family reads measure the
+      plan. The first salted design (disjoint per-replica vocab via
+      token suffixing) FAILED this invariance the other way: per-
+      token df stayed constant while n_docs grew, so every
+      RELATIVE-df cap (sim_sparse_tfidf_topk's df <= n_docs/2,
+      boilerplate thresholds) silently stopped filtering the
+      corpus-common tokens and the posting self-join exploded
+      ~quadratically at 2x — a generator artifact in the opposite
+      direction (observed as a wedged ObjectHashAggregate; the
+      faithful scale-up keeps the df DISTRIBUTION stable, not the
+      vocabulary disjoint).
     * embeddings.embedding — circular shift of the 64-dim vector by
       ``i % 64`` positions. A coordinate permutation is orthogonal:
       all within-replica cosines/norms are EXACTLY the base values;
@@ -110,10 +122,28 @@ def salt_replica(rep, name: str, i: int):
       meant to repeat, like TPC-H dims.
     """
     if name == "documents":
-        salted = F.regexp_replace("text", "([A-Za-z0-9]+)", f"$1zq{i}")
-        rep = rep.withColumn("text", salted).withColumn(
-            "n_chars", F.length("text").cast("bigint")
+        toks = F.expr("regexp_extract_all(text, '([A-Za-z0-9]+)', 1)")
+        permuted = F.array_sort(
+            F.transform(
+                toks,
+                lambda t, pos: F.struct(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(i)),
+                            F.col("doc_id").cast("string"),
+                            pos.cast("string"),
+                            t,
+                        )
+                    ).alias("h"),
+                    t.alias("t"),
+                ),
+            )
         )
+        rep = rep.withColumn(
+            "text",
+            F.array_join(F.transform(permuted, lambda s_: s_["t"]), " "),
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
     elif name == "embeddings":
         shift = i % 64
         if shift:
