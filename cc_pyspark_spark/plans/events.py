@@ -982,3 +982,97 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "events_interval_overlap",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, ts,
+         ts + INTERVAL (CAST(FLOOR(value) AS INTEGER)) MINUTE AS te
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+       epoch_us(LEAST(a.te, b.te)) - epoch_us(GREATEST(a.ts, b.ts))
+         AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.ts < b.te AND b.ts < a.te
+""",
+    description="Interval-overlap self-join (the operator Spark has no "
+    "primitive for, as a BUCKETED composition): purchase events define "
+    "half-open activity intervals [ts, ts + floor(value) minutes); "
+    "report every overlapping same-user pair with the exact overlap "
+    "in integer MICROSECONDS (epoch_us algebra — no float time math). "
+    "Plan: each interval explodes to its covered hour buckets "
+    "(<= 8 here, bounded by max duration / bucket width), candidates "
+    "join on (user_id, hour_bucket) EQUI keys — never a per-user "
+    "theta join — then the exact overlap predicate filters and a "
+    "dropDuplicates collapses pairs sharing several buckets. At "
+    "100 TB the bucket width is the knob: replication factor "
+    "(duration/width) against per-bucket candidate count — the same "
+    "trade as the LSH band count. Oracle is the direct theta range "
+    "join DuckDB can afford at fixture scale",
+    tags=("events", "join", "scale"),
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    iv = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(
+            "ts + make_dt_interval(0, 0, CAST(FLOOR(value) AS INT), 0)"
+        ).alias("te"),
+    )
+    # floor to hour indexes FIRST so buckets align (sequence() over
+    # fractional doubles would step from a fractional start).
+    binned = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_timestamp(F.col("ts").cast("timestamp_ltz"))
+                    / 3600
+                ).cast("bigint"),
+                F.floor(
+                    F.unix_timestamp(F.col("te").cast("timestamp_ltz"))
+                    / 3600
+                ).cast("bigint"),
+            )
+        ),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(
+            (F.col("a.ts") < F.col("b.te")) & (F.col("b.ts") < F.col("a.te"))
+        )
+        .select(
+            F.col("a.event_id").alias("a_id"),
+            F.col("b.event_id").alias("b_id"),
+            F.col("a.user_id").alias("user_id"),
+            # ts arrives TIMESTAMP_NTZ in a vanilla session; cast to
+            # LTZ for unix_micros — the tz offset cancels in the
+            # difference, so overlap_us is timezone-independent.
+            (
+                F.unix_micros(
+                    F.least(F.col("a.te"), F.col("b.te")).cast(
+                        "timestamp_ltz"
+                    )
+                )
+                - F.unix_micros(
+                    F.greatest(F.col("a.ts"), F.col("b.ts")).cast(
+                        "timestamp_ltz"
+                    )
+                )
+            ).alias("overlap_us"),
+        )
+    )
+    return pairs.dropDuplicates(["a_id", "b_id"])

@@ -733,3 +733,28 @@ def test_epoch_shuffle_has_no_single_partition_window(spark):
         r"\(\d+\) Window\n(?:.*\n)*?Arguments: ([^\n]*)", plan
     )
     assert wins and all("__pid" in w for w in wins), plan
+
+
+def test_interval_overlap_joins_on_bucket_equi_keys(spark):
+    """r12: the interval self-join must ride (user_id, bucket) EQUI
+    keys — a refactor to the direct theta form (user + two range
+    predicates) turns every user into a per-user near-crossjoin at
+    100 TB. No cartesian/BNLJ anywhere; exactly one SortMergeJoin."""
+    plan = plan_of(spark, "events_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # hash-keyed join either way (Catalyst picks broadcast-hash at
+    # fixture SF, sort-merge at scale) — the pin is the EQUI keys
+    assert (
+        _tree_nodes(plan, "SortMergeJoin")
+        + _tree_nodes(plan, "BroadcastHashJoin")
+        + _tree_nodes(plan, "ShuffledHashJoin")
+    ) == 1, plan
+    import re as _re
+
+    m = _re.search(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"
+        r"\n(?:.*\n)*?Left keys(?: \[\d+\])?: ([^\n]*)",
+        plan,
+    )
+    assert m and "bucket" in m.group(1), plan
