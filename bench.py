@@ -240,6 +240,10 @@ HEADLINERS = [
     # checkpoint pin executes the range exchange at build).
     "join_skew_salted",
     "curation_epoch_shuffle",
+    # r12 late: the impact-pruned sparse variant — its row should sit
+    # at-or-below the unpruned family's and STAY there as SF grows
+    # (the 64^2-per-token ceiling is the claim).
+    "sim_sparse_impact_topk",
 ]
 
 

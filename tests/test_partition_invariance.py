@@ -141,6 +141,10 @@ CHECK = [
     # sampled boundaries) — ids must equal the global-window oracle at
     # ANY input layout, same claim window_distributed_ids pins.
     "curation_epoch_shuffle",
+    # r12 late: same token-ordered float folds as the unpruned sparse
+    # family PLUS the impact window — the top-64-per-token decision
+    # (w DESC, doc_id) must be layout-free.
+    "sim_sparse_impact_topk",
 ]
 
 
