@@ -66,23 +66,24 @@ from cc_pyspark_spark.plans import QUERIES
 #:
 #: Round-12 rotation (VERDICT r11 ask #1): executes the committed r12
 #: plan — all 26 r7-last-row names + the alphabetically-first r8
-#: names, with FIFTEEN first-row slots for the new r12 registrations
+#: names, with SIXTEEN first-row slots for the new r12 registrations
 #: (dedup_minhash_capped, dedup_minhash_salted, dedup_containment,
 #: events_scd2_asof, layout_bucketed_join, text_boilerplate_shingles,
 #: graph_link_prediction, events_ohlc_bars, text_code_detect,
 #: layout_partition_pruning, join_skew_salted,
 #: curation_epoch_shuffle, wat_anchor_topk,
-#: events_interval_overlap, sim_sparse_impact_topk). Each new name
-#: displaced
+#: events_interval_overlap, sim_sparse_impact_topk,
+#: layout_bucketed_agg). Each new name displaced
 #: one r8 tail name back to the r13 queue per the displacement rule,
 #: so the
-#: in-window r8 cohort is the single alphabetically-first name and
-#: the other 37 r8 names head the r13 plan. Rotation floor after
-#: r12: r8.
+#: full 38-name r8 cohort heads the r13 plan (no r8 slots remain in
+#: the r12 window). Rotation floor after r12: r8 —
+#: unchanged, because r12's first-rows refresh every new name and
+#: the r7 cohort clears entirely.
 #:
-#: r13 rotation plan (in priority order): (a) the 37 remaining
+#: r13 rotation plan (in priority order): (a) the 38
 #: r8-last-row names —
-#: conditional_functions, curation_dataset_card,
+#: array_functions, conditional_functions, curation_dataset_card,
 #: curation_difficulty_bins,
 #: curation_pack_sequences, curation_stratified_sample,
 #: date_functions, dedup_edit_distance, dedup_embedding_delta,
@@ -116,13 +117,12 @@ DRIVER_CORE: tuple[str, ...] = (
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     # ================= r12 rotation (VERDICT r11 ask #1) =============
-    # Executes the committed r12 plan: 42 non-core slots = 15
+    # Executes the committed r12 plan: 42 non-core slots = 16
     # first-rows for the new r12 registrations (the tripwire's
     # every-new-name-gets-a-row invariant) + ALL 26 r7-last-row names
     # (the stalest cohort in the CORRECTNESS_r01..r11 ledger:
-    # histogram r7:26, r8:39, r9:42, r10:42, r11:50) + the single
-    # alphabetically-first r8-last-row name. After r12 the rotation
-    # floor is r8 (37 r8 names remain; they head the r13 plan,
+    # histogram r7:26, r8:39, r9:42, r10:42, r11:50). After r12 the
+    # rotation floor is r8 (all 38 r8 names head the r13 plan,
     # then the r9 cohort). Steady-state full-registry cycle stays
     # ~4-5 rounds at ~210 registered queries.
     #
@@ -133,7 +133,8 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     #    co-located bucketed join, source-scoped boilerplate, hub-
     #    capped link prediction, OHLC bars, code detection, partition
     #    pruning, salted skew join, epoch shuffle, anchor top-k,
-    #    bucketed interval-overlap join, impact-pruned sparse topk) --
+    #    bucketed interval-overlap join, impact-pruned sparse topk,
+    #    bucket-key zero-exchange aggregation) --
     "dedup_minhash_capped",
     "dedup_minhash_salted",
     "dedup_containment",
@@ -149,6 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "wat_anchor_topk",
     "events_interval_overlap",
     "sim_sparse_impact_topk",
+    "layout_bucketed_agg",
     # -- ALL 26 r7-last-row names --
     "agg_approx_count_distinct",
     "agg_approx_percentile_bound",
@@ -176,11 +178,10 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
     "warc_source_payload_digest",
-    # -- the oldest r8-last-row name (alphabetical head; the other 37
-    #    r8 names lead the r13 plan — each of the fifteen r12
-    #    registrations displaced one tail name per the displacement
-    #    rule). --
-    "array_functions",
+    # (the full r8-last-row cohort — 38 names — now heads the r13
+    #  plan: each of the sixteen r12 registrations displaced one
+    #  tail name per the displacement rule, consuming the in-window
+    #  r8 slots entirely)
 )
 
 

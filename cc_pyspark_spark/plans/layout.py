@@ -233,3 +233,65 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "layout_bucketed_agg",
+    oracle="""
+SELECT o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM orders
+GROUP BY 1
+""",
+    description="Bucket-key aggregation over the bucketed managed "
+    "table (the OTHER half of the pay-the-shuffle-once claim next to "
+    "layout_bucketed_join): a groupBy on the bucket key reads each "
+    "bucket as an already-partitioned group, so the aggregate runs "
+    "with ZERO exchanges in the whole plan (pinned in "
+    "tests/test_plan_shape.py) — at 100 TB every per-customer rollup "
+    "against the bucketed layout is a map-only pass where the "
+    "unbucketed twin pays a full shuffle per run. Construction reuses "
+    "the same per-sf_dir scratch tables the join query writes "
+    "(overwrite-idempotent); oracle aggregates the raw parquet — "
+    "layout must never change results",
+    tags=("layout", "scale"),
+)
+def layout_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from cc_pyspark_spark.sources.tables import (  # noqa: PLC0415
+        write_bucketed_table,
+    )
+
+    t = Catalog(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tbl = f"ccps_bkt_orders_{tag}"
+    try:
+        have = spark.catalog.tableExists(tbl)
+    except Exception:  # noqa: BLE001
+        have = False
+    if not have:
+        base = os.path.join(tempfile.gettempdir(), "ccps_bucketed", tag)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        write_bucketed_table(
+            t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            tbl,
+            "o_custkey",
+            num_buckets=_N_BUCKETS,
+            sort_cols="o_custkey",
+            path=os.path.join(base, "orders"),
+        )
+    return (
+        spark.table(tbl)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -758,3 +758,13 @@ def test_interval_overlap_joins_on_bucket_equi_keys(spark):
         plan,
     )
     assert m and "bucket" in m.group(1), plan
+
+
+def test_bucketed_agg_has_zero_exchanges(spark):
+    """r12: a groupBy on the bucket key of a bucket-sorted table must
+    aggregate with NO exchange anywhere — each bucket is already one
+    key-complete partition. This is the map-only rollup the layout
+    was paid for; a second Exchange means the bucketing metadata got
+    lost (path/catalog mismatch or bucket-count drift)."""
+    plan = plan_of(spark, "layout_bucketed_agg")
+    assert _tree_nodes(plan, "Exchange") == 0, plan
