@@ -248,18 +248,11 @@ HEADLINERS = [
 
 
 def _co_order_raw(spark, sf_dir):
-    """Distinct (customer, supplier) co-order pairs — the edge base
-    every graph_* query uses (plans/graphq.py)."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
+    """The SAME edge base the registered graph_* queries use — imported,
+    not re-built, so bench rows can never measure a different graph."""
+    from cc_pyspark_spark.plans.graphq import co_order_raw  # noqa: PLC0415
 
-    from cc_pyspark_spark.catalog import Catalog  # noqa: PLC0415
-
-    t = Catalog(spark, sf_dir)
-    return (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    return co_order_raw(spark, sf_dir)
 
 
 def _bench_pagerank_converged(spark, sf_dir):

@@ -141,11 +141,13 @@ def cap_lsh_buckets(
             )
             .drop("n", "rn")
         )
-        # per hot bucket: q full subs of size cap + one remainder sub
-        q = F.expr(f"n div {max_bucket_size}")
-        r = F.col("n") % cap
+        # Per hot bucket: q full subs of size cap + one remainder sub.
+        # `n` and `r` here resolve against the `hot` frame the audit
+        # aggregates below (r = n mod cap is materialized on it) — not
+        # local Columns, so the arithmetic lives in exactly one place.
         retained = (
-            q * F.lit(max_bucket_size * (max_bucket_size - 1) // 2)
+            F.expr(f"n div {max_bucket_size}")
+            * F.lit(max_bucket_size * (max_bucket_size - 1) // 2)
             + F.expr("(r * (r - 1)) div 2")
         ).cast("bigint")
     hot = (

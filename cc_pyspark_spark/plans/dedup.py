@@ -2017,12 +2017,21 @@ WHERE i * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_T}
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    sh0 = t.documents.select("doc_id", tokenize("text").alias("toks")).select(
-        "doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s")
+    # Persisted: the scan+tokenize+explode subtree feeds BOTH the df
+    # aggregate and the probe side of the df-cap join — without persist
+    # it runs twice (same discipline as _minhash_sh_bands above).
+    sh0 = (
+        t.documents.select("doc_id", tokenize("text").alias("toks"))
+        .select(
+            "doc_id", F.explode(F.array_distinct(shingles("toks"))).alias("s")
+        )
+        .persist()
+        .transform(track_cache)
     )
     df = sh0.groupBy("s").agg(F.count("*").alias("df"))
-    # Cap BEFORE persist: the cached frame is the already-pruned index,
-    # reused by the self-join (twice) and the per-doc sizes.
+    # Cap, then persist the pruned index too: it is reused by the
+    # self-join (twice) and the per-doc sizes, and recomputing it from
+    # sh0 would replay the df agg + join.
     sh = (
         sh0.join(df.filter(F.col("df") <= CONTAINMENT_DF_CAP), "s")
         .select("doc_id", "s")

@@ -29,6 +29,23 @@ from cc_pyspark_spark.catalog import Catalog
 from cc_pyspark_spark.plans.registry import register
 
 
+def co_order_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (c=custkey, s=suppkey) co-order pairs — the ONE edge
+    base every bipartite graph_* query (and bench.py's converged-
+    wrapper rows) builds on. Downstream tagging is always the
+    disjoint 2c / 2s+1 scheme (see graph_pagerank's note: a fixed
+    offset silently merges vertices once custkeys outgrow it), so the
+    definition lives here exactly once — a change to the edge base
+    cannot diverge between the registered queries and the bench rows.
+    """
+    t = Catalog(spark, sf_dir)
+    return (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+
 @register(
     "graph_triangle_stats",
     oracle="""
@@ -151,14 +168,7 @@ FROM pr WHERE iter = {_PR_ITER}
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.operators.pagerank import pagerank_fixed  # noqa: PLC0415
 
-    t = Catalog(spark, sf_dir)
-    raw = (
-        t.orders.join(
-            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    raw = co_order_raw(spark, sf_dir)
     # Symmetrize: customer <-> supplier. Vertex ids are DISJOINTLY
     # TAGGED (customer -> 2c, supplier -> 2s+1) rather than offset by a
     # constant — a fixed offset silently merges vertices once custkeys
@@ -227,12 +237,7 @@ SELECT id, hops FROM bfs WHERE iter = {_BFS_ITER}
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.operators.pagerank import bfs_hops  # noqa: PLC0415
 
-    t = Catalog(spark, sf_dir)
-    raw = (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    raw = co_order_raw(spark, sf_dir)
     edges = raw.select(
         (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
     )
@@ -394,12 +399,7 @@ SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.operators.community import kcore  # noqa: PLC0415
 
-    t = Catalog(spark, sf_dir)
-    raw = (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    raw = co_order_raw(spark, sf_dir)
     edges = raw.select(
         (2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b")
     )
@@ -477,12 +477,7 @@ def graph_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.operators.community import kcore_converged  # noqa: PLC0415
 
-    t = Catalog(spark, sf_dir)
-    raw = (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    raw = co_order_raw(spark, sf_dir)
     edges = raw.select(
         (2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b")
     )
@@ -539,12 +534,7 @@ FROM h2
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.operators.pagerank import hits_fixed  # noqa: PLC0415
 
-    t = Catalog(spark, sf_dir)
-    raw = (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    raw = co_order_raw(spark, sf_dir)
     edges = raw.select(
         (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
     )
@@ -626,12 +616,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation_history,
     )
 
-    t = Catalog(spark, sf_dir)
-    raw = (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    raw = co_order_raw(spark, sf_dir)
     edges = raw.select(
         (2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b")
     ).persist().transform(track_cache)
@@ -742,12 +727,7 @@ FROM sums
     tags=("graph",),
 )
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Catalog(spark, sf_dir)
-    raw = (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    raw = co_order_raw(spark, sf_dir)
     e = raw.select((2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b"))
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))

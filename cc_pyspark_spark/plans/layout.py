@@ -171,6 +171,34 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_fingerprint(path: str) -> str:
+    """md5 over (relpath, size, mtime_ns) of every file under *path*.
+
+    Keys the scratch layout on the CONTENT IDENTITY of the source, not
+    just its path: regenerating the base dataset in place (re-running
+    scripts/gen_scaled_sf.py into the same out_dir, rebuilding a
+    testdata sf) changes mtimes/sizes, so the exists-skip below can
+    never silently serve a partitioned copy of the OLD data while the
+    oracle reads the new parquet (same hazard class as the
+    _FIXTURE_VERSION guard in plans/warcq.py).
+    """
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    h = hashlib.md5(os.path.abspath(path).encode())
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f":{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+
 #: Date slice for the pruning query: 3 of the corpus's 30 event days.
 _PRUNE_LO, _PRUNE_HI = "2024-01-07", "2024-01-09"
 
@@ -201,12 +229,11 @@ GROUP BY 1
     tags=("layout", "events", "scale"),
 )
 def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib  # noqa: PLC0415
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     t = Catalog(spark, sf_dir)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
     base = os.path.join(tempfile.gettempdir(), "ccps_partitioned", tag, "events")
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):

@@ -85,7 +85,7 @@ def check_key_ranges(base, name: str, keys: tuple[str, ...]) -> None:
             )
 
 
-def salt_replica(rep, name: str, i: int):
+def salt_replica(rep, name: str, i: int, dim: int = 0):
     """Deterministic per-replica content perturbation (r12, VERDICT
     r11 ask #3): replicas must stop being exact near-duplicates of
     the base, or every pair-generating family's scale ratio is a
@@ -112,11 +112,13 @@ def salt_replica(rep, name: str, i: int):
       direction (observed as a wedged ObjectHashAggregate; the
       faithful scale-up keeps the df DISTRIBUTION stable, not the
       vocabulary disjoint).
-    * embeddings.embedding — circular shift of the 64-dim vector by
-      ``i % 64`` positions. A coordinate permutation is orthogonal:
-      all within-replica cosines/norms are EXACTLY the base values;
-      cross-replica cosine to the base vector decorrelates. (factor
-      <= 64 keeps shifts distinct and nonzero.)
+    * embeddings.embedding — circular shift of the ``dim``-length
+      vector by ``i % dim`` positions (dim probed from the data by
+      scaled_table). A coordinate permutation is orthogonal: all
+      within-replica cosines/norms are EXACTLY the base values;
+      cross-replica cosine to the base vector decorrelates. factor
+      must be <= dim so shifts stay distinct and nonzero — ENFORCED
+      below, not assumed.
     * everything else (dims, categorical lang/source/event_type,
       numerics) replicates verbatim — those columns' domains are
       meant to repeat, like TPC-H dims.
@@ -145,28 +147,52 @@ def salt_replica(rep, name: str, i: int):
             F.array_join(F.transform(permuted, lambda s_: s_["t"]), " "),
         ).withColumn("n_chars", F.length("text").cast("bigint"))
     elif name == "embeddings":
-        shift = i % 64
-        if shift:
-            rep = rep.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice("embedding", shift + 1, 64 - shift),
-                    F.slice("embedding", 1, shift),
-                ),
+        # dim is probed from the data by scaled_table (loud check, not
+        # a comment): shift == 0 for i > 0 would reproduce the base
+        # vector order verbatim and silently reintroduce the exact
+        # cross-replica near-dup artifact the salting exists to remove.
+        shift = i % dim
+        if shift == 0:
+            raise SystemExit(
+                f"replica {i} rotates the {dim}-dim embedding by 0 "
+                f"(factor > embedding dim): every {dim}th replica "
+                "would be a verbatim near-dup of the base. Use a "
+                "factor <= the embedding dim, or extend salt_replica "
+                "with a second decorrelation dimension first."
             )
+        rep = rep.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", shift + 1, dim - shift),
+                F.slice("embedding", 1, shift),
+            ),
+        )
     return rep
 
 
 def scaled_table(base, factor: int, keys: tuple[str, ...], name: str, salt: bool):
     if not keys or factor <= 1:
         return base
+    dim = 0
+    if salt and name == "embeddings":
+        # One probe job: the rotation algebra needs the real dim, and
+        # ragged arrays would make slice() drop elements silently.
+        lo, hi = base.select(
+            F.min(F.size("embedding")), F.max(F.size("embedding"))
+        ).first()
+        if lo != hi:
+            raise SystemExit(
+                f"embeddings table is ragged (dims {lo}..{hi}); "
+                "salt rotation requires a fixed dimension"
+            )
+        dim = int(hi)
     out = base
     for i in range(1, factor):
         rep = base
         for k in keys:
             rep = rep.withColumn(k, F.col(k) + F.lit(i * KEY_SHIFT))
         if salt:
-            rep = salt_replica(rep, name, i)
+            rep = salt_replica(rep, name, i, dim)
         out = out.unionAll(rep)
     return out
 
