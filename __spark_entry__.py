@@ -81,8 +81,12 @@ from cc_pyspark_spark.plans import QUERIES
 #: unchanged, because r12's first-rows refresh every new name and
 #: the r7 cohort clears entirely.
 #:
-#: r13 rotation plan (in priority order): (a) the 38
-#: r8-last-row names —
+#: r13 rotation plan (in priority order): (0) first-row slots for
+#: the late-r12 registrations that postdate the committed r12 window
+#: (wat_host_pagerank — the window was already full and judged-
+#: against when they landed, so per the tripwire their first rows
+#: head the NEXT window instead of displacing committed slots);
+#: then (a) the 38 r8-last-row names —
 #: array_functions, conditional_functions, curation_dataset_card,
 #: curation_difficulty_bins,
 #: curation_pack_sequences, curation_stratified_sample,

@@ -158,6 +158,11 @@ HEADLINERS = [
     # vocab coverage (range-prefix scan), and WebDataset tar indexing
     # (applyInPandas build + header-walk probe).
     "wat_links_host_graph",
+    # r12 late: the end-to-end WAT -> host graph -> host-rank
+    # composition (first oracle row on the dangling-mass path); its
+    # cost = the extraction row above + 8 fixed-point rounds over the
+    # host-count-sized rank frame.
+    "wat_host_pagerank",
     "text_classifier_train_sparse",
     "graph_hits",
     "sim_mmr_rerank",
@@ -364,6 +369,10 @@ EAGER_CONSTRUCTION = {
     # operator eagerly checkpoints the range exchange at build.
     "layout_bucketed_join",
     "curation_epoch_shuffle",
+    # r12 late: pagerank_fixed's every-4-rounds eager checkpoints run
+    # at construction (the write-only row read 0.03 s, the
+    # graph_pagerank symptom exactly).
+    "wat_host_pagerank",
 }
 
 

@@ -126,6 +126,15 @@ def pagerank_fixed(
     has an out-edge (e.g. any symmetrized graph), where the term is
     identically zero.
 
+    Checkpoint cadence on the DANGLING path: each round's plan then
+    references the previous rank frame TWICE (contribution join +
+    dangling aggregate), so lineage doubles per round and the default
+    every-4 cadence hands Catalyst 2^4 copies of the subtree — pass
+    ``checkpoint_every=1`` for dangling graphs (wat_host_pagerank
+    measured 18 s -> 5.7 s at sf0.1 from that change alone). With
+    ``assume_no_dangling`` the reference count is 1 and the default
+    cadence is right.
+
     Returns (id, r BIGINT, rank DOUBLE = r / SCALE); ``rank`` is an
     exact BIGINT→DOUBLE conversion, so it inherits the determinism.
     """

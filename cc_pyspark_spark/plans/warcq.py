@@ -332,10 +332,12 @@ def derived_wat_manifest(spark: SparkSession, sf_dir: str) -> str:
     return manifest
 
 
-@register(
-    "wat_links_host_graph",
-    oracle="""
-WITH d AS (
+#: The analytic DuckDB twin of the WAT link rules — ONE definition
+#: shared by every oracle that consumes the host edge set
+#: (wat_links_host_graph, wat_host_pagerank), so the modular rules can
+#: never drift between the edge-set gate and its downstream consumers.
+#: Terminates in `wat_edges(s, t)` = the distinct host edge set.
+_WAT_EDGE_CTE = """d AS (
   SELECT doc_id AS id,
          'org.example.' || lang || CAST(doc_id % 5 AS VARCHAR) AS own
   FROM documents
@@ -360,8 +362,14 @@ WITH d AS (
     FROM d WHERE id % 11 <> 0 AND id % 13 = 1
   UNION ALL SELECT own, 'com.example.hdr2'
     FROM d WHERE id % 11 <> 0 AND id % 13 = 1
-)
-SELECT DISTINCT s, t FROM e
+), wat_edges AS (SELECT DISTINCT s, t FROM e)"""
+
+
+@register(
+    "wat_links_host_graph",
+    oracle=f"""
+WITH {_WAT_EDGE_CTE}
+SELECT s, t FROM wat_edges
 """,
     description="WAT link-extraction pipeline under the oracle gate "
     "(the reference's largest job, wat_extract_links.py ExtractHostLinks"
@@ -498,3 +506,97 @@ def wat_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= _ANCHOR_TOPK)
     )
+
+
+#: Fixed round count for the host-rank query — enough for the rank
+#: order of this graph's head to stabilize, small enough that the
+#: DuckDB recursive replay stays trivial at the gate SF.
+_HOST_PR_ITER = 8
+
+
+def _host_pagerank_oracle() -> str:
+    from cc_pyspark_spark.operators.pagerank import (  # noqa: PLC0415
+        PAGERANK_SCALE as S,
+    )
+
+    # NOTE: inside WITH RECURSIVE, DuckDB treats a bare UNION in ANY
+    # cte body as the recursive-union split and stops deduplicating
+    # across the two branches (verts came out 862 rows instead of 45)
+    # — hence the UNION ALL + outer DISTINCT form for verts.
+    return f"""
+WITH RECURSIVE {_WAT_EDGE_CTE},
+verts AS (SELECT DISTINCT id FROM (
+  SELECT s AS id FROM wat_edges UNION ALL SELECT t FROM wat_edges)),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM wat_edges GROUP BY s),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+pr(iter, id, r) AS (
+  SELECT 0, id, CAST({S} // (SELECT n FROM nn) AS BIGINT) FROM verts
+  UNION ALL
+  SELECT v.iter + 1, v.id,
+         CAST({S}::BIGINT * 15 // (100 * x.n)
+              + (85 * (COALESCE(c.contrib, 0) + dd.dang // x.n)) // 100
+           AS BIGINT)
+  FROM pr v
+  CROSS JOIN nn x
+  CROSS JOIN (
+    SELECT CAST(COALESCE(SUM(p3.r), 0) AS BIGINT) AS dang
+    FROM pr p3 LEFT JOIN deg dg ON p3.id = dg.s
+    WHERE dg.s IS NULL
+  ) dd
+  LEFT JOIN (
+    SELECT e2.t AS id, CAST(SUM(p2.r // dg2.deg) AS BIGINT) AS contrib
+    FROM wat_edges e2 JOIN pr p2 ON e2.s = p2.id JOIN deg dg2 ON e2.s = dg2.s
+    GROUP BY e2.t
+  ) c ON v.id = c.id
+  WHERE v.iter < {_HOST_PR_ITER}
+)
+SELECT id AS host, r, CAST(r AS DOUBLE) / {float(S)} AS rank
+FROM pr WHERE iter = {_HOST_PR_ITER}
+"""
+
+
+@register(
+    "wat_host_pagerank",
+    oracle=_host_pagerank_oracle(),
+    description="The reference's flagship story CLOSED END-TO-END: "
+    "crawl archives -> WAT link extraction -> SURT host graph "
+    "(wat_extract_links.py + hostlinks_to_graph.py territory) -> HOST "
+    "RANKS, in one oracle-gated query. The edge frame is the SAME "
+    "registered wat_links_host_graph pipeline (real .wat.gz parse, "
+    "typed from_json walk, urljoin, SURT keys), fed straight into "
+    "pagerank_fixed keyed by HOST STRING — joins/groupBys are "
+    "type-agnostic, so no relabel-to-int pass is needed or wanted. "
+    "This is also the FIRST value-hash gate on the operator's "
+    "dangling-mass path: CDN/asset hosts that are only ever link "
+    "targets have no out-edges, so their mass redistributes through "
+    "the 1-row broadcast dangling aggregate every round (graph_"
+    "pagerank's symmetrized graph skips that path entirely via "
+    "assume_no_dangling). BIGINT fixed-point arithmetic end to end; "
+    "the DuckDB oracle replays all 8 rounds (dangling term included) "
+    "from the shared _WAT_EDGE_CTE analytic edge rules, so extractor, "
+    "graph construction, AND the iterative rank algebra are one "
+    "hash-checked pipeline. Per-round cost at 100 TB: one O(V) rank "
+    "shuffle against the cached pre-partitioned adjacency + one O(V) "
+    "anti-join aggregate for the dangling scalar",
+    tags=("source", "warc", "graph", "scale"),
+)
+def wat_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.caching import track_cache  # noqa: PLC0415
+    from cc_pyspark_spark.operators.pagerank import pagerank_fixed  # noqa: PLC0415
+
+    # Persisted: pagerank_fixed derives vertices, out-degrees, AND the
+    # adjacency from the edge frame — uncached, the full .wat.gz parse
+    # would re-run for each derivation (measured 3x at sf0.1).
+    edges = (
+        wat_links_host_graph(spark, sf_dir).persist().transform(track_cache)
+    )
+    # checkpoint_every=1: on the DANGLING path each round's plan
+    # references the previous rank frame twice (contribution join +
+    # dangling aggregate), so lineage doubles per round — the default
+    # every-4 cadence carries 2^4 copies of the subtree into Catalyst
+    # and the row read ~18 s at sf0.1; per-round truncation of the
+    # O(hosts)-row frame is trivial and bounds plan growth linearly.
+    ranked = pagerank_fixed(
+        edges, n_iter=_HOST_PR_ITER, damping_pct=85, checkpoint_every=1
+    )
+    return ranked.select(F.col("id").alias("host"), "r", "rank")

@@ -145,6 +145,11 @@ CHECK = [
     # family PLUS the impact window — the top-64-per-token decision
     # (w DESC, doc_id) must be layout-free.
     "sim_sparse_impact_topk",
+    # r12 late: host ranks are exact BIGINT fixed-point (rank is one
+    # exact BIGINT->double conversion); the pin covers the dangling-
+    # mass aggregate — an integer sum, layout-free by associativity —
+    # through the full WAT-parse -> pagerank composition.
+    "wat_host_pagerank",
 ]
 
 
