@@ -83,9 +83,10 @@ from cc_pyspark_spark.plans import QUERIES
 #:
 #: r13 rotation plan (in priority order): (0) first-row slots for
 #: the late-r12 registrations that postdate the committed r12 window
-#: (wat_host_pagerank — the window was already full and judged-
-#: against when they landed, so per the tripwire their first rows
-#: head the NEXT window instead of displacing committed slots);
+#: (wat_host_pagerank, dedup_lsh_recall_eval — the window was
+#: already full and judged-against when they landed, so per the
+#: tripwire their first rows head the NEXT window instead of
+#: displacing committed slots);
 #: then (a) the 38 r8-last-row names —
 #: array_functions, conditional_functions, curation_dataset_card,
 #: curation_difficulty_bins,

@@ -249,6 +249,11 @@ HEADLINERS = [
     # at-or-below the unpruned family's and STAY there as SF grows
     # (the 64^2-per-token ceiling is the claim).
     "sim_sparse_impact_topk",
+    # r12 late: the S-curve eval composes BOTH pair generators (PPJoin
+    # truth at t=0.5 — a longer prefix than the benched t=0.8 row —
+    # joined against the banding candidates), so its row prices the
+    # heaviest honest read of the dedup measurement stack.
+    "dedup_lsh_recall_eval",
 ]
 
 

@@ -985,6 +985,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_counts: bool = False,
 ) -> DataFrame:
     """EXACT token-set similarity join via prefix filtering (AllPairs /
     PPJoin family) — the deterministic-recall counterpart to MinHash.
@@ -1100,10 +1101,23 @@ def prefix_filter_jaccard_pairs(
         F.col("i").cast("double")
         / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
     )
+    # with_counts: expose the exact BIGINT intersection/sizes next to
+    # jac — consumers that must derive layout-free integer quantities
+    # from the pair (e.g. dedup_lsh_recall_eval's decile buckets
+    # (10*i) div u) use these instead of re-binning the double.
+    extra = (
+        [
+            F.col("i").cast("bigint").alias("i"),
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+        ]
+        if with_counts
+        else []
+    )
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
-        .select("a_id", "b_id", jac.alias("jac"))
+        .select("a_id", "b_id", jac.alias("jac"), *extra)
         .filter(F.col("jac") >= threshold)
     )
 

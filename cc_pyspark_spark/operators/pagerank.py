@@ -624,13 +624,17 @@ def bfs_hops(
     sources: DataFrame,
     max_iter: int = 10,
     checkpoint_every: int = 2,
+    directed: bool = False,
 ) -> DataFrame:
-    """Multi-source BFS over an undirected graph: minimum hop count
-    from any vertex in `sources` — the reachability/radius primitive
-    (seed-page distance, crawl-frontier depth) next to PageRank and
-    connected components.
+    """Multi-source BFS: minimum hop count from any vertex in
+    `sources` — the reachability/radius primitive (seed-page distance,
+    crawl-frontier depth) next to PageRank and connected components.
 
-    ``edges``: (s, t) undirected pairs (symmetrized internally).
+    ``edges``: (s, t) pairs — symmetrized internally by default;
+    ``directed=True`` follows s->t arcs only (reverse the edge frame
+    at the call site for backward reachability), the primitive the
+    bowtie decomposition (wat_host_bowtie) is built from. Vertices in
+    either endpoint column count as vertices in both modes.
     ``sources``: one column ``id``. Returns (id, hops BIGINT) for every
     vertex, hops = NULL when unreachable within ``max_iter``.
 
@@ -645,18 +649,32 @@ def bfs_hops(
     graph_bfs_hops oracle. All-integer min labels keep results
     bit-identical across partitionings.
     """
-    sym = edges.select("s", "t").union(
-        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).persist().transform(track_cache)
-    verts = sym.select(F.col("s").alias("id")).distinct()
+    if directed:
+        # Arcs as given; vertices still drawn from BOTH endpoint
+        # columns so sink-only vertices appear (with NULL hops when
+        # unreached) exactly as in the undirected mode.
+        sym = edges.select("s", "t").persist().transform(track_cache)
+        verts = (
+            sym.select(F.col("s").alias("id"))
+            .union(sym.select(F.col("t").alias("id")))
+            .distinct()
+        )
+    else:
+        sym = edges.select("s", "t").union(
+            edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        ).persist().transform(track_cache)
+        verts = sym.select(F.col("s").alias("id")).distinct()
     settled = sources.select(
         "id", F.lit(0).cast("bigint").alias("hops")
     ).join(verts, "id", "left_semi").persist().transform(track_cache)
     frontier = settled
     for i in range(max_iter):
+        # Propagate hop(t) = min hop(s) + 1 along s->t arcs (for the
+        # symmetrized frame both orientations are present, so this is
+        # bit-identical to the historical t->s formulation).
         cand = (
-            sym.join(frontier, sym.t == frontier.id)
-            .groupBy(F.col("s").alias("id"))
+            sym.join(frontier, sym.s == frontier.id)
+            .groupBy(F.col("t").alias("id"))
             .agg((F.min("hops") + F.lit(1)).cast("bigint").alias("hops"))
         )
         frontier = cand.join(settled, "id", "left_anti")

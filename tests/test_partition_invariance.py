@@ -150,6 +150,10 @@ CHECK = [
     # mass aggregate — an integer sum, layout-free by associativity —
     # through the full WAT-parse -> pagerank composition.
     "wat_host_pagerank",
+    # r12 late: recall is one division of exact BIGINT counts; the pin
+    # covers the band self-join candidate set and the PPJoin truth set
+    # both being layout-free.
+    "dedup_lsh_recall_eval",
 ]
 
 
