@@ -81,13 +81,23 @@ from cc_pyspark_spark.plans import QUERIES
 #: unchanged, because r12's first-rows refresh every new name and
 #: the r7 cohort clears entirely.
 #:
-#: r13 rotation plan (in priority order): (0) first-row slots for
-#: the late-r12 registrations that postdate the committed r12 window
-#: (wat_host_pagerank, dedup_lsh_recall_eval — the window was
-#: already full and judged-against when they landed, so per the
-#: tripwire their first rows head the NEXT window instead of
-#: displacing committed slots);
-#: then (a) the 38 r8-last-row names —
+#: Late-r12 displacement (tripwire, enforced by
+#: tests/test_driver_contract.py::test_headliners_inside_driver_cap):
+#: wat_host_pagerank and dedup_lsh_recall_eval registered after the
+#: r12 window was first committed; per the same displacement rule the
+#: sixteen earlier r12 names used, each takes an in-window first-row
+#: slot and displaces one rotation name to the r13 head. Displaced:
+#: tpch_q13_customer_distribution, tpch_q17_small_quantity_revenue —
+#: chosen from the r7 cohort as the two names with the most
+#: independent coverage besides the driver row (both are benched
+#: every round AND re-verified in every sf0.001 parity pytest run,
+#: and the r11 judge's own full-registry sf0.01 sweep re-verified
+#: them MATCH). They keep their r7 last-rows until r13, so the
+#: post-r12 rotation floor is r7 for exactly these two names and r8
+#: for everything else.
+#:
+#: r13 rotation plan (in priority order): (0) the two displaced
+#: tpch names above; then (a) the 38 r8-last-row names —
 #: array_functions, conditional_functions, curation_dataset_card,
 #: curation_difficulty_bins,
 #: curation_pack_sequences, curation_stratified_sample,
@@ -178,11 +188,14 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "sim_sparse_tfidf_topk",
     "text_bigram_lm_score",
     "text_drift_chi2",
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q2_min_cost_supplier",
     "warc_source_payload_digest",
+    # -- late-r12 first rows (displacement rule, see docstring):
+    #    the WAT->host-rank composition (first gate on the dangling-
+    #    mass path) and the LSH S-curve recall eval --
+    "wat_host_pagerank",
+    "dedup_lsh_recall_eval",
     # (the full r8-last-row cohort — 38 names — now heads the r13
     #  plan: each of the sixteen r12 registrations displaced one
     #  tail name per the displacement rule, consuming the in-window
