@@ -378,6 +378,10 @@ EAGER_CONSTRUCTION = {
     # at construction (the write-only row read 0.03 s, the
     # graph_pagerank symptom exactly).
     "wat_host_pagerank",
+    # r12 late: the exact-median gate now rides the W2 range-shuffle
+    # rank operator, whose range exchange is checkpoint-pinned at
+    # construction (previously a lazy single-group percentile plan).
+    "curation_dsir_importance",
 }
 
 

@@ -1089,7 +1089,36 @@ def dsir_importance_frame(
             F.coalesce("weight", F.lit(0.0)).alias("weight"),
         )
     )
-    med = docs.agg(F.expr("percentile(weight, 0.5)").alias("med"))
+    # Exact corpus median WITHOUT the single-group percentile
+    # aggregate (which buffers every weight in ONE task — O(corpus)
+    # doubles in one JVM at 100 TB): range-shuffle rank assignment
+    # (the W2 operator — collect-free, checkpoint-pinned), pick the
+    # two middle order statistics, and interpolate with Spark's own
+    # percentile formula (0.5*lo + 0.5*hi; for odd n both ranks hit
+    # the same row, so the formula collapses to the exact value) —
+    # bit-identical to the previous aggregate, so the DuckDB
+    # quantile_cont oracle is unchanged. doc_id tie-breaks the sort
+    # key; the value AT a rank is tie-order-invariant either way.
+    from cc_pyspark_spark.operators.ids import (  # noqa: PLC0415
+        assign_sequential_ids,
+    )
+
+    ranked = assign_sequential_ids(
+        docs.select("weight", "doc_id"), ["weight", "doc_id"], id_col="__rid"
+    )
+    nrow = docs.agg(F.count("*").alias("__n"))
+    sel = ranked.crossJoin(F.broadcast(nrow))
+    lo = sel.filter(F.col("__rid") == F.expr("(__n - 1) div 2 + 1")).select(
+        F.col("weight").alias("__wlo")
+    )
+    hi = sel.filter(F.col("__rid") == F.expr("__n div 2 + 1")).select(
+        F.col("weight").alias("__whi")
+    )
+    med = lo.crossJoin(hi).select(
+        (F.lit(0.5) * F.col("__wlo") + F.lit(0.5) * F.col("__whi")).alias(
+            "med"
+        )
+    )
     return docs.crossJoin(F.broadcast(med)).select(
         "doc_id",
         "n_feats",
