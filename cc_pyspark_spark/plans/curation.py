@@ -1090,8 +1090,12 @@ def dsir_importance_frame(
         )
     )
     # Exact corpus median WITHOUT the single-group percentile
-    # aggregate (which buffers every weight in ONE task — O(corpus)
-    # doubles in one JVM at 100 TB): range-shuffle rank assignment
+    # aggregate. Spark's exact percentile buffers a value->count map
+    # (O(distinct values) with map-side merge — fine for small-int
+    # columns like the graph pair counts), but over a CONTINUOUS
+    # weight column distinct ~= rows, so the single group degenerates
+    # to O(corpus) doubles in one task's buffer at 100 TB. Instead:
+    # range-shuffle rank assignment
     # (the W2 operator — collect-free, checkpoint-pinned), pick the
     # two middle order statistics, and interpolate with Spark's own
     # percentile formula (0.5*lo + 0.5*hi; for odd n both ranks hit

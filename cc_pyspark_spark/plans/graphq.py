@@ -29,52 +29,6 @@ from cc_pyspark_spark.catalog import Catalog
 from cc_pyspark_spark.plans.registry import register
 
 
-def median_threshold(pairs: DataFrame, col: str = "c") -> DataFrame:
-    """Exact ``quantile_cont(col, 0.5)`` as a 1-row frame ``(thr)`` —
-    WITHOUT the single-group ``percentile`` aggregate.
-
-    Spark's exact ``percentile`` buffers EVERY group value in one
-    task's aggregation buffer; over a pair-count frame that is
-    O(edges) values in one JVM — an OOM-class hazard at 100 TB (the
-    453k-value sf0.1 frame already paid ~1 s for it). The identity
-    used instead: with n values, quantile_cont(0.5) equals
-    (elem_at(r1) + elem_at(r2)) / 2 for 0-indexed ranks
-    r1 = (n-1) div 2 and r2 = n div 2 (equal when n is odd; the
-    interpolation fraction is always 0 or exactly 0.5). elem_at
-    resolves from a count HISTOGRAM: groupBy(col) — distinct-value
-    count is at most max(col), orders of magnitude below the pair
-    count — a cumulative window over that tiny frame, then one filter
-    per rank. All values here are integers below 2^52, so the
-    (v_lo + v_hi)/2 double is bit-identical to DuckDB's
-    v_lo + 0.5*(v_hi - v_lo) and every registered oracle is
-    unchanged.
-    """
-    from pyspark.sql import Window as W  # noqa: PLC0415
-
-    hist = pairs.groupBy(col).agg(F.count("*").alias("k"))
-    cum = (
-        hist.withColumn(
-            "hi_cum",
-            F.sum("k").over(
-                W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)
-            ),
-        )
-        .withColumn("lo_cum", F.col("hi_cum") - F.col("k"))
-    )
-    n = hist.agg(F.sum("k").alias("n"))
-    sel = cum.crossJoin(F.broadcast(n))
-    r1 = F.expr("(n - 1) div 2")
-    r2 = F.expr("n div 2")
-    pick = lambda r: F.sum(  # noqa: E731
-        F.when(
-            (F.col("lo_cum") <= r) & (r < F.col("hi_cum")), F.col(col)
-        ).otherwise(F.lit(0))
-    )
-    return sel.agg(
-        ((pick(r1) + pick(r2)) / F.lit(2.0)).alias("thr")
-    )
-
-
 def co_order_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (c=custkey, s=suppkey) co-order pairs — the ONE edge
     base every bipartite graph_* query (and bench.py's converged-
@@ -149,7 +103,18 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").alias("c"))
     )
-    thr = median_threshold(pairs)
+    # thr: exact interpolated median of the pair counts. Spark's exact
+    # percentile aggregates a value->count map with MAP-SIDE partial
+    # merge (Percentile.scala buffers O(distinct values), not O(rows))
+    # — over small-integer co-occurrence counts (12 distinct at sf0.1)
+    # this IS the histogram-median, distributed and scale-safe, and it
+    # shares the pairs exchange with the edge filter inside one action
+    # (a DataFrame-level reformulation measured +30% by losing that
+    # reuse; see SCALING.md r12-late notes). The degenerate case is
+    # CONTINUOUS value columns, where the counts map grows O(rows) —
+    # curation_dsir_importance switched to W2 distributed selection
+    # for exactly that reason.
+    thr = pairs.agg(F.expr("percentile(c, 0.5)").alias("thr"))
     e = (
         pairs.crossJoin(F.broadcast(thr))
         .filter(F.col("c").cast("double") > F.col("thr"))
@@ -390,7 +355,7 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").alias("c"))
     )
-    thr = median_threshold(pairs)
+    thr = pairs.agg(F.expr("percentile(c, 0.5)").alias("thr"))  # see graph_triangle_stats thr note
     return (
         pairs.crossJoin(F.broadcast(thr))
         .filter(F.col("c").cast("double") > F.col("thr"))
