@@ -2110,11 +2110,13 @@ GROUP BY 1, nc.n_candidates
     oracle=_duck_lsh_recall_oracle(),
     description="The LSH S-CURVE, MEASURED — the tuning input every "
     "(bands, rows) choice at 100 TB is made on: ground truth is the "
-    "THEOREM-BACKED prefix-filter exact join (recall 1.0 by "
-    "construction, so 'truth' is itself verified machinery, not a "
-    "second probabilistic estimate) at the deployed t=0.5 threshold "
-    "over the SAME 3-gram shingle universe the MinHash path hashes; "
-    "the candidate set is the deployed 16-perm/4-band geometry "
+    "EXACT inverted-index Jaccard join over the SAME persisted 3-gram "
+    "shingle frame the MinHash signatures hash (one scan, one "
+    "universe — truth and candidates measure the same similarity by "
+    "construction; exactness needs only that J>=0.5 pairs share a "
+    "shingle, which is immediate), with cost bounded by sum(df^2) — "
+    "the quantity dedup_lsh_blowup_report estimates up front; the "
+    "candidate set is the deployed 16-perm/4-band geometry "
     "(_minhash_sh_bands). Per exact-Jaccard decile ((10*i) div u — "
     "pure BIGINT, no double binning), the report gives n_true, "
     "n_found, recall, plus the global candidate count (the cost side "
@@ -2132,12 +2134,17 @@ GROUP BY 1, nc.n_candidates
     tags=("dedup", "llm", "scale"),
 )
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
-        prefix_filter_jaccard_pairs,
-    )
-
     t = Catalog(spark, sf_dir)
-    _sh, bands = _minhash_sh_bands(t)
+    # ONE shingle universe for both sides: sh is the persisted frame
+    # the signatures hash, so truth and candidates definitionally
+    # measure the same similarity. (A first cut computed truth through
+    # the PPJoin operator instead — semantically identical, but its
+    # sorted-array/posexplode machinery cost 116 s alone at sf1 where
+    # this direct join reads ~15 s: the prefix filter earns its keep
+    # only when it can SHRINK long posting lists, and this corpus's
+    # shingle df is naturally tiny. The PPJoin-vs-brute-force
+    # cross-check lives in dedup_prefix_jaccard.)
+    sh, bands = _minhash_sh_bands(t)
     cand = (
         bands.alias("x")
         .join(
@@ -2154,10 +2161,34 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(track_cache)
     )
     nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
-    truth = prefix_filter_jaccard_pairs(
-        t.documents, threshold=JACCARD_THRESHOLD, with_counts=True
-    ).select(
-        "a_id", "b_id", "i", (F.col("na") + F.col("nb") - F.col("i")).alias("u")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("i").cast("bigint").alias("i"),
+            (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+            .cast("bigint")
+            .alias("u"),
+        )
+        .filter(
+            F.col("i").cast("double") / F.col("u").cast("double")
+            >= JACCARD_THRESHOLD
+        )
     )
     hit = cand.withColumn("hit", F.lit(1))
     found = truth.join(hit, ["a_id", "b_id"], "left")
