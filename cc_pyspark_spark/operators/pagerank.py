@@ -849,3 +849,59 @@ def hits_converged(
     raise RuntimeError(
         f"hits_converged: no integer fixed point within {max_rounds} rounds"
     )
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    pivot: DataFrame | None = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Broder bowtie structure of a DIRECTED graph around a pivot
+    (Broder et al. 2000, "Graph structure in the Web"): CORE = the
+    pivot's strongly connected component (forward- AND backward-
+    reachable), IN = reaches the core but not reached by it, OUT =
+    reached but not reaching, OTHER = neither (tendrils/tubes/
+    disconnected need path-through-core analysis the host report
+    doesn't, so they stay one bucket).
+
+    This is the FW-BW step of the classic parallel SCC algorithm: two
+    directed multi-source BFS sweeps (:func:`bfs_hops` with
+    ``directed=True``; the backward sweep runs on the reversed edge
+    frame) and one join — per sweep, one frontier shuffle per level,
+    so the whole report is ~2*diameter bounded-size shuffles over the
+    vertex frame. `max_iter` must be >= the graph diameter for the
+    classification to be exact (frontier BFS rounds past exhaustion
+    join an empty frontier and cost nothing, so overshooting is free
+    — same discipline as the graph_bfs_hops oracle).
+
+    ``pivot``: one-column ``id`` frame; defaults to the minimum
+    source vertex (deterministic, and a source always has its
+    self-SCC in CORE). Returns (id, cls, fwd_hops, bwd_hops) for
+    every vertex; hops are NULL outside the respective reachable
+    sets.
+
+    Reference anchor: hostlinks_to_graph.py builds the directed host
+    graph this decomposes; the reference runs no structure analytics.
+    """
+    e = edges.select("s", "t").persist().transform(track_cache)
+    if pivot is None:
+        pivot = e.agg(F.min("s").alias("id"))
+    fwd = bfs_hops(e, pivot, max_iter=max_iter, directed=True).select(
+        "id", F.col("hops").alias("fwd_hops")
+    )
+    rev = e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    bwd = bfs_hops(rev, pivot, max_iter=max_iter, directed=True).select(
+        "id", F.col("hops").alias("bwd_hops")
+    )
+    cls = (
+        F.when(
+            F.col("fwd_hops").isNotNull() & F.col("bwd_hops").isNotNull(),
+            F.lit("core"),
+        )
+        .when(F.col("bwd_hops").isNotNull(), F.lit("in"))
+        .when(F.col("fwd_hops").isNotNull(), F.lit("out"))
+        .otherwise(F.lit("other"))
+    )
+    return fwd.join(bwd, "id", "full").select(
+        "id", cls.alias("cls"), "fwd_hops", "bwd_hops"
+    )
