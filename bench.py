@@ -249,11 +249,18 @@ HEADLINERS = [
     # at-or-below the unpruned family's and STAY there as SF grows
     # (the 64^2-per-token ceiling is the claim).
     "sim_sparse_impact_topk",
-    # r12 late: the S-curve eval composes BOTH pair generators (PPJoin
-    # truth at t=0.5 — a longer prefix than the benched t=0.8 row —
-    # joined against the banding candidates), so its row prices the
-    # heaviest honest read of the dedup measurement stack.
+    # r12 late: the S-curve eval joins the direct shingle-self-join
+    # truth pairs at t=0.5 (sum(df^2)-bounded, NOT the PPJoin prefix
+    # filter — commit 4e1ee29) against the uncapped banding
+    # candidates, so its row prices the heaviest honest read of the
+    # dedup measurement stack.
     "dedup_lsh_recall_eval",
+    # r13 (VERDICT r12 ask #3): the deployed MinHash geometry under its
+    # PRODUCTION default cap (salt@64 + broadcast audit columns) — the
+    # row should sit within noise of dedup_minhash_scale's (one extra
+    # window count on the join's own (band, key) exchange + a 1-row
+    # broadcast), and that delta IS what the row watches.
+    "dedup_minhash_scale_capped",
 ]
 
 

@@ -34,6 +34,29 @@ from cc_pyspark_spark.functions.text import shingles, tokenize
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
+#: Production default for the LSH bucket cap (r13, VERDICT r12 ask #3:
+#: "the 100 TB configuration is the tested configuration"). Chosen
+#: SALT at 64:
+#:
+#: * ``salt`` over ``drop`` — at 100 TB the hot buckets are boilerplate
+#:   clusters you usually still want DEDUPED, not ignored; salt keeps
+#:   within-sub-bucket pairs (each hot cluster still collapses into
+#:   <= ceil(n/cap) survivors after connected components) and the
+#:   OTHER bands re-shuffle the same docs into different buckets, so
+#:   cross-sub pairs get band-count - 1 more chances. Drop loses every
+#:   pair of exactly the densest duplicate mass. Drop remains the
+#:   explicit knob for corpora where giant clusters are known junk.
+#: * ``64`` — bounds any bucket's join fan-out to 64*63/2 = 2016
+#:   candidate rows (~100 KB of pair keys), far below executor-memory
+#:   relevance, while sitting ~10x above the largest bucket any clean
+#:   corpus fixture produces (sf0.01 max bucket = 5; pinned in
+#:   tests/test_scale_dedup.py so a fixture regen that silently makes
+#:   the cap bite fails locally first). At 100 TB the knob should be
+#:   re-derived from dedup_lsh_blowup_report's bucket histogram; 64 is
+#:   the safe floor, not a tuning claim.
+LSH_DEFAULT_BUCKET_CAP = 64
+LSH_DEFAULT_ON_EXCEED = "salt"
+
 
 def _shingle_rows(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return docs.select(
@@ -178,13 +201,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     on_exceed: str = "drop",
+    with_audit: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (a_id, b_id, jac) at scale: xxhash64 shingle IDs,
     MinHash signatures, LSH banding, exact-Jaccard verification.
 
     ``max_bucket_size`` (r12): bound the band self-join's per-bucket
-    fan-out via :func:`cap_lsh_buckets` (mode = ``on_exceed``); call
-    that helper directly when the audit frame must be emitted too."""
+    fan-out via :func:`cap_lsh_buckets` (mode = ``on_exceed``).
+    ``with_audit`` (r13): additionally broadcast-append the 1-row cap
+    audit (capped_buckets, hot_docs, dropped_pairs_est) to every pair
+    — the "a cap nobody audits silently redefines recall" contract,
+    without the caller re-composing the banding by hand. Requires
+    ``max_bucket_size``."""
     # Persisted: the shingle set feeds signature building AND exact
     # verification, and the band table is self-joined — without persist
     # the scan+explode subtree runs 4×. Tracked via caching.track_cache;
@@ -209,11 +237,14 @@ def minhash_lsh_pairs(
         .select("doc_id", "bk.band", "bk.key")
         .persist().transform(track_cache)
     )
+    audit = None
     if max_bucket_size is not None:
-        band_rows, _audit = cap_lsh_buckets(
+        band_rows, audit = cap_lsh_buckets(
             band_rows, max_bucket_size, on_exceed
         )
     else:
+        if with_audit:
+            raise ValueError("with_audit requires max_bucket_size")
         band_rows = band_rows.withColumn("sub", F.lit(0).cast("bigint"))
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
@@ -227,7 +258,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    return verify_jaccard(cand, sh, threshold)
+    pairs = verify_jaccard(cand, sh, threshold)
+    if with_audit:
+        pairs = pairs.crossJoin(F.broadcast(audit))
+    return pairs
 
 
 def verify_jaccard(

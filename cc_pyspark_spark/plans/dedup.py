@@ -2127,10 +2127,14 @@ GROUP BY 1, nc.n_candidates
     "identical planted dups), so the gate pins the top of the curve "
     "(a banding regression drops that recall below 1.0 and breaks "
     "the hash) while mid-band corpora fill in the lower deciles from "
-    "the same query. At scale both sides are the already-audited bounded "
-    "joins (prefix postings are the rare-shingle short lists; band "
-    "buckets are cap-protected); the report itself is one grouped "
-    "agg over the truth pairs",
+    "the same query. Scale honesty: the truth side is the DIRECT "
+    "shingle self-join whose cost is sum over shingles of df^2 — "
+    "bounded exactly when dedup_lsh_blowup_report's estimate says so, "
+    "NOT by a df cap — and the band self-join here runs UNCAPPED (the "
+    "eval must see the geometry's real candidate set; the capped "
+    "production twin is dedup_minhash_scale_capped). Run the blow-up "
+    "report first at 100 TB; the report itself is one grouped agg "
+    "over the truth pairs",
     tags=("dedup", "llm", "scale"),
 )
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

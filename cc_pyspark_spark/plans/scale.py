@@ -40,11 +40,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from cc_pyspark_spark.catalog import Catalog
-from cc_pyspark_spark.operators.dedup import minhash_lsh_pairs, simhash_signatures
+from cc_pyspark_spark.operators.dedup import (
+    LSH_DEFAULT_BUCKET_CAP,
+    LSH_DEFAULT_ON_EXCEED,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
 from cc_pyspark_spark.plans.dedup import (
     _DUCK_SHINGLES,
     _DUCK_TOKS,
     _duck_jaccard_tail,
+    _duck_minhash_bands,
 )
 from cc_pyspark_spark.plans.registry import register
 
@@ -66,6 +72,82 @@ sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
 def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
     return minhash_lsh_pairs(t.documents, threshold=0.5)
+
+
+def _duck_capped_default_oracle() -> str:
+    """Oracle for the capped-default deployment row: the full-recall
+    all-pairs jaccard set (identical to dedup_minhash_scale's — under
+    the production cap of {cap} no gate-SF bucket trips, so salt-mode
+    output EQUALS the uncapped set) cross-joined with the cap audit
+    replayed over the replayable banding.
+
+    PINNED INVARIANT, not a theorem: bucket membership differs between
+    the deployed xxhash64 banding and the oracle's row_number banding,
+    so the two audits only provably agree while BOTH geometries stay
+    below the cap (then both are all-zero). tests/test_scale_dedup.py::
+    test_capped_default_cap_headroom pins the deployed side's max
+    bucket ~10x under the cap at the gate SFs, so a fixture regen that
+    makes the cap bite fails locally before the driver sees it.
+    """
+    cap = LSH_DEFAULT_BUCKET_CAP
+    return f"""
+WITH {_duck_minhash_bands()},
+bsz AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bands GROUP BY band, key
+), hot AS (SELECT n FROM bsz WHERE n > {cap}),
+audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS capped_buckets,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS hot_docs,
+         CAST(COALESCE(SUM(
+           n * (n - 1) // 2
+           - (n // {cap}) * {cap * (cap - 1) // 2}
+           - (n % {cap}) * ((n % {cap}) - 1) // 2
+         ), 0) AS BIGINT) AS dropped_pairs_est
+  FROM hot
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, i * 1.0 / (sa.n + sb.n - i) AS jac,
+       audit.capped_buckets, audit.hot_docs, audit.dropped_pairs_est
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+CROSS JOIN audit
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_scale_capped",
+    oracle=_duck_capped_default_oracle(),
+    description="The deployed MinHash+LSH geometry under its PRODUCTION "
+    f"default cap (salt mode, cap {LSH_DEFAULT_BUCKET_CAP} — "
+    "operators/dedup.py LSH_DEFAULT_BUCKET_CAP, rationale in its "
+    "docstring + SCALING.md): the 100 TB configuration IS the tested "
+    "configuration (VERDICT r12 ask #3), not an uncapped sidecar. Every "
+    "pair carries the broadcast audit columns (capped_buckets, hot_docs, "
+    "dropped_pairs_est) so a capped run can never silently redefine "
+    "recall. At the gate SFs no bucket approaches the cap (headroom "
+    "pinned in pytest), so output = the full-recall pair set + an "
+    "all-zero audit; dedup_minhash_capped (cap 3) keeps proving the "
+    "enforcement fires. Oracle replays the jaccard set and the audit "
+    "arithmetic over the replayable banding",
+    tags=("dedup", "bench", "scale", "llm"),
+)
+def dedup_minhash_scale_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t.documents,
+        threshold=0.5,
+        max_bucket_size=LSH_DEFAULT_BUCKET_CAP,
+        on_exceed=LSH_DEFAULT_ON_EXCEED,
+        with_audit=True,
+    )
 
 
 def _simhash_values() -> str:

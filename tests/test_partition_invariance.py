@@ -151,8 +151,9 @@ CHECK = [
     # through the full WAT-parse -> pagerank composition.
     "wat_host_pagerank",
     # r12 late: recall is one division of exact BIGINT counts; the pin
-    # covers the band self-join candidate set and the PPJoin truth set
-    # both being layout-free.
+    # covers the band self-join candidate set and the direct shingle-
+    # self-join truth set (commit 4e1ee29 replaced the PPJoin truth
+    # path) both being layout-free.
     "dedup_lsh_recall_eval",
 ]
 

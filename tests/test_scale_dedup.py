@@ -344,6 +344,64 @@ def test_scale_minhash_full_recall(spark):
     assert got == exact
 
 
+def test_capped_default_cap_headroom(spark):
+    """PINNED INVARIANT behind dedup_minhash_scale_capped's oracle
+    (r13, VERDICT r12 ask #3): the production default cap only yields
+    an all-zero audit — and hence equality with the uncapped full-
+    recall set — while the DEPLOYED xxhash64 banding's largest bucket
+    stays under the cap. Require ~8x headroom so a fixture regen that
+    even drifts TOWARD the cap fails here before the driver gate."""
+    from pyspark.sql import functions as F
+
+    from cc_pyspark_spark.operators.dedup import (
+        LSH_DEFAULT_BUCKET_CAP,
+        _band_structs,
+        _shingle_rows,
+        _perm,
+        MINHASH_P,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = _shingle_rows(docs, "doc_id", "text", 3)
+    ds = sh.select("doc_id", (F.abs(F.xxhash64("s")) % MINHASH_P).alias("sid"))
+    perms = [(37 + 7 * j, 17 + 101 * j) for j in range(16)]
+    sig = ds.groupBy("doc_id").agg(
+        *[F.min(_perm(a, b, F.col("sid"))).alias(f"h{j}")
+          for j, (a, b) in enumerate(perms)]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*_band_structs(16, 4))).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    max_bucket = (
+        bands.groupBy("band", "key").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket * 8 <= LSH_DEFAULT_BUCKET_CAP, (
+        f"deployed banding's max bucket {max_bucket} is within 8x of the "
+        f"production cap {LSH_DEFAULT_BUCKET_CAP}; the capped-default "
+        "oracle's all-zero-audit equality is no longer safe — regenerate "
+        "per the procedure in plans/scale.py's module docstring"
+    )
+
+
+def test_capped_default_equals_uncapped_with_zero_audit(spark):
+    """Under the production cap the salt-mode output must EQUAL the
+    uncapped deployment pairs, with every row carrying the all-zero
+    audit — the exact equality dedup_minhash_scale_capped's oracle
+    asserts at the driver SFs, checked here at sf0.001 first."""
+    rows = QUERIES["dedup_minhash_scale_capped"].spark(spark, SF_DIR).collect()
+    assert rows, "fixture has no planted near-dups?"
+    for r in rows:
+        assert (r["capped_buckets"], r["hot_docs"], r["dropped_pairs_est"]) == (
+            0, 0, 0,
+        )
+    got = {(r["a_id"], r["b_id"], round(r["jac"], 12)) for r in rows}
+    uncapped = {
+        (r["a_id"], r["b_id"], round(r["jac"], 12))
+        for r in QUERIES["dedup_minhash_scale"].spark(spark, SF_DIR).collect()
+    }
+    assert got == uncapped
+
+
 def test_simhash_pairs_64bit_bucket_width(spark):
     """The r6 scale-killer regression pin: simhash_pairs must band a
     64-bit signature into 16-bit chunks. 8-bit buckets give only 2^8
