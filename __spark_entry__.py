@@ -96,25 +96,30 @@ from cc_pyspark_spark.plans import QUERIES
 #: post-r12 rotation floor is r7 for exactly these two names and r8
 #: for everything else.
 #:
-#: r13 rotation plan (in priority order): (0) the two displaced
-#: tpch names above; then (a) the 38 r8-last-row names —
-#: array_functions, conditional_functions, curation_dataset_card,
-#: curation_difficulty_bins,
-#: curation_pack_sequences, curation_stratified_sample,
-#: date_functions, dedup_edit_distance, dedup_embedding_delta,
-#: dedup_embedding_scale_probe,
-#: dedup_minhash_delta, dedup_simhash_scale, embedding_kmeans_lloyd,
-#: events_cusum_changepoint, events_ks_drift, events_tumbling_hourly,
-#: filter_in_like, graph_bfs_hops, graph_cc_alternating,
-#: layout_zorder_stats, multimodal_image_neardup,
-#: multimodal_image_phash, sim_ann_ivf_pq, sim_ann_ivfpq_residual,
-#: sim_cosine_topk, sim_eval_recall_at_k, sim_eval_recall_matrix,
-#: subquery_correlated, text_gopher_rules, text_hashed_classifier,
-#: text_word_count_tfdf, tpch_q10/q14/q18/q3/q4/q5/q6; then (b) the
-#: r9 cohort head as slots allow, minus first-row slots for new r13
-#: registrations per the displacement rule. Steady-state
-#: full-registry cycle ~4-5 rounds at ~210 registered queries. Each
-#: rotated-out name stays green in the sf0.001 parity pytest
+#: Round-13 rotation (VERDICT r12 ask #1) — executes the committed
+#: r13 plan EXACTLY: the two displaced r7 names
+#: (tpch_q13_customer_distribution, tpch_q17_small_quantity_revenue)
+#: head the window, then ALL 38 r8-last-row names, then the two
+#: remaining slots: one first-row slot for the single new r13
+#: registration (dedup_minhash_scale_capped — the capped-default
+#: deployed geometry, VERDICT r12 ask #3) and one r9-cohort head
+#: slot (agg_arg_max, alphabetically first of the 42 r9-last-row
+#: names). After r13 the rotation floor is r9 everywhere: the r7
+#: stragglers and the whole r8 cohort clear this round. The r9
+#: cohort (41 remaining names) heads the r14 plan, then the r10
+#: cohort, minus first-row slots for new r14 registrations per the
+#: displacement rule. Steady-state full-registry cycle ~4-5 rounds
+#: at 217 registered queries.
+#:
+#: Ledger note (VERDICT r12 ask #7): the r8 cohort in
+#: CORRECTNESS_r01..r08 lists 39 names; the 39th,
+#: ``dedup_embedding_scale``, was RENAMED in r9 — the 4-bit demo
+#: geometry re-registered as ``dedup_embedding_fixture`` (its r9+
+#: rows live under that name) and the benched `scale` slot points at
+#: ``dedup_embedding_scale_wide``, the production 16-bit x 8
+#: geometry. The old name has no registered owner and is not
+#: rotatable; rotation audits should map it old->new, not flag it.
+#: Each rotated-out name stays green in the sf0.001 parity pytest
 #: meanwhile.
 DRIVER_CORE: tuple[str, ...] = (
     # -- fixed 8-headliner core: benched AND driver-gated every round
@@ -131,75 +136,65 @@ DRIVER_CORE: tuple[str, ...] = (
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
-    # ================= r12 rotation (VERDICT r11 ask #1) =============
-    # Executes the committed r12 plan: 42 non-core slots = 16
-    # first-rows for the new r12 registrations (the tripwire's
-    # every-new-name-gets-a-row invariant) + ALL 26 r7-last-row names
-    # (the stalest cohort in the CORRECTNESS_r01..r11 ledger:
-    # histogram r7:26, r8:39, r9:42, r10:42, r11:50). After r12 the
-    # rotation floor is r8 (all 38 r8 names head the r13 plan,
-    # then the r9 cohort). Steady-state full-registry cycle stays
-    # ~4-5 rounds at ~210 registered queries.
+    # ================= r13 rotation (VERDICT r12 ask #1) =============
+    # Executes the committed r13 plan exactly: 42 non-core slots =
+    # the 2 displaced r7 names FIRST, then ALL 38 r8-last-row names,
+    # then 1 first-row slot (the sole new r13 registration) + 1
+    # r9-cohort head slot. After r13 the rotation floor is r9 for
+    # every name (histogram going in: r7:2, r8:38, r9:42, r10:42,
+    # r11:42, r12:50).
     #
-    # -- first rows: the enforced LSH bucket cap (VERDICT r11 ask #2,
-    #    the blow-up estimator's teeth) in both modes — drop and the
-    #    deterministic-salt partial-recall twin — plus the ten other
-    #    r12 registrations (containment dedup, SCD2 as-of join,
-    #    co-located bucketed join, source-scoped boilerplate, hub-
-    #    capped link prediction, OHLC bars, code detection, partition
-    #    pruning, salted skew join, epoch shuffle, anchor top-k,
-    #    bucketed interval-overlap join, impact-pruned sparse topk,
-    #    bucket-key zero-exchange aggregation) --
-    "dedup_minhash_capped",
-    "dedup_minhash_salted",
-    "dedup_containment",
-    "events_scd2_asof",
-    "layout_bucketed_join",
-    "text_boilerplate_shingles",
-    "graph_link_prediction",
-    "events_ohlc_bars",
-    "text_code_detect",
-    "layout_partition_pruning",
-    "join_skew_salted",
-    "curation_epoch_shuffle",
-    "wat_anchor_topk",
-    "events_interval_overlap",
-    "sim_sparse_impact_topk",
-    "layout_bucketed_agg",
-    # -- ALL 26 r7-last-row names --
-    "agg_approx_count_distinct",
-    "agg_approx_percentile_bound",
-    "agg_count_min_heavy_hitters",
-    "agg_exact_median_histogram",
-    "agg_hll_sketch_union",
-    "agg_salted_distinct_count",
-    "curation_pipeline_full",
-    "dedup_prefix_jaccard",
-    "dedup_simhash_pairs",
-    "events_funnel_conversion",
-    "events_gapfill_locf",
-    "events_hypertable_rollup",
-    "events_retention_cohorts",
-    "events_rolling_zscore",
-    "graph_pagerank",
-    "graph_triangle_stats",
-    "sim_ann_pq_rerank",
-    "sim_hybrid_rrf",
-    "sim_sparse_tfidf_topk",
-    "text_bigram_lm_score",
-    "text_drift_chi2",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "warc_source_payload_digest",
-    # -- late-r12 first rows (displacement rule, see docstring):
-    #    the WAT->host-rank composition (first gate on the dangling-
-    #    mass path) and the LSH S-curve recall eval --
-    "wat_host_pagerank",
-    "dedup_lsh_recall_eval",
-    # (the full r8-last-row cohort — 38 names — now heads the r13
-    #  plan: each of the sixteen r12 registrations displaced one
-    #  tail name per the displacement rule, consuming the in-window
-    #  r8 slots entirely)
+    # -- the two displaced r7 names (r12 displacement rule; VERDICT
+    #    r12 watch-item (c): "they must actually head the r13
+    #    window as committed") --
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    # -- ALL 38 r8-last-row names (alphabetical) --
+    "array_functions",
+    "conditional_functions",
+    "curation_dataset_card",
+    "curation_difficulty_bins",
+    "curation_pack_sequences",
+    "curation_stratified_sample",
+    "date_functions",
+    "dedup_edit_distance",
+    "dedup_embedding_delta",
+    "dedup_embedding_scale_probe",
+    "dedup_minhash_delta",
+    "dedup_simhash_scale",
+    "embedding_kmeans_lloyd",
+    "events_cusum_changepoint",
+    "events_ks_drift",
+    "events_tumbling_hourly",
+    "filter_in_like",
+    "graph_bfs_hops",
+    "graph_cc_alternating",
+    "layout_zorder_stats",
+    "multimodal_image_neardup",
+    "multimodal_image_phash",
+    "sim_ann_ivf_pq",
+    "sim_ann_ivfpq_residual",
+    "sim_cosine_topk",
+    "sim_eval_recall_at_k",
+    "sim_eval_recall_matrix",
+    "subquery_correlated",
+    "text_gopher_rules",
+    "text_hashed_classifier",
+    "text_word_count_tfdf",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_late_shipments",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    # -- first row for the single r13 registration: the deployed
+    #    MinHash geometry under its PRODUCTION default cap (salt@64
+    #    + broadcast audit columns; VERDICT r12 ask #3) --
+    "dedup_minhash_scale_capped",
+    # -- r9 cohort head (alphabetically first r9-last-row name; the
+    #    remaining 41 r9 names head the r14 plan) --
+    "agg_arg_max",
 )
 
 
