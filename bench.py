@@ -256,10 +256,13 @@ HEADLINERS = [
     # dedup measurement stack.
     "dedup_lsh_recall_eval",
     # r13 (VERDICT r12 ask #3): the deployed MinHash geometry under its
-    # PRODUCTION default cap (salt@64 + broadcast audit columns) — the
-    # row should sit within noise of dedup_minhash_scale's (one extra
-    # window count on the join's own (band, key) exchange + a 1-row
-    # broadcast), and that delta IS what the row watches.
+    # PRODUCTION default cap (salt@64 + broadcast audit columns). The
+    # extra cost over dedup_minhash_scale is one window count on the
+    # join's own (band, key) exchange + the 1-row audit agg — measured
+    # ~+0.4 s at sf0.1 (0.81 -> 1.18 s; frame sizes there are tiny, so
+    # the fixed window overhead shows; at scale the pair join dominates
+    # and the cap is what keeps IT bounded). The row watches that
+    # premium staying fixed, not growing with SF.
     "dedup_minhash_scale_capped",
 ]
 
@@ -392,6 +395,64 @@ EAGER_CONSTRUCTION = {
 }
 
 
+#: Pinned reference for the calibration row (r13, VERDICT r12 ask #2:
+#: two consecutive rounds of ~1.3x uniform host drift had to be
+#: diagnosed by hand A/B — make it mechanical). Measured on the r13
+#: session host: median-of-5 warm samples 0.63-0.65 s, ~3% spread.
+#: host_factor = measured / this — divide committed per-query seconds
+#: by their round's host_factor before comparing across rounds.
+CALIBRATION_REF_SEC = 0.65
+
+
+def _calibration_sec(spark) -> float:
+    """Fixed constant-work CPU yardstick: 256M rows x 8 chained
+    xxhash64 rounds -> bit_xor, pure whole-stage-codegen, no I/O, no
+    meaningful shuffle (32 partial rows), SF-independent. Tracks
+    exactly what shared-hypervisor drift scales: JVM integer
+    throughput. One untimed JIT warm-up, then median of 5."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    h = F.col("id")
+    for _ in range(8):
+        h = F.xxhash64(h)
+    samples: list[float] = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        spark.range(0, 256_000_000, 1, 32).select(h.alias("h")).agg(
+            F.expr("bit_xor(h)").alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        if i:
+            samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def _sweep_persistent_state(spark) -> int:
+    """Between-queries cache hygiene (r13, VERDICT r12 ask #4): after
+    ``release_caches()`` frees every tracked persist, the iterative
+    operators' ``localCheckpoint(eager=True)`` blocks are STILL alive
+    (a checkpoint is its plan's data source, so the operator can never
+    release it itself, and the Python wrapper going out of scope does
+    not unpersist JVM blocks). 90 queries deep, those blocks are the
+    eviction/GC pressure behind dedup_prefix_jaccard's 42.4 s-vs-24.4 s
+    suite-vs-isolated gap at sf1. Nothing is reused across bench
+    queries, so force-unpersist every surviving persistent RDD, then
+    ASSERT the session is clean — a tracked-persist leak upstream fails
+    the bench loudly instead of taxing the next 40 queries. Returns how
+    many leftover RDDs were swept (recorded per query in "stats")."""
+    jsc = spark.sparkContext._jsc
+    swept = 0
+    for jrdd in list(jsc.getPersistentRDDs().values()):
+        jrdd.unpersist()
+        swept += 1
+    remaining = jsc.getPersistentRDDs().size()
+    if remaining:
+        raise SystemExit(
+            f"cache sweep left {remaining} persistent RDDs — a persist "
+            "outside track_cache/localCheckpoint semantics leaked"
+        )
+    return swept
+
+
 def _n_runs() -> int:
     """Timed samples per query. Validates up front: 0/negative would
     execute the untimed warm-up then crash statistics.median on an
@@ -423,6 +484,11 @@ def main() -> None:
         QUERIES[warm].spark(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # Calibration row (r13, VERDICT r12 ask #2): constant-work CPU
+    # yardstick first and last, so every committed record carries its
+    # own host-drift normalizer instead of needing a hand A/B.
+    cal_first = _calibration_sec(spark)
 
 
     # SPARK_GRAFT_ONLY="name1,name2" re-measures a subset (same warm-up
@@ -478,6 +544,19 @@ def main() -> None:
         # runs share the caches), but 45 queries' LSH/adjacency blocks
         # no longer accumulate into eviction pressure on later names.
         release_caches()
+        # r13: then sweep the localCheckpoint blocks release_caches()
+        # cannot know about, and assert the session is clean — see
+        # _sweep_persistent_state. Swept counts are recorded so a
+        # round-over-round reader can see which queries leave
+        # checkpoint state behind (iterative loops) and how much.
+        swept = _sweep_persistent_state(spark)
+        if swept:
+            stats[name]["swept_blocks"] = swept
+
+    cal_last = _calibration_sec(spark)
+    host_factor = round(
+        (cal_first + cal_last) / 2 / CALIBRATION_REF_SEC, 4
+    )
 
     result = {
         "metric": "total_headline_sec",
@@ -487,6 +566,19 @@ def main() -> None:
         "spread": spread,
         "stats": stats,
         "sf": sf,
+        # Mechanical drift normalization (VERDICT r12 ask #2): divide
+        # this record's seconds by host_factor before comparing to
+        # another round's (also-normalized) record. first/last bracket
+        # the session so a mid-session drift shift is visible as their
+        # disagreement. BENCH_r12 and earlier predate the field — for
+        # those, fall back to the hand A/B constants recorded in
+        # SCALING.md ("Bench-noise notes").
+        "host_factor": host_factor,
+        "calibration": {
+            "first_sec": cal_first,
+            "last_sec": cal_last,
+            "ref_sec": CALIBRATION_REF_SEC,
+        },
     }
     payload = json.dumps(result)
     # The driver's stdout-tail capture truncated BENCH_r07 (first 18
@@ -519,6 +611,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "host_factor": host_factor,
                 "queries": {"_full_record": "bench_result.json"},
             }
         )
