@@ -1097,12 +1097,16 @@ def dsir_importance_frame(
     # to O(corpus) doubles in one task's buffer at 100 TB. Instead:
     # range-shuffle rank assignment
     # (the W2 operator — collect-free, checkpoint-pinned), pick the
-    # two middle order statistics, and interpolate with Spark's own
-    # percentile formula (0.5*lo + 0.5*hi; for odd n both ranks hit
-    # the same row, so the formula collapses to the exact value) —
-    # bit-identical to the previous aggregate, so the DuckDB
-    # quantile_cont oracle is unchanged. doc_id tie-breaks the sort
-    # key; the value AT a rank is tie-order-invariant either way.
+    # two middle order statistics, and interpolate as
+    # lo + 0.5 * (hi - lo) — STRUCTURALLY the same form Spark's
+    # percentile and DuckDB's quantile_cont use (lo + (hi-lo)*frac),
+    # so even-n results round identically on both sides; the
+    # previously-used 0.5*lo + 0.5*hi algebraic twin can differ by
+    # 1 ulp and flip the hash-gated `weight > med` boolean on a
+    # boundary weight (r12 ADVICE). For odd n both ranks hit the
+    # same row and the formula collapses to the exact value.
+    # doc_id tie-breaks the sort key; the value AT a rank is
+    # tie-order-invariant either way.
     from cc_pyspark_spark.operators.ids import (  # noqa: PLC0415
         assign_sequential_ids,
     )
@@ -1119,9 +1123,10 @@ def dsir_importance_frame(
         F.col("weight").alias("__whi")
     )
     med = lo.crossJoin(hi).select(
-        (F.lit(0.5) * F.col("__wlo") + F.lit(0.5) * F.col("__whi")).alias(
-            "med"
-        )
+        (
+            F.col("__wlo")
+            + F.lit(0.5) * (F.col("__whi") - F.col("__wlo"))
+        ).alias("med")
     )
     return docs.crossJoin(F.broadcast(med)).select(
         "doc_id",

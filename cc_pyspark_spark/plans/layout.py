@@ -234,9 +234,21 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Catalog(spark, sf_dir)
     tag = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    base = os.path.join(tempfile.gettempdir(), "ccps_partitioned", tag, "events")
+    root = os.path.join(tempfile.gettempdir(), "ccps_partitioned")
+    base = os.path.join(root, tag, "events")
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
+        # The mtime-keyed tag means every source regeneration mints a
+        # NEW scratch dir; prune the stale siblings before writing so
+        # repeated regenerations never accumulate dead partitioned
+        # copies (r12 ADVICE). Safe: a sibling tag by construction
+        # describes a source state that no longer exists on disk.
+        import shutil  # noqa: PLC0415
+
+        if os.path.isdir(root):
+            for old in os.listdir(root):
+                if old != tag:
+                    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
         (
             t.events.withColumn("event_date", F.to_date("ts"))
             .repartition("event_date")

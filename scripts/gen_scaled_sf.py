@@ -180,6 +180,14 @@ def scaled_table(base, factor: int, keys: tuple[str, ...], name: str, salt: bool
         lo, hi = base.select(
             F.min(F.size("embedding")), F.max(F.size("embedding"))
         ).first()
+        # r12 ADVICE: an empty table probes (None, None) — which would
+        # pass the raggedness check and then crash int(None); dim 0
+        # would later ZeroDivisionError in the rotation. Fail cleanly.
+        if not hi:
+            raise SystemExit(
+                "embeddings table is empty or zero-dimensional; "
+                "salt rotation needs at least one non-empty vector"
+            )
         if lo != hi:
             raise SystemExit(
                 f"embeddings table is ragged (dims {lo}..{hi}); "
