@@ -99,17 +99,17 @@ from cc_pyspark_spark.plans import QUERIES
 #: Round-13 rotation (VERDICT r12 ask #1) — executes the committed
 #: r13 plan EXACTLY: the two displaced r7 names
 #: (tpch_q13_customer_distribution, tpch_q17_small_quantity_revenue)
-#: head the window, then ALL 38 r8-last-row names, then the two
-#: remaining slots: one first-row slot for the single new r13
-#: registration (dedup_minhash_scale_capped — the capped-default
-#: deployed geometry, VERDICT r12 ask #3) and one r9-cohort head
-#: slot (agg_arg_max, alphabetically first of the 42 r9-last-row
-#: names). After r13 the rotation floor is r9 everywhere: the r7
-#: stragglers and the whole r8 cohort clear this round. The r9
-#: cohort (41 remaining names) heads the r14 plan, then the r10
-#: cohort, minus first-row slots for new r14 registrations per the
-#: displacement rule. Steady-state full-registry cycle ~4-5 rounds
-#: at 217 registered queries.
+#: head the window, then ALL 38 r8-last-row names, then two
+#: first-row slots for the two new r13 registrations
+#: (dedup_minhash_scale_capped + dedup_embedding_scale_capped — the
+#: capped-default deployed geometries, VERDICT r12 ask #3; the
+#: second displaced a provisional agg_arg_max r9-head slot to the
+#: r14 head per the displacement rule). After r13 the rotation
+#: floor is r9 everywhere: the r7 stragglers and the whole r8
+#: cohort clear this round. The full 42-name r9 cohort heads the
+#: r14 plan, then the r10 cohort, minus first-row slots for new r14
+#: registrations per the displacement rule. Steady-state
+#: full-registry cycle ~4-5 rounds at 218 registered queries.
 #:
 #: Ledger note (VERDICT r12 ask #7): the r8 cohort in
 #: CORRECTNESS_r01..r08 lists 39 names; the 39th,
@@ -188,13 +188,15 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "tpch_q4_late_shipments",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
-    # -- first row for the single r13 registration: the deployed
-    #    MinHash geometry under its PRODUCTION default cap (salt@64
-    #    + broadcast audit columns; VERDICT r12 ask #3) --
+    # -- first rows for the two r13 registrations (VERDICT r12 ask
+    #    #3 named BOTH deployed-geometry rows): the MinHash and
+    #    sign-LSH deployment geometries under the PRODUCTION default
+    #    cap (salt@64 + broadcast audit columns). The second
+    #    registration displaced the provisional agg_arg_max r9-head
+    #    slot to the r14 head per the displacement rule, so the full
+    #    42-name r9 cohort heads the r14 plan intact --
     "dedup_minhash_scale_capped",
-    # -- r9 cohort head (alphabetically first r9-last-row name; the
-    #    remaining 41 r9 names head the r14 plan) --
-    "agg_arg_max",
+    "dedup_embedding_scale_capped",
 )
 
 

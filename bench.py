@@ -264,6 +264,11 @@ HEADLINERS = [
     # and the cap is what keeps IT bounded). The row watches that
     # premium staying fixed, not growing with SF.
     "dedup_minhash_scale_capped",
+    # r13: the sign-LSH twin of the row above — the production 16-bit
+    # x 8 embedding geometry under the same salt@64 default; its
+    # premium over dedup_embedding_scale_wide is the same window
+    # count, on the (band, bkey) exchange the band join already pays.
+    "dedup_embedding_scale_capped",
 ]
 
 

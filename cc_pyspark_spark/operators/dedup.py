@@ -143,7 +143,17 @@ def cap_lsh_buckets(
     from pyspark.sql import Window  # noqa: PLC0415
 
     w = Window.partitionBy("band", "key")
-    sized = band_rows.withColumn("n", F.count("*").over(w))
+    # Persisted: the windowed frame feeds the pair join TWICE (a/b
+    # aliases) plus the audit aggregate — without persist the
+    # exchange+window subtree executes 3x, and on mostly-singleton
+    # bucket geometries (the 16-bit sign-LSH bands) that tripled the
+    # cap's measured premium at 10x (r13: 3.4 s -> the window cost
+    # once). Tracked via track_cache; callers release after the action.
+    sized = (
+        band_rows.withColumn("n", F.count("*").over(w))
+        .persist()
+        .transform(track_cache)
+    )
     cap = F.lit(max_bucket_size)
     if on_exceed == "drop":
         capped = (
@@ -232,20 +242,27 @@ def minhash_lsh_pairs(
         ]
     )
     band_structs = _band_structs(num_perms, bands)
-    band_rows = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", "bk.band", "bk.key")
-        .persist().transform(track_cache)
-    )
+    band_rows = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
     audit = None
     if max_bucket_size is not None:
+        # cap_lsh_buckets persists its own windowed frame (which the
+        # self-join and audit read), so a second pre-cap cache of the
+        # raw band rows would only duplicate the blocks.
         band_rows, audit = cap_lsh_buckets(
             band_rows, max_bucket_size, on_exceed
         )
     else:
         if with_audit:
             raise ValueError("with_audit requires max_bucket_size")
-        band_rows = band_rows.withColumn("sub", F.lit(0).cast("bigint"))
+        # Uncapped: the band table is self-joined, so it keeps its own
+        # cache (the capped path caches the windowed frame instead).
+        band_rows = (
+            band_rows.withColumn("sub", F.lit(0).cast("bigint"))
+            .persist()
+            .transform(track_cache)
+        )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
@@ -705,6 +722,9 @@ def sign_lsh_pairs(
     vec_col: str = "embedding",
     multiprobe: int = 0,
     bucket_local: "bool | None" = None,
+    max_bucket_size: int | None = None,
+    on_exceed: str = "drop",
+    with_audit: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-bit LSH bucket pruning.
 
@@ -747,11 +767,30 @@ def sign_lsh_pairs(
       pandas groups; the join formulation runs in ~1 s).
 
     Default (None) auto-selects: bucket-local for band_bits <= 8.
+
+    ``max_bucket_size`` / ``on_exceed`` / ``with_audit`` (r13): bound
+    the band self-join's per-bucket fan-out via
+    :func:`cap_lsh_buckets`, exactly as in :func:`minhash_lsh_pairs` —
+    an embedding corpus has its own pathological buckets (zero /
+    near-zero vectors, cluster centroids replicated across shards)
+    and at 100 TB one of them is the same O(n^2) executor-killer.
+    Supported on the candidate-join path only (the production wide
+    geometry's path): the bucket-local path ships whole vectors into
+    pandas groups, so its giant-bucket remedy is switching to the
+    join path, not salting pandas groups; multiprobe's ex-flag
+    semantics don't compose with sub-bucket splitting.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     if bucket_local is None:
         bucket_local = band_bits <= 8
+    if max_bucket_size is not None and (bucket_local or multiprobe):
+        raise ValueError(
+            "max_bucket_size requires the candidate-join path "
+            "(bucket_local=False) without multiprobe"
+        )
+    if with_audit and max_bucket_size is None:
+        raise ValueError("with_audit requires max_bucket_size")
     sig = _sign_lsh_sig_frame(emb, band_bits, n_bands, id_col, vec_col)
 
     def _explode(frame, cols):
@@ -803,12 +842,28 @@ def sign_lsh_pairs(
     bands = _explode(sig, ["vec_id"])
     if multiprobe:
         bands = _probe_expand(bands, ["vec_id"])
+    audit = None
+    if max_bucket_size is not None:
+        capped, audit = cap_lsh_buckets(
+            bands.select(
+                F.col("vec_id").alias("doc_id"), "band",
+                F.col("bkey").alias("key"),
+            ),
+            max_bucket_size,
+            on_exceed,
+        )
+        bands = capped.select(
+            F.col("doc_id").alias("vec_id"), "band",
+            F.col("key").alias("bkey"), "sub",
+        )
     a_b, b_b = bands.alias("ba"), bands.alias("bb")
     on = (
         (F.col("ba.band") == F.col("bb.band"))
         & (F.col("ba.bkey") == F.col("bb.bkey"))
         & (F.col("ba.vec_id") < F.col("bb.vec_id"))
     )
+    if max_bucket_size is not None:
+        on = on & (F.col("ba.sub") == F.col("bb.sub"))
     if multiprobe:
         on = on & ((F.col("ba.ex") == 1) | (F.col("bb.ex") == 1))
     cand = (
@@ -831,13 +886,16 @@ def sign_lsh_pairs(
     # identical fold order to the Arrow path and the DuckDB oracle:
     # left fold over the dimension index, one divide at the end
     dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
-    return (
+    pairs = (
         cand.join(x, "a_id")
         .join(y, "b_id")
         .withColumn("cos", F.expr(dot) / (F.col("anrm") * F.col("bnrm")))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+    if with_audit:
+        pairs = pairs.crossJoin(F.broadcast(audit))
+    return pairs
 
 
 # ---------------------------------------- incremental (delta) dedup

@@ -520,6 +520,7 @@ def _duck_sign_lsh_oracle(
     n_bands: int,
     threshold: float,
     multiprobe: bool = False,
+    audit_cap: int | None = None,
 ) -> str:
     """Sign-LSH pair oracle over ``corpus_cte`` (must yield (vec_id, v)
     with v already double). Replays the per-band bigint signatures of
@@ -529,7 +530,18 @@ def _duck_sign_lsh_oracle(
     cap (r7 VERDICT ask #2). With ``multiprobe`` the bucket rows also
     include every single-bit-flipped key (ex=0) and a candidate needs
     one exact side — Hamming <= 1 per band, mirroring
-    sign_lsh_pairs(multiprobe=1)."""
+    sign_lsh_pairs(multiprobe=1).
+
+    With ``audit_cap`` (r13, exclusive with multiprobe) the oracle
+    replays the FULL salt-mode cap rule of cap_lsh_buckets — sub-key
+    assignment via in-bucket ROW_NUMBER, the sub-equality join term,
+    and the 1-row audit cross-joined onto every pair. Unlike the
+    minhash twin (whose deployed xxhash64 banding DuckDB cannot
+    replay), the sign-LSH hyperplanes are deterministic integer
+    hashes, so this replay is EXACT for any corpus — hot buckets and
+    all, not just the all-zero-audit case."""
+    if audit_cap is not None and multiprobe:
+        raise ValueError("audit_cap does not compose with multiprobe")
     w = _lsh_weight_sql("i", f"(b * {band_bits} + k)")
     dot_w = (
         "list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), "
@@ -553,6 +565,41 @@ def _duck_sign_lsh_oracle(
   SELECT vec_id, band, sigs[band + 1] AS bkey
   FROM s, (SELECT unnest(range(0, {n_bands})) AS band)"""
         cand_on = "a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id"
+    cap_ctes = ""
+    cand_src = "bk"
+    audit_cols = ""
+    audit_join = ""
+    if audit_cap is not None:
+        cap = audit_cap
+        cap_ctes = f"""
+), bsz AS (
+  SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bk GROUP BY band, bkey
+), hot AS (SELECT n FROM bsz WHERE n > {cap}
+), audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS capped_buckets,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS hot_docs,
+         CAST(COALESCE(SUM(
+           n * (n - 1) // 2
+           - (n // {cap}) * {cap * (cap - 1) // 2}
+           - (n % {cap}) * ((n % {cap}) - 1) // 2
+         ), 0) AS BIGINT) AS dropped_pairs_est
+  FROM hot
+), bs AS (
+  SELECT bk.vec_id, bk.band, bk.bkey,
+         CASE WHEN bsz.n <= {cap} THEN 0
+              ELSE (ROW_NUMBER() OVER (
+                      PARTITION BY bk.band, bk.bkey ORDER BY bk.vec_id
+                    ) - 1) // {cap}
+         END AS sub
+  FROM bk JOIN bsz USING (band, bkey)"""
+        cand_src = "bs"
+        cand_on = cand_on + " AND a.sub = b.sub"
+        audit_cols = (
+            ",\n       audit.capped_buckets, audit.hot_docs,"
+            " audit.dropped_pairs_est"
+        )
+        audit_join = " CROSS JOIN audit"
     return f"""
 WITH e AS (
   {corpus_cte}
@@ -570,17 +617,17 @@ WITH e AS (
                     THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END)),
              (acc, t) -> acc + t)) AS sigs
   FROM n
-), bk AS ({bk}
+), bk AS ({bk}{cap_ctes}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM bk a JOIN bk b
+  FROM {cand_src} a JOIN {cand_src} b
     ON {cand_on}
 )
 SELECT c.a_id, c.b_id,
        list_reduce(list_prepend(0.0,
            list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
-           (p, q) -> p + q) / (x.nrm * y.nrm) AS cos
-FROM cand c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id
+           (p, q) -> p + q) / (x.nrm * y.nrm) AS cos{audit_cols}
+FROM cand c JOIN n x ON x.vec_id = c.a_id JOIN n y ON y.vec_id = c.b_id{audit_join}
 WHERE list_reduce(list_prepend(0.0,
           list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
           (p, q) -> p + q) / (x.nrm * y.nrm) >= {threshold}
@@ -682,6 +729,76 @@ def dedup_embedding_scale_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=SIGN_LSH_PROD_BAND_BITS,
         n_bands=SIGN_LSH_PROD_BANDS,
         vec_col="v",
+    )
+
+
+def _duck_embedding_wide_capped_oracle() -> str:
+    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+        LSH_DEFAULT_BUCKET_CAP,
+    )
+
+    corpus = f"""SELECT vec_id, v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings) e0
+  UNION ALL
+  SELECT vec_id + {SIGN_LSH_TWIN_OFFSET} AS vec_id,
+         list_prepend(v[1] * 1.0625, v[2:]) AS v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings) e0"""
+    return _duck_sign_lsh_oracle(
+        corpus,
+        SIGN_LSH_PROD_BAND_BITS,
+        SIGN_LSH_PROD_BANDS,
+        COSINE_NEAR_DUP_THRESHOLD,
+        audit_cap=LSH_DEFAULT_BUCKET_CAP,
+    )
+
+
+@register(
+    "dedup_embedding_scale_capped",
+    oracle=_duck_embedding_wide_capped_oracle(),
+    description="The PRODUCTION sign-LSH geometry (16-bit x 8, planted "
+    "near-dup twins — dedup_embedding_scale_wide's exact corpus) under "
+    "the production default bucket cap (salt mode, "
+    "LSH_DEFAULT_BUCKET_CAP=64, same knob and rationale as the minhash "
+    "twin dedup_minhash_scale_capped; VERDICT r12 ask #3 named BOTH "
+    "deployed-geometry rows): an embedding corpus's hot buckets — "
+    "zero/near-zero vectors, shard-replicated centroids — are the same "
+    "O(n^2) band-join killer at 100 TB. Every pair carries the "
+    "broadcast audit columns. Unlike the minhash twin, the sign-LSH "
+    "hyperplanes are deterministic integer hashes DuckDB replays "
+    "exactly, so the oracle replays the FULL salt rule (sub-key "
+    "row_number + sub-equality join + audit arithmetic) — exact for "
+    "any corpus, hot buckets included, not just the zero-audit case",
+    tags=("dedup", "similarity", "bench", "scale", "llm"),
+)
+def dedup_embedding_scale_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+        LSH_DEFAULT_BUCKET_CAP,
+        LSH_DEFAULT_ON_EXCEED,
+        sign_lsh_pairs,
+    )
+
+    t = Catalog(spark, sf_dir)
+    base = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    twins = base.select(
+        (F.col("vec_id") + F.lit(SIGN_LSH_TWIN_OFFSET)).alias("vec_id"),
+        F.expr(
+            "concat(array(v[0] * 1.0625D), slice(v, 2, size(v) - 1))"
+        ).alias("v"),
+    )
+    return sign_lsh_pairs(
+        base.unionAll(twins),
+        COSINE_NEAR_DUP_THRESHOLD,
+        band_bits=SIGN_LSH_PROD_BAND_BITS,
+        n_bands=SIGN_LSH_PROD_BANDS,
+        vec_col="v",
+        max_bucket_size=LSH_DEFAULT_BUCKET_CAP,
+        on_exceed=LSH_DEFAULT_ON_EXCEED,
+        with_audit=True,
     )
 
 

@@ -402,6 +402,67 @@ def test_capped_default_equals_uncapped_with_zero_audit(spark):
     assert got == uncapped
 
 
+def test_embedding_capped_equals_wide_with_zero_audit(spark):
+    """The sign-LSH twin of the capped-default equality above: under
+    the production cap the salted wide-geometry output must EQUAL
+    dedup_embedding_scale_wide's pairs with an all-zero audit. Here
+    the oracle replays the full salt rule exactly (deterministic
+    hyperplanes), so this is evidence the cap doesn't bite on clean
+    fixtures — not a correctness precondition like the minhash pin."""
+    rows = (
+        QUERIES["dedup_embedding_scale_capped"].spark(spark, SF_DIR).collect()
+    )
+    assert rows, "fixture has no planted embedding twins?"
+    for r in rows:
+        assert (r["capped_buckets"], r["hot_docs"], r["dropped_pairs_est"]) == (
+            0, 0, 0,
+        )
+    got = {(r["a_id"], r["b_id"], round(r["cos"], 12)) for r in rows}
+    wide = {
+        (r["a_id"], r["b_id"], round(r["cos"], 12))
+        for r in QUERIES["dedup_embedding_scale_wide"].spark(spark, SF_DIR).collect()
+    }
+    assert got == wide
+
+
+def test_sign_lsh_cap_salt_mode_bites_and_audits(spark):
+    """End-to-end enforcement check for the sign-LSH cap path with a
+    cap SMALL enough to fire: identical vectors all share every band
+    bucket, so 5 copies at cap 2 split into subs {2,2,1} per band —
+    within-sub pairs survive, the audit reports the hot buckets."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.dedup import sign_lsh_pairs  # noqa: PLC0415
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)]
+        + [(10, [-4.0, 3.0, -2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = sign_lsh_pairs(
+        emb, 0.99, band_bits=16, n_bands=2, bucket_local=False,
+        max_bucket_size=2, on_exceed="salt", with_audit=True,
+    )
+    rows = pairs.collect()
+    assert rows, "salt mode must keep within-sub pairs"
+    a = rows[0]
+    # 2 bands x 1 hot bucket of 5 -> 10 band rows; dropped per bucket
+    # = 10 - (2*1 + 0) = 8 ... (q=2 subs of 2 -> 1 pair each, r=1)
+    assert a["capped_buckets"] == 2 and a["hot_docs"] == 10
+    assert a["dropped_pairs_est"] == 16
+    # every surviving pair is a true near-dup (cos = 1 for copies)
+    for r in rows:
+        assert r["cos"] >= 0.99
+    # and fan-out is bounded: no (band,bkey,sub) group exceeded the cap,
+    # so no pair (a,b) with 3+ docs in one sub emerged; the drop twin
+    # removes everything
+    dropped = sign_lsh_pairs(
+        emb, 0.99, band_bits=16, n_bands=2, bucket_local=False,
+        max_bucket_size=2, on_exceed="drop", with_audit=True,
+    ).collect()
+    assert dropped == []  # hot buckets removed entirely; cool bucket has 1 doc
+
+
 def test_simhash_pairs_64bit_bucket_width(spark):
     """The r6 scale-killer regression pin: simhash_pairs must band a
     64-bit signature into 16-bit chunks. 8-bit buckets give only 2^8
