@@ -99,17 +99,20 @@ from cc_pyspark_spark.plans import QUERIES
 #: Round-13 rotation (VERDICT r12 ask #1) — executes the committed
 #: r13 plan EXACTLY: the two displaced r7 names
 #: (tpch_q13_customer_distribution, tpch_q17_small_quantity_revenue)
-#: head the window, then ALL 38 r8-last-row names, then two
-#: first-row slots for the two new r13 registrations
+#: head the window, then 37 of the 38 r8-last-row names, then three
+#: first-row slots for the new r13 registrations
 #: (dedup_minhash_scale_capped + dedup_embedding_scale_capped — the
-#: capped-default deployed geometries, VERDICT r12 ask #3; the
-#: second displaced a provisional agg_arg_max r9-head slot to the
-#: r14 head per the displacement rule). After r13 the rotation
-#: floor is r9 everywhere: the r7 stragglers and the whole r8
-#: cohort clear this round. The full 42-name r9 cohort heads the
-#: r14 plan, then the r10 cohort, minus first-row slots for new r14
-#: registrations per the displacement rule. Steady-state
-#: full-registry cycle ~4-5 rounds at 218 registered queries.
+#: capped-default deployed geometries, VERDICT r12 ask #3 — and
+#: curation_semdedup). Displacements per the rule: agg_arg_max's
+#: provisional r9-head slot and tpch_q6_forecast_revenue (max
+#: independent coverage; see the in-window comment) both move to
+#: the r14 head. After r13 the rotation floor is r9 everywhere
+#: except tpch_q6 (r8, documented): the r7 stragglers and the rest
+#: of the r8 cohort clear this round. r14 plan: tpch_q6 FIRST, then
+#: the full 42-name r9 cohort, then the r10 cohort, minus
+#: first-row slots for new r14 registrations per the displacement
+#: rule. Steady-state full-registry cycle ~4-5 rounds at 219
+#: registered queries.
 #:
 #: Ledger note (VERDICT r12 ask #7): the r8 cohort in
 #: CORRECTNESS_r01..r08 lists 39 names; the 39th,
@@ -187,16 +190,24 @@ DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
     "tpch_q3_shipping_priority",
     "tpch_q4_late_shipments",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    # -- first rows for the two r13 registrations (VERDICT r12 ask
-    #    #3 named BOTH deployed-geometry rows): the MinHash and
+    # -- first rows for the three r13 registrations: the MinHash and
     #    sign-LSH deployment geometries under the PRODUCTION default
-    #    cap (salt@64 + broadcast audit columns). The second
-    #    registration displaced the provisional agg_arg_max r9-head
-    #    slot to the r14 head per the displacement rule, so the full
-    #    42-name r9 cohort heads the r14 plan intact --
+    #    cap (salt@64 + broadcast audit columns; VERDICT r12 ask #3
+    #    named BOTH deployed-geometry rows) and SemDeDup (cluster-
+    #    local semantic dedup composing the registered k-means
+    #    algebra). Displacements per the rule: the second new name
+    #    took the provisional agg_arg_max r9-head slot (r9 cohort
+    #    heads r14 intact); the third displaces
+    #    tpch_q6_forecast_revenue to the r14 head — chosen from the
+    #    r8 cohort as the name with the most independent coverage
+    #    (benched every round, the bench WARM-UP query, re-verified
+    #    in every sf0.001 parity pytest run), mirroring the r12
+    #    q13/q17 displacement. Its last driver row stays r8 until
+    #    r14, so the post-r13 rotation floor is r8 for exactly
+    #    tpch_q6 and r9 for everything else --
     "dedup_minhash_scale_capped",
     "dedup_embedding_scale_capped",
+    "curation_semdedup",
 )
 
 

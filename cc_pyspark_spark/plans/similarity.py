@@ -1233,12 +1233,17 @@ _KM_D2_DUCK = (
 )
 
 
-def _duck_kmeans_oracle() -> str:
+def _duck_km_ctes(e_sql: str) -> str:
+    """The unrolled Lloyd CTE chain over corpus CTE body ``e_sql``
+    (must yield (vec_id, v)); seeds stay the deterministic
+    KM_SEED_BASE slice of the raw embeddings table. Ends with
+    ``cent{KM_ROUNDS}`` — compose the final assignment with
+    :func:`_duck_km_final` (r13 factoring, shared with
+    curation_semdedup)."""
     d2 = _KM_D2_DUCK.format(a="e.v", b="c.cv", dim=_KM_DIM)
     ctes = [
         f"""e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings WHERE vec_id < {KM_MAX_ID}
+  {e_sql}
 ), cent0 AS (
   SELECT vec_id - {KM_SEED_BASE} AS c_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -1263,13 +1268,29 @@ def _duck_kmeans_oracle() -> str:
     GROUP BY a.cluster, i.i)
   GROUP BY cluster
 )""")
-    return f"""
-WITH {", ".join(ctes)}
-SELECT vec_id, CAST(c_id AS BIGINT) AS cluster, d2 FROM (
+    return ", ".join(ctes)
+
+
+def _duck_km_final() -> str:
+    """Final-assignment SELECT body over `e` and `cent{KM_ROUNDS}`."""
+    d2 = _KM_D2_DUCK.format(a="e.v", b="c.cv", dim=_KM_DIM)
+    return f"""SELECT vec_id, CAST(c_id AS BIGINT) AS cluster, d2 FROM (
   SELECT e.vec_id, c.c_id, {d2} AS d2,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
                             ORDER BY {d2}, c.c_id) AS rk
-  FROM e JOIN cent{KM_ROUNDS} c ON true) WHERE rk = 1
+  FROM e JOIN cent{KM_ROUNDS} c ON true) WHERE rk = 1"""
+
+
+_DUCK_KM_CORPUS = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+    f"  FROM embeddings WHERE vec_id < {KM_MAX_ID}"
+)
+
+
+def _duck_kmeans_oracle() -> str:
+    return f"""
+WITH {_duck_km_ctes(_DUCK_KM_CORPUS)}
+{_duck_km_final()}
 """
 
 
@@ -1306,6 +1327,15 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= KM_SEED_BASE)
         & (F.col("vec_id") < KM_SEED_BASE + KM_K)
     ).select((F.col("vec_id") - KM_SEED_BASE).alias("c_id"), F.col("v").alias("cv"))
+    return _km_lloyd(e, cent)
+
+
+def _km_lloyd(e: DataFrame, cent: DataFrame, rounds: int = KM_ROUNDS) -> DataFrame:
+    """Shared Lloyd loop over ``e`` (vec_id, v) from seed centroids
+    ``cent`` (c_id, cv): ``rounds`` full assignment+update rounds, then
+    the final assignment — returns (vec_id, cluster BIGINT, d2).
+    Factored out in r13 so curation_semdedup clusters its twin-planted
+    corpus with EXACTLY the algebra the registered trainer verifies."""
     d2 = F.expr(_KM_D2_SPARK)
 
     def _assign(cent_df):
@@ -1317,7 +1347,7 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("m.c_id").alias("cluster"), F.col("m.d2").alias("d2"))
         )
 
-    for _ in range(KM_ROUNDS):
+    for _ in range(rounds):
         assign = _assign(cent).select("vec_id", "cluster")
         sums = (
             e.join(assign, "vec_id")
@@ -1349,6 +1379,141 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return _assign(cent).select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2"
+    )
+
+
+# ----------------------- SemDeDup (semantic dedup via cluster-local cosine)
+
+#: Cosine threshold for "semantic duplicate" within a cluster — the
+#: SemDeDup paper's eps-dedup at high similarity; the fixture's
+#: organic within-cluster pairs top out at cos ~ 0.51 and the planted
+#: twins sit at ~ 0.9999, so 0.95 separates cleanly (no boundary
+#: sensitivity in the hash gate).
+SEMDEDUP_COS = 0.95
+#: Twin ids offset — distinct from SIGN_LSH_TWIN_OFFSET's namespace so
+#: the two planted corpora can never be confused in a debug session.
+SEMDEDUP_TWIN_OFFSET = 100_000
+
+_SEMDEDUP_DUCK_CORPUS = f"""SELECT vec_id, v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id < {KM_MAX_ID}) e0
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_TWIN_OFFSET} AS vec_id,
+         list_prepend(v[1] * 1.0625, v[2:]) AS v FROM (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id < {KM_MAX_ID}) e0"""
+
+
+def _duck_semdedup_oracle() -> str:
+    dot = (
+        "list_reduce(list_prepend(0.0, "
+        "list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), "
+        "(p, q) -> p + q)"
+    )
+    return f"""
+WITH {_duck_km_ctes(_SEMDEDUP_DUCK_CORPUS)},
+fin AS (
+  {_duck_km_final()}
+), vv AS (
+  SELECT f.vec_id, f.cluster, f.d2, e.v,
+         sqrt(list_reduce(list_prepend(0.0,
+             list_transform(e.v, x -> x * x)), (a, b) -> a + b)) AS nrm
+  FROM fin f JOIN e ON e.vec_id = f.vec_id
+), drp AS (
+  SELECT DISTINCT a.vec_id
+  FROM vv a JOIN vv b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  WHERE {dot} / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
+    AND (b.d2 > a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id))
+)
+SELECT v.vec_id, v.cluster, d.vec_id IS NULL AS keep
+FROM vv v LEFT JOIN drp d ON d.vec_id = v.vec_id
+"""
+
+
+@register(
+    "curation_semdedup",
+    oracle=_duck_semdedup_oracle(),
+    description="SemDeDup (Abbas et al. 2023) — SEMANTIC dedup, the "
+    "standard curation stage between exact/MinHash dedup (surface "
+    "overlap) and sign-LSH near-dup (hash-bucket recall): k-means the "
+    "embedding space, then within each cluster drop every vector that "
+    "has a semantic duplicate (cos >= "
+    f"{SEMDEDUP_COS}) ranked above it — keeping, per the paper, the "
+    "example FARTHEST from its centroid (most atypical; d2 desc, "
+    "vec_id tie-break), expressed as one anti-join against the "
+    "cluster-local 'a better twin exists' pair set, no iteration. "
+    "Clustering IS the registered embedding_kmeans_lloyd algebra "
+    "(shared _km_lloyd helper + shared unrolled-CTE oracle chain) on "
+    "the twin-planted corpus, so the trainer the oracle verifies is "
+    "the trainer this query deploys. Scale shape: assignment is a "
+    "broadcast-centroid map-side argmin; the only quadratic work is "
+    "cluster-LOCAL (equi-keyed on cluster, fan-out bounded by "
+    "(N/K)^2 per cluster — K is the knob, exactly how the paper runs "
+    "on LAION-scale corpora); output is one keep/drop row per vector",
+    tags=("curation", "dedup", "similarity", "scale", "llm"),
+)
+def curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Catalog(spark, sf_dir)
+    full = t.embeddings.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    base = full.filter(F.col("vec_id") < KM_MAX_ID)
+    twins = base.select(
+        (F.col("vec_id") + F.lit(SEMDEDUP_TWIN_OFFSET)).alias("vec_id"),
+        F.expr(
+            "concat(array(v[0] * 1.0625D), slice(v, 2, size(v) - 1))"
+        ).alias("v"),
+    )
+    e = base.unionAll(twins)
+    cent = full.filter(
+        (F.col("vec_id") >= KM_SEED_BASE)
+        & (F.col("vec_id") < KM_SEED_BASE + KM_K)
+    ).select(
+        (F.col("vec_id") - KM_SEED_BASE).alias("c_id"), F.col("v").alias("cv")
+    )
+    # Persisted: the assigned-vector frame feeds both sides of the
+    # cluster-local pair join AND the final keep/drop projection.
+    vv = (
+        _km_lloyd(e, cent)
+        .join(e, "vec_id")
+        .select(
+            "vec_id", "cluster", "d2", "v",
+            F.sqrt(
+                F.expr("aggregate(transform(v, x -> x * x), 0D, (a, b) -> a + b)")
+            ).alias("nrm"),
+        )
+        .persist()
+        .transform(track_cache)
+    )
+    x = vv.select(
+        F.col("vec_id").alias("a_id"), F.col("cluster").alias("cl"),
+        F.col("d2").alias("ad2"), F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
+    )
+    y = vv.select(
+        F.col("vec_id").alias("b_id"), F.col("cluster").alias("bcl"),
+        F.col("d2").alias("bd2"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bnrm"),
+    )
+    dot = "aggregate(zip_with(av, bv, (x, y) -> x * y), 0D, (acc, z) -> acc + z)"
+    beaten = (
+        x.join(y, (F.col("cl") == F.col("bcl")) & (F.col("a_id") != F.col("b_id")))
+        .withColumn("cos", F.expr(dot) / (F.col("anrm") * F.col("bnrm")))
+        .filter(
+            (F.col("cos") >= F.lit(SEMDEDUP_COS))
+            & (
+                (F.col("bd2") > F.col("ad2"))
+                | ((F.col("bd2") == F.col("ad2")) & (F.col("b_id") < F.col("a_id")))
+            )
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__drp", F.lit(1))
+    )
+    return vv.join(beaten, "vec_id", "left").select(
+        "vec_id", "cluster", F.col("__drp").isNull().alias("keep")
     )
 
 
