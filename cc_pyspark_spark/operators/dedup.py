@@ -143,36 +143,31 @@ def cap_lsh_buckets(
     from pyspark.sql import Window  # noqa: PLC0415
 
     w = Window.partitionBy("band", "key")
-    # Persisted: the windowed frame feeds the pair join TWICE (a/b
-    # aliases) plus the audit aggregate — without persist the
-    # exchange+window subtree executes 3x, and on mostly-singleton
-    # bucket geometries (the 16-bit sign-LSH bands) that tripled the
-    # cap's measured premium at 10x (r13: 3.4 s -> the window cost
-    # once). Tracked via track_cache; callers release after the action.
-    sized = (
-        band_rows.withColumn("n", F.count("*").over(w))
-        .persist()
-        .transform(track_cache)
-    )
     cap = F.lit(max_bucket_size)
+    # BOTH windows (count + salt-mode row_number) are computed in ONE
+    # pass over one (band, key) exchange, and the RESULT is what gets
+    # persisted: the frame feeds the pair join TWICE (a/b aliases)
+    # plus the audit aggregate, and caching anything earlier makes
+    # each consumer replay its own exchange+sort+window above the
+    # cache (measured r13: the per-side salt window tripled the cap
+    # premium on the mostly-singleton 16-bit sign-LSH buckets — 3.4 s
+    # of the 10x read — and caching the post-window frame collapsed
+    # it to ~the window cost once). Tracked via track_cache; callers
+    # release after the action.
+    sized = band_rows.withColumn("n", F.count("*").over(w))
     if on_exceed == "drop":
-        capped = (
-            sized.filter(F.col("n") <= cap)
-            .withColumn("sub", F.lit(0).cast("bigint"))
-            .drop("n")
-        )
         retained = F.lit(0).cast("bigint")
     else:
         rn = F.row_number().over(w.orderBy("doc_id"))
-        capped = (
+        sized = (
             sized.withColumn("rn", rn.cast("bigint"))
             .withColumn(
                 "sub",
                 F.when(F.col("n") <= cap, F.lit(0).cast("bigint")).otherwise(
-                    F.expr(f"(rn - 1) div {max_bucket_size}")
+                    F.expr(f"(rn - 1) div {max_bucket_size}").cast("bigint")
                 ),
             )
-            .drop("n", "rn")
+            .drop("rn")
         )
         # Per hot bucket: q full subs of size cap + one remainder sub.
         # `n` and `r` here resolve against the `hot` frame the audit
@@ -183,6 +178,15 @@ def cap_lsh_buckets(
             * F.lit(max_bucket_size * (max_bucket_size - 1) // 2)
             + F.expr("(r * (r - 1)) div 2")
         ).cast("bigint")
+    sized = sized.persist().transform(track_cache)
+    if on_exceed == "drop":
+        capped = (
+            sized.filter(F.col("n") <= cap)
+            .withColumn("sub", F.lit(0).cast("bigint"))
+            .drop("n")
+        )
+    else:
+        capped = sized.drop("n")
     hot = (
         sized.filter(F.col("n") > cap)
         .groupBy("band", "key")
