@@ -528,6 +528,18 @@ def main() -> None:
         builder = EXTRA_OPS.get(name) or QUERIES[name].spark
         for i in range(n_runs + 1):  # run 0 = per-query warm-up, untimed
             if name in EAGER_CONSTRUCTION:
+                # r13: each eager run REBUILDS its caches/checkpoints
+                # from scratch, so earlier runs' blocks are pure dead
+                # weight during run i — sweep them between runs. The
+                # first full r13 record showed the cost of not doing
+                # this: text_bpe_train's samples climbed monotonically
+                # 3.2 -> 5.7 s as 6 runs x ~10 checkpoint RDDs piled
+                # up, and graph_cc_converged caught a 23.5 s GC-stall
+                # sample (median 2.6 s in r12). Non-eager rows keep
+                # the share-caches-across-runs semantics (their plan
+                # is built once per run but caches persist by design).
+                release_caches()
+                _sweep_persistent_state(spark)
                 start = time.perf_counter()
                 df = builder(spark, sf_dir)
             else:

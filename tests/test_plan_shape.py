@@ -768,3 +768,17 @@ def test_bucketed_agg_has_zero_exchanges(spark):
     lost (path/catalog mismatch or bucket-count drift)."""
     plan = plan_of(spark, "layout_bucketed_agg")
     assert _tree_nodes(plan, "Exchange") == 0, plan
+
+
+def test_capped_band_windows_live_inside_the_cache(spark):
+    """r13: cap_lsh_buckets computes its count + salt row_number
+    windows in ONE pass and persists the RESULT — so in the capped
+    deployment queries, every Window node must sit INSIDE the
+    InMemoryRelation, never above an InMemoryTableScan. A Window in
+    the tree above the first cache scan means each pair-join side is
+    replaying its own exchange+sort+window (the regression that
+    tripled the cap premium at 10x before the fusion)."""
+    for name in ("dedup_minhash_scale_capped", "dedup_embedding_scale_capped"):
+        plan = plan_of(spark, name)
+        head = plan.split("InMemoryTableScan")[0]
+        assert "Window" not in head, (name, head)

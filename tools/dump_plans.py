@@ -85,6 +85,20 @@ HEAD = [
     "curation_quota_semantics", "dedup_paragraph",
     "text_tokenizer_fertility", "curation_chunk_overlap",
     "dedup_cluster_histogram", "graph_degree_assortativity",
+    # r12: the enforced-cap pair, containment, SCD2, layout tier,
+    # skew join, epoch shuffle, WAT compositions, interval overlap,
+    # impact-pruned sparse topk, S-curve eval
+    "dedup_minhash_capped", "dedup_minhash_salted", "dedup_containment",
+    "events_scd2_asof", "layout_bucketed_join", "layout_bucketed_agg",
+    "layout_partition_pruning", "text_boilerplate_shingles",
+    "graph_link_prediction", "events_ohlc_bars", "text_code_detect",
+    "join_skew_salted", "curation_epoch_shuffle", "wat_anchor_topk",
+    "wat_host_pagerank", "events_interval_overlap",
+    "sim_sparse_impact_topk", "dedup_lsh_recall_eval",
+    # r13: the production capped-default deployment geometries +
+    # SemDeDup
+    "dedup_minhash_scale_capped", "dedup_embedding_scale_capped",
+    "curation_semdedup",
 ]
 
 
