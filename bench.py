@@ -528,18 +528,20 @@ def main() -> None:
         builder = EXTRA_OPS.get(name) or QUERIES[name].spark
         for i in range(n_runs + 1):  # run 0 = per-query warm-up, untimed
             if name in EAGER_CONSTRUCTION:
-                # r13: each eager run REBUILDS its caches/checkpoints
-                # from scratch, so earlier runs' blocks are pure dead
-                # weight during run i — sweep them between runs. The
-                # first full r13 record showed the cost of not doing
-                # this: text_bpe_train's samples climbed monotonically
-                # 3.2 -> 5.7 s as 6 runs x ~10 checkpoint RDDs piled
-                # up, and graph_cc_converged caught a 23.5 s GC-stall
-                # sample (median 2.6 s in r12). Non-eager rows keep
-                # the share-caches-across-runs semantics (their plan
-                # is built once per run but caches persist by design).
-                release_caches()
-                _sweep_persistent_state(spark)
+                # DELIBERATELY NO between-run sweep here (r13,
+                # measured): Spark's cache manager matches by logical-
+                # plan equality, so run i's construction silently
+                # reuses run i-1's operator caches — the documented
+                # warm-run semantics every previous round's numbers
+                # carry. An r13 experiment swept between eager runs to
+                # stop within-query checkpoint-garbage accumulation
+                # (text_bpe_train's samples climb 3.2 -> 5.7 s across
+                # its own runs) and it DOUBLED the iterative rows
+                # (graph_pagerank+LPA 8.0 -> 15.4 s same-session A/B,
+                # host_factor ~1.0 both arms) by making every run
+                # rebuild the edge/adjacency caches cold. Warm
+                # comparability wins; the between-QUERY sweep below
+                # still stops cross-query accumulation.
                 start = time.perf_counter()
                 df = builder(spark, sf_dir)
             else:
