@@ -465,6 +465,15 @@ def _sweep_persistent_state(spark) -> int:
             f"cache sweep left {remaining} persistent RDDs — a persist "
             "outside track_cache/localCheckpoint semantics leaked"
         )
+    # One explicit full GC between queries: Spark's ContextCleaner
+    # reaps broadcast blocks and shuffle files only when the JVM
+    # garbage-collects their driver-side handles, and a 128 GiB heap
+    # 90 queries deep may simply never GC — the residual
+    # suite-vs-isolated gap on the big-output sf1 rows after the RDD
+    # sweep (dedup_prefix_jaccard 60.5 s in-suite vs 27.0 s isolated,
+    # r13) is exactly accumulated broadcast/shuffle state. Costs
+    # ~0.1-1 s between queries, outside every timed section.
+    spark._jvm.System.gc()
     return swept
 
 
