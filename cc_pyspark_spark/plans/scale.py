@@ -71,7 +71,12 @@ sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
 )
 def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    return minhash_lsh_pairs(t.documents, threshold=0.5)
+    # EXPLICIT uncapped opt-out (r14, VERDICT r13 ask #2): this is the
+    # full-recall reference row whose oracle is the all-pairs exact
+    # Jaccard set — its plan and oracle stay byte-stable while the
+    # operator's signature default is now the production salt@64 cap
+    # (the capped deployment row is dedup_minhash_scale_capped).
+    return minhash_lsh_pairs(t.documents, threshold=0.5, max_bucket_size=None)
 
 
 def _duck_capped_default_oracle() -> str:

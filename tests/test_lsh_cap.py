@@ -102,9 +102,14 @@ def test_minhash_pairs_cap_end_to_end(spark):
     uncapped = {
         (r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(docs).collect()
     }
+    # drop mode EXPLICIT since r14: the signature default is the
+    # production salt@64 (tests/test_scale_dedup.py pins it), under
+    # which within-sub boilerplate pairs would survive by design.
     capped = {
         (r["a_id"], r["b_id"])
-        for r in minhash_lsh_pairs(docs, max_bucket_size=3).collect()
+        for r in minhash_lsh_pairs(
+            docs, max_bucket_size=3, on_exceed="drop"
+        ).collect()
     }
     assert capped <= uncapped
     assert (10, 11) in capped  # the small cluster survives

@@ -37,7 +37,7 @@ def test_scale_minhash_matches_exact_jaccard(spark):
 
 def test_scale_minhash_plan_has_no_global_sort(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    df = minhash_lsh_pairs(docs, threshold=0.5)
+    df = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=None)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
@@ -48,6 +48,15 @@ def test_scale_minhash_plan_has_no_global_sort(spark):
     # the only concat_ws left in the plan is shingle construction
     assert "key, xxhash64(h0" in plan
     assert "key, concat_ws" not in plan
+    # r14 (defaults flipped): the BARE call now carries the production
+    # cap's window — which must be KEYED by (band, key), never a
+    # single-partition global sort (the failure mode this test pins).
+    bare = minhash_lsh_pairs(docs, threshold=0.5)
+    bplan = bare._sc._jvm.PythonSQLUtils.explainString(
+        bare._jdf.queryExecution(), "formatted"
+    )
+    assert "windowspecdefinition(band#" in bplan
+    assert "SinglePartition" not in bplan
 
 
 def test_exact_dedup_keep_first(spark):
@@ -358,16 +367,19 @@ def test_capped_default_cap_headroom(spark):
         _band_structs,
         _shingle_rows,
         _perm,
+        minhash_perms,
         MINHASH_P,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     sh = _shingle_rows(docs, "doc_id", "text", 3)
     ds = sh.select("doc_id", (F.abs(F.xxhash64("s")) % MINHASH_P).alias("sid"))
-    perms = [(37 + 7 * j, 17 + 101 * j) for j in range(16)]
+    # Shared constant (r14, ADVICE r13): the pin measures the SAME
+    # banding production deploys, by construction — a perm change in
+    # the operator changes this test with it.
     sig = ds.groupBy("doc_id").agg(
         *[F.min(_perm(a, b, F.col("sid"))).alias(f"h{j}")
-          for j, (a, b) in enumerate(perms)]
+          for j, (a, b) in enumerate(minhash_perms(16))]
     )
     bands = sig.select(
         "doc_id", F.explode(F.array(*_band_structs(16, 4))).alias("bk")
@@ -381,6 +393,127 @@ def test_capped_default_cap_headroom(spark):
         "oracle's all-zero-audit equality is no longer safe — regenerate "
         "per the procedure in plans/scale.py's module docstring"
     )
+
+
+def test_signature_default_is_production_cap(spark):
+    """r14 (VERDICT r13 ask #2): the operator SIGNATURE default is the
+    production configuration — salt at LSH_DEFAULT_BUCKET_CAP — so a
+    new call site composing either LSH pair operator gets the bounded
+    band join without opting in. Two checks: (a) the defaults
+    themselves (an inspect pin, so a signature regression is loud),
+    (b) the default path's OUTPUT equals the explicit-uncapped
+    reference below the cap — the same headroom invariant the capped
+    oracles ride, now covering the path every bare call takes."""
+    import inspect
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from cc_pyspark_spark.operators.dedup import (
+        CAP_DEFAULT,
+        LSH_DEFAULT_ON_EXCEED,
+        sign_lsh_pairs,
+    )
+
+    for fn in (minhash_lsh_pairs, sign_lsh_pairs):
+        params = inspect.signature(fn).parameters
+        assert params["max_bucket_size"].default == CAP_DEFAULT, fn
+        assert params["on_exceed"].default == LSH_DEFAULT_ON_EXCEED, fn
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bare = {
+        (r["a_id"], r["b_id"], round(r["jac"], 12))
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r["a_id"], r["b_id"], round(r["jac"], 12))
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    assert bare and bare == uncapped
+
+    # sign-LSH twin on the production-width candidate-join path (the
+    # geometry dedup_embedding_scale_wide deploys).
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    bare_e = {
+        (r["a_id"], r["b_id"], round(r["cos"], 12))
+        for r in sign_lsh_pairs(emb, 0.42, band_bits=16, n_bands=8,
+                                vec_col="v").collect()
+    }
+    unc_e = {
+        (r["a_id"], r["b_id"], round(r["cos"], 12))
+        for r in sign_lsh_pairs(emb, 0.42, band_bits=16, n_bands=8,
+                                vec_col="v", max_bucket_size=None).collect()
+    }
+    assert bare_e == unc_e
+    # bucket-local and multiprobe calls must keep working with the bare
+    # default — the cap resolves to uncapped there (it cannot compose
+    # with pandas groups / ex-flags) — same geometry, same output...
+    bl = sign_lsh_pairs(emb, 0.42, band_bits=4, n_bands=8, vec_col="v")
+    bl_unc = sign_lsh_pairs(emb, 0.42, band_bits=4, n_bands=8,
+                            vec_col="v", max_bucket_size=None)
+    assert bl.count() == bl_unc.count()
+    # ...while an EXPLICIT cap on those paths still raises.
+    import pytest as _pytest  # noqa: PLC0415
+
+    with _pytest.raises(ValueError):
+        sign_lsh_pairs(emb, 0.42, band_bits=4, n_bands=8, vec_col="v",
+                       max_bucket_size=64)
+
+
+def test_recall_eval_capped_candidates_equal_uncapped(spark):
+    """r14 (VERDICT r13 ask #3): dedup_lsh_recall_eval now measures the
+    PRODUCTION salt@64 geometry. At gate SFs the cap must be invisible
+    — the capped candidate set EQUALS the uncapped one (the ~8x
+    headroom pin above is why) — so the re-point changes what the
+    S-curve GATES, not its published values. If this breaks after a
+    fixture regen, the cap started biting: the recall row will then
+    honestly report the deployed geometry's recall loss."""
+    from cc_pyspark_spark.catalog import Catalog  # noqa: PLC0415
+    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+        LSH_DEFAULT_BUCKET_CAP,
+        LSH_DEFAULT_ON_EXCEED,
+        cap_lsh_buckets,
+    )
+    from cc_pyspark_spark.plans.dedup import _minhash_sh_bands  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    t = Catalog(spark, SF_DIR)
+    _sh, bands = _minhash_sh_bands(t)
+    capped, _audit = cap_lsh_buckets(
+        bands, LSH_DEFAULT_BUCKET_CAP, LSH_DEFAULT_ON_EXCEED
+    )
+    unc = {
+        (r["a_id"], r["b_id"])
+        for r in bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+        .collect()
+    }
+    cap = {
+        (r["a_id"], r["b_id"])
+        for r in capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.sub") == F.col("y.sub"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+        .collect()
+    }
+    assert unc, "fixture produced no LSH candidates?"
+    assert cap == unc
 
 
 def test_capped_default_equals_uncapped_with_zero_audit(spark):
