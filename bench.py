@@ -11,6 +11,11 @@ showed ~±20% run-to-run variance on identical code): one untimed
 warm-up run per query, then the MEDIAN of 5 timed runs; the per-query
 relative spread ((max−min)/median of the timed runs) is reported under
 "spread" so round-over-round comparisons can see the noise floor.
+r14: each row also records "cold_sec" — the previously-discarded
+untimed warm-up's duration, i.e. the cold-construction number the warm
+medians exclude — and rows whose first batch spreads > 0.4 are
+re-measured once (the tighter batch is committed; if both exceed 0.4
+the row carries a spread_note naming the variance host-level).
 
 Calibration (r6, idle guest): two back-to-back runs of identical code
 still differ ~±20% *wholesale* — min, median, and p25 over the same
@@ -450,21 +455,20 @@ def _sweep_persistent_state(spark) -> int:
     not unpersist JVM blocks). 90 queries deep, those blocks are the
     eviction/GC pressure behind dedup_prefix_jaccard's 42.4 s-vs-24.4 s
     suite-vs-isolated gap at sf1. Nothing is reused across bench
-    queries, so force-unpersist every surviving persistent RDD, then
-    ASSERT the session is clean — a tracked-persist leak upstream fails
-    the bench loudly instead of taxing the next 40 queries. Returns how
-    many leftover RDDs were swept (recorded per query in "stats")."""
+    queries, so force-unpersist every surviving persistent RDD. The
+    per-query ``swept_blocks`` count is the leak signal: a query that
+    leaves non-checkpoint persists behind shows up as an unexplained
+    count there. (r14, ADVICE r13: an earlier version also ASSERTED
+    emptiness after the loop, but unpersist() synchronously removes
+    each RDD from the persistent-RDD map — only block deletion is
+    async — so the check could never fire and promised a loudness it
+    didn't deliver; the recorded counts are the real contract.)
+    Returns how many leftover RDDs were swept."""
     jsc = spark.sparkContext._jsc
     swept = 0
     for jrdd in list(jsc.getPersistentRDDs().values()):
         jrdd.unpersist()
         swept += 1
-    remaining = jsc.getPersistentRDDs().size()
-    if remaining:
-        raise SystemExit(
-            f"cache sweep left {remaining} persistent RDDs — a persist "
-            "outside track_cache/localCheckpoint semantics leaked"
-        )
     # One explicit full GC between queries: Spark's ContextCleaner
     # reaps broadcast blocks and shuffle files only when the JVM
     # garbage-collects their driver-side handles, and a 128 GiB heap
@@ -534,6 +538,7 @@ def main() -> None:
     stats: dict[str, dict] = {}
     for name in names:
         samples: list[float] = []
+        cold_sec = 0.0
         builder = EXTRA_OPS.get(name) or QUERIES[name].spark
         for i in range(n_runs + 1):  # run 0 = per-query warm-up, untimed
             if name in EAGER_CONSTRUCTION:
@@ -559,6 +564,43 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             if i > 0:
                 samples.append(time.perf_counter() - start)
+            else:
+                # r14 (VERDICT r13 ask #5): the untimed warm-up IS the
+                # cold-construction number the committed medians
+                # deliberately exclude (plan-equality cache reuse makes
+                # runs 1..n warm) — record it instead of throwing it
+                # away, at zero extra runtime. Read cold_sec vs median
+                # to see a row's cache/checkpoint warm-up cost; only
+                # the medians are cross-round comparable.
+                cold_sec = time.perf_counter() - start
+        # r14 (VERDICT r13 ask #6): a committed median whose samples
+        # span > 0.4 of it weakens the round-over-round mover detector,
+        # and the record's worst offenders are exactly the iterative
+        # rows where one contended run poisons (max-min) forever. For
+        # those rows take ONE fresh batch of n_runs (warm continuation
+        # — no sweep between batches, same within-row semantics) and
+        # commit whichever batch is tighter; if both batches exceed
+        # 0.4, the variance is host-level for this row — say so in the
+        # record instead of silently shipping an unstable median.
+        med = statistics.median(samples)
+        spr = (max(samples) - min(samples)) / med
+        retry_spreads = None
+        if spr > 0.4 and n_runs >= 3:
+            resamples = []
+            for _ in range(n_runs):
+                if name in EAGER_CONSTRUCTION:
+                    start = time.perf_counter()
+                    df = builder(spark, sf_dir)
+                else:
+                    df = builder(spark, sf_dir)
+                    start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                resamples.append(time.perf_counter() - start)
+            med2 = statistics.median(resamples)
+            spr2 = (max(resamples) - min(resamples)) / med2
+            retry_spreads = [round(spr, 3), round(spr2, 3)]
+            if spr2 < spr:
+                samples, med, spr = resamples, med2, spr2
         med = statistics.median(samples)
         timings[name] = round(med, 4)
         spread[name] = round((max(samples) - min(samples)) / med, 3)
@@ -574,8 +616,17 @@ def main() -> None:
             "median": timings[name],
             "spread": spread[name],
             "n_runs": len(samples),
+            "cold_sec": round(cold_sec, 4),
         }
-        if med > 2.0:
+        if retry_spreads is not None:
+            stats[name]["retry_spreads"] = retry_spreads
+            if spread[name] > 0.4:
+                stats[name]["spread_note"] = (
+                    f"variance persisted across 2 batches of {n_runs} "
+                    "(host-level for this row; compare via samples, "
+                    "not the point median)"
+                )
+        if med > 2.0 or retry_spreads is not None:
             stats[name]["samples"] = [round(s, 4) for s in samples]
         # Free this query's operator-internal caches before the next
         # one: within-query warm/timed semantics are unchanged (all
@@ -583,10 +634,10 @@ def main() -> None:
         # no longer accumulate into eviction pressure on later names.
         release_caches()
         # r13: then sweep the localCheckpoint blocks release_caches()
-        # cannot know about, and assert the session is clean — see
-        # _sweep_persistent_state. Swept counts are recorded so a
-        # round-over-round reader can see which queries leave
-        # checkpoint state behind (iterative loops) and how much.
+        # cannot know about — see _sweep_persistent_state. Swept counts
+        # are recorded so a round-over-round reader can see which
+        # queries leave checkpoint state behind (iterative loops) and
+        # how much; an unexplained count IS the leak signal (r14).
         swept = _sweep_persistent_state(spark)
         if swept:
             stats[name]["swept_blocks"] = swept

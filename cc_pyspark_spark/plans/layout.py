@@ -232,17 +232,28 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
+    import hashlib  # noqa: PLC0415
+
     t = Catalog(spark, sf_dir)
-    tag = _source_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    root = os.path.join(tempfile.gettempdir(), "ccps_partitioned")
+    source = os.path.join(sf_dir, "events.parquet")
+    # Two-level scratch key (r14, ADVICE r13): <path-hash>/<content-tag>.
+    # The content tag (sizes+mtimes) makes regeneration mint a fresh
+    # copy; the PATH level scopes the stale-tag prune below to THIS
+    # source only — distinct sf_dirs (pytest sf0.001, bench sf0.1, the
+    # sf1 suite) hold distinct live tags concurrently, and alternating
+    # between them must neither rebuild the copy each switch nor rmtree
+    # a directory another run is actively reading.
+    path_key = hashlib.md5(os.path.abspath(source).encode()).hexdigest()[:12]
+    tag = _source_fingerprint(source)
+    root = os.path.join(tempfile.gettempdir(), "ccps_partitioned", path_key)
     base = os.path.join(root, tag, "events")
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
-        # The mtime-keyed tag means every source regeneration mints a
-        # NEW scratch dir; prune the stale siblings before writing so
+        # Prune stale content-tags of the SAME source before writing so
         # repeated regenerations never accumulate dead partitioned
-        # copies (r12 ADVICE). Safe: a sibling tag by construction
-        # describes a source state that no longer exists on disk.
+        # copies (r12 ADVICE). Safe within a path_key: a sibling tag
+        # here describes a prior state of this exact source path, which
+        # no longer exists on disk.
         import shutil  # noqa: PLC0415
 
         if os.path.isdir(root):

@@ -224,3 +224,40 @@ def test_bucketed_table_external_path(spark, tmp_path):
         assert spark.table("bkt_ext_t").count() == 100
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_ext_t")
+
+
+def test_partition_scratch_prune_is_source_scoped(spark):
+    """r14 (ADVICE r13): layout_partition_pruning's stale-tag prune is
+    scoped to the SOURCE's own path-hash directory — another sf_dir's
+    live partitioned copy (a sibling path_key) must survive a rebuild
+    for this one, so alternating SFs (pytest sf0.001 / bench sf0.1 /
+    the sf1 suite) neither rebuild per switch nor rmtree a directory a
+    concurrent run is reading."""
+    import os
+    import tempfile
+
+    from cc_pyspark_spark.plans.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    root = os.path.join(tempfile.gettempdir(), "ccps_partitioned")
+    other = os.path.join(root, "fake_other_sf", "deadbeef0000", "events")
+    os.makedirs(other, exist_ok=True)
+    sentinel = os.path.join(other, "_SUCCESS")
+    open(sentinel, "w").close()
+    try:
+        assert QUERIES["layout_partition_pruning"].spark(spark, SF_DIR).count() > 0
+        # the other source's scratch copy is untouched...
+        assert os.path.exists(sentinel)
+        # ...and this source's copy lives under its own path_key, with
+        # exactly one live content-tag after the prune.
+        import hashlib
+
+        pk = hashlib.md5(
+            os.path.abspath(os.path.join(SF_DIR, "events.parquet")).encode()
+        ).hexdigest()[:12]
+        tags = os.listdir(os.path.join(root, pk))
+        assert len(tags) == 1
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.join(root, "fake_other_sf"), ignore_errors=True)
