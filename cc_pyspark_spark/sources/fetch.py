@@ -8,10 +8,13 @@ fetches for whole-archive processing, and ranged fetches
 cc-index record lookups. This module is deliberately Spark-independent:
 it runs inside Arrow `mapInPandas` workers and in plain unit tests.
 
-The sandbox has no network and no boto3, so the s3 client is an
-*injected* dependency with the boto3 `get_object` call shape — tests
-inject a fake; production injects `boto3.client("s3")` (or nothing, and
-the lazy import picks it up where installed).
+The sandbox has no network, so the s3 client is an *injected*
+dependency with the boto3 `get_object` call shape — tests inject a
+fake AND (since r14, when boto3 became available in the environment) a
+real boto3 client behind botocore's Stubber, which validates the call
+shape with boto3's own parameter validation; production injects
+`boto3.client("s3")` (or nothing, and the lazy import picks it up
+where installed).
 """
 
 from __future__ import annotations
