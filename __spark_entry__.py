@@ -96,23 +96,37 @@ from cc_pyspark_spark.plans import QUERIES
 #: post-r12 rotation floor is r7 for exactly these two names and r8
 #: for everything else.
 #:
-#: Round-13 rotation (VERDICT r12 ask #1) — executes the committed
+#: Round-13 rotation (VERDICT r12 ask #1) — executed the committed
 #: r13 plan EXACTLY: the two displaced r7 names
 #: (tpch_q13_customer_distribution, tpch_q17_small_quantity_revenue)
-#: head the window, then 37 of the 38 r8-last-row names, then three
+#: headed the window, then 37 of the 38 r8-last-row names, then three
 #: first-row slots for the new r13 registrations
 #: (dedup_minhash_scale_capped + dedup_embedding_scale_capped — the
 #: capped-default deployed geometries, VERDICT r12 ask #3 — and
 #: curation_semdedup). Displacements per the rule: agg_arg_max's
 #: provisional r9-head slot and tpch_q6_forecast_revenue (max
-#: independent coverage; see the in-window comment) both move to
-#: the r14 head. After r13 the rotation floor is r9 everywhere
-#: except tpch_q6 (r8, documented): the r7 stragglers and the rest
-#: of the r8 cohort clear this round. r14 plan: tpch_q6 FIRST, then
-#: the full 42-name r9 cohort, then the r10 cohort, minus
-#: first-row slots for new r14 registrations per the displacement
-#: rule. Steady-state full-registry cycle ~4-5 rounds at 219
-#: registered queries.
+#: independent coverage; see the in-window comment) both moved to
+#: the r14 head. After r13 the rotation floor was r9 everywhere
+#: except tpch_q6 (r8, documented). CORRECTNESS_r13: 50/50 green.
+#:
+#: Round-14 rotation (VERDICT r13 ask #1) — executes the committed
+#: r14 plan: tpch_q6_forecast_revenue FIRST (the displaced r8 name,
+#: restoring the floor), then the r9-last-row cohort through the
+#: remaining 41 non-core slots. The r9 cohort counts 42 names —
+#: one more than the remaining slots — so exactly ONE r9 name is
+#: displaced to the r15 head per the same max-independent-coverage
+#: rule r12/r13 used: agg_theta_sketch_intersect (benched every
+#: round since r9 — its KMV build is a perf-gated bench row — AND
+#: re-verified in every sf0.001 oracle-parity pytest run, plus the
+#: r13 judge's independent 219/219 full-registry sweep). No new r14
+#: registrations (consolidation round: VERDICT r13 asks #2-#8), so
+#: no first-row slots. After r14 the rotation floor is r9 for
+#: exactly agg_theta_sketch_intersect and r10+ for everything else.
+#: r15 plan: agg_theta_sketch_intersect FIRST, then the 42-name r10
+#: cohort minus one displacement (42 slots for 43 candidates again),
+#: minus first-row slots for new r15 registrations per the rule.
+#: Steady-state full-registry cycle ~4-5 rounds at 219 registered
+#: queries.
 #:
 #: Ledger note (VERDICT r12 ask #7): the r8 cohort in
 #: CORRECTNESS_r01..r08 lists 39 names; the 39th,
@@ -139,75 +153,63 @@ DRIVER_CORE: tuple[str, ...] = (
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
-    # ================= r13 rotation (VERDICT r12 ask #1) =============
-    # Executes the committed r13 plan exactly: 42 non-core slots =
-    # the 2 displaced r7 names FIRST, then ALL 38 r8-last-row names,
-    # then 1 first-row slot (the sole new r13 registration) + 1
-    # r9-cohort head slot. After r13 the rotation floor is r9 for
-    # every name (histogram going in: r7:2, r8:38, r9:42, r10:42,
-    # r11:42, r12:50).
+    # ================= r14 rotation (VERDICT r13 ask #1) =============
+    # Executes the committed r14 plan: 42 non-core slots = the
+    # displaced r8 name FIRST, then 41 of the 42 r9-last-row names
+    # (alphabetical). One displacement (43 candidates for 42 slots):
+    # agg_theta_sketch_intersect moves to the r15 head — chosen from
+    # the r9 cohort as the name with the most independent coverage
+    # (perf-gated bench row every round since r9, re-verified in
+    # every sf0.001 parity pytest run AND the r13 judge's own
+    # 219/219 full-registry sf0.01 sweep). No new r14 registrations,
+    # so no first-row slots. Histogram going in: r8:1, r9:42,
+    # r10:42, r11:42, r12:42, r13:50.
     #
-    # -- the two displaced r7 names (r12 displacement rule; VERDICT
-    #    r12 watch-item (c): "they must actually head the r13
-    #    window as committed") --
-    "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    # -- ALL 38 r8-last-row names (alphabetical) --
-    "array_functions",
-    "conditional_functions",
-    "curation_dataset_card",
-    "curation_difficulty_bins",
-    "curation_pack_sequences",
-    "curation_stratified_sample",
-    "date_functions",
-    "dedup_edit_distance",
-    "dedup_embedding_delta",
-    "dedup_embedding_scale_probe",
-    "dedup_minhash_delta",
-    "dedup_simhash_scale",
-    "embedding_kmeans_lloyd",
-    "events_cusum_changepoint",
-    "events_ks_drift",
-    "events_tumbling_hourly",
-    "filter_in_like",
-    "graph_bfs_hops",
-    "graph_cc_alternating",
-    "layout_zorder_stats",
-    "multimodal_image_neardup",
-    "multimodal_image_phash",
-    "sim_ann_ivf_pq",
-    "sim_ann_ivfpq_residual",
-    "sim_cosine_topk",
-    "sim_eval_recall_at_k",
-    "sim_eval_recall_matrix",
-    "subquery_correlated",
-    "text_gopher_rules",
-    "text_hashed_classifier",
-    "text_word_count_tfdf",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_late_shipments",
-    "tpch_q5_local_supplier_volume",
-    # -- first rows for the three r13 registrations: the MinHash and
-    #    sign-LSH deployment geometries under the PRODUCTION default
-    #    cap (salt@64 + broadcast audit columns; VERDICT r12 ask #3
-    #    named BOTH deployed-geometry rows) and SemDeDup (cluster-
-    #    local semantic dedup composing the registered k-means
-    #    algebra). Displacements per the rule: the second new name
-    #    took the provisional agg_arg_max r9-head slot (r9 cohort
-    #    heads r14 intact); the third displaces
-    #    tpch_q6_forecast_revenue to the r14 head — chosen from the
-    #    r8 cohort as the name with the most independent coverage
-    #    (benched every round, the bench WARM-UP query, re-verified
-    #    in every sf0.001 parity pytest run), mirroring the r12
-    #    q13/q17 displacement. Its last driver row stays r8 until
-    #    r14, so the post-r13 rotation floor is r8 for exactly
-    #    tpch_q6 and r9 for everything else --
-    "dedup_minhash_scale_capped",
-    "dedup_embedding_scale_capped",
-    "curation_semdedup",
+    # -- the displaced r8 name (r13 displacement rule) --
+    "tpch_q6_forecast_revenue",
+    # -- 41 of the 42 r9-last-row names (alphabetical;
+    #    agg_theta_sketch_intersect displaced to the r15 head) --
+    "agg_arg_max",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_pivot_status",
+    "agg_rollup",
+    "agg_weighted_percentiles",
+    "curation_dsir_importance",
+    "curation_priority_sample",
+    "curation_snapshot_diff",
+    "dedup_embedding_fixture",
+    "embedding_kcenter_coreset",
+    "embedding_random_projection",
+    "events_sliding_10m_5m",
+    "events_user_trend",
+    "graph_cc_converged",
+    "graph_kcore",
+    "graph_label_propagation",
+    "join_anti",
+    "join_full_outer",
+    "join_left_outer_count",
+    "join_merge_hint",
+    "join_semi",
+    "json_extract_props",
+    "multimodal_container_probe",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "sim_bm25_topk",
+    "sim_hard_negatives",
+    "text_blocklist_phrases",
+    "text_bpe_train",
+    "text_classifier_eval",
+    "text_classifier_train",
+    "text_ngram_novelty",
+    "text_ngram_novelty_bloom",
+    "window_lag_delta",
+    "window_range_frame",
+    "window_rank_suite",
+    "window_running_sum",
 )
 
 
