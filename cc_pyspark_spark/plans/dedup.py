@@ -713,7 +713,10 @@ def _duck_embedding_wide_oracle() -> str:
     "planted deterministically (v[0] * 1.0625, cos ~ 0.9999) so the "
     "wide geometry has real recall work on a fixture whose organic "
     "pairs top out at cos 0.51; full value-hash oracle replays the "
-    "per-band bigint signatures, bucket join, and exact cosine verify",
+    "per-band bigint signatures, bucket join, and exact cosine verify. "
+    "Since r14 this is the FULL-RECALL REFERENCE row (explicit "
+    "max_bucket_size=None; the operator default is the salt@64 cap, "
+    "exercised by dedup_embedding_scale_capped)",
     tags=("dedup", "similarity", "bench", "scale"),
 )
 def dedup_embedding_scale_wide(spark: SparkSession, sf_dir: str) -> DataFrame:

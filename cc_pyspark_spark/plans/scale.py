@@ -62,11 +62,16 @@ WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM t),
 {_duck_jaccard_tail()}
 """,
-    description="Deployment MinHash+LSH near-dup pairs: xxhash64 shingle IDs "
-    "(no global sort), band-bucketed candidates, exact-Jaccard verification "
-    "— the plan actually run at 100 TB. Oracle is the all-pairs exact "
-    "Jaccard set: precision is structural (exact verification) and full "
-    "fixture recall is pinned in pytest, so the sets coincide",
+    description="MinHash+LSH near-dup pairs: xxhash64 shingle IDs "
+    "(no global sort), band-bucketed candidates, exact-Jaccard verification. "
+    "Since r14 this is the FULL-RECALL REFERENCE row (explicit "
+    "max_bucket_size=None): the operator's signature default is the "
+    "production salt@64 cap, exercised by dedup_minhash_scale_capped — "
+    "this row keeps the uncapped plan so its all-pairs oracle and the "
+    "capped row's equality invariant both stay anchored. Oracle is the "
+    "all-pairs exact Jaccard set: precision is structural (exact "
+    "verification) and full fixture recall is pinned in pytest, so the "
+    "sets coincide",
     tags=("dedup", "bench", "scale"),
 )
 def dedup_minhash_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
