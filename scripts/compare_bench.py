@@ -90,12 +90,23 @@ def main() -> None:
         tol = 1 + max(so.get(n, 0.2), sn.get(n, 0.2))
         if r > tol or 1 / r > tol:
             movers.append((r, n))
+    # r14: rows the bench itself marked unstable (spread_note = both
+    # re-measure batches exceeded 0.4 — host-level variance) are
+    # labeled so a reader doesn't chase them as code regressions.
+    def _noted(rec: dict, n: str) -> bool:
+        return "spread_note" in rec.get("stats", {}).get(n, {})
+
     if movers:
         print("movers beyond their own spread:")
         for r, n in sorted(movers):
+            flag = (
+                " [noted unstable]"
+                if _noted(old, n) or _noted(new, n)
+                else ""
+            )
             print(
                 f"  {n}: {qo[n]:.2f} -> {qn[n]:.2f} s (x{r:.2f}; "
-                f"spreads {so.get(n)}/{sn.get(n)})"
+                f"spreads {so.get(n)}/{sn.get(n)}){flag}"
             )
     else:
         print("movers beyond their own spread: none")
