@@ -536,7 +536,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     stats: dict[str, dict] = {}
-    for name in names:
+    # r14: a MID-session calibration reading joins the first/last
+    # brackets. Measured blind spot (see SCALING.md "Ambient-load
+    # envelope"): endpoint brackets missed mid-session contention that
+    # moved iterative rows 2x while host_factor read ~1.0. Three
+    # points can't see everything either, but a mid reading that
+    # disagrees with the brackets is now a mechanical discard signal.
+    cal_mid = None
+    mid_at = len(names) // 2
+    for qi, name in enumerate(names):
+        if qi == mid_at and len(names) >= 20:
+            cal_mid = _calibration_sec(spark)
         samples: list[float] = []
         cold_sec = 0.0
         builder = EXTRA_OPS.get(name) or QUERIES[name].spark
@@ -638,13 +648,18 @@ def main() -> None:
         # are recorded so a round-over-round reader can see which
         # queries leave checkpoint state behind (iterative loops) and
         # how much; an unexplained count IS the leak signal (r14).
-        swept = _sweep_persistent_state(spark)
-        if swept:
-            stats[name]["swept_blocks"] = swept
+        # SPARK_GRAFT_NO_SWEEP=1 disables the sweep+GC — the A/B knob
+        # for attributing cross-round movers to the protocol change
+        # (VERDICT r13 ask #4); never set it for a committed record.
+        if not os.environ.get("SPARK_GRAFT_NO_SWEEP"):
+            swept = _sweep_persistent_state(spark)
+            if swept:
+                stats[name]["swept_blocks"] = swept
 
     cal_last = _calibration_sec(spark)
+    cal_points = [c for c in (cal_first, cal_mid, cal_last) if c is not None]
     host_factor = round(
-        (cal_first + cal_last) / 2 / CALIBRATION_REF_SEC, 4
+        sum(cal_points) / len(cal_points) / CALIBRATION_REF_SEC, 4
     )
 
     result = {
@@ -657,14 +672,16 @@ def main() -> None:
         "sf": sf,
         # Mechanical drift normalization (VERDICT r12 ask #2): divide
         # this record's seconds by host_factor before comparing to
-        # another round's (also-normalized) record. first/last bracket
-        # the session so a mid-session drift shift is visible as their
-        # disagreement. BENCH_r12 and earlier predate the field — for
-        # those, fall back to the hand A/B constants recorded in
-        # SCALING.md ("Bench-noise notes").
+        # another round's (also-normalized) record. first/MID/last
+        # sample the session (mid added r14 after endpoint-only
+        # brackets missed mid-session contention) so a drift shift is
+        # visible as their disagreement. BENCH_r12 and earlier predate
+        # the field — for those, fall back to the hand A/B constants
+        # recorded in SCALING.md ("Bench-noise notes").
         "host_factor": host_factor,
         "calibration": {
             "first_sec": cal_first,
+            "mid_sec": cal_mid,
             "last_sec": cal_last,
             "ref_sec": CALIBRATION_REF_SEC,
         },
