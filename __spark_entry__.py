@@ -5,13 +5,37 @@ registry (cc_pyspark_spark.plans.registry) — one entry per implemented
 operator from SURVEY.md §2 plus the beyond-reference LLM-pipeline
 operators.
 
-The round-1 driver checked exactly the first 50 entries in dict order,
-so ``queries()`` emits a curated priority block first: the benchmark
-headliners (TPC-H), the full dedup/text/similarity/events surface, and
-one representative per relational operator family. Redundant micro-
-queries (extra set ops, grouping-set variants, window-frame twins, …)
-come after the cutoff — they remain registered, exported, and verified
-by the local DuckDB-parity pytest either way.
+The per-round driver checks exactly the FIRST 50 entries in dict order,
+so ``queries()`` emits a curated priority block first: the fixed
+8-headliner ``DRIVER_CORE`` (every core name is also in
+``bench.HEADLINERS``, so it is perf-gated every round) plus a 42-slot
+rotation window.  Every name outside the window stays registered,
+exported, benched where applicable, and re-verified by the sf0.001
+DuckDB-parity pytest every round.
+
+Rotation protocol (stable since r10; per-round narratives are archived
+verbatim in SCALING.md "r15 additions"):
+
+* OLDEST-FIRST — the window takes the cohort whose last driver row is
+  stalest (the ledger is CORRECTNESS_r01..r{N-1}).
+* New registrations get FIRST-ROW slots in the same window; each one
+  displaces a rotation name to the next round's head.
+* When candidates exceed slots, the displaced name is the one with the
+  MOST independent coverage (benched every round AND re-verified in the
+  parity pytest / judge full-registry sweeps).
+
+Round-15 window (VERDICT r14 ask #1, executing the committed plan):
+``agg_theta_sketch_intersect`` FIRST (the r14 displacement, restoring
+its floor), then 41 of the 42 r10-last-row names (alphabetical).  The
+cohort counts 42 for 41 remaining slots, so ONE r10 name is displaced
+to the r16 head per the rule above: ``dedup_exact`` (perf-gated bench
+row every round since r2, deterministic hash-groupBy, re-verified in
+every sf0.001 parity pytest run AND the r14 judge's independent
+219/219 full-registry sf0.01 sweep).  No new r15 registrations at
+window-commit time; late registrations take in-window first-row slots
+per the displacement rule.  Floor after r15: r10 for exactly
+``dedup_exact``, r11+ for everything else.  Full-registry cycle stays
+~4-5 rounds at 219 registered queries.
 """
 
 from __future__ import annotations
@@ -22,126 +46,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cc_pyspark_spark.plans import QUERIES
 
-#: Names the per-round driver gate must see first (its cap is 50).
-#:
-#: The fixed EIGHT-query headliner core (TPC-H spine, scale-dedup,
-#: IVF ANN, session windows, BPE, curation e2e) is a subset of
-#: ``bench.HEADLINERS`` (which benches far more), so every
-#: driver-gated core name is also perf-gated every round.  The core
-#: shrank 12 -> 8 during r9 to free rotation slots; the authoritative
-#: count is ``len(DRIVER_CORE)`` below, and the rotation window is
-#: ``50 - len(DRIVER_CORE)`` slots.  r9 change inside the core (VERDICT r8 ask
-#: #2): the embedding-dedup slot now runs dedup_embedding_scale_wide —
-#: the production 16-bit x 8 sign-LSH geometry — and the 4-bit demo
-#: formerly named dedup_embedding_scale is re-registered as
-#: dedup_embedding_fixture (unbenched, rotation slot below), so the
-#: `scale` tag and the benched name always denote deployed geometry.
-#:
-#: Round-10 rotation (VERDICT r9 ask #1, executing the committed r10
-#: plan): the 42 non-core slots take (a) ALL 24 remaining r2-stale
-#: names — after r10 no driver row predates r5 — plus (b) first rows
-#: for ALL THIRTEEN names new in r10 (wat_links_host_graph,
-#: text_classifier_train_sparse, curation_domain_cap,
-#: curation_token_budget_mix, text_vocab_coverage,
-#: dedup_url_canonical, graph_hits, sim_mmr_rerank,
-#: multimodal_tar_index, curation_mix_execute, sim_bitext_mine,
-#: text_kneser_ney_bigram, multimodal_zip_probe), and (c) five
-#: refresh slots for r8-last-row names (curation_pack_sequences,
-#: text_word_count_tfdf, dedup_exact, embedding_pq_codes,
-#: sim_ann_pq_adc).
-#:
-#: Round-11 rotation (VERDICT r10 ask #1) — OLDEST-FIRST, which
-#: deviates from the verdict's named list deliberately: the verdict
-#: asked for the r8-last-row cohort and "no driver row predates r8
-#: after r11", but the last-row ledger (CORRECTNESS_r01..r10) shows
-#: the stalest rows are the r5 cohort (8 names), then r6 (25), then
-#: r7 (26) — 59 pre-r8 names in total, more than the 42 slots one
-#: round has, so the verdict's floor is unreachable as stated.
-#: Rotating strictly oldest-first lifts the floor from r5 to r7 in
-#: one round (all r5 + all r6 names re-pass here, plus the 6
-#: alphabetically-first r7 names); the remaining 20 r7 names and the
-#: verdict's r8 cohort head the r12 plan. New r11 registrations
-#: (graph_lpa_converged, graph_kcore_converged,
-#: curation_quota_semantics) take first-row slots per the tripwire.
-#:
-#: Round-12 rotation (VERDICT r11 ask #1): executes the committed r12
-#: plan — all 26 r7-last-row names + the alphabetically-first r8
-#: names, with SIXTEEN first-row slots for the new r12 registrations
-#: (dedup_minhash_capped, dedup_minhash_salted, dedup_containment,
-#: events_scd2_asof, layout_bucketed_join, text_boilerplate_shingles,
-#: graph_link_prediction, events_ohlc_bars, text_code_detect,
-#: layout_partition_pruning, join_skew_salted,
-#: curation_epoch_shuffle, wat_anchor_topk,
-#: events_interval_overlap, sim_sparse_impact_topk,
-#: layout_bucketed_agg). Each new name displaced
-#: one r8 tail name back to the r13 queue per the displacement rule,
-#: so the
-#: full 38-name r8 cohort heads the r13 plan (no r8 slots remain in
-#: the r12 window). Rotation floor after r12: r8 —
-#: unchanged, because r12's first-rows refresh every new name and
-#: the r7 cohort clears entirely.
-#:
-#: Late-r12 displacement (tripwire, enforced by
-#: tests/test_driver_contract.py::test_headliners_inside_driver_cap):
-#: wat_host_pagerank and dedup_lsh_recall_eval registered after the
-#: r12 window was first committed; per the same displacement rule the
-#: sixteen earlier r12 names used, each takes an in-window first-row
-#: slot and displaces one rotation name to the r13 head. Displaced:
-#: tpch_q13_customer_distribution, tpch_q17_small_quantity_revenue —
-#: chosen from the r7 cohort as the two names with the most
-#: independent coverage besides the driver row (both are benched
-#: every round AND re-verified in every sf0.001 parity pytest run,
-#: and the r11 judge's own full-registry sf0.01 sweep re-verified
-#: them MATCH). They keep their r7 last-rows until r13, so the
-#: post-r12 rotation floor is r7 for exactly these two names and r8
-#: for everything else.
-#:
-#: Round-13 rotation (VERDICT r12 ask #1) — executed the committed
-#: r13 plan EXACTLY: the two displaced r7 names
-#: (tpch_q13_customer_distribution, tpch_q17_small_quantity_revenue)
-#: headed the window, then 37 of the 38 r8-last-row names, then three
-#: first-row slots for the new r13 registrations
-#: (dedup_minhash_scale_capped + dedup_embedding_scale_capped — the
-#: capped-default deployed geometries, VERDICT r12 ask #3 — and
-#: curation_semdedup). Displacements per the rule: agg_arg_max's
-#: provisional r9-head slot and tpch_q6_forecast_revenue (max
-#: independent coverage; see the in-window comment) both moved to
-#: the r14 head. After r13 the rotation floor was r9 everywhere
-#: except tpch_q6 (r8, documented). CORRECTNESS_r13: 50/50 green.
-#:
-#: Round-14 rotation (VERDICT r13 ask #1) — executes the committed
-#: r14 plan: tpch_q6_forecast_revenue FIRST (the displaced r8 name,
-#: restoring the floor), then the r9-last-row cohort through the
-#: remaining 41 non-core slots. The r9 cohort counts 42 names —
-#: one more than the remaining slots — so exactly ONE r9 name is
-#: displaced to the r15 head per the same max-independent-coverage
-#: rule r12/r13 used: agg_theta_sketch_intersect (benched every
-#: round since r9 — its KMV build is a perf-gated bench row — AND
-#: re-verified in every sf0.001 oracle-parity pytest run, plus the
-#: r13 judge's independent 219/219 full-registry sweep). No new r14
-#: registrations (consolidation round: VERDICT r13 asks #2-#8), so
-#: no first-row slots. After r14 the rotation floor is r9 for
-#: exactly agg_theta_sketch_intersect and r10+ for everything else.
-#: r15 plan: agg_theta_sketch_intersect FIRST, then the 42-name r10
-#: cohort minus one displacement (42 slots for 43 candidates again),
-#: minus first-row slots for new r15 registrations per the rule.
-#: Steady-state full-registry cycle ~4-5 rounds at 219 registered
-#: queries.
-#:
-#: Ledger note (VERDICT r12 ask #7): the r8 cohort in
-#: CORRECTNESS_r01..r08 lists 39 names; the 39th,
-#: ``dedup_embedding_scale``, was RENAMED in r9 — the 4-bit demo
-#: geometry re-registered as ``dedup_embedding_fixture`` (its r9+
-#: rows live under that name) and the benched `scale` slot points at
-#: ``dedup_embedding_scale_wide``, the production 16-bit x 8
-#: geometry. The old name has no registered owner and is not
-#: rotatable; rotation audits should map it old->new, not flag it.
-#: Each rotated-out name stays green in the sf0.001 parity pytest
-#: meanwhile.
+#: Fixed 8-headliner core: benched AND driver-gated every round
+#: (stable since r9; every former core name cycles through the
+#: rotation slots and keeps its bench row).
 DRIVER_CORE: tuple[str, ...] = (
-    # -- fixed 8-headliner core: benched AND driver-gated every round
-    #    (stable since r9; every former core name remains benched and
-    #    cycles through the rotation slots) --
     "tpch_q1_pricing_summary",
     "tpch_q19_disjunctive",
     "dedup_minhash_scale",
@@ -153,63 +61,58 @@ DRIVER_CORE: tuple[str, ...] = (
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = DRIVER_CORE + (
-    # ================= r14 rotation (VERDICT r13 ask #1) =============
-    # Executes the committed r14 plan: 42 non-core slots = the
-    # displaced r8 name FIRST, then 41 of the 42 r9-last-row names
-    # (alphabetical). One displacement (43 candidates for 42 slots):
-    # agg_theta_sketch_intersect moves to the r15 head — chosen from
-    # the r9 cohort as the name with the most independent coverage
-    # (perf-gated bench row every round since r9, re-verified in
-    # every sf0.001 parity pytest run AND the r13 judge's own
-    # 219/219 full-registry sf0.01 sweep). No new r14 registrations,
-    # so no first-row slots. Histogram going in: r8:1, r9:42,
-    # r10:42, r11:42, r12:42, r13:50.
+    # ================= r15 rotation (VERDICT r14 ask #1) =============
+    # Histogram going in: r9:1 (the displaced name below), r10:42,
+    # r11:42, r12:42, r13:42, r14:50.  42 slots = the displaced r9
+    # name + 41 of the 42 r10-last-row names; dedup_exact displaced
+    # to the r16 head (max independent coverage — see module
+    # docstring).
     #
-    # -- the displaced r8 name (r13 displacement rule) --
-    "tpch_q6_forecast_revenue",
-    # -- 41 of the 42 r9-last-row names (alphabetical;
-    #    agg_theta_sketch_intersect displaced to the r15 head) --
-    "agg_arg_max",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_pivot_status",
-    "agg_rollup",
-    "agg_weighted_percentiles",
-    "curation_dsir_importance",
-    "curation_priority_sample",
-    "curation_snapshot_diff",
-    "dedup_embedding_fixture",
-    "embedding_kcenter_coreset",
-    "embedding_random_projection",
-    "events_sliding_10m_5m",
-    "events_user_trend",
-    "graph_cc_converged",
-    "graph_kcore",
-    "graph_label_propagation",
-    "join_anti",
-    "join_full_outer",
-    "join_left_outer_count",
-    "join_merge_hint",
-    "join_semi",
-    "json_extract_props",
-    "multimodal_container_probe",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "sim_bm25_topk",
-    "sim_hard_negatives",
-    "text_blocklist_phrases",
-    "text_bpe_train",
-    "text_classifier_eval",
-    "text_classifier_train",
-    "text_ngram_novelty",
-    "text_ngram_novelty_bloom",
-    "window_lag_delta",
-    "window_range_frame",
-    "window_rank_suite",
-    "window_running_sum",
+    # -- the displaced r9 name (r14 displacement rule) --
+    "agg_theta_sketch_intersect",
+    # -- 41 of the 42 r10-last-row names (alphabetical; dedup_exact
+    #    displaced to the r16 head) --
+    "agg_collect_sorted_list",
+    "agg_count_by_key",
+    "agg_distinct_pairs",
+    "curation_contamination",
+    "curation_domain_cap",
+    "curation_mix_execute",
+    "curation_repetition_signals",
+    "curation_soft_dedup",
+    "curation_token_budget_mix",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_url_canonical",
+    "embedding_pq_codes",
+    "graph_hits",
+    "graph_modularity",
+    "join_inner_dims",
+    "multimodal_tar_index",
+    "multimodal_zip_probe",
+    "project_computed",
+    "set_union_distinct",
+    "sim_ann_pq_adc",
+    "sim_bitext_mine",
+    "sim_mmr_rerank",
+    "string_functions",
+    "text_bigram_counts",
+    "text_classifier_train_sparse",
+    "text_fingerprint",
+    "text_kneser_ney_bigram",
+    "text_lang_id",
+    "text_quality_score",
+    "text_rolling_fingerprint",
+    "text_token_stats",
+    "text_top_terms_tfidf",
+    "text_vocab_coverage",
+    "topk_global",
+    "tpch_q22_global_sales_opportunity",
+    "wat_links_host_graph",
+    "window_dense_ids",
+    "window_topn_per_group",
 )
 
 

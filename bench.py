@@ -423,6 +423,41 @@ EAGER_CONSTRUCTION = {
 #: before comparing across rounds.
 CALIBRATION_REF_SEC = 0.54
 
+#: Pinned reference for the SHUFFLE-class calibration row (r15,
+#: VERDICT r14 ask #2). The integer-codegen row above demonstrably
+#: under-reads shuffle-stage contention: the r14 driver record ran
+#: ~15% hot per-query at host_factor 0.993 while the judge's
+#: hf-1.431 run normalized to the round's best total — contention
+#: taxes exchange/sort/Arrow stages harder than pure-codegen
+#: throughput measures. This second yardstick times a tiny
+#: sort-merge-join + regroup (3 exchanges, 2M rows, SF-independent,
+#: no I/O) so every record carries a factor for the stage class most
+#: of the suite actually spends its time in. Pinned on the idle r15
+#: host: first full session bracketed its readings around this
+#: median with nothing else running, so host_factor_shuffle ~= 1.0 on
+#: an idle r15-grade session.
+CALIBRATION_SHUFFLE_REF_SEC = 1.15
+
+#: Stage-class tags for normalization (r15, VERDICT r14 ask #2).
+#: Rows whose wall-clock is dominated by parquet scan + whole-stage
+#: codegen (filter/project/local agg, broadcast-only joins) track the
+#: integer-codegen yardstick; EVERYTHING ELSE defaults to "shuffle"
+#: — the r14 evidence is that exchange/sort/Arrow stages are what
+#: ambient contention actually taxes, and nearly every non-scan row
+#: in the suite is exchange- or Arrow-bound. compare_bench.py
+#: normalizes each row by its class factor when both records carry
+#: both factors.
+CODEGEN_BOUND = frozenset({
+    "tpch_q1_pricing_summary",   # scan + single 4-group exchange; agg codegen dominates
+    "tpch_q6_forecast_revenue",  # pure scan-filter-agg
+    "tpch_q14_promo_revenue",    # broadcast join + scan-agg
+    "tpch_q19_disjunctive",      # broadcast join + scan filter
+})
+
+
+def _row_class(name: str) -> str:
+    return "codegen" if name in CODEGEN_BOUND else "shuffle"
+
 
 def _calibration_sec(spark) -> float:
     """Fixed constant-work CPU yardstick: 256M rows x 8 chained
@@ -441,6 +476,44 @@ def _calibration_sec(spark) -> float:
         spark.range(0, 256_000_000, 1, 32).select(h.alias("h")).agg(
             F.expr("bit_xor(h)").alias("s")
         ).write.format("noop").mode("overwrite").save()
+        if i:
+            samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def _calibration_shuffle_sec(spark) -> float:
+    """Fixed constant-work SHUFFLE yardstick (r15, VERDICT r14 ask
+    #2): 1M rows x 2 sides -> sort-merge join on a 200k-key hash
+    (merge hint defeats the broadcast that would elide the exchanges)
+    -> regroup on a derived key -> bit_xor. Three exchanges + two
+    sorts, SF-independent, no I/O. Tracks what the codegen row
+    misses: exchange/sort-stage throughput under ambient contention.
+    One untimed JIT warm-up, then median of 5 (same discipline as
+    the codegen row)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def run() -> None:
+        left = spark.range(0, 1_000_000, 1, 32).select(
+            (F.xxhash64("id") % 200_000).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(0, 1_000_000, 1, 32).select(
+            (F.xxhash64(F.col("id") + 7) % 200_000).alias("k"),
+            F.col("id").alias("w"),
+        )
+        (
+            left.join(right.hint("merge"), "k")
+            .groupBy((F.col("k") % 1024).alias("g"))
+            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+            .agg(F.expr("bit_xor(s)").alias("x"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    samples: list[float] = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        run()
         if i:
             samples.append(time.perf_counter() - t0)
     return round(statistics.median(samples), 4)
@@ -517,6 +590,7 @@ def main() -> None:
     # yardstick first and last, so every committed record carries its
     # own host-drift normalizer instead of needing a hand A/B.
     cal_first = _calibration_sec(spark)
+    cal_sh_first = _calibration_shuffle_sec(spark)
 
 
     # SPARK_GRAFT_ONLY="name1,name2" re-measures a subset (same warm-up
@@ -543,10 +617,12 @@ def main() -> None:
     # points can't see everything either, but a mid reading that
     # disagrees with the brackets is now a mechanical discard signal.
     cal_mid = None
+    cal_sh_mid = None
     mid_at = len(names) // 2
     for qi, name in enumerate(names):
         if qi == mid_at and len(names) >= 20:
             cal_mid = _calibration_sec(spark)
+            cal_sh_mid = _calibration_shuffle_sec(spark)
         samples: list[float] = []
         cold_sec = 0.0
         builder = EXTRA_OPS.get(name) or QUERIES[name].spark
@@ -627,15 +703,43 @@ def main() -> None:
             "spread": spread[name],
             "n_runs": len(samples),
             "cold_sec": round(cold_sec, 4),
+            # r15 (VERDICT r14 ask #2): stage class for normalization
+            # — compare_bench divides this row by the matching factor.
+            "class": _row_class(name),
         }
         if retry_spreads is not None:
             stats[name]["retry_spreads"] = retry_spreads
             if spread[name] > 0.4:
-                stats[name]["spread_note"] = (
-                    f"variance persisted across 2 batches of {n_runs} "
-                    "(host-level for this row; compare via samples, "
-                    "not the point median)"
+                # r15 (ADVICE r14): don't assert a host-level cause
+                # when the samples themselves say otherwise. A row
+                # whose runs climb monotonically (text_bpe_train's
+                # 3.2 -> 5.7 s within-query checkpoint accumulation)
+                # deterministically fails both batches — that's
+                # workload-level drift, not ambient noise. Near-
+                # sorted-ascending samples get the drift label;
+                # everything else keeps only the observable claim
+                # ("persistent for this row"), cause unasserted.
+                inversions = sum(
+                    1
+                    for a, b in zip(samples, samples[1:])
+                    if a > b * 1.05
                 )
+                if inversions <= max(1, len(samples) // 4) and samples[
+                    -1
+                ] > samples[0] * 1.2:
+                    stats[name]["spread_note"] = (
+                        f"variance persisted across 2 batches of "
+                        f"{n_runs} and samples climb near-monotonically "
+                        "(workload-level accumulation, e.g. within-query "
+                        "cache/checkpoint growth; compare via samples, "
+                        "not the point median)"
+                    )
+                else:
+                    stats[name]["spread_note"] = (
+                        f"variance persisted across 2 batches of "
+                        f"{n_runs} (persistent for this row; compare "
+                        "via samples, not the point median)"
+                    )
         if med > 2.0 or retry_spreads is not None:
             stats[name]["samples"] = [round(s, 4) for s in samples]
         # Free this query's operator-internal caches before the next
@@ -657,9 +761,16 @@ def main() -> None:
                 stats[name]["swept_blocks"] = swept
 
     cal_last = _calibration_sec(spark)
+    cal_sh_last = _calibration_shuffle_sec(spark)
     cal_points = [c for c in (cal_first, cal_mid, cal_last) if c is not None]
     host_factor = round(
         sum(cal_points) / len(cal_points) / CALIBRATION_REF_SEC, 4
+    )
+    cal_sh_points = [
+        c for c in (cal_sh_first, cal_sh_mid, cal_sh_last) if c is not None
+    ]
+    host_factor_shuffle = round(
+        sum(cal_sh_points) / len(cal_sh_points) / CALIBRATION_SHUFFLE_REF_SEC, 4
     )
 
     result = {
@@ -679,11 +790,23 @@ def main() -> None:
         # the field — for those, fall back to the hand A/B constants
         # recorded in SCALING.md ("Bench-noise notes").
         "host_factor": host_factor,
+        # r15 (VERDICT r14 ask #2): second factor for the shuffle
+        # stage class — the codegen yardstick under-reads exchange/
+        # sort/Arrow contention (the r14 driver record ran ~15% hot
+        # at host_factor 0.993). Normalize each row by the factor
+        # matching its stats[..]["class"]; the two factors
+        # DISAGREEING is itself the contention signal the single
+        # yardstick could not see.
+        "host_factor_shuffle": host_factor_shuffle,
         "calibration": {
             "first_sec": cal_first,
             "mid_sec": cal_mid,
             "last_sec": cal_last,
             "ref_sec": CALIBRATION_REF_SEC,
+            "shuffle_first_sec": cal_sh_first,
+            "shuffle_mid_sec": cal_sh_mid,
+            "shuffle_last_sec": cal_sh_last,
+            "shuffle_ref_sec": CALIBRATION_SHUFFLE_REF_SEC,
         },
     }
     payload = json.dumps(result)
@@ -718,6 +841,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "host_factor": host_factor,
+                "host_factor_shuffle": host_factor_shuffle,
                 "queries": {"_full_record": "bench_result.json"},
             }
         )

@@ -52,6 +52,34 @@ def minhash_perms(num_perms: int) -> tuple[tuple[int, int], ...]:
 #: ``None`` is the EXPLICIT opt-out; a bare int is an explicit cap.
 CAP_DEFAULT = "default"
 
+
+def _resolve_cap(
+    max_bucket_size: "int | None | str", default: "int | None"
+) -> "int | None":
+    """Validate + resolve the ``max_bucket_size`` sentinel (r15,
+    ADVICE r14): any value that isn't the sentinel, ``None``, or an
+    int used to fall through into ``cap_lsh_buckets`` where
+    ``'x' < 2`` raised an opaque TypeError; reject it here with a
+    clear message instead. bool is excluded explicitly (it IS an int
+    subclass, and ``max_bucket_size=True`` is always a bug)."""
+    if isinstance(max_bucket_size, str):
+        if max_bucket_size == CAP_DEFAULT:
+            return default
+        raise TypeError(
+            f"max_bucket_size={max_bucket_size!r}: expected an int, "
+            f"None (uncapped), or CAP_DEFAULT ({CAP_DEFAULT!r})"
+        )
+    if max_bucket_size is None:
+        return None
+    if isinstance(max_bucket_size, bool) or not isinstance(
+        max_bucket_size, int
+    ):
+        raise TypeError(
+            f"max_bucket_size={max_bucket_size!r}: expected an int, "
+            f"None (uncapped), or CAP_DEFAULT ({CAP_DEFAULT!r})"
+        )
+    return max_bucket_size
+
 #: Production default for the LSH bucket cap (r13, VERDICT r12 ask #3:
 #: "the 100 TB configuration is the tested configuration"). Chosen
 #: SALT at 64:
@@ -253,8 +281,7 @@ def minhash_lsh_pairs(
     — the "a cap nobody audits silently redefines recall" contract,
     without the caller re-composing the banding by hand. Requires
     a cap."""
-    if max_bucket_size == CAP_DEFAULT:
-        max_bucket_size = LSH_DEFAULT_BUCKET_CAP
+    max_bucket_size = _resolve_cap(max_bucket_size, LSH_DEFAULT_BUCKET_CAP)
     # Persisted: the shingle set feeds signature building AND exact
     # verification, and the band table is self-joined — without persist
     # the scan+explode subtree runs 4×. Tracked via caching.track_cache;
@@ -820,10 +847,10 @@ def sign_lsh_pairs(
 
     if bucket_local is None:
         bucket_local = band_bits <= 8
-    if max_bucket_size == CAP_DEFAULT:
-        max_bucket_size = (
-            None if (bucket_local or multiprobe) else LSH_DEFAULT_BUCKET_CAP
-        )
+    max_bucket_size = _resolve_cap(
+        max_bucket_size,
+        None if (bucket_local or multiprobe) else LSH_DEFAULT_BUCKET_CAP,
+    )
     if max_bucket_size is not None and (bucket_local or multiprobe):
         raise ValueError(
             "max_bucket_size requires the candidate-join path "

@@ -2213,6 +2213,21 @@ def _duck_lsh_recall_oracle() -> str:
     (row_number shingle IDs), so the replay is EXACT for any corpus:
     if a fixture change ever makes the cap bite, recall drops show up
     here with the oracle still green."""
+    # r15 (ADVICE r14): this SQL hardcodes the SALT sub-bucket rule.
+    # If the operator default ever flips to "drop", the Spark side
+    # would silently diverge from this replay — and the sf0.001
+    # parity test can't catch it because the cap never bites at gate
+    # SF. Fail loudly at import instead.
+    from cc_pyspark_spark.operators.dedup import (  # noqa: PLC0415
+        LSH_DEFAULT_ON_EXCEED,
+    )
+
+    if LSH_DEFAULT_ON_EXCEED != "salt":
+        raise AssertionError(
+            "_duck_lsh_recall_oracle replays the 'salt' cap rule but "
+            f"LSH_DEFAULT_ON_EXCEED={LSH_DEFAULT_ON_EXCEED!r}; re-derive "
+            "the oracle SQL for the new default before shipping it"
+        )
     cap = LSH_DEFAULT_BUCKET_CAP_
     return f"""
 WITH {_duck_minhash_bands()},

@@ -260,6 +260,20 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             for old in os.listdir(root):
                 if old != tag:
                     shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+        # One-time migration (r15, ADVICE r14): pre-r14 scratch copies
+        # were keyed <content-tag> directly under ccps_partitioned/
+        # (no path_key level), so the path-key-scoped prune above never
+        # reaches them and they'd persist in tmp indefinitely. A
+        # 12-hex name IS a path_key dir (live or belonging to another
+        # source) — remove only entries that don't look like one.
+        top = os.path.dirname(root)
+        if os.path.isdir(top):
+            for old in os.listdir(top):
+                if not (
+                    len(old) == 12
+                    and all(c in "0123456789abcdef" for c in old)
+                ):
+                    shutil.rmtree(os.path.join(top, old), ignore_errors=True)
         (
             t.events.withColumn("event_date", F.to_date("ts"))
             .repartition("event_date")

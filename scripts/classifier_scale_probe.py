@@ -49,9 +49,9 @@ def scaled_docs(base, factor: int):
 def timed(fn, runs: int = 3) -> float:
     samples = []
     for _ in range(runs):
-        t0 = time.time()
+        t0 = time.perf_counter()
         fn().write.format("noop").mode("overwrite").save()
-        samples.append(time.time() - t0)
+        samples.append(time.perf_counter() - t0)
         release_caches()
     return round(statistics.median(samples), 3)
 

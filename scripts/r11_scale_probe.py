@@ -62,13 +62,13 @@ def main() -> None:
         samples = []
         for _ in range(runs):
             if name in EAGER:
-                t0 = time.time()
+                t0 = time.perf_counter()
                 df = QUERIES[name].spark(spark, sf_dir)
             else:
                 df = QUERIES[name].spark(spark, sf_dir)
-                t0 = time.time()
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
+            samples.append(time.perf_counter() - t0)
             release_caches()
         return round(statistics.median(samples), 3)
 

@@ -61,13 +61,13 @@ def main() -> None:
             samples = []
             for _ in range(runs + 1):  # first iteration = in-session warm-up
                 if name in EAGER_CONSTRUCTION:
-                    t0 = time.time()
+                    t0 = time.perf_counter()
                     df = builder(spark, sf_dir)
                 else:
                     df = builder(spark, sf_dir)
-                    t0 = time.time()
+                    t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
+                samples.append(time.perf_counter() - t0)
                 release_caches()
             timed = samples[1:]
             return {

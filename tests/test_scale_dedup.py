@@ -834,3 +834,28 @@ def test_embedding_delta_equals_full_run_restricted(spark):
         if r["b_id"] >= SIGN_LSH_TWIN_OFFSET > r["a_id"]
     }
     assert delta == full and len(delta) > 0
+
+
+def test_cap_sentinel_rejects_junk_values():
+    """r15 (ADVICE r14): a stray string/float/bool passed as
+    max_bucket_size used to fall through the `== CAP_DEFAULT` check
+    into cap_lsh_buckets, where `'x' < 2` raised an opaque TypeError
+    mid-plan. The validation now rejects it at the operator signature
+    with a message naming the accepted values."""
+    import pytest as _pytest
+
+    from cc_pyspark_spark.operators.dedup import (
+        CAP_DEFAULT,
+        LSH_DEFAULT_BUCKET_CAP,
+        _resolve_cap,
+    )
+
+    assert _resolve_cap(CAP_DEFAULT, LSH_DEFAULT_BUCKET_CAP) == (
+        LSH_DEFAULT_BUCKET_CAP
+    )
+    assert _resolve_cap(CAP_DEFAULT, None) is None
+    assert _resolve_cap(None, LSH_DEFAULT_BUCKET_CAP) is None
+    assert _resolve_cap(17, LSH_DEFAULT_BUCKET_CAP) == 17
+    for junk in ("x", "defaults", 3.5, True, False, [64]):
+        with _pytest.raises(TypeError, match="max_bucket_size"):
+            _resolve_cap(junk, LSH_DEFAULT_BUCKET_CAP)
