@@ -263,17 +263,22 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         # One-time migration (r15, ADVICE r14): pre-r14 scratch copies
         # were keyed <content-tag> directly under ccps_partitioned/
         # (no path_key level), so the path-key-scoped prune above never
-        # reaches them and they'd persist in tmp indefinitely. A
-        # 12-hex name IS a path_key dir (live or belonging to another
-        # source) — remove only entries that don't look like one.
+        # reaches them and they'd persist in tmp indefinitely. Both
+        # levels are 12-hex md5 prefixes, so the NAME can't tell a
+        # stale pre-r14 tag dir from a sibling source's live path_key
+        # dir — the STRUCTURE can: a pre-r14 tag dir holds the dataset
+        # dir (events/) directly, a path_key dir holds tag SUBDIRS.
+        # Remove only top-level dirs whose immediate child is a
+        # dataset directory with a write marker; anything else (live
+        # path_keys of other sources, unknown layouts) survives.
         top = os.path.dirname(root)
         if os.path.isdir(top):
             for old in os.listdir(top):
-                if not (
-                    len(old) == 12
-                    and all(c in "0123456789abcdef" for c in old)
+                old_path = os.path.join(top, old)
+                if old_path != root and os.path.exists(
+                    os.path.join(old_path, "events", "_SUCCESS")
                 ):
-                    shutil.rmtree(os.path.join(top, old), ignore_errors=True)
+                    shutil.rmtree(old_path, ignore_errors=True)
         (
             t.events.withColumn("event_date", F.to_date("ts"))
             .repartition("event_date")
