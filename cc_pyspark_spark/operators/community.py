@@ -106,10 +106,17 @@ def label_propagation_history(
     verts = (
         _symmetrize(e).select(F.col("s").alias("id")).distinct()
     )
-    # neighbor edges + one self-loop per vertex (the self-vote)
+    # neighbor edges + one self-loop per vertex (the self-vote).
+    # Cached PRE-PARTITIONED on the per-round join key (r15, guide
+    # §2.4 — the pagerank adj discipline): every round joins
+    # sym.s == lab.id with the label frame already partitioned by id
+    # from its regroup, so with hashpartitioning(s) in the cache the
+    # round's only exchange is the (t, lab) plurality regroup; the
+    # O(E) adjacency no longer re-exchanges each round.
     sym = (
         _symmetrize(e)
         .unionAll(verts.select(F.col("id").alias("s"), F.col("id").alias("t")))
+        .repartition("s")
         .persist()
         .transform(track_cache)
     )
@@ -165,9 +172,11 @@ def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     """
     e = edges.persist().transform(track_cache)
     verts = _symmetrize(e).select(F.col("s").alias("id")).distinct()
+    # Pre-partitioned on the join key — see label_propagation_history.
     sym = (
         _symmetrize(e)
         .unionAll(verts.select(F.col("id").alias("s"), F.col("id").alias("t")))
+        .repartition("s")
         .persist()
         .transform(track_cache)
     )

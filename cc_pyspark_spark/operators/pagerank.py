@@ -347,9 +347,15 @@ def connected_components(
     # Persisted: the adjacency is re-joined EVERY iteration — without
     # this, an expensive edge lineage (e.g. minhash pair generation in
     # dedup_cluster_canonical) is recomputed O(iterations) times.
+    # Cached PRE-PARTITIONED on the per-round join key (r15, guide
+    # §2.4 — the pagerank adj.repartition("s") discipline): the
+    # InMemoryRelation keeps hashpartitioning(t), so every round's
+    # neighbor-min join exchanges only the O(V) label frame; the O(E)
+    # adjacency crosses the wire once at cache build, not once per
+    # round.
     sym = edges.select("s", "t").union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).persist().transform(track_cache)
+    ).repartition("t").persist().transform(track_cache)
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
@@ -457,25 +463,42 @@ def _cc_normalize(edges: DataFrame) -> "tuple[DataFrame, DataFrame]":
 
 
 def _star(cur: DataFrame, large: bool) -> DataFrame:
-    """One large- or small-star rewiring round (Kiveris et al.)."""
+    """One large- or small-star rewiring round (Kiveris et al.).
+
+    m(u) = min(N(u) ∪ u) is computed with a window min over the SAME
+    (a)-keyed exchange the rewiring reads — one exchange of the
+    symmetrized frame per star and one computation of it, where the
+    r8-r14 groupBy+join formulation exchanged sym twice (partial-agg
+    rows for the min table, the full frame for the join) and computed
+    the union subtree once per consumer (guide §2.4: operations keyed
+    the same way share one exchange). The small-star's two outputs
+    ((b, m) for b <= a plus (a, m) for every row) are emitted in one
+    pass via a conditional explode instead of two reads of the joined
+    frame. Output multiset differences are erased by the trailing
+    distinct, so labels are bit-identical to the old formulation
+    (pinned against min-label propagation in tests).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
     sym = cur.select("a", "b").union(
         cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
-    mins = mins.select(
-        "a", F.least(F.col("mn"), F.col("a")).alias("m")
-    )
-    joined = sym.join(mins, "a")
+    m = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+    withm = sym.select("a", "b", m.alias("m"))
     if large:
-        out = joined.filter(F.col("b") > F.col("a")).select(
+        out = withm.filter(F.col("b") > F.col("a")).select(
             F.col("b").alias("x"), F.col("m").alias("y")
         )
     else:
-        out = (
-            joined.filter(F.col("b") <= F.col("a"))
-            .select(F.col("b").alias("x"), F.col("m").alias("y"))
-            .union(joined.select(F.col("a").alias("x"), F.col("m").alias("y")))
-        )
+        pair = lambda v: F.struct(v.alias("x"), F.col("m").alias("y"))  # noqa: E731
+        out = withm.select(
+            F.explode(
+                F.when(
+                    F.col("b") <= F.col("a"),
+                    F.array(pair(F.col("b")), pair(F.col("a"))),
+                ).otherwise(F.array(pair(F.col("a"))))
+            ).alias("e")
+        ).select(F.col("e.x").alias("x"), F.col("e.y").alias("y"))
     return (
         out.select(
             F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
@@ -560,11 +583,20 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Returns one row: n_vertices, n_edges, n_wedges (unordered paths of
     length 2), n_triangles, clustering (= 3*triangles/wedges).
     """
+    # deg feeds the two orientation joins AND the final vertex/wedge
+    # aggregate; oriented feeds both wedge legs AND the closing join
+    # (different join keys, so exchange reuse cannot cover them).
+    # Persisted (r15): without the caches each consumer replays the
+    # degree aggregation / the two orientation joins from the edge
+    # lineage — for callers whose edge frame is itself a join+filter
+    # pipeline (graph_triangle_stats' thresholded co-order pairs)
+    # that re-ran the whole base three times.
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
+        .persist().transform(track_cache)
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
@@ -581,6 +613,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
                 "deg_head"
             ),
         )
+        .persist().transform(track_cache)
     )
     w1 = oriented.select(
         "u", F.col("v").alias("v1"), F.col("deg_head").alias("dh1")
@@ -704,31 +737,38 @@ def hits_fixed(edges: DataFrame, rounds: int = 2) -> DataFrame:
 
     Per round: two shuffles (one keyed by target, one by source) over
     the O(V) score frame against the cached edge frame — the PageRank
-    ship-edges-once discipline.
+    ship-edges-once discipline. The rounds alternate join sides, so
+    the edge frame is cached TWICE, pre-partitioned on each join key
+    (r15, guide §2.4): every per-round join then reuses a cached
+    layout and only the score frame (already partitioned by the
+    previous regroup) moves — the old single unpartitioned cache
+    re-exchanged O(E) edges on every join.
     """
-    e = edges.select("s", "t").persist().transform(track_cache)
+    base = edges.select("s", "t")
+    e_s = base.repartition("s").persist().transform(track_cache)
+    e_t = base.repartition("t").persist().transform(track_cache)
     # round 1 auth: hub0 = 1 everywhere -> auth1(v) = in-degree
     auth = (
-        e.groupBy("t")
+        e_t.groupBy("t")
         .agg(F.count("*").cast("bigint").alias("v"))
         .select(F.col("t").alias("id"), "v")
     )
     hub = (
-        e.join(auth, e.t == auth.id)
+        e_t.join(auth, e_t.t == auth.id)
         .groupBy("s")
         .agg(F.sum("v").cast("bigint").alias("v"))
         .select(F.col("s").alias("id"), "v")
     )
     for _ in range(rounds - 1):
         auth = (
-            e.join(hub, e.s == hub.id)
+            e_s.join(hub, e_s.s == hub.id)
             .groupBy("t")
             .agg(F.sum("v").cast("bigint").alias("v"))
             .select(F.col("t").alias("id"), "v")
             .localCheckpoint(eager=True)
         )
         hub = (
-            e.join(auth, e.t == auth.id)
+            e_t.join(auth, e_t.t == auth.id)
             .groupBy("s")
             .agg(F.sum("v").cast("bigint").alias("v"))
             .select(F.col("s").alias("id"), "v")
@@ -785,7 +825,14 @@ def hits_converged(
     is bit-deterministic across partitionings.
     """
     scale = 1 << scale_bits
-    e = edges.select("s", "t").persist().transform(track_cache)
+    # Two pre-partitioned caches, one per join side (r15 — same
+    # rationale as hits_fixed): the converged loop joins on s then t
+    # EVERY round until the fixed point, so the per-round O(E)
+    # re-exchange the single unpartitioned cache paid is multiplied
+    # by the round count here.
+    base = edges.select("s", "t")
+    e_s = base.repartition("s").persist().transform(track_cache)
+    e_t = base.repartition("t").persist().transform(track_cache)
 
     def rescale(frame: DataFrame) -> DataFrame:
         mx = frame.agg(F.max("v").alias("m"))
@@ -800,37 +847,49 @@ def hits_converged(
             .localCheckpoint(eager=True)
         )
 
-    def linf(a: DataFrame, b: DataFrame) -> int:
+    def linf2(
+        a: DataFrame, pa: DataFrame, h: DataFrame, ph: DataFrame
+    ) -> int:
+        """max(L-inf(auth delta), L-inf(hub delta)) in ONE driver
+        action (r15): the two per-round probe joins used to run as
+        two separate collect() jobs; unioning the joined delta frames
+        before the 1-row max halves the per-round driver round-trips
+        without changing the <= 1 stop rule (it fires iff both
+        deltas are <= 1, exactly as the two-probe AND did)."""
+
+        def deltas(x: DataFrame, px: DataFrame) -> DataFrame:
+            return x.join(
+                px.select(F.col("id").alias("id2"), F.col("v").alias("v2")),
+                x.id == F.col("id2"),
+            ).select(F.abs(F.col("v") - F.col("v2")).alias("d"))
+
         row = (
-            a.join(
-                b.select(F.col("id").alias("id2"), F.col("v").alias("v2")),
-                a.id == F.col("id2"),
-            )
-            .agg(F.max(F.abs(F.col("v") - F.col("v2"))).alias("d"))
+            deltas(a, pa)
+            .unionAll(deltas(h, ph))
+            .agg(F.max("d").alias("d"))
             .collect()[0]
         )
         return int(row["d"]) if row["d"] is not None else 0
 
-    verts_s = e.select(F.col("s").alias("id")).distinct()
+    verts_s = e_s.select(F.col("s").alias("id")).distinct()
     hub = verts_s.select("id", F.lit(scale).cast("bigint").alias("v"))
     prev_auth = prev_hub = None
     for _ in range(max_rounds):
         auth = rescale(
-            e.join(hub, e.s == hub.id)
+            e_s.join(hub, e_s.s == hub.id)
             .groupBy("t")
             .agg(F.sum("v").cast("bigint").alias("v"))
             .select(F.col("t").alias("id"), "v")
         )
         nxt_hub = rescale(
-            e.join(auth, e.t == auth.id)
+            e_t.join(auth, e_t.t == auth.id)
             .groupBy("s")
             .agg(F.sum("v").cast("bigint").alias("v"))
             .select(F.col("s").alias("id"), "v")
         )
         if (
             prev_auth is not None
-            and linf(auth, prev_auth) <= 1
-            and linf(nxt_hub, prev_hub) <= 1
+            and linf2(auth, prev_auth, nxt_hub, prev_hub) <= 1
         ):
             out = []
             for kind, frame in (("auth", auth), ("hub", nxt_hub)):

@@ -1045,10 +1045,15 @@ def dsir_importance_frame(
         "(a, c) -> (a * 31 + c) % 1000003) "
         f"* 2654435761L) % {m}L))"
     )
+    # Persisted (r15): feats is map-only (no exchange of its own), so
+    # its two differently-keyed consumers (stats by b, cnts by
+    # (doc_id, b)) cannot share it via ReusedExchange — without the
+    # cache the per-character hash fold over every bigram ran twice.
     feats = (
         documents.select("doc_id", "lang", F.expr(_DSIR_TOKS).alias("toks"))
         .select("doc_id", "lang", F.expr(bg).alias("bg"))
         .select("doc_id", "lang", F.explode(F.expr(bucket)).alias("b"))
+        .persist().transform(track_cache)
     )
     stats = feats.groupBy("b").agg(
         F.count("*").cast("bigint").alias("cr"),
@@ -1080,6 +1085,9 @@ def dsir_importance_frame(
             "cast(0.0 as double), (a, x) -> a + x.term)"
         ).alias("weight"),
     )
+    # Persisted (r15): docs feeds the W2 rank pass, the row-count
+    # aggregate, and the final selection scan — three consumers of a
+    # join + collect_list-fold lineage.
     docs = (
         documents.select("doc_id")
         .join(per_doc, "doc_id", "left")
@@ -1088,6 +1096,7 @@ def dsir_importance_frame(
             F.coalesce("n_feats", F.lit(0).cast("bigint")).alias("n_feats"),
             F.coalesce("weight", F.lit(0.0)).alias("weight"),
         )
+        .persist().transform(track_cache)
     )
     # Exact corpus median WITHOUT the single-group percentile
     # aggregate. Spark's exact percentile buffers a value->count map

@@ -115,10 +115,15 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # curation_dsir_importance switched to W2 distributed selection
     # for exactly that reason.
     thr = pairs.agg(F.expr("percentile(c, 0.5)").alias("thr"))
+    # Persisted (r15): triangle_stats references its edge frame from
+    # three differently-keyed subtrees (degree agg, orientation join,
+    # edge count), and this edge frame is itself the co-order self-join
+    # + threshold — without the cache that base replayed per consumer.
     e = (
         pairs.crossJoin(F.broadcast(thr))
         .filter(F.col("c").cast("double") > F.col("thr"))
         .select("a", "b")
+        .persist().transform(track_cache)
     )
     from cc_pyspark_spark.operators.pagerank import triangle_stats  # noqa: PLC0415
 

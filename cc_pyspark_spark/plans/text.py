@@ -2820,11 +2820,17 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 KN_DISCOUNT = "0.75"
 KN_TOPK = 50
 
-_SPARK_BIGRAMS = f"""
-transform(slice(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0), 1,
-  greatest(size(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)) - 1, 0)),
-  (x, i) -> struct(x as w1,
-    element_at(regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0), i + 2) as w2))
+# Bigram structs over a PRE-MATERIALIZED token-array column `tk`
+# (r15, guide §4.2/§1.2 per-task work): the r10-r14 formulation
+# inlined regexp_extract_all(lower(text), ...) at all three positions,
+# and the occurrence inside the lambda (element_at(..., i + 2)) is
+# re-evaluated per element — the document was re-lowercased and
+# re-tokenized once per bigram. Tokenizing once into `tk` and slicing
+# that column makes the regex run once per document; the emitted
+# bigram multiset is identical.
+_SPARK_BIGRAMS = """
+transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+  (x, i) -> struct(x as w1, element_at(tk, i + 2) as w2))
 """
 
 _DUCK_BIGRAMS = f"""
@@ -2872,9 +2878,11 @@ ORDER BY c.c DESC, c.w1, c.w2 LIMIT {KN_TOPK}
 )
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Catalog(spark, sf_dir)
-    bg = t.documents.select(
-        F.explode(F.expr(_SPARK_BIGRAMS)).alias("b")
-    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bg = (
+        t.documents.select(tokenize("text").alias("tk"))
+        .select(F.explode(F.expr(_SPARK_BIGRAMS)).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
     c = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
     ctx = c.groupBy(F.col("w1").alias("cw1")).agg(
         F.sum("c").cast("bigint").alias("ctx"),
