@@ -117,6 +117,7 @@ def label_propagation_history(
         _symmetrize(e)
         .unionAll(verts.select(F.col("id").alias("s"), F.col("id").alias("t")))
         .repartition("s")
+        .sortWithinPartitions("s")
         .persist()
         .transform(track_cache)
     )
@@ -177,6 +178,7 @@ def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         _symmetrize(e)
         .unionAll(verts.select(F.col("id").alias("s"), F.col("id").alias("t")))
         .repartition("s")
+        .sortWithinPartitions("s")
         .persist()
         .transform(track_cache)
     )
@@ -232,27 +234,45 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     should use :func:`kcore_converged`, which probes for the fixed
     point instead of trusting a round count.
 
-    Lineage: the edge frame is referenced three times per round (two
-    degree legs + the filter join), so the logical plan grows ~4x per
-    round — rounds are truncated with an eager localCheckpoint exactly
-    like cc_alternating (operators/pagerank.py), which also makes each
-    round's shrinking edge set compute once.
+    Lineage: rounds are truncated with an eager localCheckpoint
+    exactly like cc_alternating (operators/pagerank.py), which also
+    makes each round's shrinking edge set compute once.
     """
     cur = edges.select("a", "b")
     for _ in range(rounds):
-        deg = (
-            _symmetrize(cur)
-            .groupBy("s")
-            .agg(F.count("*").alias("deg"))
-        )
-        alive = deg.filter(F.col("deg") >= k).select(F.col("s").alias("v"))
-        cur = (
-            cur.join(alive, cur.a == alive.v, "left_semi")
-            .join(alive, cur.b == alive.v, "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        cur = _peel_round(cur, k).localCheckpoint(eager=True)
     deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
     return deg.select(F.col("s").alias("id"), "deg")
+
+
+def _peel_round(cur: DataFrame, k: int) -> DataFrame:
+    """One peeling round: keep edges whose BOTH endpoints have current
+    degree >= k.
+
+    r15 rewrite (guide §2.4): the r9-r14 round was a degree
+    aggregation plus two left-semi joins — three exchanges of the
+    edge frame per round. Both endpoint degrees are available without
+    any join: over the symmetrized frame, a count window partitioned
+    by the source vertex attaches deg(s) to every directed copy, and
+    regrouping the two copies of each undirected edge onto its
+    canonical (least, greatest) key with min(deg) >= k applies the
+    survival test — two exchanges, no joins. Each input edge appears
+    exactly once in the output with an orientation canonicalized to
+    a < b (orientation is internal: _symmetrize consumes either, and
+    the returned degrees are orientation-free)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = F.count("*").over(Window.partitionBy("s"))
+    return (
+        _symmetrize(cur)
+        .select("s", "t", d.alias("d"))
+        .groupBy(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .agg(F.min("d").alias("dmin"))
+        .filter(F.col("dmin") >= k)
+        .select("a", "b")
+    )
 
 
 def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
@@ -268,13 +288,8 @@ def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame
     cur = edges.select("a", "b").localCheckpoint(eager=True)
     n = cur.count()
     for _ in range(max_rounds):
-        deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
-        alive = deg.filter(F.col("deg") >= k).select(F.col("s").alias("v"))
-        nxt = (
-            cur.join(alive, cur.a == alive.v, "left_semi")
-            .join(alive, cur.b == alive.v, "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        # window-degree peel, no joins — see _peel_round
+        nxt = _peel_round(cur, k).localCheckpoint(eager=True)
         m = nxt.count()
         if m == n:
             deg = _symmetrize(nxt).groupBy("s").agg(F.count("*").alias("deg"))

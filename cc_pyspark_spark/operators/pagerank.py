@@ -39,7 +39,13 @@ def pagerank(
         .persist().transform(track_cache)
     )
     n = vertices.count()
-    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist().transform(track_cache)
+    # out_deg re-joins the per-round dangling-mass anti-join on s —
+    # cache it pre-partitioned/pre-sorted like the adjacency (r15).
+    out_deg = (
+        edges.groupBy("s").agg(F.count("*").alias("deg"))
+        .repartition("s").sortWithinPartitions("s")
+        .persist().transform(track_cache)
+    )
     # Same O(E)-ships-once adjacency layout as pagerank_fixed (r8):
     # degree attached once, cached pre-partitioned on the join key, so
     # per-iteration only the O(V) rank frame shuffles.
@@ -47,6 +53,7 @@ def pagerank(
         edges.join(out_deg, "s")
         .select("s", "t", "deg")
         .repartition("s")
+        .sortWithinPartitions("s")
         .persist().transform(track_cache)
     )
     adj.count()
@@ -145,7 +152,13 @@ def pagerank_fixed(
         .persist().transform(track_cache)
     )
     n = vertices.count()
-    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist().transform(track_cache)
+    # out_deg re-joins the per-round dangling-mass anti-join on s —
+    # cache it pre-partitioned/pre-sorted like the adjacency (r15).
+    out_deg = (
+        edges.groupBy("s").agg(F.count("*").alias("deg"))
+        .repartition("s").sortWithinPartitions("s")
+        .persist().transform(track_cache)
+    )
     base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
 
     # Degree rides the edge list (attached ONCE), and the adjacency is
@@ -159,6 +172,7 @@ def pagerank_fixed(
         edges.join(out_deg, "s")
         .select("s", "t", "deg")
         .repartition("s")
+        .sortWithinPartitions("s")
         .persist().transform(track_cache)
     )
     adj.count()  # materialize the layout before the loop
@@ -247,12 +261,19 @@ def pagerank_converged(
         .persist().transform(track_cache)
     )
     n = vertices.count()
-    out_deg = edges.groupBy("s").agg(F.count("*").alias("deg")).persist().transform(track_cache)
+    # out_deg re-joins the per-round dangling-mass anti-join on s —
+    # cache it pre-partitioned/pre-sorted like the adjacency (r15).
+    out_deg = (
+        edges.groupBy("s").agg(F.count("*").alias("deg"))
+        .repartition("s").sortWithinPartitions("s")
+        .persist().transform(track_cache)
+    )
     base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
     adj = (
         edges.join(out_deg, "s")
         .select("s", "t", "deg")
         .repartition("s")
+        .sortWithinPartitions("s")
         .persist().transform(track_cache)
     )
     adj.count()
@@ -355,7 +376,7 @@ def connected_components(
     # round.
     sym = edges.select("s", "t").union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).repartition("t").persist().transform(track_cache)
+    ).repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
     labels = (
         sym.select(F.col("s").alias("id"))
         .distinct()
@@ -745,8 +766,8 @@ def hits_fixed(edges: DataFrame, rounds: int = 2) -> DataFrame:
     re-exchanged O(E) edges on every join.
     """
     base = edges.select("s", "t")
-    e_s = base.repartition("s").persist().transform(track_cache)
-    e_t = base.repartition("t").persist().transform(track_cache)
+    e_s = base.repartition("s").sortWithinPartitions("s").persist().transform(track_cache)
+    e_t = base.repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
     # round 1 auth: hub0 = 1 everywhere -> auth1(v) = in-degree
     auth = (
         e_t.groupBy("t")
@@ -831,8 +852,8 @@ def hits_converged(
     # re-exchange the single unpartitioned cache paid is multiplied
     # by the round count here.
     base = edges.select("s", "t")
-    e_s = base.repartition("s").persist().transform(track_cache)
-    e_t = base.repartition("t").persist().transform(track_cache)
+    e_s = base.repartition("s").sortWithinPartitions("s").persist().transform(track_cache)
+    e_t = base.repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
 
     def rescale(frame: DataFrame) -> DataFrame:
         mx = frame.agg(F.max("v").alias("m"))
