@@ -234,45 +234,35 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     should use :func:`kcore_converged`, which probes for the fixed
     point instead of trusting a round count.
 
-    Lineage: rounds are truncated with an eager localCheckpoint
-    exactly like cc_alternating (operators/pagerank.py), which also
-    makes each round's shrinking edge set compute once.
+    Lineage: the edge frame is referenced three times per round (two
+    degree legs + the filter join), so the logical plan grows ~4x per
+    round — rounds are truncated with an eager localCheckpoint exactly
+    like cc_alternating (operators/pagerank.py), which also makes each
+    round's shrinking edge set compute once.
+
+    r15 note: a window-degree formulation (count over partitionBy(s) +
+    canonical-pair min regroup — two exchanges, zero joins) was tried
+    and MEASURED SLOWER isolated at sf0.1 (5.59 -> 6.08 s / 3.27 ->
+    3.67 s): the window's full sort of the 2|E| symmetrized frame
+    costs more than the partial-aggregated degree count plus two
+    semi-joins whose alive side is post-filter small. Kept the join
+    formulation.
     """
     cur = edges.select("a", "b")
     for _ in range(rounds):
-        cur = _peel_round(cur, k).localCheckpoint(eager=True)
+        deg = (
+            _symmetrize(cur)
+            .groupBy("s")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select(F.col("s").alias("v"))
+        cur = (
+            cur.join(alive, cur.a == alive.v, "left_semi")
+            .join(alive, cur.b == alive.v, "left_semi")
+            .localCheckpoint(eager=True)
+        )
     deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
     return deg.select(F.col("s").alias("id"), "deg")
-
-
-def _peel_round(cur: DataFrame, k: int) -> DataFrame:
-    """One peeling round: keep edges whose BOTH endpoints have current
-    degree >= k.
-
-    r15 rewrite (guide §2.4): the r9-r14 round was a degree
-    aggregation plus two left-semi joins — three exchanges of the
-    edge frame per round. Both endpoint degrees are available without
-    any join: over the symmetrized frame, a count window partitioned
-    by the source vertex attaches deg(s) to every directed copy, and
-    regrouping the two copies of each undirected edge onto its
-    canonical (least, greatest) key with min(deg) >= k applies the
-    survival test — two exchanges, no joins. Each input edge appears
-    exactly once in the output with an orientation canonicalized to
-    a < b (orientation is internal: _symmetrize consumes either, and
-    the returned degrees are orientation-free)."""
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    d = F.count("*").over(Window.partitionBy("s"))
-    return (
-        _symmetrize(cur)
-        .select("s", "t", d.alias("d"))
-        .groupBy(
-            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
-        )
-        .agg(F.min("d").alias("dmin"))
-        .filter(F.col("dmin") >= k)
-        .select("a", "b")
-    )
 
 
 def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
@@ -288,8 +278,13 @@ def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame
     cur = edges.select("a", "b").localCheckpoint(eager=True)
     n = cur.count()
     for _ in range(max_rounds):
-        # window-degree peel, no joins — see _peel_round
-        nxt = _peel_round(cur, k).localCheckpoint(eager=True)
+        deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select(F.col("s").alias("v"))
+        nxt = (
+            cur.join(alive, cur.a == alive.v, "left_semi")
+            .join(alive, cur.b == alive.v, "left_semi")
+            .localCheckpoint(eager=True)
+        )
         m = nxt.count()
         if m == n:
             deg = _symmetrize(nxt).groupBy("s").agg(F.count("*").alias("deg"))

@@ -819,7 +819,14 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gopher_pass") == 1)
         .select("doc_id", "lang", "text")
     )
-    aug = keep.select("doc_id", "lang", F.expr(C4_AUG_SPARK).alias("text"))
+    # Persisted (r15): c4_clean_frame is the classic two-pass
+    # frequency shape — it reads its input once for the line-frequency
+    # table and once for the rebuild. Without this cache each pass
+    # replayed the FULL Gopher signal computation + gate above; with
+    # it the gate runs once and both C4 passes read the gated remnant.
+    aug = keep.select(
+        "doc_id", "lang", F.expr(C4_AUG_SPARK).alias("text")
+    ).persist().transform(track_cache)
     # Persisted: the cleaned corpus feeds minhash banding, the survivor
     # anti-filter, and packing — at 100 TB this materialization is the
     # natural checkpoint (it is the post-gate remnant, a fraction of the

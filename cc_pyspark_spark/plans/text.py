@@ -1575,15 +1575,22 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = []
     for r in range(1, BPE_TRAIN_MERGES + 1):
-        pairs = vocab.where(F.expr("size(split(sym, ' ')) > 1")).select(
-            "f",
-            F.explode(
-                F.expr(
-                    "transform(slice(split(sym, ' '), 1, "
-                    "size(split(sym, ' ')) - 1), (x, i) -> "
-                    "concat(x, ' ', element_at(split(sym, ' '), i + 2)))"
-                )
-            ).alias("pair"),
+        # Split ONCE into a materialized array column (r15): the old
+        # expression inlined split(sym, ' ') at three positions, and
+        # the occurrence inside the transform lambda (element_at(...,
+        # i + 2)) re-split the symbol string once per adjacent pair.
+        pairs = (
+            vocab.select("f", F.split("sym", " ").alias("ss"))
+            .where(F.size("ss") > 1)
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(slice(ss, 1, size(ss) - 1), (x, i) -> "
+                        "concat(x, ' ', element_at(ss, i + 2)))"
+                    )
+                ).alias("pair"),
+            )
         )
         top = (
             pairs.groupBy("pair")
