@@ -58,12 +58,22 @@ def pagerank(
     )
     adj.count()
 
+    # The DANGLING VERTEX SET is static across rounds (r15): vertices
+    # with no out-edge never gain one, so compute it once — a
+    # zero-exchange anti-join of the cached id-partitioned vertices
+    # against the s-partitioned out_deg — and per round reduce the
+    # dangling mass with a co-partitioned semi-join instead of
+    # re-running the anti-join against out_deg every round.
+    dangling_ids = (
+        vertices.join(out_deg, vertices.id == out_deg.s, "left_anti")
+        .persist().transform(track_cache)
+    )
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     for i in range(n_iter):
         # Dangling mass as a 1-row DataFrame folded into the plan — a
         # per-iteration `.collect()` here would double the job count.
         dangling_df = (
-            ranks.join(out_deg, ranks.id == out_deg.s, "left_anti")
+            ranks.join(dangling_ids, "id", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
         contribs = (
@@ -177,6 +187,13 @@ def pagerank_fixed(
     )
     adj.count()  # materialize the layout before the loop
 
+    # static dangling vertex set — see pagerank()
+    dangling_ids = None
+    if not assume_no_dangling:
+        dangling_ids = (
+            vertices.join(out_deg, vertices.id == out_deg.s, "left_anti")
+            .persist().transform(track_cache)
+        )
     ranks = vertices.withColumn("r", F.lit(PAGERANK_SCALE // n).cast("bigint"))
     for i in range(n_iter):
         contribs = (
@@ -192,9 +209,10 @@ def pagerank_fixed(
             )
         else:
             # Dangling mass as a 1-row broadcast folded into the plan
-            # (same shape as pagerank() — no per-iteration collect).
+            # (same shape as pagerank() — no per-iteration collect);
+            # co-partitioned semi-join against the static dangling set.
             dangling_df = (
-                ranks.join(out_deg, ranks.id == out_deg.s, "left_anti")
+                ranks.join(dangling_ids, "id", "left_semi")
                 .agg(
                     F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
                         "dangling"
@@ -277,6 +295,13 @@ def pagerank_converged(
         .persist().transform(track_cache)
     )
     adj.count()
+    # static dangling vertex set — see pagerank()
+    dangling_ids = None
+    if not assume_no_dangling:
+        dangling_ids = (
+            vertices.join(out_deg, vertices.id == out_deg.s, "left_anti")
+            .persist().transform(track_cache)
+        )
 
     def one_round(ranks: DataFrame) -> DataFrame:
         contribs = (
@@ -292,7 +317,7 @@ def pagerank_converged(
             )
         else:
             dangling_df = (
-                ranks.join(out_deg, ranks.id == out_deg.s, "left_anti")
+                ranks.join(dangling_ids, "id", "left_semi")
                 .agg(
                     F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
                         "dangling"

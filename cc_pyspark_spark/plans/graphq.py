@@ -633,17 +633,24 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = co_order_raw(spark, sf_dir)
+    # Cached pre-partitioned/pre-sorted on the e_in join's first key
+    # (r15, guide §2.4): every round's within-community edge count
+    # joins edges by a then by b — with hashpartitioning(a) in the
+    # cache the per-round exchanges of the O(E) frame drop to one.
     edges = raw.select(
         (2 * F.col("c")).alias("a"), (2 * F.col("s") + 1).alias("b")
-    ).persist().transform(track_cache)
+    ).repartition("a").sortWithinPartitions("a").persist().transform(track_cache)
     m_row = edges.agg(F.count("*").cast("bigint").alias("m"))
     sym = edges.select(F.col("a").alias("id")).unionAll(
         edges.select(F.col("b").alias("id"))
     )
-    # consumed by every round's comm aggregation — computed once
+    # consumed by every round's comm aggregation — computed once, and
+    # cached pre-partitioned/pre-sorted on the label join key so the
+    # per-round labels-deg join moves only the O(V) label frame.
     deg = (
         sym.groupBy("id")
         .agg(F.count("*").cast("bigint").alias("deg"))
+        .sortWithinPartitions("id")
         .persist()
         .transform(track_cache)
     )
