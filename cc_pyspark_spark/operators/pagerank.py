@@ -36,6 +36,7 @@ def pagerank(
         edges.select(F.col("s").alias("id"))
         .union(edges.select(F.col("t").alias("id")))
         .distinct()
+        .sortWithinPartitions("id")
         .persist().transform(track_cache)
     )
     n = vertices.count()
@@ -159,6 +160,7 @@ def pagerank_fixed(
         edges.select(F.col("s").alias("id"))
         .union(edges.select(F.col("t").alias("id")))
         .distinct()
+        .sortWithinPartitions("id")
         .persist().transform(track_cache)
     )
     n = vertices.count()
@@ -276,6 +278,7 @@ def pagerank_converged(
         edges.select(F.col("s").alias("id"))
         .union(edges.select(F.col("t").alias("id")))
         .distinct()
+        .sortWithinPartitions("id")
         .persist().transform(track_cache)
     )
     n = vertices.count()
