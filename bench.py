@@ -310,7 +310,7 @@ def _bench_pagerank_converged(spark, sf_dir):
         raw.select((2 * F.col("s") + 1).alias("s"), (2 * F.col("c")).alias("t"))
     )
     return pagerank_converged(
-        edges, tol_units=10**14, assume_no_dangling=True
+        edges, tol_units=10**14, assume_symmetric=True
     )
 
 

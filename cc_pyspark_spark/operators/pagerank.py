@@ -115,6 +115,7 @@ def pagerank_fixed(
     damping_pct: int = 85,
     checkpoint_every: int = 4,
     assume_no_dangling: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Bit-reproducible PageRank: the same damped power iteration as
     :func:`pagerank`, carried out entirely in BIGINT fixed-point
@@ -142,7 +143,16 @@ def pagerank_fixed(
     with ``p = damping_pct``. ``assume_no_dangling=True`` skips the
     per-iteration dangling-mass aggregate — valid when every vertex
     has an out-edge (e.g. any symmetrized graph), where the term is
-    identically zero.
+    identically zero. ``assume_symmetric=True`` (implies
+    ``assume_no_dangling``) additionally asserts every vertex has an
+    IN-edge — true for any symmetrized graph — so the contribution
+    aggregate already covers every vertex and the per-round
+    zero-in-degree backfill join against the vertices frame is pure
+    overhead: the round becomes exactly one join against the cached
+    adjacency plus one keyed aggregation (r15 optimization round,
+    guide §2.1: shuffle/join work that reconstructs information the
+    aggregate already has). The emitted (id, r) multiset is identical
+    (contrib is never NULL when in-degree >= 1).
 
     Checkpoint cadence on the DANGLING path: each round's plan then
     references the previous rank frame TWICE (contribution join +
@@ -156,6 +166,8 @@ def pagerank_fixed(
     Returns (id, r BIGINT, rank DOUBLE = r / SCALE); ``rank`` is an
     exact BIGINT→DOUBLE conversion, so it inherits the determinism.
     """
+    if assume_symmetric:
+        assume_no_dangling = True
     vertices = (
         edges.select(F.col("s").alias("id"))
         .union(edges.select(F.col("t").alias("id")))
@@ -189,14 +201,25 @@ def pagerank_fixed(
     )
     adj.count()  # materialize the layout before the loop
 
-    # static dangling vertex set — see pagerank()
-    dangling_ids = None
+    # Static dangling-vertex FLAG carried on the vertices cache (r15
+    # optimization round): vertices with no out-edge never gain one, so
+    # the per-round dangling-mass reduction is a filter+aggregate over
+    # the rank frame itself — the r15 build's separate dangling_ids
+    # cache plus per-round O(V) semi-join carried the same information
+    # as one extra boolean column does for free.
+    seed = vertices
     if not assume_no_dangling:
-        dangling_ids = (
-            vertices.join(out_deg, vertices.id == out_deg.s, "left_anti")
+        seed = (
+            vertices.join(out_deg, vertices.id == out_deg.s, "left")
+            .select("id", F.col("s").isNull().alias("dang"))
+            .sortWithinPartitions("id")
             .persist().transform(track_cache)
         )
-    ranks = vertices.withColumn("r", F.lit(PAGERANK_SCALE // n).cast("bigint"))
+    ranks = seed.withColumn("r", F.lit(PAGERANK_SCALE // n).cast("bigint"))
+    new_r = (
+        F.lit(base).cast("bigint")
+        + F.expr(f"({damping_pct} * inflow) div 100")
+    ).alias("r")
     for i in range(n_iter):
         contribs = (
             adj.join(ranks, adj.s == ranks.id)
@@ -204,35 +227,42 @@ def pagerank_fixed(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        new = vertices.join(contribs, "id", "left")
-        if assume_no_dangling:
-            new = new.withColumn(
-                "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
+        if assume_symmetric:
+            # Every vertex has an in-edge: contribs IS the full vertex
+            # set and contrib is never NULL — no backfill join.
+            ranks = contribs.select(
+                "id", F.col("contrib").alias("inflow")
+            ).select("id", new_r)
+        elif assume_no_dangling:
+            ranks = (
+                seed.join(contribs, "id", "left")
+                .withColumn(
+                    "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
+                )
+                .select("id", new_r)
             )
         else:
             # Dangling mass as a 1-row broadcast folded into the plan
             # (same shape as pagerank() — no per-iteration collect);
-            # co-partitioned semi-join against the static dangling set.
+            # filter over the flagged rank frame, no join.
             dangling_df = (
-                ranks.join(dangling_ids, "id", "left_semi")
+                ranks.filter("dang")
                 .agg(
                     F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
                         "dangling"
                     )
                 )
             )
-            new = new.crossJoin(F.broadcast(dangling_df)).withColumn(
-                "inflow",
-                F.coalesce("contrib", F.lit(0).cast("bigint"))
-                + F.expr(f"dangling div {n}"),
+            ranks = (
+                seed.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling_df))
+                .withColumn(
+                    "inflow",
+                    F.coalesce("contrib", F.lit(0).cast("bigint"))
+                    + F.expr(f"dangling div {n}"),
+                )
+                .select("id", new_r, "dang")
             )
-        ranks = new.select(
-            "id",
-            (
-                F.lit(base).cast("bigint")
-                + F.expr(f"({damping_pct} * inflow) div 100")
-            ).alias("r"),
-        )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
@@ -247,6 +277,7 @@ def pagerank_converged(
     max_rounds: int = 128,
     probe_every: int = 4,
     assume_no_dangling: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Deployment wrapper for :func:`pagerank_fixed` (r11, completing
     the converged family across every iterative operator:
@@ -273,7 +304,11 @@ def pagerank_converged(
     returned frame is identical across partitionings and runs.
 
     Returns (id, r BIGINT, rank DOUBLE) like pagerank_fixed.
+    ``assume_symmetric`` has pagerank_fixed's semantics: every vertex
+    has an in-edge too, so the per-round backfill join is skipped.
     """
+    if assume_symmetric:
+        assume_no_dangling = True
     vertices = (
         edges.select(F.col("s").alias("id"))
         .union(edges.select(F.col("t").alias("id")))
@@ -298,13 +333,20 @@ def pagerank_converged(
         .persist().transform(track_cache)
     )
     adj.count()
-    # static dangling vertex set — see pagerank()
-    dangling_ids = None
+    # static dangling-vertex FLAG on the seed frame — see
+    # pagerank_fixed (r15 optimization round)
+    seed = vertices
     if not assume_no_dangling:
-        dangling_ids = (
-            vertices.join(out_deg, vertices.id == out_deg.s, "left_anti")
+        seed = (
+            vertices.join(out_deg, vertices.id == out_deg.s, "left")
+            .select("id", F.col("s").isNull().alias("dang"))
+            .sortWithinPartitions("id")
             .persist().transform(track_cache)
         )
+    new_r = (
+        F.lit(base).cast("bigint")
+        + F.expr(f"({damping_pct} * inflow) div 100")
+    ).alias("r")
 
     def one_round(ranks: DataFrame) -> DataFrame:
         contribs = (
@@ -313,31 +355,33 @@ def pagerank_converged(
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        new = vertices.join(contribs, "id", "left")
+        if assume_symmetric:
+            # Full in-coverage: contribs is the vertex set, no backfill
+            # join (pagerank_fixed's assume_symmetric rationale).
+            return contribs.select(
+                "id", F.col("contrib").alias("inflow")
+            ).select("id", new_r)
+        new = seed.join(contribs, "id", "left")
         if assume_no_dangling:
-            new = new.withColumn(
+            return new.withColumn(
                 "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
-            )
-        else:
-            dangling_df = (
-                ranks.join(dangling_ids, "id", "left_semi")
-                .agg(
-                    F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
-                        "dangling"
-                    )
+            ).select("id", new_r)
+        dangling_df = (
+            ranks.filter("dang")
+            .agg(
+                F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
+                    "dangling"
                 )
             )
-            new = new.crossJoin(F.broadcast(dangling_df)).withColumn(
+        )
+        return (
+            new.crossJoin(F.broadcast(dangling_df))
+            .withColumn(
                 "inflow",
                 F.coalesce("contrib", F.lit(0).cast("bigint"))
                 + F.expr(f"dangling div {n}"),
             )
-        return new.select(
-            "id",
-            (
-                F.lit(base).cast("bigint")
-                + F.expr(f"({damping_pct} * inflow) div 100")
-            ).alias("r"),
+            .select("id", new_r, "dang")
         )
 
     def moved_mass(a: DataFrame, b: DataFrame) -> int:
@@ -351,7 +395,7 @@ def pagerank_converged(
         )
         return int(row["d"]) if row["d"] is not None else 0
 
-    ranks = vertices.withColumn(
+    ranks = seed.withColumn(
         "r", F.lit(PAGERANK_SCALE // n).cast("bigint")
     ).localCheckpoint(eager=True)
     # last_probed only advances AT probe rounds, so the probe join
@@ -402,8 +446,19 @@ def connected_components(
     # neighbor-min join exchanges only the O(V) label frame; the O(E)
     # adjacency crosses the wire once at cache build, not once per
     # round.
-    sym = edges.select("s", "t").union(
-        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    #
+    # SELF-EDGES are folded into the cached frame (r15 optimization
+    # round): min over N(u) ∪ {u} of comp == least(comp(u),
+    # neighbor-min), so with (id, id) rows present the per-round
+    # update is the ONE join+aggregation — the old second SMJ that
+    # re-joined the old labels purely to apply least() carried no
+    # information the self-edge doesn't.
+    base = edges.select("s", "t")
+    sym = base.union(
+        base.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    )
+    sym = sym.union(
+        sym.select("s").distinct().select("s", F.col("s").alias("t"))
     ).repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
     labels = (
         sym.select(F.col("s").alias("id"))
@@ -411,19 +466,11 @@ def connected_components(
         .withColumn("comp", F.col("id"))
     )
     for i in range(max_iter):
-        neighbor_min = (
+        new_labels = (
             sym.join(labels, sym.t == labels.id)
             .groupBy("s")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce("nmin", F.col("comp"))
-                ).alias("comp"),
-            )
+            .agg(F.min("comp").alias("comp"))
+            .select(F.col("s").alias("id"), "comp")
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)

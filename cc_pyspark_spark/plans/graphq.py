@@ -196,7 +196,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.select((2 * F.col("s") + 1).alias("s"), (2 * F.col("c")).alias("t"))
     ).persist().transform(track_cache)
     return pagerank_fixed(
-        edges, n_iter=_PR_ITER, damping_pct=85, assume_no_dangling=True
+        edges, n_iter=_PR_ITER, damping_pct=85, assume_symmetric=True
     )
 
 
