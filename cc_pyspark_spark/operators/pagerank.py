@@ -453,7 +453,15 @@ def connected_components(
     # update is the ONE join+aggregation — the old second SMJ that
     # re-joined the old labels purely to apply least() carried no
     # information the self-edge doesn't.
-    base = edges.select("s", "t")
+    # The input lineage is read FOUR times building sym (forward +
+    # reversed legs, then the self-edge distinct reads both again).
+    # For callers whose edge frame is an expensive uncached pipeline
+    # (curation_pipeline_full / dedup_cluster_* feed the LSH pair join
+    # straight in here) that replayed the whole pair-generation plan
+    # 4x before the sym cache even built (r15 optimization round,
+    # guide §2.4 / §5: cache multi-consumer frames). One O(E) persist
+    # of the normalized base bounds it to one computation.
+    base = edges.select("s", "t").persist().transform(track_cache)
     sym = base.union(
         base.select(F.col("t").alias("s"), F.col("s").alias("t"))
     )

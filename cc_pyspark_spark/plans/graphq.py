@@ -676,12 +676,24 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         lb = labels.select(
             F.col("id").alias("b"), F.col("community").alias("cb")
         )
-        ein = (
+        # Aggregate BEFORE the second label attach (r15 optimization
+        # round, guide §2.3): the old edges⋈la⋈lb shape exchanged the
+        # full O(E) joined frame by b; counting per (b, ca) first is
+        # map-side combinable on the a-partitioned join output, so the
+        # b-keyed exchange carries only the collapsed (b, ca, cnt)
+        # rows — at most min(|E|, |B|·|C|), and shrinking every round
+        # as communities merge. Σ cnt over lab(b) == ca is the same
+        # exact integer as counting matching edges directly.
+        g = (
             edges.join(la, "a")
-            .join(lb, "b")
+            .groupBy("b", "ca")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        ein = (
+            g.join(lb, "b")
             .filter(F.col("ca") == F.col("cb"))
             .groupBy(F.col("ca").alias("ein_c"))
-            .agg(F.count("*").cast("bigint").alias("e_in"))
+            .agg(F.sum("cnt").cast("bigint").alias("e_in"))
         )
         part = (
             comm.join(ein, comm.community == F.col("ein_c"), "left")
