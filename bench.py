@@ -301,9 +301,15 @@ def _bench_pagerank_converged(spark, sf_dir):
     is the caller's knob either way)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from cc_pyspark_spark.caching import track_cache  # noqa: PLC0415
     from cc_pyspark_spark.operators.pagerank import pagerank_converged  # noqa: PLC0415
 
-    raw = _co_order_raw(spark, sf_dir)
+    # Persisted like graph_pagerank's edge frame (r15 optimization
+    # round, guide §2.4/§5): the wrapper's out_deg and adj caches each
+    # read `edges`, and each edges read is two replays of the
+    # orders⋈lineitem+distinct pipeline — uncached that pipeline ran
+    # 4x before the first round.
+    raw = _co_order_raw(spark, sf_dir).persist().transform(track_cache)
     edges = raw.select(
         (2 * F.col("c")).alias("s"), (2 * F.col("s") + 1).alias("t")
     ).unionAll(

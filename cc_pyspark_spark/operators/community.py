@@ -203,7 +203,9 @@ def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             cnt.groupBy("t")
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))).alias("m"))
             .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            # Lazy: the diff_count probe on the next line materializes
+            # the checkpoint in the same job (r15 optimization round).
+            .localCheckpoint(eager=False)
         )
         if diff_count(nxt, lab) == 0:
             return nxt.select("id", F.col("lab").alias("community"))
@@ -248,6 +250,11 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     semi-joins whose alive side is post-filter small. Kept the join
     formulation.
     """
+    # Round 1 references the seed three times (two symmetrize legs +
+    # the filter join), but the replays share their Exchange subtrees
+    # via ReusedExchange, so an eager seed checkpoint is a net LOSS
+    # (r15 measured +8%: one extra materialization pass buys reads
+    # that were already shared) — leave the seed lazy.
     cur = edges.select("a", "b")
     for _ in range(rounds):
         deg = (
@@ -283,7 +290,9 @@ def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame
         nxt = (
             cur.join(alive, cur.a == alive.v, "left_semi")
             .join(alive, cur.b == alive.v, "left_semi")
-            .localCheckpoint(eager=True)
+            # Lazy: the count() probe on the next line materializes
+            # the checkpoint in the same job (r15 optimization round).
+            .localCheckpoint(eager=False)
         )
         m = nxt.count()
         if m == n:

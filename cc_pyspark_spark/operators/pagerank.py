@@ -184,7 +184,6 @@ def pagerank_fixed(
         .persist().transform(track_cache)
     )
     base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
-
     # Degree rides the edge list (attached ONCE), and the adjacency is
     # cached pre-partitioned on the join key: InMemoryRelation keeps
     # its outputPartitioning, so every iteration's rank join reuses
@@ -244,7 +243,13 @@ def pagerank_fixed(
         else:
             # Dangling mass as a 1-row broadcast folded into the plan
             # (same shape as pagerank() — no per-iteration collect);
-            # filter over the flagged rank frame, no join.
+            # filter over the flagged rank frame, no join. (An r15
+            # NULL-sentinel variant that rode the dangling mass through
+            # the contribution exchange measured wat_host_pagerank
+            # 3.8 -> 6.5 s: with checkpoint_every=1 the old dangling
+            # scan reads a checkpoint for near-free, while the sentinel
+            # shape hangs the whole contribution aggregate under the
+            # broadcast subquery as well — don't re-try it.)
             dangling_df = (
                 ranks.filter("dang")
                 .agg(
@@ -366,6 +371,9 @@ def pagerank_converged(
             return new.withColumn(
                 "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
             ).select("id", new_r)
+        # See pagerank_fixed's dangling note: the r15 NULL-sentinel
+        # variant measured a regression — the checkpointed rank scan
+        # here is near-free.
         dangling_df = (
             ranks.filter("dang")
             .agg(
@@ -407,7 +415,11 @@ def pagerank_converged(
     for i in range(max_rounds):
         nxt = one_round(ranks)
         if (i + 1) % probe_every == 0 or i == max_rounds - 1:
-            nxt = nxt.localCheckpoint(eager=True)
+            # Lazy checkpoint (r15 optimization round): the moved_mass
+            # action on the next line materializes it — eager=True ran
+            # a separate count() job first, doubling per-probe driver
+            # round-trips for the same computed bytes.
+            nxt = nxt.localCheckpoint(eager=False)
             if moved_mass(nxt, last_probed) <= tol_units:
                 return nxt.select(
                     "id",
@@ -481,7 +493,10 @@ def connected_components(
             .select(F.col("s").alias("id"), "comp")
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # Lazy: every call site keeps probe_every == checkpoint_
+            # every, so the changed-probe below materializes the
+            # checkpoint in the same job (r15 optimization round).
+            new_labels = new_labels.localCheckpoint(eager=False)
         if (i + 1) % probe_every == 0 or i == max_iter - 1:
             changed = (
                 new_labels.alias("n")
@@ -658,8 +673,10 @@ def cc_alternating_converged(
     cur = e.localCheckpoint(eager=True)
     n_cur = cur.count()
     for _ in range(max_rounds):
+        # Lazy: the count() probe on the next line materializes the
+        # checkpoint in the same job (r15 optimization round).
         nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
-            eager=True
+            eager=False
         )
         n_nxt = nxt.count()
         if n_nxt == n_cur and cur.exceptAll(nxt).isEmpty():
@@ -850,7 +867,10 @@ def hits_fixed(edges: DataFrame, rounds: int = 2) -> DataFrame:
     """
     base = edges.select("s", "t")
     e_s = base.repartition("s").sortWithinPartitions("s").persist().transform(track_cache)
-    e_t = base.repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
+    # e_t re-reads the e_s CACHE, not the caller's edge frame (r15
+    # optimization round, guide §2.4/§5): same rows, second layout —
+    # an expensive uncached edge pipeline computes once, not twice.
+    e_t = e_s.repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
     # round 1 auth: hub0 = 1 everywhere -> auth1(v) = in-degree
     auth = (
         e_t.groupBy("t")
@@ -936,7 +956,10 @@ def hits_converged(
     # by the round count here.
     base = edges.select("s", "t")
     e_s = base.repartition("s").sortWithinPartitions("s").persist().transform(track_cache)
-    e_t = base.repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
+    # e_t re-reads the e_s CACHE, not the caller's edge frame (r15
+    # optimization round, guide §2.4/§5): same rows, second layout —
+    # an expensive uncached edge pipeline computes once, not twice.
+    e_t = e_s.repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
 
     def rescale(frame: DataFrame) -> DataFrame:
         mx = frame.agg(F.max("v").alias("m"))
@@ -948,7 +971,11 @@ def hits_converged(
                     f"(v DIV m) * {scale}L + ((v % m) * {scale}L) DIV m"
                 ).alias("v"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy checkpoint (r15 optimization round): the per-round
+            # linf2 probe action materializes both rescaled frames in
+            # ONE job — eager=True paid two extra count() jobs per
+            # round for the same computed bytes.
+            .localCheckpoint(eager=False)
         )
 
     def linf2(

@@ -1693,7 +1693,14 @@ FROM base b JOIN sz s ON b.keep_id = s.keep_id
     tags=("curation", "dedup", "llm"),
 )
 def curation_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = dedup_cluster_canonical(spark, sf_dir).select("doc_id", "keep_id")
+    # Persisted (r15 optimization round, guide §2.4): read twice below
+    # (cluster-size aggregate + the weight join) — uncached, each read
+    # replayed the canonical-survivor join over the CC label frame.
+    base = (
+        dedup_cluster_canonical(spark, sf_dir)
+        .select("doc_id", "keep_id")
+        .persist().transform(track_cache)
+    )
     sz = base.groupBy(F.col("keep_id").alias("sz_keep")).agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )
