@@ -498,6 +498,20 @@ def connected_components(
             # checkpoint in the same job (r15 optimization round).
             new_labels = new_labels.localCheckpoint(eager=False)
         if (i + 1) % probe_every == 0 or i == max_iter - 1:
+            # NEGATIVE RESULT (r15 optimization round): replacing this
+            # join probe with an exact label-sum checksum (decimal(38,0)
+            # sum equality probe-to-probe; sound because the min-label
+            # update is monotone) measured correct but SLOWER in the
+            # same-conditions A/B: curation_soft_dedup 2.70 -> 13.99 s,
+            # dedup_cluster_histogram 2.58 -> 4.53 s at sf0.1 (sum arm
+            # on the LESS contended host). Sum equality compares
+            # probe-to-probe, so the first probe only seeds the
+            # baseline and a fixed point is confirmed one full probe
+            # span LATER than the join detects it — fast-converging
+            # dedup-cluster graphs pay extra label rounds, checkpoints
+            # and probe jobs that dwarf the join probe's plan-analysis
+            # saving. Do not re-try without changing the comparison to
+            # same-span (e.g. count changed via the join, which this is).
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")

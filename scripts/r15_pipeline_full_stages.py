@@ -16,7 +16,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from cc_pyspark_spark.caching import release_caches, track_cache  # noqa: E402
 from cc_pyspark_spark.session import build_session  # noqa: E402
-from cc_pyspark_spark.sources.tables import Catalog  # noqa: E402
+from cc_pyspark_spark.catalog import Catalog  # noqa: E402
 
 
 def noop(df):
@@ -84,7 +84,7 @@ def main() -> int:
         timed(spark, "5 survivor+split+pack", lambda: noop(packed))
         print(f"--- end iteration {it} ---", flush=True)
         if os.environ.get("STAGE_SWEEP", "1") == "1":
-            release_caches(spark)
+            release_caches()
     spark.stop()
     return 0
 
