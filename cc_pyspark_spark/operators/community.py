@@ -191,6 +191,30 @@ def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .count()
         )
 
+    def diff2_counts(
+        a: DataFrame, b: DataFrame, c: DataFrame
+    ) -> "tuple[int, int]":
+        """Both per-round stop probes in ONE driver action (r15
+        optimization round — the hits_converged linf2 discipline): join
+        the three checkpointed id-partitioned label frames once and
+        count fixed-point and period-2 mismatches in the same
+        aggregate. The stop rule is unchanged — the caller checks the
+        fixed-point count first, exactly as the two sequential probes
+        did; the cycle probe merely runs unconditionally inside the
+        same (zero-exchange) pass instead of as a second job."""
+        row = (
+            a.join(b.select(F.col("id").alias("id2"), F.col("lab").alias("lab2")),
+                   a.id == F.col("id2"))
+            .join(c.select(F.col("id").alias("id3"), F.col("lab").alias("lab3")),
+                  a.id == F.col("id3"))
+            .agg(
+                F.count(F.when(F.col("lab") != F.col("lab2"), 1)).alias("d1"),
+                F.count(F.when(F.col("lab") != F.col("lab3"), 1)).alias("d2"),
+            )
+            .collect()[0]
+        )
+        return int(row["d1"]), int(row["d2"])
+
     lab = verts.select("id", F.col("id").alias("lab")).localCheckpoint(eager=True)
     prev2: DataFrame | None = None
     for _ in range(max_rounds):
@@ -203,13 +227,17 @@ def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             cnt.groupBy("t")
             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))).alias("m"))
             .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
-            # Lazy: the diff_count probe on the next line materializes
-            # the checkpoint in the same job (r15 optimization round).
+            # Lazy: the probe action below materializes the checkpoint
+            # in the same job (r15 optimization round).
             .localCheckpoint(eager=False)
         )
-        if diff_count(nxt, lab) == 0:
+        if prev2 is None:
+            d1, d2 = diff_count(nxt, lab), 1
+        else:
+            d1, d2 = diff2_counts(nxt, lab, prev2)
+        if d1 == 0:
             return nxt.select("id", F.col("lab").alias("community"))
-        if prev2 is not None and diff_count(nxt, prev2) == 0:
+        if d2 == 0:
             # period-2 cycle: canonicalize via the elementwise min of
             # the two alternating phases (nxt and lab are the phases)
             return (
@@ -266,6 +294,10 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
         cur = (
             cur.join(alive, cur.a == alive.v, "left_semi")
             .join(alive, cur.b == alive.v, "left_semi")
+            # eager: the lazy variant straddled noise in the r15
+            # sandwich A/B (3.47 -> 3.28/3.65 s) and shares
+            # cc_alternating's multi-reference concurrent-materialize
+            # hazard — keep the measured-safe shape.
             .localCheckpoint(eager=True)
         )
     deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))

@@ -25,6 +25,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate_lineage(edges: DataFrame) -> DataFrame:
+    """Persist + eager localCheckpoint of an iterative operator's edge
+    input (r15 optimization round, guide §3.3/§5 — materialising an
+    intermediate truncates the plan).
+
+    Why BOTH: every downstream plan construction (lazy checkpoints
+    included — under AQE ``Dataset.localCheckpoint`` materialises every
+    query stage to create its RDD even with ``eager=False``)
+    re-analyses and re-canonicalises the full lineage of every frame it
+    references. For a HUGE caller lineage (the LSH pair pipeline, the
+    WAT parse) that analysis alone measured 6.5 s to materialise 81
+    edges and 5 s per convergence probe at sf0.1. The checkpoint
+    replaces the lineage with a LogicalRDD; the plan-keyed persist
+    underneath keeps the computed edges warm across rebuilt identical
+    pipelines (a checkpoint alone re-ran the caller's pipeline per
+    rebuild — measured on wat_host_pagerank, 5.5 -> 7.7 s).
+
+    Use ONLY where the caller lineage is big (the CC family fed by
+    LSH pair pipelines; wat_host_pagerank's parse). Two negative
+    results pin the boundaries: (a) under AQE a LogicalRDD does NOT
+    preserve partitioning (verified in-plan), so the pre-partitioned
+    per-round caches must stay persists, never checkpoints; (b) a
+    LogicalRDD is identity-keyed, not plan-keyed, so caches DERIVED
+    from the checkpoint miss the CacheManager on every rebuilt
+    pipeline — applying this at the entry of the co-order-fed
+    pagerank/HITS/LPA operators made their derived vertex/degree/
+    adjacency caches rebuild per bench run and measured pagerank_
+    converged 12 -> 17 s warm. The per-probe planning cost there is
+    AQE stage materialisation, not lineage analysis, and this helper
+    does not address it."""
+    return (
+        edges.persist().transform(track_cache).localCheckpoint(eager=True)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,
@@ -99,7 +134,9 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)  # truncate lineage
+            # truncate lineage; eager — see pagerank_fixed's r15
+            # negative result on the lazy variant
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -269,6 +306,15 @@ def pagerank_fixed(
                 .select("id", new_r, "dang")
             )
         if (i + 1) % checkpoint_every == 0:
+            # NEGATIVE RESULT (r15 optimization round): eager=False here
+            # measured WORSE in a back-to-back sandwich A/B at sf0.1
+            # (wat_host_pagerank 4.14 -> 4.74/5.10 s across two new-code
+            # arms; graph_pagerank straddled noise). On the dangling
+            # path each round's broadcast job then materializes the
+            # previous checkpoint inside the broadcast collect instead
+            # of a clean full-parallelism count job, and multi-reference
+            # rounds can compute unmaterialized checkpoint partitions
+            # concurrently from parallel stages. Keep eager.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "id", "r", (F.col("r") / F.lit(float(PAGERANK_SCALE))).alias("rank")
@@ -471,9 +517,23 @@ def connected_components(
     # (curation_pipeline_full / dedup_cluster_* feed the LSH pair join
     # straight in here) that replayed the whole pair-generation plan
     # 4x before the sym cache even built (r15 optimization round,
-    # guide §2.4 / §5: cache multi-consumer frames). One O(E) persist
-    # of the normalized base bounds it to one computation.
-    base = edges.select("s", "t").persist().transform(track_cache)
+    # guide §2.4 / §5: cache multi-consumer frames).
+    #
+    # Persist + localCheckpoint (r15 optimization round, guide
+    # §3.3/§5 — materialising an intermediate truncates the plan): a
+    # persist alone leaves the full caller lineage in the logical
+    # plan, so every downstream job here (sym build, each probe, the
+    # caller's final action) re-analyses and re-canonicalises the
+    # whole pair-generation subtree for the cache lookup — measured
+    # 6.5 s to materialise 81 edges and 5 s per probe at sf0.1 inside
+    # curation_pipeline_full; with the checkpoint truncating the
+    # lineage to a LogicalRDD the same decomposition reads 1.6 s /
+    # 0.34 s. The persist underneath keeps the pair generation
+    # plan-keyed so a rebuilt identical pipeline (bench warm runs)
+    # reuses the computed pairs instead of re-running them. Rows are
+    # identical (everything downstream is order-insensitive: union /
+    # distinct / min-agg).
+    base = _truncate_lineage(edges.select("s", "t"))
     sym = base.union(
         base.select(F.col("t").alias("s"), F.col("s").alias("t"))
     )
@@ -571,20 +631,36 @@ def cc_alternating(
     for i in range(rounds):
         cur = _star(_star(cur, large=True), large=False)
         if (i + 1) % checkpoint_every == 0:
+            # NEGATIVE RESULT (r15 optimization round): eager=False
+            # measured +8-12% in both arms of a sandwich A/B
+            # (graph_cc_alternating 3.58 -> 4.01/3.88 s at sf0.1). The
+            # four per-round references sit under different exchanges,
+            # so parallel stages can compute unmaterialized checkpoint
+            # partitions concurrently — eager's one count() job
+            # materializes once at full parallelism. Keep eager.
             cur = cur.localCheckpoint(eager=True)
     return _cc_labels(cur, verts)
 
 
 def _cc_normalize(edges: DataFrame) -> "tuple[DataFrame, DataFrame]":
-    """Canonical (a < b) distinct edge set + vertex frame, both cached
-    (the edge frame seeds the round loop; vertices label the output)."""
-    e = (
+    """Canonical (a < b) distinct edge set + vertex frame (the edge
+    frame seeds the round loop; vertices label the output).
+
+    The edge set is persisted AND localCheckpoint'ed (r15
+    optimization round — the connected_components rationale): callers
+    like graph_cc_alternating feed the LSH pair pipeline straight in,
+    and a persist alone leaves that whole subtree in the logical plan
+    for every downstream job (each star round seed, the vertex
+    distinct, the final label join) to re-analyse and re-canonicalise;
+    the checkpoint truncates it to a LogicalRDD while the plan-keyed
+    persist underneath keeps rebuilt pipelines warm. Rows are
+    identical."""
+    e = _truncate_lineage(
         edges.select(
             F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist().transform(track_cache)
     )
     verts = (
         e.select(F.col("a").alias("id"))
@@ -684,7 +760,7 @@ def cc_alternating_converged(
     rounds=3 would be wrong).
     """
     e, verts = _cc_normalize(edges)
-    cur = e.localCheckpoint(eager=True)
+    cur = e  # already a localCheckpoint (_cc_normalize, r15)
     n_cur = cur.count()
     for _ in range(max_rounds):
         # Lazy: the count() probe on the next line materializes the
@@ -903,14 +979,17 @@ def hits_fixed(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .groupBy("t")
             .agg(F.sum("v").cast("bigint").alias("v"))
             .select(F.col("t").alias("id"), "v")
-            .localCheckpoint(eager=True)
+            # Lazy (r15): the final-normalization max broadcast (or the
+            # caller's action) materializes each frame once; eager=True
+            # paid one count() job per checkpoint for the same bytes.
+            .localCheckpoint(eager=False)
         )
         hub = (
             e_t.join(auth, e_t.t == auth.id)
             .groupBy("s")
             .agg(F.sum("v").cast("bigint").alias("v"))
             .select(F.col("s").alias("id"), "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     out = []
     for kind, frame in (("auth", auth), ("hub", hub)):

@@ -584,11 +584,22 @@ def wat_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc_pyspark_spark.caching import track_cache  # noqa: PLC0415
     from cc_pyspark_spark.operators.pagerank import pagerank_fixed  # noqa: PLC0415
 
-    # Persisted: pagerank_fixed derives vertices, out-degrees, AND the
+    # Persist + localCheckpoint (r15 optimization round, guide
+    # §3.3/§5): pagerank_fixed derives vertices, out-degrees, AND the
     # adjacency from the edge frame — uncached, the full .wat.gz parse
-    # would re-run for each derivation (measured 3x at sf0.1).
+    # would re-run for each derivation (measured 3x at sf0.1). The
+    # persist bounds the COMPUTE to one pass (and is plan-keyed, so a
+    # rebuilt identical pipeline reuses it); the checkpoint on top
+    # truncates the WAT parse subtree out of the logical plan, which
+    # every downstream job (cache builds, per-round checkpoints,
+    # dangling broadcasts, the final action) otherwise re-analyses and
+    # re-canonicalises. A checkpoint ALONE measured worse (5.5 ->
+    # 7.7 s shuffle-contended): unlike the persist it is not
+    # plan-keyed, so every rebuilt pipeline re-ran the parse.
     edges = (
-        wat_links_host_graph(spark, sf_dir).persist().transform(track_cache)
+        wat_links_host_graph(spark, sf_dir)
+        .persist().transform(track_cache)
+        .localCheckpoint(eager=True)
     )
     # checkpoint_every=1: on the DANGLING path each round's plan
     # references the previous rank frame twice (contribution join +
