@@ -31,10 +31,13 @@ Scale shapes (100 TB / 10^9-vertex web graph):
 
 from __future__ import annotations
 
+from contextlib import nullcontext
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cc_pyspark_spark.caching import track_cache
+from cc_pyspark_spark.operators.adaptive import loop_shuffle
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -103,45 +106,67 @@ def label_propagation_history(
     O(rounds), not multiplicative lineage replay (the modularity bench
     row read 29 s before this, 3^rounds replays of round 1)."""
     e = edges.persist().transform(track_cache)
-    verts = (
-        _symmetrize(e).select(F.col("s").alias("id")).distinct()
+    # Scale-adaptive loop partitioning (r15 optimization round, see
+    # operators/adaptive.py) — ONLY on the checkpoint_each path, where
+    # every round eagerly materializes inside the scope so all loop
+    # exchanges plan at the derived count. The plain fixed-round path
+    # runs its whole plan at the CALLER's action, after the scope is
+    # restored — there a smaller cache would stop co-partitioning with
+    # the conf-count label regroup and ADD one exchange per round (the
+    # hits_fixed rationale). The count materializes the e persist,
+    # which the sym cache build pays today anyway.
+    scope = (
+        loop_shuffle(e.sparkSession, e.count(), n_cols=2)
+        if checkpoint_each
+        else nullcontext()
     )
-    # neighbor edges + one self-loop per vertex (the self-vote).
-    # Cached PRE-PARTITIONED on the per-round join key (r15, guide
-    # §2.4 — the pagerank adj discipline): every round joins
-    # sym.s == lab.id with the label frame already partitioned by id
-    # from its regroup, so with hashpartitioning(s) in the cache the
-    # round's only exchange is the (t, lab) plurality regroup; the
-    # O(E) adjacency no longer re-exchanges each round.
-    sym = (
-        _symmetrize(e)
-        .unionAll(verts.select(F.col("id").alias("s"), F.col("id").alias("t")))
-        .repartition("s")
-        .sortWithinPartitions("s")
-        .persist()
-        .transform(track_cache)
-    )
-    lab = verts.select("id", F.col("id").alias("lab"))
-    history: list[DataFrame] = []
-    for i in range(rounds):
-        cnt = (
-            sym.join(lab, sym.s == lab.id)
-            .groupBy(sym.t, lab.lab)
-            .agg(F.count("*").alias("cnt"))
+    with scope:
+        verts = (
+            _symmetrize(e).select(F.col("s").alias("id")).distinct()
         )
-        # plurality label, smallest label on ties: min over the
-        # lexicographic struct (-cnt, lab) — one aggregation, no window
-        lab = (
-            cnt.groupBy("t")
-            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))).alias("m"))
-            .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
+        # neighbor edges + one self-loop per vertex (the self-vote).
+        # Cached PRE-PARTITIONED on the per-round join key (r15, guide
+        # §2.4 — the pagerank adj discipline): every round joins
+        # sym.s == lab.id with the label frame already partitioned by
+        # id from its regroup, so with hashpartitioning(s) in the cache
+        # the round's only exchange is the (t, lab) plurality regroup;
+        # the O(E) adjacency no longer re-exchanges each round.
+        sym = (
+            _symmetrize(e)
+            .unionAll(
+                verts.select(F.col("id").alias("s"), F.col("id").alias("t"))
+            )
+            .repartition("s")
+            .sortWithinPartitions("s")
+            .persist()
+            .transform(track_cache)
         )
-        if checkpoint_each or (
-            (i + 1) % checkpoint_every == 0 and (i + 1) < rounds
-        ):
-            lab = lab.localCheckpoint(eager=True)
-        history.append(lab.select("id", F.col("lab").alias("community")))
-    return history
+        lab = verts.select("id", F.col("id").alias("lab"))
+        history: list[DataFrame] = []
+        for i in range(rounds):
+            cnt = (
+                sym.join(lab, sym.s == lab.id)
+                .groupBy(sym.t, lab.lab)
+                .agg(F.count("*").alias("cnt"))
+            )
+            # plurality label, smallest label on ties: min over the
+            # lexicographic struct (-cnt, lab) — one aggregation, no
+            # window
+            lab = (
+                cnt.groupBy("t")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))
+                    ).alias("m")
+                )
+                .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
+            )
+            if checkpoint_each or (
+                (i + 1) % checkpoint_every == 0 and (i + 1) < rounds
+            ):
+                lab = lab.localCheckpoint(eager=True)
+            history.append(lab.select("id", F.col("lab").alias("community")))
+        return history
 
 
 def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
@@ -172,82 +197,119 @@ def lpa_converged(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     cached adjacency, identical to the fixed-round plan.
     """
     e = edges.persist().transform(track_cache)
-    verts = _symmetrize(e).select(F.col("s").alias("id")).distinct()
-    # Pre-partitioned on the join key — see label_propagation_history.
-    sym = (
-        _symmetrize(e)
-        .unionAll(verts.select(F.col("id").alias("s"), F.col("id").alias("t")))
-        .repartition("s")
-        .sortWithinPartitions("s")
-        .persist()
-        .transform(track_cache)
-    )
-
-    def diff_count(a: DataFrame, b: DataFrame) -> int:
-        return (
-            a.join(b.select(F.col("id").alias("id2"), F.col("lab").alias("lab2")),
-                   a.id == F.col("id2"))
-            .filter(F.col("lab") != F.col("lab2"))
-            .count()
-        )
-
-    def diff2_counts(
-        a: DataFrame, b: DataFrame, c: DataFrame
-    ) -> "tuple[int, int]":
-        """Both per-round stop probes in ONE driver action (r15
-        optimization round — the hits_converged linf2 discipline): join
-        the three checkpointed id-partitioned label frames once and
-        count fixed-point and period-2 mismatches in the same
-        aggregate. The stop rule is unchanged — the caller checks the
-        fixed-point count first, exactly as the two sequential probes
-        did; the cycle probe merely runs unconditionally inside the
-        same (zero-exchange) pass instead of as a second job."""
-        row = (
-            a.join(b.select(F.col("id").alias("id2"), F.col("lab").alias("lab2")),
-                   a.id == F.col("id2"))
-            .join(c.select(F.col("id").alias("id3"), F.col("lab").alias("lab3")),
-                  a.id == F.col("id3"))
-            .agg(
-                F.count(F.when(F.col("lab") != F.col("lab2"), 1)).alias("d1"),
-                F.count(F.when(F.col("lab") != F.col("lab3"), 1)).alias("d2"),
+    # Scale-adaptive loop partitioning (r15 optimization round, see
+    # operators/adaptive.py): the count materializes the e persist —
+    # work the sym cache build pays today — and every round's stop
+    # probe plans inside the scope. Labels are integer min/argmin
+    # state, bit-identical under any partitioning.
+    n_edges = e.count()
+    with loop_shuffle(e.sparkSession, n_edges, n_cols=2):
+        verts = _symmetrize(e).select(F.col("s").alias("id")).distinct()
+        # Pre-partitioned on the join key — see
+        # label_propagation_history.
+        sym = (
+            _symmetrize(e)
+            .unionAll(
+                verts.select(F.col("id").alias("s"), F.col("id").alias("t"))
             )
-            .collect()[0]
+            .repartition("s")
+            .sortWithinPartitions("s")
+            .persist()
+            .transform(track_cache)
         )
-        return int(row["d1"]), int(row["d2"])
 
-    lab = verts.select("id", F.col("id").alias("lab")).localCheckpoint(eager=True)
-    prev2: DataFrame | None = None
-    for _ in range(max_rounds):
-        cnt = (
-            sym.join(lab, sym.s == lab.id)
-            .groupBy(sym.t, lab.lab)
-            .agg(F.count("*").alias("cnt"))
-        )
-        nxt = (
-            cnt.groupBy("t")
-            .agg(F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))).alias("m"))
-            .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
-            # Lazy: the probe action below materializes the checkpoint
-            # in the same job (r15 optimization round).
-            .localCheckpoint(eager=False)
-        )
-        if prev2 is None:
-            d1, d2 = diff_count(nxt, lab), 1
-        else:
-            d1, d2 = diff2_counts(nxt, lab, prev2)
-        if d1 == 0:
-            return nxt.select("id", F.col("lab").alias("community"))
-        if d2 == 0:
-            # period-2 cycle: canonicalize via the elementwise min of
-            # the two alternating phases (nxt and lab are the phases)
+        def diff_count(a: DataFrame, b: DataFrame) -> int:
             return (
-                nxt.join(
-                    lab.select(F.col("id").alias("id2"), F.col("lab").alias("lab2")),
-                    nxt.id == F.col("id2"),
+                a.join(
+                    b.select(
+                        F.col("id").alias("id2"), F.col("lab").alias("lab2")
+                    ),
+                    a.id == F.col("id2"),
                 )
-                .select("id", F.least("lab", "lab2").alias("community"))
+                .filter(F.col("lab") != F.col("lab2"))
+                .count()
             )
-        prev2, lab = lab, nxt
+
+        def diff2_counts(
+            a: DataFrame, b: DataFrame, c: DataFrame
+        ) -> "tuple[int, int]":
+            """Both per-round stop probes in ONE driver action (r15
+            optimization round — the hits_converged linf2 discipline):
+            join the three checkpointed id-partitioned label frames
+            once and count fixed-point and period-2 mismatches in the
+            same aggregate. The stop rule is unchanged — the caller
+            checks the fixed-point count first, exactly as the two
+            sequential probes did; the cycle probe merely runs
+            unconditionally inside the same (zero-exchange) pass
+            instead of as a second job."""
+            row = (
+                a.join(
+                    b.select(
+                        F.col("id").alias("id2"), F.col("lab").alias("lab2")
+                    ),
+                    a.id == F.col("id2"),
+                )
+                .join(
+                    c.select(
+                        F.col("id").alias("id3"), F.col("lab").alias("lab3")
+                    ),
+                    a.id == F.col("id3"),
+                )
+                .agg(
+                    F.count(F.when(F.col("lab") != F.col("lab2"), 1)).alias(
+                        "d1"
+                    ),
+                    F.count(F.when(F.col("lab") != F.col("lab3"), 1)).alias(
+                        "d2"
+                    ),
+                )
+                .collect()[0]
+            )
+            return int(row["d1"]), int(row["d2"])
+
+        lab = verts.select("id", F.col("id").alias("lab")).localCheckpoint(
+            eager=True
+        )
+        prev2: DataFrame | None = None
+        for _ in range(max_rounds):
+            cnt = (
+                sym.join(lab, sym.s == lab.id)
+                .groupBy(sym.t, lab.lab)
+                .agg(F.count("*").alias("cnt"))
+            )
+            nxt = (
+                cnt.groupBy("t")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("lab"))
+                    ).alias("m")
+                )
+                .select(F.col("t").alias("id"), F.col("m.lab").alias("lab"))
+                # Lazy: the probe action below materializes the
+                # checkpoint in the same job (r15 optimization round).
+                .localCheckpoint(eager=False)
+            )
+            if prev2 is None:
+                d1, d2 = diff_count(nxt, lab), 1
+            else:
+                d1, d2 = diff2_counts(nxt, lab, prev2)
+            if d1 == 0:
+                return nxt.select("id", F.col("lab").alias("community"))
+            if d2 == 0:
+                # period-2 cycle: canonicalize via the elementwise min
+                # of the two alternating phases (nxt and lab are the
+                # phases)
+                return (
+                    nxt.join(
+                        lab.select(
+                            F.col("id").alias("id2"),
+                            F.col("lab").alias("lab2"),
+                        ),
+                        nxt.id == F.col("id2"),
+                    )
+                    .select("id", F.least("lab", "lab2").alias("community"))
+                )
+            prev2, lab = lab, nxt
     raise RuntimeError(
         f"lpa_converged: no fixed point or 2-cycle within {max_rounds} rounds"
     )
@@ -284,24 +346,41 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     # (r15 measured +8%: one extra materialization pass buys reads
     # that were already shared) — leave the seed lazy.
     cur = edges.select("a", "b")
-    for _ in range(rounds):
-        deg = (
-            _symmetrize(cur)
-            .groupBy("s")
-            .agg(F.count("*").alias("deg"))
-        )
-        alive = deg.filter(F.col("deg") >= k).select(F.col("s").alias("v"))
-        cur = (
-            cur.join(alive, cur.a == alive.v, "left_semi")
-            .join(alive, cur.b == alive.v, "left_semi")
-            # eager: the lazy variant straddled noise in the r15
-            # sandwich A/B (3.47 -> 3.28/3.65 s) and shares
-            # cc_alternating's multi-reference concurrent-materialize
-            # hazard — keep the measured-safe shape.
-            .localCheckpoint(eager=True)
-        )
-    deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
-    return deg.select(F.col("s").alias("id"), "deg")
+    scope = None
+    try:
+        for i in range(rounds):
+            deg = (
+                _symmetrize(cur)
+                .groupBy("s")
+                .agg(F.count("*").alias("deg"))
+            )
+            alive = deg.filter(F.col("deg") >= k).select(
+                F.col("s").alias("v")
+            )
+            cur = (
+                cur.join(alive, cur.a == alive.v, "left_semi")
+                .join(alive, cur.b == alive.v, "left_semi")
+                # eager: the lazy variant straddled noise in the r15
+                # sandwich A/B (3.47 -> 3.28/3.65 s) and shares
+                # cc_alternating's multi-reference concurrent-
+                # materialize hazard — keep the measured-safe shape.
+                .localCheckpoint(eager=True)
+            )
+            if i == 0:
+                # Scale-adaptive loop partitioning for rounds 2+ (r15
+                # optimization round, see operators/adaptive.py),
+                # derived AFTER round 1 so the count is a scan of the
+                # checkpoint just materialized — the lazy seed stays
+                # lazy (an up-front edge count would re-run the
+                # caller's pipeline; the eager seed checkpoint that
+                # would make it cheap measured +8% in r15).
+                scope = loop_shuffle(cur.sparkSession, cur.count(), n_cols=2)
+                scope.__enter__()
+        deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
+        return deg.select(F.col("s").alias("id"), "deg")
+    finally:
+        if scope is not None:
+            scope.__exit__(None, None, None)
 
 
 def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
@@ -316,21 +395,32 @@ def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame
     """
     cur = edges.select("a", "b").localCheckpoint(eager=True)
     n = cur.count()
-    for _ in range(max_rounds):
-        deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
-        alive = deg.filter(F.col("deg") >= k).select(F.col("s").alias("v"))
-        nxt = (
-            cur.join(alive, cur.a == alive.v, "left_semi")
-            .join(alive, cur.b == alive.v, "left_semi")
-            # Lazy: the count() probe on the next line materializes
-            # the checkpoint in the same job (r15 optimization round).
-            .localCheckpoint(eager=False)
-        )
-        m = nxt.count()
-        if m == n:
-            deg = _symmetrize(nxt).groupBy("s").agg(F.count("*").alias("deg"))
-            return deg.select(F.col("s").alias("id"), "deg")
-        cur, n = nxt, m
+    # Scale-adaptive loop partitioning derived from the count the
+    # fixed-point probe needs anyway (r15 optimization round, see
+    # operators/adaptive.py).
+    with loop_shuffle(cur.sparkSession, n, n_cols=2):
+        for _ in range(max_rounds):
+            deg = _symmetrize(cur).groupBy("s").agg(
+                F.count("*").alias("deg")
+            )
+            alive = deg.filter(F.col("deg") >= k).select(
+                F.col("s").alias("v")
+            )
+            nxt = (
+                cur.join(alive, cur.a == alive.v, "left_semi")
+                .join(alive, cur.b == alive.v, "left_semi")
+                # Lazy: the count() probe on the next line materializes
+                # the checkpoint in the same job (r15 optimization
+                # round).
+                .localCheckpoint(eager=False)
+            )
+            m = nxt.count()
+            if m == n:
+                deg = _symmetrize(nxt).groupBy("s").agg(
+                    F.count("*").alias("deg")
+                )
+                return deg.select(F.col("s").alias("id"), "deg")
+            cur, n = nxt, m
     raise RuntimeError(
         f"kcore_converged: no fixed point within {max_rounds} rounds"
     )

@@ -20,6 +20,7 @@ linear lineage growth, not the checkpoint cost).
 from __future__ import annotations
 
 from cc_pyspark_spark.caching import track_cache
+from cc_pyspark_spark.operators.adaptive import loop_shuffle
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -66,7 +67,15 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 4,
 ) -> DataFrame:
-    """edges(s, t) integer vertex ids → (id, rank); Σ rank == 1."""
+    """edges(s, t) integer vertex ids → (id, rank); Σ rank == 1.
+
+    Deliberately NOT scale-adaptive-partitioned (r15 optimization
+    round, operators/adaptive.py): this is the DOUBLE-typed variant,
+    and float SUM is order-dependent — changing the partition count
+    would change the last-ulp rank values run-over-run. Every benched /
+    oracled path uses :func:`pagerank_fixed`; callers who want the
+    adaptive loop use that.
+    """
     vertices = (
         edges.select(F.col("s").alias("id"))
         .union(edges.select(F.col("t").alias("id")))
@@ -205,117 +214,135 @@ def pagerank_fixed(
     """
     if assume_symmetric:
         assume_no_dangling = True
-    vertices = (
-        edges.select(F.col("s").alias("id"))
-        .union(edges.select(F.col("t").alias("id")))
-        .distinct()
-        .sortWithinPartitions("id")
-        .persist().transform(track_cache)
-    )
-    n = vertices.count()
-    # out_deg re-joins the per-round dangling-mass anti-join on s —
-    # cache it pre-partitioned/pre-sorted like the adjacency (r15).
-    out_deg = (
-        edges.groupBy("s").agg(F.count("*").alias("deg"))
-        .repartition("s").sortWithinPartitions("s")
-        .persist().transform(track_cache)
-    )
-    base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
-    # Degree rides the edge list (attached ONCE), and the adjacency is
-    # cached pre-partitioned on the join key: InMemoryRelation keeps
-    # its outputPartitioning, so every iteration's rank join reuses
-    # the cached layout and only the O(V) rank frame shuffles — the
-    # O(E) edge side crosses the wire once total, not twice per round
-    # (r8: this took the benched sf0.1 query from ~11.7 s to the
-    # contrib aggregation being the only per-round wide shuffle).
-    adj = (
-        edges.join(out_deg, "s")
-        .select("s", "t", "deg")
-        .repartition("s")
-        .sortWithinPartitions("s")
-        .persist().transform(track_cache)
-    )
-    adj.count()  # materialize the layout before the loop
-
-    # Static dangling-vertex FLAG carried on the vertices cache (r15
-    # optimization round): vertices with no out-edge never gain one, so
-    # the per-round dangling-mass reduction is a filter+aggregate over
-    # the rank frame itself — the r15 build's separate dangling_ids
-    # cache plus per-round O(V) semi-join carried the same information
-    # as one extra boolean column does for free.
-    seed = vertices
-    if not assume_no_dangling:
-        seed = (
-            vertices.join(out_deg, vertices.id == out_deg.s, "left")
-            .select("id", F.col("s").isNull().alias("dang"))
+    # Scale-adaptive loop partitioning (r15 optimization round, see
+    # operators/adaptive.py): every engine call site hands a persisted
+    # or checkpointed edge frame, so this count materializes work the
+    # vertices/adj cache builds would pay anyway. All loop arithmetic
+    # is BIGINT (associative), so the result is bit-identical under any
+    # partition count.
+    n_edges = edges.count()
+    with loop_shuffle(edges.sparkSession, n_edges, n_cols=3):
+        vertices = (
+            edges.select(F.col("s").alias("id"))
+            .union(edges.select(F.col("t").alias("id")))
+            .distinct()
             .sortWithinPartitions("id")
             .persist().transform(track_cache)
         )
-    ranks = seed.withColumn("r", F.lit(PAGERANK_SCALE // n).cast("bigint"))
-    new_r = (
-        F.lit(base).cast("bigint")
-        + F.expr(f"({damping_pct} * inflow) div 100")
-    ).alias("r")
-    for i in range(n_iter):
-        contribs = (
-            adj.join(ranks, adj.s == ranks.id)
-            .select(F.col("t").alias("id"), F.expr("r div deg").alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
+        n = vertices.count()
+        # out_deg re-joins the per-round dangling-mass anti-join on s —
+        # cache it pre-partitioned/pre-sorted like the adjacency (r15).
+        out_deg = (
+            edges.groupBy("s").agg(F.count("*").alias("deg"))
+            .repartition("s").sortWithinPartitions("s")
+            .persist().transform(track_cache)
         )
-        if assume_symmetric:
-            # Every vertex has an in-edge: contribs IS the full vertex
-            # set and contrib is never NULL — no backfill join.
-            ranks = contribs.select(
-                "id", F.col("contrib").alias("inflow")
-            ).select("id", new_r)
-        elif assume_no_dangling:
-            ranks = (
-                seed.join(contribs, "id", "left")
-                .withColumn(
-                    "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
-                )
-                .select("id", new_r)
+        base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
+        # Degree rides the edge list (attached ONCE), and the adjacency
+        # is cached pre-partitioned on the join key: InMemoryRelation
+        # keeps its outputPartitioning, so every iteration's rank join
+        # reuses the cached layout and only the O(V) rank frame
+        # shuffles — the O(E) edge side crosses the wire once total,
+        # not twice per round (r8: this took the benched sf0.1 query
+        # from ~11.7 s to the contrib aggregation being the only
+        # per-round wide shuffle).
+        adj = (
+            edges.join(out_deg, "s")
+            .select("s", "t", "deg")
+            .repartition("s")
+            .sortWithinPartitions("s")
+            .persist().transform(track_cache)
+        )
+        adj.count()  # materialize the layout before the loop
+
+        # Static dangling-vertex FLAG carried on the vertices cache
+        # (r15 optimization round): vertices with no out-edge never
+        # gain one, so the per-round dangling-mass reduction is a
+        # filter+aggregate over the rank frame itself — the r15 build's
+        # separate dangling_ids cache plus per-round O(V) semi-join
+        # carried the same information as one extra boolean column does
+        # for free.
+        seed = vertices
+        if not assume_no_dangling:
+            seed = (
+                vertices.join(out_deg, vertices.id == out_deg.s, "left")
+                .select("id", F.col("s").isNull().alias("dang"))
+                .sortWithinPartitions("id")
+                .persist().transform(track_cache)
             )
-        else:
-            # Dangling mass as a 1-row broadcast folded into the plan
-            # (same shape as pagerank() — no per-iteration collect);
-            # filter over the flagged rank frame, no join. (An r15
-            # NULL-sentinel variant that rode the dangling mass through
-            # the contribution exchange measured wat_host_pagerank
-            # 3.8 -> 6.5 s: with checkpoint_every=1 the old dangling
-            # scan reads a checkpoint for near-free, while the sentinel
-            # shape hangs the whole contribution aggregate under the
-            # broadcast subquery as well — don't re-try it.)
-            dangling_df = (
-                ranks.filter("dang")
-                .agg(
-                    F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
-                        "dangling"
+        ranks = seed.withColumn(
+            "r", F.lit(PAGERANK_SCALE // n).cast("bigint")
+        )
+        new_r = (
+            F.lit(base).cast("bigint")
+            + F.expr(f"({damping_pct} * inflow) div 100")
+        ).alias("r")
+        for i in range(n_iter):
+            contribs = (
+                adj.join(ranks, adj.s == ranks.id)
+                .select(
+                    F.col("t").alias("id"), F.expr("r div deg").alias("c")
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            if assume_symmetric:
+                # Every vertex has an in-edge: contribs IS the full
+                # vertex set and contrib is never NULL — no backfill
+                # join.
+                ranks = contribs.select(
+                    "id", F.col("contrib").alias("inflow")
+                ).select("id", new_r)
+            elif assume_no_dangling:
+                ranks = (
+                    seed.join(contribs, "id", "left")
+                    .withColumn(
+                        "inflow",
+                        F.coalesce("contrib", F.lit(0).cast("bigint")),
+                    )
+                    .select("id", new_r)
+                )
+            else:
+                # Dangling mass as a 1-row broadcast folded into the
+                # plan (same shape as pagerank() — no per-iteration
+                # collect); filter over the flagged rank frame, no
+                # join. (An r15 NULL-sentinel variant that rode the
+                # dangling mass through the contribution exchange
+                # measured wat_host_pagerank 3.8 -> 6.5 s: with
+                # checkpoint_every=1 the old dangling scan reads a
+                # checkpoint for near-free, while the sentinel shape
+                # hangs the whole contribution aggregate under the
+                # broadcast subquery as well — don't re-try it.)
+                dangling_df = (
+                    ranks.filter("dang")
+                    .agg(
+                        F.coalesce(
+                            F.sum("r"), F.lit(0).cast("bigint")
+                        ).alias("dangling")
                     )
                 )
-            )
-            ranks = (
-                seed.join(contribs, "id", "left")
-                .crossJoin(F.broadcast(dangling_df))
-                .withColumn(
-                    "inflow",
-                    F.coalesce("contrib", F.lit(0).cast("bigint"))
-                    + F.expr(f"dangling div {n}"),
+                ranks = (
+                    seed.join(contribs, "id", "left")
+                    .crossJoin(F.broadcast(dangling_df))
+                    .withColumn(
+                        "inflow",
+                        F.coalesce("contrib", F.lit(0).cast("bigint"))
+                        + F.expr(f"dangling div {n}"),
+                    )
+                    .select("id", new_r, "dang")
                 )
-                .select("id", new_r, "dang")
-            )
-        if (i + 1) % checkpoint_every == 0:
-            # NEGATIVE RESULT (r15 optimization round): eager=False here
-            # measured WORSE in a back-to-back sandwich A/B at sf0.1
-            # (wat_host_pagerank 4.14 -> 4.74/5.10 s across two new-code
-            # arms; graph_pagerank straddled noise). On the dangling
-            # path each round's broadcast job then materializes the
-            # previous checkpoint inside the broadcast collect instead
-            # of a clean full-parallelism count job, and multi-reference
-            # rounds can compute unmaterialized checkpoint partitions
-            # concurrently from parallel stages. Keep eager.
-            ranks = ranks.localCheckpoint(eager=True)
+            if (i + 1) % checkpoint_every == 0:
+                # NEGATIVE RESULT (r15 optimization round): eager=False
+                # here measured WORSE in a back-to-back sandwich A/B at
+                # sf0.1 (wat_host_pagerank 4.14 -> 4.74/5.10 s across
+                # two new-code arms; graph_pagerank straddled noise).
+                # On the dangling path each round's broadcast job then
+                # materializes the previous checkpoint inside the
+                # broadcast collect instead of a clean full-parallelism
+                # count job, and multi-reference rounds can compute
+                # unmaterialized checkpoint partitions concurrently
+                # from parallel stages. Keep eager.
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "id", "r", (F.col("r") / F.lit(float(PAGERANK_SCALE))).alias("rank")
     )
@@ -360,120 +387,134 @@ def pagerank_converged(
     """
     if assume_symmetric:
         assume_no_dangling = True
-    vertices = (
-        edges.select(F.col("s").alias("id"))
-        .union(edges.select(F.col("t").alias("id")))
-        .distinct()
-        .sortWithinPartitions("id")
-        .persist().transform(track_cache)
-    )
-    n = vertices.count()
-    # out_deg re-joins the per-round dangling-mass anti-join on s —
-    # cache it pre-partitioned/pre-sorted like the adjacency (r15).
-    out_deg = (
-        edges.groupBy("s").agg(F.count("*").alias("deg"))
-        .repartition("s").sortWithinPartitions("s")
-        .persist().transform(track_cache)
-    )
-    base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
-    adj = (
-        edges.join(out_deg, "s")
-        .select("s", "t", "deg")
-        .repartition("s")
-        .sortWithinPartitions("s")
-        .persist().transform(track_cache)
-    )
-    adj.count()
-    # static dangling-vertex FLAG on the seed frame — see
-    # pagerank_fixed (r15 optimization round)
-    seed = vertices
-    if not assume_no_dangling:
-        seed = (
-            vertices.join(out_deg, vertices.id == out_deg.s, "left")
-            .select("id", F.col("s").isNull().alias("dang"))
+    # Scale-adaptive loop partitioning — see pagerank_fixed (r15
+    # optimization round, operators/adaptive.py). The convergence
+    # probes and lazy checkpoints all run inside this scope, so every
+    # per-round exchange plans at the derived count.
+    n_edges = edges.count()
+    with loop_shuffle(edges.sparkSession, n_edges, n_cols=3):
+        vertices = (
+            edges.select(F.col("s").alias("id"))
+            .union(edges.select(F.col("t").alias("id")))
+            .distinct()
             .sortWithinPartitions("id")
             .persist().transform(track_cache)
         )
-    new_r = (
-        F.lit(base).cast("bigint")
-        + F.expr(f"({damping_pct} * inflow) div 100")
-    ).alias("r")
-
-    def one_round(ranks: DataFrame) -> DataFrame:
-        contribs = (
-            adj.join(ranks, adj.s == ranks.id)
-            .select(F.col("t").alias("id"), F.expr("r div deg").alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
+        n = vertices.count()
+        # out_deg re-joins the per-round dangling-mass anti-join on s —
+        # cache it pre-partitioned/pre-sorted like the adjacency (r15).
+        out_deg = (
+            edges.groupBy("s").agg(F.count("*").alias("deg"))
+            .repartition("s").sortWithinPartitions("s")
+            .persist().transform(track_cache)
         )
-        if assume_symmetric:
-            # Full in-coverage: contribs is the vertex set, no backfill
-            # join (pagerank_fixed's assume_symmetric rationale).
-            return contribs.select(
-                "id", F.col("contrib").alias("inflow")
-            ).select("id", new_r)
-        new = seed.join(contribs, "id", "left")
-        if assume_no_dangling:
-            return new.withColumn(
-                "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
-            ).select("id", new_r)
-        # See pagerank_fixed's dangling note: the r15 NULL-sentinel
-        # variant measured a regression — the checkpointed rank scan
-        # here is near-free.
-        dangling_df = (
-            ranks.filter("dang")
-            .agg(
-                F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
-                    "dangling"
+        base = (PAGERANK_SCALE * (100 - damping_pct)) // (100 * n)
+        adj = (
+            edges.join(out_deg, "s")
+            .select("s", "t", "deg")
+            .repartition("s")
+            .sortWithinPartitions("s")
+            .persist().transform(track_cache)
+        )
+        adj.count()
+        # static dangling-vertex FLAG on the seed frame — see
+        # pagerank_fixed (r15 optimization round)
+        seed = vertices
+        if not assume_no_dangling:
+            seed = (
+                vertices.join(out_deg, vertices.id == out_deg.s, "left")
+                .select("id", F.col("s").isNull().alias("dang"))
+                .sortWithinPartitions("id")
+                .persist().transform(track_cache)
+            )
+        new_r = (
+            F.lit(base).cast("bigint")
+            + F.expr(f"({damping_pct} * inflow) div 100")
+        ).alias("r")
+
+        def one_round(ranks: DataFrame) -> DataFrame:
+            contribs = (
+                adj.join(ranks, adj.s == ranks.id)
+                .select(
+                    F.col("t").alias("id"), F.expr("r div deg").alias("c")
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            if assume_symmetric:
+                # Full in-coverage: contribs is the vertex set, no
+                # backfill join (pagerank_fixed's assume_symmetric
+                # rationale).
+                return contribs.select(
+                    "id", F.col("contrib").alias("inflow")
+                ).select("id", new_r)
+            new = seed.join(contribs, "id", "left")
+            if assume_no_dangling:
+                return new.withColumn(
+                    "inflow", F.coalesce("contrib", F.lit(0).cast("bigint"))
+                ).select("id", new_r)
+            # See pagerank_fixed's dangling note: the r15 NULL-sentinel
+            # variant measured a regression — the checkpointed rank
+            # scan here is near-free.
+            dangling_df = (
+                ranks.filter("dang")
+                .agg(
+                    F.coalesce(F.sum("r"), F.lit(0).cast("bigint")).alias(
+                        "dangling"
+                    )
                 )
             )
-        )
-        return (
-            new.crossJoin(F.broadcast(dangling_df))
-            .withColumn(
-                "inflow",
-                F.coalesce("contrib", F.lit(0).cast("bigint"))
-                + F.expr(f"dangling div {n}"),
-            )
-            .select("id", new_r, "dang")
-        )
-
-    def moved_mass(a: DataFrame, b: DataFrame) -> int:
-        row = (
-            a.join(
-                b.select(F.col("id").alias("id2"), F.col("r").alias("r2")),
-                a.id == F.col("id2"),
-            )
-            .agg(F.sum(F.abs(F.col("r") - F.col("r2"))).alias("d"))
-            .collect()[0]
-        )
-        return int(row["d"]) if row["d"] is not None else 0
-
-    ranks = seed.withColumn(
-        "r", F.lit(PAGERANK_SCALE // n).cast("bigint")
-    ).localCheckpoint(eager=True)
-    # last_probed only advances AT probe rounds, so the probe join
-    # really spans `probe_every` rounds (r11 ADVICE: reassigning
-    # `ranks` every round silently degraded the documented span
-    # probe to a single-step delta) and both sides of the join are
-    # always checkpointed frames.
-    last_probed = ranks
-    for i in range(max_rounds):
-        nxt = one_round(ranks)
-        if (i + 1) % probe_every == 0 or i == max_rounds - 1:
-            # Lazy checkpoint (r15 optimization round): the moved_mass
-            # action on the next line materializes it — eager=True ran
-            # a separate count() job first, doubling per-probe driver
-            # round-trips for the same computed bytes.
-            nxt = nxt.localCheckpoint(eager=False)
-            if moved_mass(nxt, last_probed) <= tol_units:
-                return nxt.select(
-                    "id",
-                    "r",
-                    (F.col("r") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
+            return (
+                new.crossJoin(F.broadcast(dangling_df))
+                .withColumn(
+                    "inflow",
+                    F.coalesce("contrib", F.lit(0).cast("bigint"))
+                    + F.expr(f"dangling div {n}"),
                 )
-            last_probed = nxt
-        ranks = nxt
+                .select("id", new_r, "dang")
+            )
+
+        def moved_mass(a: DataFrame, b: DataFrame) -> int:
+            row = (
+                a.join(
+                    b.select(
+                        F.col("id").alias("id2"), F.col("r").alias("r2")
+                    ),
+                    a.id == F.col("id2"),
+                )
+                .agg(F.sum(F.abs(F.col("r") - F.col("r2"))).alias("d"))
+                .collect()[0]
+            )
+            return int(row["d"]) if row["d"] is not None else 0
+
+        ranks = seed.withColumn(
+            "r", F.lit(PAGERANK_SCALE // n).cast("bigint")
+        ).localCheckpoint(eager=True)
+        # last_probed only advances AT probe rounds, so the probe join
+        # really spans `probe_every` rounds (r11 ADVICE: reassigning
+        # `ranks` every round silently degraded the documented span
+        # probe to a single-step delta) and both sides of the join are
+        # always checkpointed frames.
+        last_probed = ranks
+        for i in range(max_rounds):
+            nxt = one_round(ranks)
+            if (i + 1) % probe_every == 0 or i == max_rounds - 1:
+                # Lazy checkpoint (r15 optimization round): the
+                # moved_mass action on the next line materializes it —
+                # eager=True ran a separate count() job first, doubling
+                # per-probe driver round-trips for the same computed
+                # bytes.
+                nxt = nxt.localCheckpoint(eager=False)
+                if moved_mass(nxt, last_probed) <= tol_units:
+                    return nxt.select(
+                        "id",
+                        "r",
+                        (F.col("r") / F.lit(float(PAGERANK_SCALE))).alias(
+                            "rank"
+                        ),
+                    )
+                last_probed = nxt
+            ranks = nxt
     raise RuntimeError(
         f"pagerank_converged: moved mass above {tol_units} units after "
         f"{max_rounds} rounds"
@@ -534,56 +575,67 @@ def connected_components(
     # identical (everything downstream is order-insensitive: union /
     # distinct / min-agg).
     base = _truncate_lineage(edges.select("s", "t"))
-    sym = base.union(
-        base.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    )
-    sym = sym.union(
-        sym.select("s").distinct().select("s", F.col("s").alias("t"))
-    ).repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
-    labels = (
-        sym.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-    )
-    for i in range(max_iter):
-        new_labels = (
-            sym.join(labels, sym.t == labels.id)
-            .groupBy("s")
-            .agg(F.min("comp").alias("comp"))
-            .select(F.col("s").alias("id"), "comp")
+    # Scale-adaptive loop partitioning (r15 optimization round, see
+    # operators/adaptive.py): base is an eager checkpoint, so the count
+    # is a scan of already-materialized local blocks. The dedup-cluster
+    # compositions feed a few-hundred-edge frame in here — at the conf
+    # count they paid 32 task launches per stage per round.
+    n_edges = base.count()
+    with loop_shuffle(base.sparkSession, n_edges, n_cols=2):
+        sym = base.union(
+            base.select(F.col("t").alias("s"), F.col("s").alias("t"))
         )
-        if (i + 1) % checkpoint_every == 0:
-            # Lazy: every call site keeps probe_every == checkpoint_
-            # every, so the changed-probe below materializes the
-            # checkpoint in the same job (r15 optimization round).
-            new_labels = new_labels.localCheckpoint(eager=False)
-        if (i + 1) % probe_every == 0 or i == max_iter - 1:
-            # NEGATIVE RESULT (r15 optimization round): replacing this
-            # join probe with an exact label-sum checksum (decimal(38,0)
-            # sum equality probe-to-probe; sound because the min-label
-            # update is monotone) measured correct but SLOWER in the
-            # same-conditions A/B: curation_soft_dedup 2.70 -> 13.99 s,
-            # dedup_cluster_histogram 2.58 -> 4.53 s at sf0.1 (sum arm
-            # on the LESS contended host). Sum equality compares
-            # probe-to-probe, so the first probe only seeds the
-            # baseline and a fixed point is confirmed one full probe
-            # span LATER than the join detects it — fast-converging
-            # dedup-cluster graphs pay extra label rounds, checkpoints
-            # and probe jobs that dwarf the join probe's plan-analysis
-            # saving. Do not re-try without changing the comparison to
-            # same-span (e.g. count changed via the join, which this is).
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
+        sym = sym.union(
+            sym.select("s").distinct().select("s", F.col("s").alias("t"))
+        ).repartition("t").sortWithinPartitions("t").persist().transform(
+            track_cache
+        )
+        labels = (
+            sym.select(F.col("s").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+        )
+        for i in range(max_iter):
+            new_labels = (
+                sym.join(labels, sym.t == labels.id)
+                .groupBy("s")
+                .agg(F.min("comp").alias("comp"))
+                .select(F.col("s").alias("id"), "comp")
             )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            labels = new_labels
+            if (i + 1) % checkpoint_every == 0:
+                # Lazy: every call site keeps probe_every == checkpoint_
+                # every, so the changed-probe below materializes the
+                # checkpoint in the same job (r15 optimization round).
+                new_labels = new_labels.localCheckpoint(eager=False)
+            if (i + 1) % probe_every == 0 or i == max_iter - 1:
+                # NEGATIVE RESULT (r15 optimization round): replacing
+                # this join probe with an exact label-sum checksum
+                # (decimal(38,0) sum equality probe-to-probe; sound
+                # because the min-label update is monotone) measured
+                # correct but SLOWER in the same-conditions A/B:
+                # curation_soft_dedup 2.70 -> 13.99 s,
+                # dedup_cluster_histogram 2.58 -> 4.53 s at sf0.1 (sum
+                # arm on the LESS contended host). Sum equality
+                # compares probe-to-probe, so the first probe only
+                # seeds the baseline and a fixed point is confirmed one
+                # full probe span LATER than the join detects it —
+                # fast-converging dedup-cluster graphs pay extra label
+                # rounds, checkpoints and probe jobs that dwarf the
+                # join probe's plan-analysis saving. Do not re-try
+                # without changing the comparison to same-span (e.g.
+                # count changed via the join, which this is).
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "id")
+                    .filter(F.col("n.comp") != F.col("o.comp"))
+                    .limit(1)
+                    .count()
+                )
+                labels = new_labels
+                if changed == 0:
+                    break
+            else:
+                labels = new_labels
     return labels.select("id", F.col("comp").alias("component"))
 
 
@@ -627,18 +679,26 @@ def cc_alternating(
     cross-check).
     """
     e, verts = _cc_normalize(edges)
-    cur = e
-    for i in range(rounds):
-        cur = _star(_star(cur, large=True), large=False)
-        if (i + 1) % checkpoint_every == 0:
-            # NEGATIVE RESULT (r15 optimization round): eager=False
-            # measured +8-12% in both arms of a sandwich A/B
-            # (graph_cc_alternating 3.58 -> 4.01/3.88 s at sf0.1). The
-            # four per-round references sit under different exchanges,
-            # so parallel stages can compute unmaterialized checkpoint
-            # partitions concurrently — eager's one count() job
-            # materializes once at full parallelism. Keep eager.
-            cur = cur.localCheckpoint(eager=True)
+    # Scale-adaptive loop partitioning (r15 optimization round, see
+    # operators/adaptive.py): e is an eager checkpoint, so the count is
+    # a local-block scan; the star rounds' window/distinct exchanges
+    # all plan inside the scope (the per-round eager checkpoints are
+    # the loop's actions).
+    n_edges = e.count()
+    with loop_shuffle(e.sparkSession, n_edges, n_cols=2):
+        cur = e
+        for i in range(rounds):
+            cur = _star(_star(cur, large=True), large=False)
+            if (i + 1) % checkpoint_every == 0:
+                # NEGATIVE RESULT (r15 optimization round): eager=False
+                # measured +8-12% in both arms of a sandwich A/B
+                # (graph_cc_alternating 3.58 -> 4.01/3.88 s at sf0.1).
+                # The four per-round references sit under different
+                # exchanges, so parallel stages can compute
+                # unmaterialized checkpoint partitions concurrently —
+                # eager's one count() job materializes once at full
+                # parallelism. Keep eager.
+                cur = cur.localCheckpoint(eager=True)
     return _cc_labels(cur, verts)
 
 
@@ -762,16 +822,20 @@ def cc_alternating_converged(
     e, verts = _cc_normalize(edges)
     cur = e  # already a localCheckpoint (_cc_normalize, r15)
     n_cur = cur.count()
-    for _ in range(max_rounds):
-        # Lazy: the count() probe on the next line materializes the
-        # checkpoint in the same job (r15 optimization round).
-        nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
-            eager=False
-        )
-        n_nxt = nxt.count()
-        if n_nxt == n_cur and cur.exceptAll(nxt).isEmpty():
-            return _cc_labels(nxt, verts)
-        cur, n_cur = nxt, n_nxt
+    # Scale-adaptive loop partitioning derived from the count the
+    # fixed-point probe needs anyway (r15 optimization round, see
+    # operators/adaptive.py).
+    with loop_shuffle(e.sparkSession, n_cur, n_cols=2):
+        for _ in range(max_rounds):
+            # Lazy: the count() probe on the next line materializes the
+            # checkpoint in the same job (r15 optimization round).
+            nxt = _star(_star(cur, large=True), large=False).localCheckpoint(
+                eager=False
+            )
+            n_nxt = nxt.count()
+            if n_nxt == n_cur and cur.exceptAll(nxt).isEmpty():
+                return _cc_labels(nxt, verts)
+            cur, n_cur = nxt, n_nxt
     raise RuntimeError(
         f"cc_alternating_converged: no fixed point within {max_rounds} "
         "rounds — star alternation converges in O(log^2 n); check the "
@@ -908,24 +972,32 @@ def bfs_hops(
             edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
         ).persist().transform(track_cache)
         verts = sym.select(F.col("s").alias("id")).distinct()
-    settled = sources.select(
-        "id", F.lit(0).cast("bigint").alias("hops")
-    ).join(verts, "id", "left_semi").persist().transform(track_cache)
-    frontier = settled
-    for i in range(max_iter):
-        # Propagate hop(t) = min hop(s) + 1 along s->t arcs (for the
-        # symmetrized frame both orientations are present, so this is
-        # bit-identical to the historical t->s formulation).
-        cand = (
-            sym.join(frontier, sym.s == frontier.id)
-            .groupBy(F.col("t").alias("id"))
-            .agg((F.min("hops") + F.lit(1)).cast("bigint").alias("hops"))
-        )
-        frontier = cand.join(settled, "id", "left_anti")
-        settled = settled.union(frontier)  # disjoint by construction
-        if (i + 1) % checkpoint_every == 0:
-            settled = settled.localCheckpoint(eager=True)
-            frontier = frontier.localCheckpoint(eager=True)
+    # Scale-adaptive loop partitioning (r15 optimization round, see
+    # operators/adaptive.py): the count materializes the sym persist —
+    # work round 1 would pay — and the per-round eager checkpoints all
+    # plan inside the scope. Min labels are integers, bit-identical
+    # under any partitioning.
+    n_edges = sym.count()
+    with loop_shuffle(sym.sparkSession, n_edges, n_cols=2):
+        settled = sources.select(
+            "id", F.lit(0).cast("bigint").alias("hops")
+        ).join(verts, "id", "left_semi").persist().transform(track_cache)
+        frontier = settled
+        for i in range(max_iter):
+            # Propagate hop(t) = min hop(s) + 1 along s->t arcs (for
+            # the symmetrized frame both orientations are present, so
+            # this is bit-identical to the historical t->s
+            # formulation).
+            cand = (
+                sym.join(frontier, sym.s == frontier.id)
+                .groupBy(F.col("t").alias("id"))
+                .agg((F.min("hops") + F.lit(1)).cast("bigint").alias("hops"))
+            )
+            frontier = cand.join(settled, "id", "left_anti")
+            settled = settled.union(frontier)  # disjoint by construction
+            if (i + 1) % checkpoint_every == 0:
+                settled = settled.localCheckpoint(eager=True)
+                frontier = frontier.localCheckpoint(eager=True)
     return verts.join(settled, "id", "left").select("id", "hops")
 
 
@@ -954,6 +1026,15 @@ def hits_fixed(edges: DataFrame, rounds: int = 2) -> DataFrame:
     layout and only the score frame (already partitioned by the
     previous regroup) moves — the old single unpartitioned cache
     re-exchanged O(E) edges on every join.
+
+    Deliberately NOT scale-adaptive-partitioned (r15 optimization
+    round, operators/adaptive.py): the fixed-round body runs NO
+    internal action — the whole plan executes at the caller's action,
+    after a loop_shuffle scope would already be restored — so shrinking
+    only the caches would ADD one exchange per round (the score frame,
+    partitioned at the conf count by its regroup, would stop
+    co-partitioning with a smaller cache). hits_converged, whose
+    per-round probes plan inside the scope, is the adaptive variant.
     """
     base = edges.select("s", "t")
     e_s = base.repartition("s").sortWithinPartitions("s").persist().transform(track_cache)
@@ -1047,88 +1128,98 @@ def hits_converged(
     # EVERY round until the fixed point, so the per-round O(E)
     # re-exchange the single unpartitioned cache paid is multiplied
     # by the round count here.
-    base = edges.select("s", "t")
-    e_s = base.repartition("s").sortWithinPartitions("s").persist().transform(track_cache)
-    # e_t re-reads the e_s CACHE, not the caller's edge frame (r15
-    # optimization round, guide §2.4/§5): same rows, second layout —
-    # an expensive uncached edge pipeline computes once, not twice.
-    e_t = e_s.repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
+    #
+    # base is persisted so the scale-adaptive partition count (see
+    # operators/adaptive.py) can be derived from a measured row count
+    # without re-running the caller's edge pipeline: the count
+    # materializes the pipeline once into this cache and the e_s/e_t
+    # layout caches read it back.
+    base = edges.select("s", "t").persist().transform(track_cache)
+    n_edges = base.count()
+    with loop_shuffle(base.sparkSession, n_edges, n_cols=2):
+        e_s = base.repartition("s").sortWithinPartitions("s").persist().transform(track_cache)
+        e_t = e_s.repartition("t").sortWithinPartitions("t").persist().transform(track_cache)
 
-    def rescale(frame: DataFrame) -> DataFrame:
-        mx = frame.agg(F.max("v").alias("m"))
-        return (
-            frame.crossJoin(F.broadcast(mx))
-            .select(
-                "id",
-                F.expr(
-                    f"(v DIV m) * {scale}L + ((v % m) * {scale}L) DIV m"
-                ).alias("v"),
-            )
-            # Lazy checkpoint (r15 optimization round): the per-round
-            # linf2 probe action materializes both rescaled frames in
-            # ONE job — eager=True paid two extra count() jobs per
-            # round for the same computed bytes.
-            .localCheckpoint(eager=False)
-        )
-
-    def linf2(
-        a: DataFrame, pa: DataFrame, h: DataFrame, ph: DataFrame
-    ) -> int:
-        """max(L-inf(auth delta), L-inf(hub delta)) in ONE driver
-        action (r15): the two per-round probe joins used to run as
-        two separate collect() jobs; unioning the joined delta frames
-        before the 1-row max halves the per-round driver round-trips
-        without changing the <= 1 stop rule (it fires iff both
-        deltas are <= 1, exactly as the two-probe AND did)."""
-
-        def deltas(x: DataFrame, px: DataFrame) -> DataFrame:
-            return x.join(
-                px.select(F.col("id").alias("id2"), F.col("v").alias("v2")),
-                x.id == F.col("id2"),
-            ).select(F.abs(F.col("v") - F.col("v2")).alias("d"))
-
-        row = (
-            deltas(a, pa)
-            .unionAll(deltas(h, ph))
-            .agg(F.max("d").alias("d"))
-            .collect()[0]
-        )
-        return int(row["d"]) if row["d"] is not None else 0
-
-    verts_s = e_s.select(F.col("s").alias("id")).distinct()
-    hub = verts_s.select("id", F.lit(scale).cast("bigint").alias("v"))
-    prev_auth = prev_hub = None
-    for _ in range(max_rounds):
-        auth = rescale(
-            e_s.join(hub, e_s.s == hub.id)
-            .groupBy("t")
-            .agg(F.sum("v").cast("bigint").alias("v"))
-            .select(F.col("t").alias("id"), "v")
-        )
-        nxt_hub = rescale(
-            e_t.join(auth, e_t.t == auth.id)
-            .groupBy("s")
-            .agg(F.sum("v").cast("bigint").alias("v"))
-            .select(F.col("s").alias("id"), "v")
-        )
-        if (
-            prev_auth is not None
-            and linf2(auth, prev_auth, nxt_hub, prev_hub) <= 1
-        ):
-            out = []
-            for kind, frame in (("auth", auth), ("hub", nxt_hub)):
-                out.append(
-                    frame.select(
-                        "id",
-                        F.lit(kind).alias("kind"),
-                        F.col("v").alias("score_fp"),
-                        (F.col("v").cast("double") / F.lit(float(scale))).alias(
-                            "score"
-                        ),
-                    )
+        def rescale(frame: DataFrame) -> DataFrame:
+            mx = frame.agg(F.max("v").alias("m"))
+            return (
+                frame.crossJoin(F.broadcast(mx))
+                .select(
+                    "id",
+                    F.expr(
+                        f"(v DIV m) * {scale}L + ((v % m) * {scale}L) DIV m"
+                    ).alias("v"),
                 )
-            return out[0].unionAll(out[1])
-        prev_auth, prev_hub, hub = auth, nxt_hub, nxt_hub
+                # Lazy checkpoint (r15 optimization round): the
+                # per-round linf2 probe action materializes both
+                # rescaled frames in ONE job — eager=True paid two
+                # extra count() jobs per round for the same computed
+                # bytes.
+                .localCheckpoint(eager=False)
+            )
+
+        def linf2(
+            a: DataFrame, pa: DataFrame, h: DataFrame, ph: DataFrame
+        ) -> int:
+            """max(L-inf(auth delta), L-inf(hub delta)) in ONE driver
+            action (r15): the two per-round probe joins used to run as
+            two separate collect() jobs; unioning the joined delta
+            frames before the 1-row max halves the per-round driver
+            round-trips without changing the <= 1 stop rule (it fires
+            iff both deltas are <= 1, exactly as the two-probe AND
+            did)."""
+
+            def deltas(x: DataFrame, px: DataFrame) -> DataFrame:
+                return x.join(
+                    px.select(
+                        F.col("id").alias("id2"), F.col("v").alias("v2")
+                    ),
+                    x.id == F.col("id2"),
+                ).select(F.abs(F.col("v") - F.col("v2")).alias("d"))
+
+            row = (
+                deltas(a, pa)
+                .unionAll(deltas(h, ph))
+                .agg(F.max("d").alias("d"))
+                .collect()[0]
+            )
+            return int(row["d"]) if row["d"] is not None else 0
+
+        verts_s = e_s.select(F.col("s").alias("id")).distinct()
+        hub = verts_s.select("id", F.lit(scale).cast("bigint").alias("v"))
+        prev_auth = prev_hub = None
+        for _ in range(max_rounds):
+            auth = rescale(
+                e_s.join(hub, e_s.s == hub.id)
+                .groupBy("t")
+                .agg(F.sum("v").cast("bigint").alias("v"))
+                .select(F.col("t").alias("id"), "v")
+            )
+            nxt_hub = rescale(
+                e_t.join(auth, e_t.t == auth.id)
+                .groupBy("s")
+                .agg(F.sum("v").cast("bigint").alias("v"))
+                .select(F.col("s").alias("id"), "v")
+            )
+            if (
+                prev_auth is not None
+                and linf2(auth, prev_auth, nxt_hub, prev_hub) <= 1
+            ):
+                out = []
+                for kind, frame in (("auth", auth), ("hub", nxt_hub)):
+                    out.append(
+                        frame.select(
+                            "id",
+                            F.lit(kind).alias("kind"),
+                            F.col("v").alias("score_fp"),
+                            (
+                                F.col("v").cast("double")
+                                / F.lit(float(scale))
+                            ).alias("score"),
+                        )
+                    )
+                return out[0].unionAll(out[1])
+            prev_auth, prev_hub, hub = auth, nxt_hub, nxt_hub
     raise RuntimeError(
         f"hits_converged: no integer fixed point within {max_rounds} rounds"
     )
