@@ -56,9 +56,11 @@ from pyspark.sql import SparkSession
 #: Small on purpose: loop stages are latency-bound (every round is a
 #: barrier), and per-partition scheduling overhead stops paying for
 #: itself well below the 100 MB-1 GB guide target for throughput-bound
-#: stages. Env-overridable for cluster profiles.
-LOOP_TARGET_BYTES = int(
-    os.environ.get("SPARK_GRAFT_LOOP_TARGET_BYTES", str(4 << 20))
+#: stages. Env-overridable for cluster profiles; clamped to >= 1 so a
+#: zero/negative override fails soft instead of ZeroDivisionError-ing
+#: every iterative operator (ADVICE r15).
+LOOP_TARGET_BYTES = max(
+    1, int(os.environ.get("SPARK_GRAFT_LOOP_TARGET_BYTES", str(4 << 20)))
 )
 
 
@@ -78,17 +80,55 @@ def loop_partitions(spark: SparkSession, n_rows: int, n_cols: int = 2) -> int:
 
 @contextmanager
 def loop_shuffle(
-    spark: SparkSession, n_rows: int, n_cols: int = 2
+    spark: SparkSession, n_rows: int, n_cols: int = 2, aqe: str = "off"
 ) -> Iterator[int]:
     """Scope ``spark.sql.shuffle.partitions`` to
     :func:`loop_partitions` for the duration of an iterative loop's
     internal actions; always restores the caller's value (the bench /
-    driver contract keeps the session default at the core count)."""
+    driver contract keeps the session default at the core count).
+
+    ``aqe="off"`` (the default) ALSO disables AQE inside the scope
+    (r16 optimization round). Rationale, measured not assumed: inside
+    the pre-partitioned-cache loops AQE's levers are inert — partition
+    coalescing does not apply to an exchange whose join sibling is an
+    InMemoryTableScan (the r15 finding that motivated the derived
+    count) or a LogicalRDD checkpoint, and skew-join splitting likewise
+    requires both sides to be shuffle query stages — while AQE's
+    per-stage re-planning makes EVERY ``localCheckpoint(eager=False)``
+    materialise the whole probe span stage-by-stage just to create its
+    RDD (measured ~0.9 s per pagerank_converged probe span at sf0.1;
+    ~0.13 s with AQE off, the probe collect then executing the span in
+    one job). AQE off additionally lets a checkpoint's LogicalRDD keep
+    the physical plan's outputPartitioning, so post-checkpoint rounds
+    and probe joins stop re-exchanging state frames. Interleaved
+    same-session A/B at sf0.1: graph_pagerank 0.72x, wat_host_pagerank
+    0.81x, graph_lpa_converged 0.82x, graph_modularity 0.94x,
+    pagerank_converged 0.95x, CC family 0.95-1.01x.
+
+    ``aqe="on"`` keeps AQE for loops whose per-round join sides SHRINK
+    (k-core peeling's alive set, BFS frontiers): there AQE's runtime
+    SMJ -> broadcast conversion is worth more than the checkpoint
+    laziness — measured graph_kcore 1.19x / graph_kcore_converged
+    1.16x WORSE with AQE off. AQE never changes results, only physical
+    planning; the caller's session values are restored on exit either
+    way. ``SPARK_GRAFT_LOOP_AQE`` overrides the parameter globally
+    (the A/B probe knob; scripts/r16_ab_probe.py).
+
+    Concurrency note (ADVICE r15): this mutates session-global conf
+    keys, assuming single-threaded query planning per session — the
+    bench/driver/runner contract today. A future threaded driver must
+    plan concurrent queries on separate sessions (``newSession()``) or
+    serialise planning around these scopes."""
     key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(key)
+    old_aqe = spark.conf.get(aqe_key)
     n = loop_partitions(spark, n_rows, n_cols)
     spark.conf.set(key, str(n))
+    if os.environ.get("SPARK_GRAFT_LOOP_AQE", aqe) != "on":
+        spark.conf.set(aqe_key, "false")
     try:
         yield n
     finally:
         spark.conf.set(key, old)
+        spark.conf.set(aqe_key, old_aqe)

@@ -374,7 +374,13 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
                 # lazy (an up-front edge count would re-run the
                 # caller's pipeline; the eager seed checkpoint that
                 # would make it cheap measured +8% in r15).
-                scope = loop_shuffle(cur.sparkSession, cur.count(), n_cols=2)
+                # aqe="on": peeling's alive side SHRINKS per round, and
+                # AQE's runtime SMJ -> broadcast conversion of the two
+                # semi-joins is worth more than checkpoint laziness
+                # (r16 interleaved A/B: 1.19x WORSE with AQE off).
+                scope = loop_shuffle(
+                    cur.sparkSession, cur.count(), n_cols=2, aqe="on"
+                )
                 scope.__enter__()
         deg = _symmetrize(cur).groupBy("s").agg(F.count("*").alias("deg"))
         return deg.select(F.col("s").alias("id"), "deg")
@@ -397,8 +403,9 @@ def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame
     n = cur.count()
     # Scale-adaptive loop partitioning derived from the count the
     # fixed-point probe needs anyway (r15 optimization round, see
-    # operators/adaptive.py).
-    with loop_shuffle(cur.sparkSession, n, n_cols=2):
+    # operators/adaptive.py). aqe="on" — the kcore rationale above
+    # (r16 A/B: 1.16x WORSE with AQE off on this row).
+    with loop_shuffle(cur.sparkSession, n, n_cols=2, aqe="on"):
         for _ in range(max_rounds):
             deg = _symmetrize(cur).groupBy("s").agg(
                 F.count("*").alias("deg")

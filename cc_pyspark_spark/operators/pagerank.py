@@ -977,8 +977,11 @@ def bfs_hops(
     # work round 1 would pay — and the per-round eager checkpoints all
     # plan inside the scope. Min labels are integers, bit-identical
     # under any partitioning.
+    # aqe="on": the frontier SHRINKS toward exhaustion, so AQE's
+    # runtime SMJ -> broadcast conversion of the frontier joins is the
+    # kcore situation, not the pagerank one (operators/adaptive.py).
     n_edges = sym.count()
-    with loop_shuffle(sym.sparkSession, n_edges, n_cols=2):
+    with loop_shuffle(sym.sparkSession, n_edges, n_cols=2, aqe="on"):
         settled = sources.select(
             "id", F.lit(0).cast("bigint").alias("hops")
         ).join(verts, "id", "left_semi").persist().transform(track_cache)

@@ -42,6 +42,28 @@ def test_loop_shuffle_sets_and_restores(spark):
     assert spark.conf.get(key) == before
 
 
+def test_loop_shuffle_aqe_scope(spark, monkeypatch):
+    """r16: aqe="off" (default) disables AQE inside the scope and
+    restores it; aqe="on" keeps it; SPARK_GRAFT_LOOP_AQE overrides the
+    parameter (the A/B probe knob)."""
+    key = "spark.sql.adaptive.enabled"
+    monkeypatch.delenv("SPARK_GRAFT_LOOP_AQE", raising=False)
+    before = spark.conf.get(key)
+    with loop_shuffle(spark, 1, n_cols=2):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == before
+    with loop_shuffle(spark, 1, n_cols=2, aqe="on"):
+        assert spark.conf.get(key) == before
+    assert spark.conf.get(key) == before
+    monkeypatch.setenv("SPARK_GRAFT_LOOP_AQE", "on")
+    with loop_shuffle(spark, 1, n_cols=2):
+        assert spark.conf.get(key) == before
+    monkeypatch.setenv("SPARK_GRAFT_LOOP_AQE", "off")
+    with loop_shuffle(spark, 1, n_cols=2, aqe="on"):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == before
+
+
 def test_loop_operators_invariant_to_derived_count(spark, monkeypatch):
     """Same labels/ranks whether the derivation lands at 1 partition or
     at the conf cap — the adaptive count must never change results
