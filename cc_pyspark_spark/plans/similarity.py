@@ -2213,46 +2213,72 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # referenced by every greedy round: materialize once
         .localCheckpoint(eager=True)
     )
-    sel = (
-        pool.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select(F.lit(0).cast("bigint").alias("rnk"), "vec_id", "v", "nrm", "rel")
+    # Greedy selection in ONE single-partition Arrow pass (r16
+    # optimization round, guide §5 — fewer driver actions): the r10-r15
+    # shape ran one anti-join + broadcast scoring + TakeOrdered(1) +
+    # eager localCheckpoint PER ROUND — measured 8 checkpoint actions
+    # x ~0.17 s plus ~0.9 s of per-round plan construction at sf0.1,
+    # all to pick 8 rows out of a 16-row pool. The pool stays a
+    # distributed TakeOrdered over the corpus (no corpus collect); the
+    # greedy chain over the <= MMR_POOL checkpointed rows is a single
+    # mapInPandas task. Bit-identical arithmetic: Python floats are
+    # the same IEEE binary64 as JVM doubles, the dot product folds in
+    # dimension order exactly like the old aggregate(zip_with(...))
+    # expression (sequential left fold, acc + x*y), maxsim is an
+    # order-independent max, and the argmax tie-break replays
+    # (score desc, vec_id asc) — the DuckDB oracle pins all of it.
+    def _greedy(batches):  # pragma: no cover — executor-side
+        import pandas as pd  # noqa: PLC0415
+
+        rows = pd.concat(list(batches), ignore_index=True)
+        cand = [
+            (
+                int(t.vec_id),
+                [float(x) for x in t.v],
+                float(t.nrm),
+                float(t.rel),
+            )
+            for t in rows.itertuples()
+        ]
+
+        def dot(a: list, b: list) -> float:
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        sel: list = []
+        chosen: set = set()
+        for r in range(min(MMR_K, len(cand))):
+            best = None
+            best_key = None
+            for vec_id, v, nrm, rel in cand:
+                if vec_id in chosen:
+                    continue
+                if r == 0:
+                    score = rel
+                else:
+                    maxsim = max(
+                        dot(v, sv) / (nrm * snrm)
+                        for _, sv, snrm, _ in sel
+                    )
+                    score = 0.7 * rel - 0.3 * maxsim
+                key = (-score, vec_id)
+                if best_key is None or key < best_key:
+                    best, best_key = (vec_id, v, nrm, rel), key
+            sel.append(best)
+            chosen.add(best[0])
+        yield pd.DataFrame(
+            {
+                "rnk": list(range(len(sel))),
+                "vec_id": [s[0] for s in sel],
+                "rel": [s[3] for s in sel],
+            }
+        )
+
+    return pool.coalesce(1).mapInPandas(
+        _greedy, "rnk bigint, vec_id bigint, rel double"
     )
-    for r in range(1, MMR_K):
-        remaining = pool.join(sel.select("vec_id"), "vec_id", "left_anti")
-        maxsim = (
-            remaining.alias("p")
-            .crossJoin(F.broadcast(sel.alias("s")))
-            .select(
-                F.col("p.vec_id").alias("vec_id"),
-                (
-                    F.expr(_MMR_DOT_PS) / (F.col("p.nrm") * F.col("s.nrm"))
-                ).alias("sim"),
-            )
-            .groupBy("vec_id")
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        nxt = (
-            maxsim.join(pool, "vec_id")
-            .orderBy(
-                (
-                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("maxsim")
-                ).desc(),
-                F.asc("vec_id"),
-            )
-            .limit(1)
-            .select(
-                F.lit(r).cast("bigint").alias("rnk"), "vec_id", "v", "nrm", "rel"
-            )
-        )
-        # The selected frame is consumed 3x per round (anti-join,
-        # broadcast scoring, union) — un-checkpointed, each round's
-        # TakeOrdered(1) subtree would replay multiplicatively (~3^k
-        # tiny jobs; the first bench row read 144 s of scheduler
-        # overhead at sf0.1). The frame is <= k rows; checkpointing it
-        # per round makes the loop linear.
-        sel = sel.unionAll(nxt).localCheckpoint(eager=True)
-    return sel.select("rnk", "vec_id", "rel")
 
 
 # --------------------- margin-based bitext mining (r10)
