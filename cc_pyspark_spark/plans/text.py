@@ -2540,9 +2540,21 @@ def classifier_train_sparse_frame(
         F.count("*").cast("bigint").alias("nd"),
     )
     # per-doc SPARSE features: sorted (idx, x) structs over occupied
-    # buckets only — the layout difference vs the dense twin's xtf array
+    # buckets only — the layout difference vs the dense twin's xtf array.
+    # Repartitioned by doc_id BEFORE the feats transform (r16
+    # optimization round, guide §2.4/§6): the bench corpus parquet is a
+    # single row group, so the scan — and with it this cache and every
+    # per-round gradient map stage reading it — was ONE task
+    # (measured: per-round checkpoint actions ~0.6 s single-core at
+    # sf0.1). One exchange of the skinny (doc_id, idxs, s) rows at
+    # cache build buys a conf-parallel layout for the 3x2 per-round
+    # fold passes; at cluster scale the conf count is the cluster knob
+    # and the exchange stays one amortized O(nnz) pass. Results are
+    # unchanged: every per-round aggregate is fixed-point/decimal
+    # (partition-invariant).
     lab = (
-        base.crossJoin(F.broadcast(thr))
+        base.repartition("doc_id")
+        .crossJoin(F.broadcast(thr))
         .select(
             "doc_id",
             "nd",
@@ -2599,8 +2611,16 @@ def classifier_train_sparse_frame(
         .persist()
         .transform(track_cache)
     )
-    # one broadcast row: idx->(m, sd) map for per-doc lookups + the
-    # idx-sorted (idx, m, sd) array for the C fold
+    # one broadcast row: the idx-sorted (idx, m, sd) array for the C
+    # fold, plus a DENSE d+1-length sd array for per-element lookups
+    # (r16 optimization round, guide §1.2 per-task work): element_at on
+    # a MapType is a LINEAR scan in Spark (GetMapValue over
+    # ArrayBasedMapData), so the old idx->(m, sd) map made every fold
+    # element cost O(|occupied buckets|) — at d=4096 the per-round map
+    # stage did ~|feats| x 4k comparisons per document, which is what
+    # dominated this row. get(sda, idx) is O(1); values are the
+    # identical doubles (unoccupied buckets and the idx=d bias
+    # pseudo-feature read the same 1.0 the old coalesce supplied).
     mom_row = mom.groupBy().agg(
         F.map_from_entries(
             F.array_sort(
@@ -2613,7 +2633,16 @@ def classifier_train_sparse_frame(
             )
         ).alias("mm"),
         F.array_sort(F.collect_list(F.struct("idx", "m", "sd"))).alias("moms"),
-    )
+    ).select(
+        "moms",
+        F.expr(
+            f"transform(sequence(0, {d}), b -> "
+            "coalesce(element_at(mm, bigint(b)).sd, 1.0D))"
+        ).alias("sda"),
+    # Materialized ONCE (r16): each round's woff broadcast re-executed
+    # this 1-row plan — the moment aggregation plus the O(d x |mm|)
+    # dense-array scatter — per round. It is round-invariant.
+    ).localCheckpoint(eager=True)
 
     w_row = spark.range(1).select(
         F.expr(f"transform(sequence(0, {d}), b -> 0.0D)").alias("ws")
@@ -2621,7 +2650,7 @@ def classifier_train_sparse_frame(
     for _ in range(CLS_TRAIN_ROUNDS):
         woff = w_row.crossJoin(F.broadcast(mom_row)).select(
             "ws",
-            "mm",
+            "sda",
             F.expr(
                 f"get(ws, {d}) - aggregate(moms, 0.0D, (acc, e) -> "
                 "acc + get(ws, cast(e.idx as int)) / e.sd * e.m)"
@@ -2633,7 +2662,7 @@ def classifier_train_sparse_frame(
                 "z",
                 F.expr(
                     "aggregate(feats, 0.0D, (acc, e) -> acc + "
-                    "get(ws, cast(e.idx as int)) / element_at(mm, e.idx).sd"
+                    "get(ws, cast(e.idx as int)) / get(sda, cast(e.idx as int))"
                     " * e.x) + off"
                 ),
             )
@@ -2641,7 +2670,7 @@ def classifier_train_sparse_frame(
                 "doc_id",
                 "nd",
                 "feats",
-                "mm",
+                "sda",
                 (
                     F.lit(0.5)
                     + F.lit(0.5) * (F.col("z") / (F.lit(1.0) + F.abs("z")))
@@ -2669,7 +2698,7 @@ def classifier_train_sparse_frame(
                         "1.0D as x)))"
                     )
                 ).alias("f"),
-                "mm",
+                "sda",
             )
             .select(
                 "nd",
@@ -2678,9 +2707,11 @@ def classifier_train_sparse_frame(
                     F.col("err")
                     * (
                         F.col("f.x")
-                        / F.coalesce(
-                            F.expr("element_at(mm, f.idx).sd"), F.lit(1.0)
-                        )
+                        # sda[d] = 1.0 (the bias pseudo-feature) and
+                        # 1.0 for unoccupied buckets — the same values
+                        # the old coalesce(element_at(mm, ...), 1.0)
+                        # produced, at O(1) per element.
+                        / F.expr("get(sda, cast(f.idx as int))")
                     )
                     * F.lit(1e12)
                 ).cast("decimal(28,0)").alias("t1p"),
@@ -2729,6 +2760,19 @@ def classifier_train_sparse_frame(
                     " / (1e12D * ndd)) END)"
                 ).alias("ws")
             )
+            # Truncate the weight row's lineage EVERY round (r16
+            # optimization round, guide §1.2 per-task work): without
+            # this the 1-row frame chains one more nested
+            # transform(sequence(0, d)) layer per round, so every
+            # round's gradient plan has a DIFFERENT codegen source and
+            # pays a fresh janino compilation of a d-wide generated
+            # class — measured as a flat ~0.55 s per-round floor at
+            # sf0.1 that did not move with data partitioning (1 vs 32
+            # partitions), while re-running an identical plan shape
+            # cost ~0.1 s. With the checkpoint, every round's plan is
+            # shape-identical and codegen compiles once. The frame is
+            # one row; the checkpoint job is ~ms.
+            .localCheckpoint(eager=True)
         )
 
     bias = w_row.select(
